@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` returns the DuckDB
+replay SQL that reproduces each result bit-for-bit (reproducible-mode
+engine — see snappy_aqp_spark/quant.py).
 """
 
 from __future__ import annotations
@@ -13,26 +12,34 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from snappy_aqp_spark.fixtures import APPROX_SPECS
+from snappy_aqp_spark.plans.approx_query import (load_tables, oracle_sql_for,
+                                                 run_approx_query)
+from snappy_aqp_spark.specs import ApproxQuerySpec
+
+
+def _tables_for(spec: ApproxQuerySpec) -> tuple[str, ...]:
+    return (spec.sample.base_table, *[j.table for j in spec.joins])
+
+
+def _make_runner(spec: ApproxQuerySpec) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tables = load_tables(spark, sf_dir, _tables_for(spec))
+        return run_approx_query(spark, spec, tables, cache_token=sf_dir)
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return queries()["cf_group_multi"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, spec in APPROX_SPECS.items():
+        out[name] = _make_runner(spec)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: oracle_sql_for(spec) for name, spec in APPROX_SPECS.items()}

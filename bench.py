@@ -1,0 +1,88 @@
+"""Benchmark harness (driver contract): runs headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line.
+
+Protocol scaled down from the reference harness (PerfRun.conf:42-44 — median
+over many iterations after warm-ups): median of ITERS after WARMUP runs.
+Reports each approx query, its exact counterpart (the speedup story the
+reference pitches), and the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+from snappy_aqp_spark.fixtures import APPROX_SPECS
+from snappy_aqp_spark.plans.approx_query import (load_tables, run_approx_query,
+                                                 run_exact_query)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "8")
+WARMUP = int(os.environ.get("BENCH_WARMUP", "2"))
+ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+
+HEADLINE = ["cf_sum_global", "cf_group_multi", "cf_where", "cf_join_orders",
+            "cf_local_omit", "bypass_weighted_sum"]
+
+
+def _time(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = (SparkSession.builder.master(f"local[{CPUS}]")
+             .config("spark.sql.shuffle.partitions", CPUS)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.ui.showConsoleProgress", "false")
+             .config("spark.driver.memory", "8g")
+             .appName("snappy-aqp-spark-bench").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    table_names = set()
+    for q in HEADLINE:
+        spec = APPROX_SPECS[q]
+        table_names.add(spec.sample.base_table)
+        table_names.update(j.table for j in spec.joins)
+    tables = load_tables(spark, SF_DIR, tuple(sorted(table_names)))
+    for df in tables.values():
+        df.cache().count()  # park in memory: bench measures compute, not disk
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = APPROX_SPECS[name]
+        for label, runner in (("", run_approx_query), ("exact:", run_exact_query)):
+            def once():
+                if runner is run_approx_query:
+                    runner(spark, spec, tables, cache_token=SF_DIR).collect()
+                else:
+                    runner(spark, spec, tables).collect()
+            for _ in range(WARMUP):
+                once()
+            times = [_time(once) for _ in range(ITERS)]
+            results[f"{label}{name}"] = round(statistics.median(times), 4)
+
+    total = round(sum(v for k, v in results.items() if not k.startswith("exact:")), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "aqp_headline_median_total",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

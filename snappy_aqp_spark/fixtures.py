@@ -1,0 +1,153 @@
+"""Query-fixture registry: every operator claimed in SURVEY.md §2 gets a
+named spec here, powering both ``__spark_entry__.queries()`` and
+``__spark_entry__.oracle_sql()``.
+
+Mirrors the reference's perf/functional query corpus
+(src/test/java/io/snappydata/app/perfQueries.sql, perfFunctionalQueries.sql,
+perfJoinQueries.sql) re-targeted at the driver's TPC-H-ish tables.
+"""
+
+from __future__ import annotations
+
+from .specs import ApproxAgg, ApproxQuerySpec, JoinSpec, SampleSpec
+
+ALL_ERRORS = ("absolute_error", "relative_error", "lower_bound", "upper_bound")
+
+# canonical samples over the driver tables (FIXTURES.md §B.1)
+LI_HASH = SampleSpec("lineitem", ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+                     ("l_returnflag", "l_linestatus"), "hash", fraction=0.05, seed=42)
+LI_RESERVOIR = SampleSpec("lineitem", ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+                          ("l_returnflag", "l_linestatus"), "reservoir",
+                          fraction=0.05, reservoir_size=200, seed=42)
+LI_FRACTION = SampleSpec("lineitem", ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+                         ("l_returnflag", "l_linestatus"), "fraction",
+                         fraction=0.02, reservoir_size=50, seed=42)
+LI_EXPR_QCS = SampleSpec("lineitem", ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+                         ("year(l_shipdate)",), "hash", fraction=0.05, seed=7)
+ORD_HASH = SampleSpec("orders", ("o_orderkey",), ("o_orderpriority",),
+                      "hash", fraction=0.1, seed=42)
+
+_PRICE = 2.0 ** 17      # l_extendedprice < 105k
+_QTY = 2.0 ** 6         # l_quantity <= 50
+_TOTAL = 2.0 ** 19      # o_totalprice < 500k
+
+
+APPROX_SPECS: dict[str, ApproxQuerySpec] = {
+    # global aggregate, all error functions (perfQueries.sql:1 shape)
+    "cf_sum_global": ApproxQuerySpec(
+        sample=LI_HASH,
+        aggs=(ApproxAgg("sum", "l_extendedprice", "sum_price", _PRICE, ALL_ERRORS),),
+    ),
+    # grouped multi-aggregate with ORDER BY (perfQueries.sql:4 shape)
+    "cf_group_multi": ApproxQuerySpec(
+        sample=LI_HASH,
+        aggs=(ApproxAgg("sum", "l_extendedprice", "sum_price", _PRICE, ALL_ERRORS),
+              ApproxAgg("avg", "l_discount", "avg_disc", 1.0,
+                        ("relative_error", "lower_bound", "upper_bound")),
+              ApproxAgg("count_star", None, "cnt", errors=("absolute_error",))),
+        group_by=("l_returnflag",), group_aliases=("rf",), order_by=("rf",),
+    ),
+    # WHERE inside strata (perfQueries.sql:2 shape)
+    "cf_where": ApproxQuerySpec(
+        sample=LI_HASH,
+        aggs=(ApproxAgg("sum", "l_extendedprice", "sum_price", _PRICE, ALL_ERRORS),
+              ApproxAgg("count", "l_quantity", "cnt_qty", _QTY,
+                        ("lower_bound", "upper_bound"))),
+        where="l_quantity < 25",
+        group_by=("l_linestatus",), group_aliases=("ls",), order_by=("ls",),
+    ),
+    # arithmetic measure expression (WeightageRule pushes through + - * /,
+    # reference WeightedAggregates.scala:84-171)
+    "cf_expr_measure": ApproxQuerySpec(
+        sample=LI_HASH,
+        aggs=(ApproxAgg("sum", "l_extendedprice * (1.0 - l_discount)",
+                        "sum_revenue", _PRICE, ALL_ERRORS),),
+        group_by=("l_returnflag",), group_aliases=("rf",), order_by=("rf",),
+    ),
+    # reservoir sampler (StratifiedSamplerReservoir)
+    "cf_reservoir": ApproxQuerySpec(
+        sample=LI_RESERVOIR,
+        aggs=(ApproxAgg("sum", "l_extendedprice", "sum_price", _PRICE, ALL_ERRORS),
+              ApproxAgg("avg", "l_quantity", "avg_qty", _QTY, ("relative_error",))),
+        group_by=("l_returnflag",), group_aliases=("rf",), order_by=("rf",),
+    ),
+    # fraction sampler with per-stratum floor (StratifiedSamplerCached)
+    "cf_fraction": ApproxQuerySpec(
+        sample=LI_FRACTION,
+        aggs=(ApproxAgg("count_star", None, "cnt", errors=ALL_ERRORS),),
+        group_by=("l_linestatus",), group_aliases=("ls",), order_by=("ls",),
+    ),
+    # expression QCS (NYCTaxi hour(pickup_datetime) analog)
+    "cf_expr_qcs": ApproxQuerySpec(
+        sample=LI_EXPR_QCS,
+        aggs=(ApproxAgg("avg", "l_extendedprice", "avg_price", _PRICE, ALL_ERRORS),),
+        group_by=("year(l_shipdate)",), group_aliases=("ship_year",),
+        order_by=("ship_year",),
+    ),
+    # join: sample x exact dimension (perfJoinQueries.sql shape; sample table
+    # on exactly one relation — QueryProcessingRules.scala:504-515)
+    "cf_join_orders": ApproxQuerySpec(
+        sample=LI_HASH,
+        joins=(JoinSpec("orders", "l_orderkey = o_orderkey"),),
+        aggs=(ApproxAgg("sum", "l_extendedprice", "sum_price", _PRICE, ALL_ERRORS),
+              ApproxAgg("count_star", None, "cnt")),
+        where="o_orderpriority LIKE '1%'",
+        group_by=("o_orderstatus",), group_aliases=("status",), order_by=("status",),
+    ),
+    # orders-table sample (row-table sample analog)
+    "cf_orders_sample": ApproxQuerySpec(
+        sample=ORD_HASH,
+        aggs=(ApproxAgg("sum", "o_totalprice", "sum_total", _TOTAL, ALL_ERRORS),
+              ApproxAgg("count_star", None, "cnt", errors=("relative_error",))),
+        group_by=("o_orderpriority",), group_aliases=("prio",), order_by=("prio",),
+    ),
+    # HAVING over an output alias incl. an error function
+    "cf_having": ApproxQuerySpec(
+        sample=LI_HASH,
+        aggs=(ApproxAgg("sum", "l_extendedprice", "sum_price", _PRICE, ALL_ERRORS),),
+        group_by=("l_returnflag", "l_linestatus"), group_aliases=("rf", "ls"),
+        having="sum_price > 1000000.0 AND sum_price_relative_error < 0.9",
+        order_by=("rf", "ls"), limit=10,
+    ),
+    # HAC: local omission -> NaN outputs for violating groups
+    "cf_local_omit": ApproxQuerySpec(
+        sample=LI_HASH,
+        aggs=(ApproxAgg("avg", "l_extendedprice", "avg_price", _PRICE, ALL_ERRORS),),
+        group_by=("l_returnflag", "l_linestatus"), group_aliases=("rf", "ls"),
+        order_by=("rf", "ls"),
+        error=0.008, behavior="local_omit",
+    ),
+    # HAC: strict with a loose contract (tight contract raises — tested in pytest)
+    "cf_strict": ApproxQuerySpec(
+        sample=LI_HASH,
+        aggs=(ApproxAgg("sum", "l_extendedprice", "sum_price", _PRICE, ALL_ERRORS),),
+        group_by=("l_returnflag",), group_aliases=("rf",), order_by=("rf",),
+        error=0.9, behavior="strict",
+    ),
+    # HAC: full rerouting to the base table on violation
+    "cf_full_route": ApproxQuerySpec(
+        sample=LI_HASH,
+        aggs=(ApproxAgg("sum", "l_extendedprice", "sum_price", _PRICE,
+                        ("absolute_error", "relative_error")),),
+        group_by=("l_returnflag",), group_aliases=("rf",), order_by=("rf",),
+        error=0.01, behavior="run_on_full_table",
+    ),
+    # HAC: partial per-group rerouting (AQPRules.scala:375-479)
+    "cf_partial_route": ApproxQuerySpec(
+        sample=LI_HASH,
+        aggs=(ApproxAgg("avg", "l_extendedprice", "avg_price", _PRICE,
+                        ("relative_error", "lower_bound", "upper_bound")),),
+        group_by=("l_returnflag", "l_linestatus"), group_aliases=("rf", "ls"),
+        order_by=("rf", "ls"),
+        error=0.008, behavior="partial_run_on_base_table",
+    ),
+    # bypass: no error estimation requested (ByPassErrorCalculations)
+    "bypass_weighted_sum": ApproxQuerySpec(
+        sample=LI_HASH,
+        aggs=(ApproxAgg("sum", "l_quantity", "sum_qty", _QTY),
+              ApproxAgg("avg", "l_extendedprice", "avg_price", _PRICE),
+              ApproxAgg("count_star", None, "cnt")),
+        group_by=("l_returnflag",), group_aliases=("rf",), order_by=("rf",),
+        estimator="bypass",
+    ),
+}

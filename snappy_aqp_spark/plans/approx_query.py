@@ -1,0 +1,370 @@
+"""Approximate-query planner: spec -> executable Spark program / SQL replay.
+
+This is the rebuild of the reference's rule pipeline — ``ReplaceWithSampleTable``
+→ ``WeightageRule`` → ``ErrorEstimateRule`` → ``SampleTablePlan`` HAC
+enforcement (reference: common/QueryProcessingRules.scala:114-230,
+WeightedAggregates.scala:34-171, common/AQPRules.scala:115-519) — expressed as
+an explicit DataFrame program instead of catalyst rules: Catalyst still does
+all generic optimization (pushdown, pruning, join selection, AQE) on the plan
+we emit.
+
+Stage layout (both engines, identical math — see operators/closedform.py):
+
+    sample -> [joins] -> [where] -> project group/stratum keys
+           -> inner agg (group x stratum)   [shuffle 1: tiny after partials]
+           -> outer agg (group)             [shuffle 2: group rows only]
+           -> estimate/bound -> rel-error -> HAC -> visible output
+
+HAC behaviors (reference common/AQPRules.scala:288-502):
+    do_nothing      pass through
+    local_omit      per-group NaN-out inside the aggregate finalize
+    strict          any relative error above the contract -> raise
+    run_on_full_table   any violation -> rerun the query exactly on base
+    partial_run_on_base_table  violating groups recomputed exactly, union
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..dialect import DUCKDB, SPARK
+from ..operators import closedform as cf
+from ..sampling.samplers import stratified_sample
+from ..sampling.sql import sample_cte_stages, stages_to_sql
+from ..specs import ApproxQuerySpec
+from ..tables import TABLE_COLUMNS
+
+
+# --------------------------------------------------------------------------
+# shared stage-fragment assembly
+# --------------------------------------------------------------------------
+
+def _gcols(spec: ApproxQuerySpec) -> list[str]:
+    return [f"__g{i}" for i in range(len(spec.group_by))]
+
+
+def _qcols(spec: ApproxQuerySpec) -> list[str]:
+    return [f"__sq{i}" for i in range(len(spec.sample.qcs))]
+
+
+def _scales(spec: ApproxQuerySpec) -> dict[str, cf.AggScales]:
+    return {a.alias: cf.agg_scales(a, spec.rows_hint) for a in spec.aggs}
+
+
+def _inner_frags(spec: ApproxQuerySpec) -> dict[str, str]:
+    sc = _scales(spec)
+    frags = {"__sns": f"MAX({cf.STRATA_SAMPLED_COL})",
+             "__snt": f"MAX({cf.STRATA_TOTAL_COL})"}
+    for a in spec.aggs:
+        frags.update(cf.inner_frags(a, sc[a.alias]))
+    return frags
+
+
+def _outer_frags(spec: ApproxQuerySpec) -> dict[str, str]:
+    sc = _scales(spec)
+    frags: dict[str, str] = {}
+    for a in spec.aggs:
+        frags.update(cf.outer_frags(a, sc[a.alias]))
+    return frags
+
+
+def _fin_est_frags(spec: ApproxQuerySpec, dialect: str) -> dict[str, str]:
+    sc = _scales(spec)
+    frags: dict[str, str] = {}
+    for a in spec.aggs:
+        frags.update(cf.fin_est_frags(a, sc[a.alias], spec.confidence, dialect))
+    return frags
+
+
+def _fin_rel_frags(spec: ApproxQuerySpec) -> dict[str, str]:
+    frags: dict[str, str] = {}
+    for a in spec.aggs:
+        frags.update(cf.fin_rel_frags(a))
+    return frags
+
+
+def _output_frags(spec: ApproxQuerySpec) -> dict[str, str]:
+    frags: dict[str, str] = {}
+    for a in spec.aggs:
+        frags.update(cf.output_frags(a, spec))
+    return frags
+
+
+def _violation_cond(spec: ApproxQuerySpec) -> str:
+    """any aggregate's relative error above the contract."""
+    conds = [cf.omitted_cond(a, spec.error) for a in spec.aggs]
+    return "(" + " OR ".join(conds) + ")"
+
+
+def _exact_frags(spec: ApproxQuerySpec) -> dict[str, str]:
+    sc = _scales(spec)
+    frags: dict[str, str] = {}
+    for a in spec.aggs:
+        frags.update(cf.exact_output_frags(a, sc[a.alias]))
+    return frags
+
+
+def visible_columns(spec: ApproxQuerySpec) -> list[str]:
+    cols = list(spec.group_out)
+    for a in spec.aggs:
+        cols.append(a.alias)
+        cols.extend(f"{a.alias}_{fn}" for fn in a.errors)
+    return cols
+
+
+# --------------------------------------------------------------------------
+# Spark execution path
+# --------------------------------------------------------------------------
+
+def _select_frags(df: DataFrame, keep: list[str], frags: dict[str, str]) -> DataFrame:
+    return df.select(*[F.col(c) for c in keep],
+                     *[F.expr(sql).alias(name) for name, sql in frags.items()])
+
+
+# session-lifetime cache of materialized samples: the reference maintains
+# sample *tables* (built once, queried many times); re-sampling per query
+# would scan the full base table every time. Keyed by (sample spec, data
+# location token) — content is deterministic, so caching never changes
+# results.
+_SAMPLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def get_sample(base: DataFrame, spec: ApproxQuerySpec,
+               cache_token: str | None) -> DataFrame:
+    if cache_token is None:
+        return stratified_sample(base, spec.sample)
+    key = (spec.sample, cache_token)
+    if key not in _SAMPLE_CACHE:
+        s = stratified_sample(base, spec.sample).persist()
+        s.count()
+        _SAMPLE_CACHE[key] = s
+    return _SAMPLE_CACHE[key]
+
+
+def _prepare(spec: ApproxQuerySpec, tables: dict[str, DataFrame],
+             sampled: bool, cache_token: str | None = None) -> DataFrame:
+    base = tables[spec.sample.base_table]
+    df = get_sample(base, spec, cache_token) if sampled else base
+    for j in spec.joins:
+        df = df.join(tables[j.table], on=F.expr(j.on), how=j.how)
+    if spec.where:
+        df = df.where(F.expr(spec.where))
+    for i, g in enumerate(spec.group_by):
+        df = df.withColumn(f"__g{i}", F.expr(g))
+    if sampled:
+        for i, q in enumerate(spec.sample.qcs):
+            df = df.withColumn(f"__sq{i}", F.expr(q))
+    return df
+
+
+def _finalize_visible(spec: ApproxQuerySpec, fin_rel: DataFrame,
+                      extra: dict[str, str] | None = None) -> DataFrame:
+    out_frags = _output_frags(spec)
+    sel = [F.col(f"__g{i}").alias(name) for i, name in enumerate(spec.group_out)]
+    sel += [F.expr(sql).alias(name) for name, sql in out_frags.items()]
+    if extra:
+        sel += [F.expr(sql).alias(name) for name, sql in extra.items()]
+    return fin_rel.select(*sel)
+
+
+def _apply_tail(spec: ApproxQuerySpec, df: DataFrame) -> DataFrame:
+    if spec.having:
+        df = df.where(F.expr(spec.having))
+    if spec.order_by:
+        df = df.orderBy(*[F.expr(o) for o in spec.order_by])
+    if spec.limit is not None:
+        df = df.limit(spec.limit)
+    return df
+
+
+def _exact_query(spec: ApproxQuerySpec, tables: dict[str, DataFrame],
+                 restrict_to: DataFrame | None = None) -> DataFrame:
+    """Exact replica on the base table (HAC rerouting target)."""
+    df = _prepare(spec, tables, sampled=False)
+    gcols = _gcols(spec)
+    if restrict_to is not None:
+        df = df.join(restrict_to, on=gcols, how="leftsemi")
+    frags = _exact_frags(spec)
+    grouped = df.groupBy(*gcols) if gcols else df.groupBy()
+    agged = grouped.agg(*[F.expr(sql).alias(name) for name, sql in frags.items()])
+    sel = [F.col(f"__g{i}").alias(name) for i, name in enumerate(spec.group_out)]
+    # exact error functions may reference the estimate alias (lower/upper = est)
+    order = visible_columns(spec)
+    agged = agged.select(*sel, *[c for c in agged.columns if c not in _gcols(spec)])
+    return agged.select(*order)
+
+
+def run_approx_query(spark: SparkSession, spec: ApproxQuerySpec,
+                     tables: dict[str, DataFrame],
+                     cache_token: str | None = None) -> DataFrame:
+    """Execute the approximate query; returns the visible-result DataFrame."""
+    df = _prepare(spec, tables, sampled=True, cache_token=cache_token)
+    gcols, qcols = _gcols(spec), _qcols(spec)
+    inner_frags = _inner_frags(spec)
+    grouped = df.groupBy(*(gcols + qcols)) if (gcols or qcols) else df.groupBy()
+    inner = grouped.agg(*[F.expr(s).alias(n) for n, s in inner_frags.items()])
+    grouped2 = inner.groupBy(*gcols) if gcols else inner.groupBy()
+    outer = grouped2.agg(*[F.expr(s).alias(n) for n, s in _outer_frags(spec).items()])
+    fin_est = _select_frags(outer, gcols + [c for c in outer.columns if c.startswith("__c_")],
+                            _fin_est_frags(spec, SPARK))
+    fin_rel = fin_est.select("*", *[F.expr(s).alias(n)
+                                    for n, s in _fin_rel_frags(spec).items()])
+
+    behavior = spec.behavior
+    if behavior in ("do_nothing", "local_omit"):
+        return _apply_tail(spec, _finalize_visible(spec, fin_rel))
+
+    viol = _violation_cond(spec)
+    if behavior == "strict":
+        if fin_rel.where(F.expr(viol)).limit(1).count() > 0:
+            raise cf.ErrorLimitExceededException(
+                f"relative error exceeded {spec.error} (behavior=strict)")
+        return _apply_tail(spec, _finalize_visible(spec, fin_rel))
+
+    if behavior == "run_on_full_table":
+        if fin_rel.where(F.expr(viol)).limit(1).count() > 0:
+            return _apply_tail(spec, _exact_query(spec, tables))
+        return _apply_tail(spec, _finalize_visible(spec, fin_rel))
+
+    # partial_run_on_base_table: violating groups -> exact, others -> approx
+    bad_keys = fin_rel.where(F.expr(viol)).select(*gcols).distinct()
+    good = _finalize_visible(spec, fin_rel.where(~F.expr(viol)))
+    exact_bad = _exact_query(spec, tables, restrict_to=bad_keys)
+    return _apply_tail(spec, good.unionByName(exact_bad))
+
+
+def run_exact_query(spark: SparkSession, spec: ApproxQuerySpec,
+                    tables: dict[str, DataFrame]) -> DataFrame:
+    """Exact path (unsupported-aggregate routing / benchmarking baseline)."""
+    return _apply_tail(spec, _exact_query(spec, tables))
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] | None = None) -> dict[str, DataFrame]:
+    names = names or tuple(TABLE_COLUMNS)
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+# --------------------------------------------------------------------------
+# oracle SQL emission (DuckDB replay; also valid Spark SQL for self-checks)
+# --------------------------------------------------------------------------
+
+def _dict_select(frags: dict[str, str], keep: list[str]) -> str:
+    parts = keep + [f"{sql} AS {name}" for name, sql in frags.items()]
+    return ", ".join(parts)
+
+
+def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
+    gcols, qcols = _gcols(spec), _qcols(spec)
+    stages = sample_cte_stages(spec.sample, out_name="__sample")
+
+    def prepared_stage(src: str, sampled: bool) -> str:
+        sel = "*"
+        frm = src
+        for j in spec.joins:
+            frm += f" {j.how.upper()} JOIN {j.table} ON {j.on}"
+        sql = f"SELECT {sel} FROM {frm}"
+        if spec.where:
+            sql += f" WHERE {spec.where}"
+        proj = [f"{g} AS __g{i}" for i, g in enumerate(spec.group_by)]
+        if sampled:
+            proj += [f"{q} AS __sq{i}" for i, q in enumerate(spec.sample.qcs)]
+        proj_sql = ("*, " + ", ".join(proj)) if proj else "*"
+        return f"SELECT {proj_sql} FROM ({sql}) __p"
+
+    stages.append(("__pre", prepared_stage("__sample", sampled=True)))
+    group1 = ", ".join(gcols + qcols) or None
+    inner_sel = _dict_select(_inner_frags(spec), gcols + qcols)
+    stages.append(("__inner", f"SELECT {inner_sel} FROM __pre" +
+                   (f" GROUP BY {group1}" if group1 else "")))
+    group2 = ", ".join(gcols) or None
+    outer_all = _outer_frags(spec)
+    outer_sel = _dict_select(outer_all, gcols)
+    stages.append(("__outer", f"SELECT {outer_sel} FROM __inner" +
+                   (f" GROUP BY {group2}" if group2 else "")))
+    keep_c = [n for n in outer_all if n.startswith("__c_")]
+    stages.append(("__fin_est",
+                   f"SELECT {_dict_select(_fin_est_frags(spec, dialect), gcols + keep_c)} "
+                   f"FROM __outer"))
+    stages.append(("__fin_rel",
+                   f"SELECT *, {_dict_select(_fin_rel_frags(spec), [])} FROM __fin_est"))
+
+    out_frags = _output_frags(spec)
+    vis_parts = [f"__g{i} AS {name}" for i, name in enumerate(spec.group_out)]
+    vis_parts += [f"{sql} AS {name}" for name, sql in out_frags.items()]
+    vis_sql = f"SELECT {', '.join(vis_parts)} FROM __fin_rel"
+
+    behavior = spec.behavior
+    if behavior in ("partial_run_on_base_table", "run_on_full_table"):
+        viol = _violation_cond(spec)
+        # exact replica stages over the base table
+        stages.append(("__pre_exact",
+                       prepared_stage(spec.sample.base_table, sampled=False)))
+        exact_parts = [f"__g{i} AS __eg{i}" for i in range(len(gcols))]
+        exact_parts += [f"{sql} AS {name}" for name, sql in _exact_frags(spec).items()]
+        exact_group = ", ".join(gcols) or None
+        stages.append(("__exact_agg",
+                       f"SELECT {', '.join(exact_parts)} FROM __pre_exact" +
+                       (f" GROUP BY {exact_group}" if exact_group else "")))
+        exact_vis_parts = [f"__eg{i} AS {name}" for i, name in enumerate(spec.group_out)]
+        exact_vis_parts += [a for a in visible_columns(spec) if a not in spec.group_out]
+        exact_vis = f"SELECT {', '.join(exact_vis_parts)} FROM __exact_agg"
+        if behavior == "run_on_full_table":
+            stages.append(("__has_viol",
+                           f"SELECT CASE WHEN EXISTS (SELECT 1 FROM __fin_rel WHERE {viol}) "
+                           f"THEN 1 ELSE 0 END AS v"))
+            stages.append(("__vis",
+                           f"SELECT * FROM ({vis_sql}) __a WHERE (SELECT v FROM __has_viol) = 0 "
+                           f"UNION ALL "
+                           f"SELECT * FROM ({exact_vis}) __e WHERE (SELECT v FROM __has_viol) = 1"))
+        else:
+            key_tuple = "(" + ", ".join(gcols) + ")"
+            ekey_tuple = "(" + ", ".join(f"__eg{i}" for i in range(len(gcols))) + ")"
+            stages.append(("__bad",
+                           f"SELECT DISTINCT {', '.join(gcols)} FROM __fin_rel WHERE {viol}"))
+            stages.append(("__exact_bad",
+                           f"SELECT * FROM __exact_agg "
+                           f"WHERE {ekey_tuple} IN (SELECT {key_tuple} FROM __bad)"))
+            good_vis = (f"SELECT {', '.join(vis_parts)} FROM __fin_rel "
+                        f"WHERE NOT {viol}")
+            stages.append(("__vis",
+                           f"{good_vis} UNION ALL "
+                           f"SELECT {', '.join(exact_vis_parts)} FROM __exact_bad"))
+    else:
+        stages.append(("__vis", vis_sql))
+
+    final = f"SELECT {', '.join(visible_columns(spec))} FROM __vis"
+    if spec.having:
+        final += f" WHERE {spec.having}"
+    if spec.order_by:
+        final += f" ORDER BY {', '.join(spec.order_by)}"
+    if spec.limit is not None:
+        final += f" LIMIT {spec.limit}"
+    return stages_to_sql(stages, final)
+
+
+def exact_oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
+    """Oracle for the exact path (routing fallback / benchmarking)."""
+    frm = spec.sample.base_table
+    for j in spec.joins:
+        frm += f" {j.how.upper()} JOIN {j.table} ON {j.on}"
+    sql = f"SELECT *, {', '.join(f'{g} AS __g{i}' for i, g in enumerate(spec.group_by))} FROM {frm}"
+    if not spec.group_by:
+        sql = f"SELECT * FROM {frm}"
+    if spec.where:
+        sql += f" WHERE {spec.where}"
+    gcols = _gcols(spec)
+    parts = [f"__g{i} AS {name}" for i, name in enumerate(spec.group_out)]
+    parts += [f"{s} AS {n}" for n, s in _exact_frags(spec).items()]
+    group = ", ".join(gcols) or None
+    out = f"SELECT {', '.join(parts)} FROM ({sql}) __b"
+    if group:
+        out += f" GROUP BY {group}"
+    final = f"SELECT {', '.join(visible_columns(spec))} FROM ({out}) __v"
+    if spec.having:
+        final += f" WHERE {spec.having}"
+    if spec.order_by:
+        final += f" ORDER BY {', '.join(spec.order_by)}"
+    if spec.limit is not None:
+        final += f" LIMIT {spec.limit}"
+    return final

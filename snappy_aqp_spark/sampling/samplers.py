@@ -1,0 +1,165 @@
+"""Stratified samplers (the reference's core operator family).
+
+Reference semantics rebuilt here:
+  * ``StratifiedSamplerReservoir`` — fixed-size per-stratum reservoir
+    (reference: execution/StratifiedSamplerReservoir.scala:33-77)
+  * ``StratifiedSamplerCached`` — fraction-based sampling with a per-stratum
+    floor (reference: execution/StratifiedSamplerCached.scala:49)
+  * hash/universe sampling — our scale path (no JVM analog in the reference;
+    it replaces the memory-aware ``StratifiedSampledRDD`` scheduling at
+    stratifiedSampling.scala:122-266 with a stateless one-pass filter)
+  * the hidden weight column — reference packs ``numSamples<<40 |
+    stratumTotal<<8 | hash`` into one LONG (stratifiedSampling.scala:749-760)
+    and decodes it at query time via ``MapColumnToWeight``
+    (common/WeightedAggregates.scala:230-311). We store the decoded triple
+    directly: weight double + (n_s, N_s) bigints.
+
+Scale design (100 TB):
+  * ``hash`` method never shuffles the base data: one scan tags rows by a
+    key-derived integer, a tiny per-stratum count aggregate is broadcast back.
+    This is the default for big tables.
+  * ``reservoir``/``fraction`` need a per-stratum top-k by the hash value.
+    Naively that is a full-table window shuffle; we instead prefilter to
+    candidates whose hash falls below an oversampled threshold and fall back
+    per-stratum (exactly) when a stratum has too few candidates, so only
+    ~8x the sample volume ever shuffles.
+
+Randomness is derived from unique key columns (detrng.py), so sampling is
+deterministic, replayable on any engine, and independent of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..detrng import MODULUS, hash_sql, threshold_for_fraction
+from ..specs import (STRATA_SAMPLED_COL, STRATA_TOTAL_COL, WEIGHT_COL,
+                     SampleSpec)
+
+# strata smaller than this skip the candidate prefilter entirely
+_PREFILTER_MIN_STRATUM = 4096
+_OVERSAMPLE = 8
+
+
+def _qcs_cols(spec: SampleSpec) -> list[str]:
+    return [f"__q{i}" for i in range(len(spec.qcs))]
+
+
+def _tag(df: DataFrame, spec: SampleSpec) -> DataFrame:
+    out = df.withColumn("__h", F.expr(hash_sql(list(spec.key_cols), spec.seed)))
+    for i, q in enumerate(spec.qcs):
+        out = out.withColumn(f"__q{i}", F.expr(q))
+    return out
+
+
+def _nullsafe_join_cond(left: DataFrame, right: DataFrame, cols: list[str]):
+    cond = left[cols[0]].eqNullSafe(right[cols[0]])
+    for c in cols[1:]:
+        cond = cond & left[c].eqNullSafe(right[c])
+    return cond
+
+
+def _finish(df: DataFrame, base_cols: list[str]) -> DataFrame:
+    return df.select(
+        *base_cols,
+        F.col("__nsmp").cast("bigint").alias(STRATA_SAMPLED_COL),
+        F.col("__ntot").cast("bigint").alias(STRATA_TOTAL_COL),
+        (F.col("__ntot").cast("double") / F.col("__nsmp").cast("double")).alias(WEIGHT_COL),
+    )
+
+
+def _hash_sample(df: DataFrame, spec: SampleSpec) -> DataFrame:
+    thr = threshold_for_fraction(spec.fraction)
+    qcs = _qcs_cols(spec)
+    tagged = _tag(df, spec).withColumn(
+        "__in", F.when(F.col("__h") < F.lit(thr), F.lit(1)).otherwise(F.lit(0)))
+    counts = (tagged.groupBy(*qcs)
+              .agg(F.count(F.lit(1)).alias("__ntot"), F.sum("__in").alias("__nsmp")))
+    joined = tagged.where(F.col("__in") == 1).drop("__in").join(
+        F.broadcast(counts.where(F.col("__nsmp") > 0)),
+        on=qcs, how="inner")
+    return _finish(joined, df.columns)
+
+
+def _ranked_sample(df: DataFrame, spec: SampleSpec, use_prefilter: bool = True) -> DataFrame:
+    """reservoir / fraction-with-floor via per-stratum rank on the hash.
+
+    Equivalent to ROW_NUMBER() OVER (PARTITION BY qcs ORDER BY __h, keys)
+    over the full table, but only candidate rows are shuffled into the
+    window when the prefilter can prove exactness for a stratum.
+    """
+    k = spec.reservoir_size
+    thr = threshold_for_fraction(spec.fraction) if spec.method == "fraction" else 0
+    qcs = _qcs_cols(spec)
+    tagged = _tag(df, spec)
+    counts = tagged.groupBy(*qcs).agg(F.count(F.lit(1)).alias("__ntot"))
+
+    if use_prefilter:
+        # candidate threshold per stratum: oversampled k/N (and at least the
+        # fraction threshold for the fraction method)
+        cand_thr = F.when(
+            F.col("__ntot") <= F.lit(_PREFILTER_MIN_STRATUM), F.lit(MODULUS)
+        ).otherwise(
+            F.greatest(
+                F.lit(thr),
+                F.least(
+                    F.lit(MODULUS),
+                    F.ceil(F.lit(float(MODULUS * _OVERSAMPLE * (k + 32))) /
+                           F.col("__ntot").cast("double")).cast("bigint"),
+                ),
+            )
+        )
+        counts_thr = counts.withColumn("__cthr", cand_thr)
+        with_n = tagged.join(F.broadcast(counts_thr), on=qcs, how="inner")
+        cands = with_n.where(F.col("__h") < F.col("__cthr"))
+        # exactness check: a stratum's prefilter is valid iff it kept >= k rows
+        cand_counts = cands.groupBy(*qcs).agg(F.count(F.lit(1)).alias("__cn"))
+        ok = cand_counts.where(F.col("__cn") >= F.lit(k)).drop("__cn")
+        bad = cand_counts.where(F.col("__cn") < F.lit(k)).drop("__cn")
+        pool = cands.join(F.broadcast(ok), on=qcs, how="leftsemi").unionByName(
+            with_n.join(F.broadcast(bad), on=qcs, how="leftsemi"))
+    else:
+        pool = tagged.join(F.broadcast(counts), on=qcs, how="inner")
+
+    # tiebreak by every base column: key columns may not be unique in the
+    # wild, and rows identical in all columns are interchangeable — this
+    # keeps the ranked pick deterministic across engines and partitionings
+    order = [F.col("__h").asc()] + [F.col(c).asc() for c in df.columns]
+    w = Window.partitionBy(*qcs).orderBy(*order)
+    ranked = pool.withColumn("__rn", F.row_number().over(w))
+    if spec.method == "reservoir":
+        picked = ranked.where(F.col("__rn") <= F.lit(k))
+    else:
+        picked = ranked.where((F.col("__rn") <= F.lit(k)) | (F.col("__h") < F.lit(thr)))
+    n_per = picked.groupBy(*qcs).agg(F.count(F.lit(1)).alias("__nsmp"))
+    out = picked.join(F.broadcast(n_per), on=qcs, how="inner")
+    return _finish(out, df.columns)
+
+
+def stratified_sample(df: DataFrame, spec: SampleSpec) -> DataFrame:
+    """Return df's stratified sample with the hidden weight columns appended.
+
+    Analog of the reference's ad-hoc ``convertToStratifiedSample``
+    (execution/SnappyContextAQPFunctions.scala:375-382).
+    """
+    if spec.method == "hash":
+        return _hash_sample(df, spec)
+    return _ranked_sample(df, spec)
+
+
+def create_sample_table(spark, df: DataFrame, spec: SampleSpec, path: str,
+                        partition_by: list[str] | None = None) -> DataFrame:
+    """Materialize a sample table to parquet (reference:
+    ``CREATE SAMPLE TABLE`` -> ColumnFormatSamplingRelation persistence,
+    sql/sampling/ColumnFormatSamplingRelation.scala:50).
+
+    At 100 TB the sample itself can be billions of rows; partitioning by the
+    leading QCS column keeps approx-query scans pruned.
+    """
+    sample = stratified_sample(df, spec)
+    writer = sample.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return spark.read.parquet(path)

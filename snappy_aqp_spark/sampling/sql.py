@@ -1,0 +1,56 @@
+"""Portable-SQL emission of the stratified sample as CTE stages.
+
+Produces the *same rows, weights and strata* as ``samplers.stratified_sample``
+— on any ANSI engine. Used to build the DuckDB replay oracle; the text is
+also valid Spark SQL (tested for equality against the DataFrame path).
+"""
+
+from __future__ import annotations
+
+from ..detrng import hash_sql, threshold_for_fraction
+from ..specs import (STRATA_SAMPLED_COL, STRATA_TOTAL_COL, WEIGHT_COL,
+                     SampleSpec)
+from ..tables import TABLE_COLUMNS
+
+
+def sample_cte_stages(spec: SampleSpec, out_name: str = "__sample",
+                      base_sql: str | None = None,
+                      base_cols: tuple[str, ...] | None = None) -> list[tuple[str, str]]:
+    """[(cte_name, select_sql), ...]; the last stage is the sample relation.
+
+    ``base_sql`` defaults to ``SELECT * FROM <spec.base_table>``.
+    """
+    cols = base_cols or TABLE_COLUMNS[spec.base_table]
+    col_list = ", ".join(cols)
+    base = base_sql or f"SELECT {col_list} FROM {spec.base_table}"
+    h = hash_sql(list(spec.key_cols), spec.seed)
+    qcs = ", ".join(spec.qcs)
+    keys = ", ".join(cols)  # full-column tiebreak (see samplers._ranked_sample)
+    k = spec.reservoir_size
+    thr = threshold_for_fraction(spec.fraction)
+
+    if spec.method == "hash":
+        include = f"__h < {thr}"
+    elif spec.method == "reservoir":
+        include = f"__rn <= {k}"
+    else:  # fraction with per-stratum floor
+        include = f"__rn <= {k} OR __h < {thr}"
+
+    stages: list[tuple[str, str]] = []
+    stages.append(("__tag", f"SELECT {col_list}, {h} AS __h FROM ({base}) __b"))
+    stages.append(("__rk",
+                   f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {qcs} ORDER BY __h, {keys}) AS __rn, "
+                   f"COUNT(*) OVER (PARTITION BY {qcs}) AS __ntot FROM __tag"))
+    stages.append(("__mk", f"SELECT *, CASE WHEN {include} THEN 1 ELSE 0 END AS __in FROM __rk"))
+    stages.append(("__ct", f"SELECT *, SUM(__in) OVER (PARTITION BY {qcs}) AS __nsmp FROM __mk"))
+    stages.append((out_name,
+                   f"SELECT {col_list}, CAST(__nsmp AS BIGINT) AS {STRATA_SAMPLED_COL}, "
+                   f"CAST(__ntot AS BIGINT) AS {STRATA_TOTAL_COL}, "
+                   f"CAST(__ntot AS DOUBLE) / CAST(__nsmp AS DOUBLE) AS {WEIGHT_COL} "
+                   f"FROM __ct WHERE __in = 1"))
+    return stages
+
+
+def stages_to_sql(stages: list[tuple[str, str]], final_select: str) -> str:
+    ctes = ",\n".join(f"{name} AS (\n{sql}\n)" for name, sql in stages)
+    return f"WITH {ctes}\n{final_select}"

@@ -1,0 +1,104 @@
+"""Declarative specs shared by the Spark engine and the DuckDB oracle emitter.
+
+A spec captures user intent (reference surface:
+``SELECT ... WITH ERROR e [CONFIDENCE c] [BEHAVIOR 'b']`` over a sample table,
+reference parser src/main/scala/org/apache/spark/sql/snappyAQPParsers.scala:48-71).
+From one spec we derive both the executable PySpark program and the ANSI-SQL
+replay used for exact validation. Fragments inside specs are portable SQL
+expressions (valid under Spark SQL and DuckDB).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# hidden sample-table columns (reference stores one packed LONG,
+# stratifiedSampling.scala:749-760; we store the decoded parts)
+WEIGHT_COL = "snappy_sampler_weightage"     # double: stratum_total / stratum_sampled
+STRATA_SAMPLED_COL = "sampler_strata_sampled"  # bigint: n_s
+STRATA_TOTAL_COL = "sampler_strata_total"      # bigint: N_s
+
+HIDDEN_COLS = (WEIGHT_COL, STRATA_SAMPLED_COL, STRATA_TOTAL_COL)
+
+ERROR_FUNCTIONS = ("absolute_error", "relative_error", "lower_bound", "upper_bound")
+
+BEHAVIORS = ("do_nothing", "local_omit", "strict", "run_on_full_table",
+             "partial_run_on_base_table")
+
+
+@dataclass(frozen=True)
+class SampleSpec:
+    """Stratified sample definition (reference: CREATE SAMPLE TABLE OPTIONS
+    qcs/fraction/strataReservoirSize, snappyAQPParsers.scala:77-103)."""
+    base_table: str
+    key_cols: tuple[str, ...]          # integer exprs uniquely identifying a row
+    qcs: tuple[str, ...]               # stratification exprs (portable SQL)
+    method: str = "hash"               # hash | reservoir | fraction
+    fraction: float = 0.01
+    reservoir_size: int = 50           # per-stratum rows (reservoir / floor for fraction)
+    seed: int = 42
+
+    def __post_init__(self):
+        assert self.method in ("hash", "reservoir", "fraction"), self.method
+        assert self.key_cols and self.qcs
+
+
+@dataclass(frozen=True)
+class ApproxAgg:
+    """One approximate aggregate (reference supports Sum/Avg/Count,
+    common/QueryRoutingRules.scala:55-92)."""
+    func: str                           # sum | avg | count | count_star
+    measure: str | None                 # portable SQL expr; None only for count_star
+    alias: str
+    max_abs: float = 2.0 ** 20          # |measure| bound -> quantization scale
+    errors: tuple[str, ...] = ()        # subset of ERROR_FUNCTIONS to emit
+
+    def __post_init__(self):
+        assert self.func in ("sum", "avg", "count", "count_star"), self.func
+        if self.func == "count_star":
+            assert self.measure is None
+        else:
+            assert self.measure
+        for e in self.errors:
+            assert e in ERROR_FUNCTIONS, e
+
+
+@dataclass(frozen=True)
+class JoinSpec:
+    table: str
+    on: str                             # portable SQL join condition
+    how: str = "inner"
+
+
+@dataclass(frozen=True)
+class ApproxQuerySpec:
+    sample: SampleSpec
+    aggs: tuple[ApproxAgg, ...]
+    group_by: tuple[str, ...] = ()          # portable SQL exprs
+    group_aliases: tuple[str, ...] = ()     # output names; default = expr text
+    joins: tuple[JoinSpec, ...] = ()
+    where: str | None = None                # over base/join columns (pre-agg)
+    having: str | None = None               # over output aliases (post-finalize)
+    order_by: tuple[str, ...] = ()          # over output aliases
+    limit: int | None = None
+    error: float = 0.2
+    confidence: float = 0.95
+    behavior: str = "do_nothing"
+    estimator: str = "closed_form"          # closed_form | bootstrap | bypass
+    trials: int = 100                       # bootstrap resamples (reference default 100)
+    # rows_hint tunes the reproducible-mode lattice around the expected data
+    # scale; exceeding it only costs lattice headroom (never correctness, and
+    # overflow needs ~2^19x the hint). Default covers a few million rows; set
+    # to the real row count for very large deployments.
+    rows_hint: float = 2.0 ** 20
+
+    def __post_init__(self):
+        assert self.estimator in ("closed_form", "bootstrap", "bypass")
+        assert self.behavior in BEHAVIORS
+        if self.group_aliases:
+            assert len(self.group_aliases) == len(self.group_by)
+
+    @property
+    def group_out(self) -> tuple[str, ...]:
+        return self.group_aliases if self.group_aliases else self.group_by

@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+    s = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false")
+         .config("spark.driver.memory", "4g")
+         .appName("snappy-aqp-spark-tests").getOrCreate())
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def _duck_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+@pytest.fixture(scope="session")
+def duck():
+    return _duck_con(SF_SMALL)
+
+
+@pytest.fixture(scope="session")
+def duck_medium():
+    return _duck_con(SF_MEDIUM)
+
+
+def compare_frames(spark_df, duck_df, sort_cols=None):
+    """Driver-style comparison: schema names, row count, exact values."""
+    sp = spark_df.toPandas()
+    dk = duck_df.df() if hasattr(duck_df, "df") else duck_df
+    assert sorted(sp.columns) == sorted(dk.columns), (sp.columns, dk.columns)
+    assert len(sp) == len(dk), (len(sp), len(dk))
+    cols = sorted(sp.columns)
+    sort_by = sort_cols or cols
+    sp = sp.sort_values(sort_by).reset_index(drop=True)[cols]
+    dk = dk.sort_values(sort_by).reset_index(drop=True)[cols]
+    for c in cols:
+        a, b = sp[c], dk[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            same = ((a == b) | (a.isna() & b.isna()))
+        else:
+            same = (a.astype(object) == b.astype(object)) | (a.isna() & b.isna())
+        assert same.all(), f"column {c} mismatch:\n{sp[c][~same]}\nvs\n{dk[c][~same]}"

@@ -1,0 +1,88 @@
+"""Sampler contract tests (FIXTURES.md §B.1): weight columns, determinism,
+per-stratum floors, and DataFrame-path == SQL-path equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snappy_aqp_spark.sampling import sample_cte_stages, stratified_sample
+from snappy_aqp_spark.sampling.sql import stages_to_sql
+from snappy_aqp_spark.specs import (STRATA_SAMPLED_COL, STRATA_TOTAL_COL,
+                                    WEIGHT_COL, SampleSpec)
+from tests.conftest import SF_SMALL, compare_frames
+
+SPECS = {
+    "hash": SampleSpec("lineitem", ("l_orderkey", "l_linenumber"),
+                       ("l_returnflag", "l_linestatus"), "hash", 0.05, seed=42),
+    "reservoir": SampleSpec("lineitem", ("l_orderkey", "l_linenumber"),
+                            ("l_returnflag", "l_linestatus"), "reservoir",
+                            0.05, reservoir_size=100, seed=42),
+    "fraction": SampleSpec("lineitem", ("l_orderkey", "l_linenumber"),
+                           ("l_returnflag", "l_linestatus"), "fraction",
+                           0.02, reservoir_size=50, seed=42),
+}
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+
+
+@pytest.mark.parametrize("method", sorted(SPECS))
+def test_weight_contract(spark, lineitem, method):
+    spec = SPECS[method]
+    s = stratified_sample(lineitem, spec)
+    assert WEIGHT_COL in s.columns
+    bad = s.where((F.col(WEIGHT_COL) <= 0) |
+                  (F.col(STRATA_SAMPLED_COL) <= 0) |
+                  (F.col(STRATA_TOTAL_COL) < F.col(STRATA_SAMPLED_COL))).count()
+    assert bad == 0
+    # weight == total/sampled exactly
+    bad2 = s.where(F.col(WEIGHT_COL) !=
+                   F.col(STRATA_TOTAL_COL).cast("double") /
+                   F.col(STRATA_SAMPLED_COL).cast("double")).count()
+    assert bad2 == 0
+
+
+@pytest.mark.parametrize("method", sorted(SPECS))
+def test_deterministic(spark, lineitem, method):
+    spec = SPECS[method]
+    a = stratified_sample(lineitem, spec).toPandas()
+    b = stratified_sample(lineitem, spec).toPandas()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_reservoir_size_cap(spark, lineitem):
+    spec = SPECS["reservoir"]
+    s = stratified_sample(lineitem, spec)
+    per = s.groupBy("l_returnflag", "l_linestatus").count().toPandas()
+    assert (per["count"] <= spec.reservoir_size).all()
+
+
+def test_fraction_floor(spark, lineitem):
+    spec = SPECS["fraction"]
+    s = stratified_sample(lineitem, spec)
+    per = s.groupBy("l_returnflag", "l_linestatus").count().toPandas()
+    # every stratum has at least min(reservoir, stratum size) rows
+    assert (per["count"] >= 50).all() or len(per) == 0
+
+
+@pytest.mark.parametrize("method", sorted(SPECS))
+def test_dataframe_path_equals_sql_path(spark, duck, lineitem, method):
+    """The scale-oriented DataFrame sampler must produce exactly the rows
+    of the window-based SQL definition (DuckDB replay)."""
+    spec = SPECS[method]
+    df = stratified_sample(lineitem, spec)
+    sql = stages_to_sql(sample_cte_stages(spec), "SELECT * FROM __sample")
+    compare_frames(df, duck.sql(sql))
+
+
+def test_hash_sampler_scales_without_window(spark, lineitem):
+    """hash method must not contain a window exchange (scale contract)."""
+    s = stratified_sample(lineitem, SPECS["hash"])
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
