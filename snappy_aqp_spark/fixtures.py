@@ -141,6 +141,30 @@ APPROX_SPECS: dict[str, ApproxQuerySpec] = {
         order_by=("rf", "ls"),
         error=0.008, behavior="partial_run_on_base_table",
     ),
+    # bootstrap estimator: Poisson resampling CIs (bootstrap/BootstrapSum etc.)
+    "bs_sum_group": ApproxQuerySpec(
+        sample=LI_HASH,
+        aggs=(ApproxAgg("sum", "l_extendedprice", "sum_price", _PRICE, ALL_ERRORS),
+              ApproxAgg("count_star", None, "cnt", errors=("lower_bound", "upper_bound"))),
+        group_by=("l_returnflag",), group_aliases=("rf",), order_by=("rf",),
+        estimator="bootstrap", trials=100,
+    ),
+    # AVG + HAVING above the aggregate: the case the reference routes to
+    # bootstrap (QueryProcessingRules.scala:1421-1447)
+    "bs_avg_having": ApproxQuerySpec(
+        sample=LI_HASH,
+        aggs=(ApproxAgg("avg", "l_extendedprice", "avg_price", _PRICE, ALL_ERRORS),),
+        group_by=("l_returnflag", "l_linestatus"), group_aliases=("rf", "ls"),
+        having="avg_price > 30000.0", order_by=("rf", "ls"),
+        estimator="bootstrap", trials=100,
+    ),
+    # bootstrap + LOCAL_OMIT -> NULLed groups (BootstrapFunctions.scala:195-203)
+    "bs_local_omit": ApproxQuerySpec(
+        sample=LI_HASH,
+        aggs=(ApproxAgg("avg", "l_discount", "avg_disc", 1.0, ALL_ERRORS),),
+        group_by=("l_returnflag",), group_aliases=("rf",), order_by=("rf",),
+        error=0.004, behavior="local_omit", estimator="bootstrap", trials=100,
+    ),
     # bypass: no error estimation requested (ByPassErrorCalculations)
     "bypass_weighted_sum": ApproxQuerySpec(
         sample=LI_HASH,

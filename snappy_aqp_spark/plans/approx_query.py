@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..dialect import DUCKDB, SPARK
+from ..operators import bootstrap as bs
 from ..operators import closedform as cf
 from ..sampling.samplers import stratified_sample
 from ..sampling.sql import sample_cte_stages, stages_to_sql
@@ -85,8 +86,58 @@ def _fin_rel_frags(spec: ApproxQuerySpec) -> dict[str, str]:
 
 def _output_frags(spec: ApproxQuerySpec) -> dict[str, str]:
     frags: dict[str, str] = {}
+    mod = bs if spec.estimator == "bootstrap" else cf
     for a in spec.aggs:
-        frags.update(cf.output_frags(a, spec))
+        frags.update(mod.output_frags(a, spec))
+    return frags
+
+
+# --- bootstrap stage fragments (per-agg dicts merged) -----------------------
+
+def _bs_inner_frags(spec: ApproxQuerySpec) -> dict[str, str]:
+    sc = _scales(spec)
+    frags = {"__sns": f"MAX({cf.STRATA_SAMPLED_COL})",
+             "__snt": f"MAX({cf.STRATA_TOTAL_COL})"}
+    frags.update(bs.mask_frag(spec.sample))
+    for a in spec.aggs:
+        frags.update(bs.inner_frags(a, sc[a.alias], spec.sample))
+    return frags
+
+
+def _bs_outer_frags(spec: ApproxQuerySpec) -> dict[str, str]:
+    sc = _scales(spec)
+    frags = {"__bmask": "MAX(__bmask)"}
+    for a in spec.aggs:
+        frags.update(bs.outer_frags(a, sc[a.alias]))
+    return frags
+
+
+def _bs_trial_frags(spec: ApproxQuerySpec) -> dict[str, str]:
+    sc = _scales(spec)
+    frags: dict[str, str] = {}
+    for a in spec.aggs:
+        frags.update(bs.trial_value_frag(a, sc[a.alias]))
+    return frags
+
+
+def _bs_group_frags(spec: ApproxQuerySpec, dialect: str) -> dict[str, str]:
+    frags: dict[str, str] = {}
+    for a in spec.aggs:
+        frags.update(bs.group_frags(a, dialect))
+    return frags
+
+
+def _bs_fin_frags(spec: ApproxQuerySpec, dialect: str) -> dict[str, str]:
+    frags: dict[str, str] = {}
+    for a in spec.aggs:
+        frags.update(bs.fin_frags(a, spec, dialect))
+    return frags
+
+
+def _bs_rel_frags(spec: ApproxQuerySpec) -> dict[str, str]:
+    frags: dict[str, str] = {}
+    for a in spec.aggs:
+        frags.update(bs.rel_frags(a))
     return frags
 
 
@@ -194,21 +245,47 @@ def _exact_query(spec: ApproxQuerySpec, tables: dict[str, DataFrame],
     return agged.select(*order)
 
 
+def _agg_frags(df: DataFrame, by: list[str], frags: dict[str, str]) -> DataFrame:
+    grouped = df.groupBy(*by) if by else df.groupBy()
+    return grouped.agg(*[F.expr(s).alias(n) for n, s in frags.items()])
+
+
+def _closedform_fin_rel(spec: ApproxQuerySpec, df: DataFrame) -> DataFrame:
+    gcols, qcols = _gcols(spec), _qcols(spec)
+    inner = _agg_frags(df, gcols + qcols, _inner_frags(spec))
+    outer = _agg_frags(inner, gcols, _outer_frags(spec))
+    fin_est = _select_frags(outer, gcols + [c for c in outer.columns if c.startswith("__c_")],
+                            _fin_est_frags(spec, SPARK))
+    return fin_est.select("*", *[F.expr(s).alias(n)
+                                 for n, s in _fin_rel_frags(spec).items()])
+
+
+def _bootstrap_fin_rel(spark: SparkSession, spec: ApproxQuerySpec,
+                       df: DataFrame) -> DataFrame:
+    gcols, qcols = _gcols(spec), _qcols(spec)
+    trials = spark.range(spec.trials).select(
+        F.col("id").cast("bigint").alias(bs.TRIAL_COL))
+    dfb = df.crossJoin(F.broadcast(trials))
+    inner = _agg_frags(dfb, gcols + qcols + [bs.TRIAL_COL], _bs_inner_frags(spec))
+    outer = _agg_frags(inner, gcols + [bs.TRIAL_COL], _bs_outer_frags(spec))
+    trialv = _select_frags(outer, gcols + [bs.TRIAL_COL, "__bmask"],
+                           _bs_trial_frags(spec))
+    grp = _agg_frags(trialv, gcols, _bs_group_frags(spec, SPARK))
+    fin = _select_frags(grp, gcols, _bs_fin_frags(spec, SPARK))
+    return fin.select("*", *[F.expr(s).alias(n)
+                             for n, s in _bs_rel_frags(spec).items()])
+
+
 def run_approx_query(spark: SparkSession, spec: ApproxQuerySpec,
                      tables: dict[str, DataFrame],
                      cache_token: str | None = None) -> DataFrame:
     """Execute the approximate query; returns the visible-result DataFrame."""
     df = _prepare(spec, tables, sampled=True, cache_token=cache_token)
-    gcols, qcols = _gcols(spec), _qcols(spec)
-    inner_frags = _inner_frags(spec)
-    grouped = df.groupBy(*(gcols + qcols)) if (gcols or qcols) else df.groupBy()
-    inner = grouped.agg(*[F.expr(s).alias(n) for n, s in inner_frags.items()])
-    grouped2 = inner.groupBy(*gcols) if gcols else inner.groupBy()
-    outer = grouped2.agg(*[F.expr(s).alias(n) for n, s in _outer_frags(spec).items()])
-    fin_est = _select_frags(outer, gcols + [c for c in outer.columns if c.startswith("__c_")],
-                            _fin_est_frags(spec, SPARK))
-    fin_rel = fin_est.select("*", *[F.expr(s).alias(n)
-                                    for n, s in _fin_rel_frags(spec).items()])
+    gcols = _gcols(spec)
+    if spec.estimator == "bootstrap":
+        fin_rel = _bootstrap_fin_rel(spark, spec, df)
+    else:
+        fin_rel = _closedform_fin_rel(spec, df)
 
     behavior = spec.behavior
     if behavior in ("do_nothing", "local_omit"):
@@ -273,21 +350,46 @@ def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
         return f"SELECT {proj_sql} FROM ({sql}) __p"
 
     stages.append(("__pre", prepared_stage("__sample", sampled=True)))
-    group1 = ", ".join(gcols + qcols) or None
-    inner_sel = _dict_select(_inner_frags(spec), gcols + qcols)
-    stages.append(("__inner", f"SELECT {inner_sel} FROM __pre" +
-                   (f" GROUP BY {group1}" if group1 else "")))
-    group2 = ", ".join(gcols) or None
-    outer_all = _outer_frags(spec)
-    outer_sel = _dict_select(outer_all, gcols)
-    stages.append(("__outer", f"SELECT {outer_sel} FROM __inner" +
-                   (f" GROUP BY {group2}" if group2 else "")))
-    keep_c = [n for n in outer_all if n.startswith("__c_")]
-    stages.append(("__fin_est",
-                   f"SELECT {_dict_select(_fin_est_frags(spec, dialect), gcols + keep_c)} "
-                   f"FROM __outer"))
-    stages.append(("__fin_rel",
-                   f"SELECT *, {_dict_select(_fin_rel_frags(spec), [])} FROM __fin_est"))
+    if spec.estimator == "bootstrap":
+        stages.append(("__trials",
+                       f"SELECT CAST(range AS BIGINT) AS {bs.TRIAL_COL} "
+                       f"FROM range(0, {spec.trials})"))
+        group1 = ", ".join(gcols + qcols + [bs.TRIAL_COL])
+        stages.append(("__binner",
+                       f"SELECT {_dict_select(_bs_inner_frags(spec), gcols + qcols + [bs.TRIAL_COL])} "
+                       f"FROM __pre CROSS JOIN __trials GROUP BY {group1}"))
+        group2 = ", ".join(gcols + [bs.TRIAL_COL])
+        stages.append(("__bouter",
+                       f"SELECT {_dict_select(_bs_outer_frags(spec), gcols + [bs.TRIAL_COL])} "
+                       f"FROM __binner GROUP BY {group2}"))
+        stages.append(("__btrial",
+                       f"SELECT {_dict_select(_bs_trial_frags(spec), gcols + [bs.TRIAL_COL, '__bmask'])} "
+                       f"FROM __bouter"))
+        group3 = ", ".join(gcols) or None
+        stages.append(("__bgrp",
+                       f"SELECT {_dict_select(_bs_group_frags(spec, dialect), gcols)} "
+                       f"FROM __btrial" + (f" GROUP BY {group3}" if group3 else "")))
+        stages.append(("__bfin",
+                       f"SELECT {_dict_select(_bs_fin_frags(spec, dialect), gcols)} "
+                       f"FROM __bgrp"))
+        stages.append(("__fin_rel",
+                       f"SELECT *, {_dict_select(_bs_rel_frags(spec), [])} FROM __bfin"))
+    else:
+        group1 = ", ".join(gcols + qcols) or None
+        inner_sel = _dict_select(_inner_frags(spec), gcols + qcols)
+        stages.append(("__inner", f"SELECT {inner_sel} FROM __pre" +
+                       (f" GROUP BY {group1}" if group1 else "")))
+        group2 = ", ".join(gcols) or None
+        outer_all = _outer_frags(spec)
+        outer_sel = _dict_select(outer_all, gcols)
+        stages.append(("__outer", f"SELECT {outer_sel} FROM __inner" +
+                       (f" GROUP BY {group2}" if group2 else "")))
+        keep_c = [n for n in outer_all if n.startswith("__c_")]
+        stages.append(("__fin_est",
+                       f"SELECT {_dict_select(_fin_est_frags(spec, dialect), gcols + keep_c)} "
+                       f"FROM __outer"))
+        stages.append(("__fin_rel",
+                       f"SELECT *, {_dict_select(_fin_rel_frags(spec), [])} FROM __fin_est"))
 
     out_frags = _output_frags(spec)
     vis_parts = [f"__g{i} AS {name}" for i, name in enumerate(spec.group_out)]
