@@ -12,10 +12,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from snappy_aqp_spark.fixtures import APPROX_SPECS
+from snappy_aqp_spark.api import (AQPSession, analyze_text,
+                                  build_catalog_from_ddl)
+from snappy_aqp_spark.fixtures import APPROX_SPECS, SQL_FIXTURES
 from snappy_aqp_spark.plans.approx_query import (load_tables, oracle_sql_for,
-                                                 run_approx_query)
+                                                 run_approx_query,
+                                                 visible_columns)
 from snappy_aqp_spark.specs import ApproxQuerySpec
+from snappy_aqp_spark.sql import frontend as fe
+
+_SQL_DEFAULTS = {"error": 0.2, "confidence": 0.95, "behavior": "do_nothing"}
 
 
 def _tables_for(spec: ApproxQuerySpec) -> tuple[str, ...]:
@@ -29,6 +35,30 @@ def _make_runner(spec: ApproxQuerySpec) -> Callable[[SparkSession, str], DataFra
     return run
 
 
+def _make_sql_runner(fx: dict) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        aqp = AQPSession(spark, data_token=sf_dir, **_SQL_DEFAULTS)
+        aqp.load_tables(sf_dir, fx["tables"])
+        for ddl in fx["ddl"]:
+            aqp.sql(ddl)
+        return aqp.sql(fx["query"])
+    return run
+
+
+def _sql_fixture_oracle(fx: dict) -> str:
+    analyzed = analyze_text(fx["query"], build_catalog_from_ddl(fx["ddl"]),
+                            _SQL_DEFAULTS)
+    if analyzed.spec is None:
+        stripped, _ = fe.strip_with_clause(fx["query"])
+        return fe.fold_error_functions(stripped, analyzed.parsed)
+    sql = oracle_sql_for(analyzed.spec)
+    if analyzed.rename:
+        cols = [f"{c} AS {analyzed.rename.get(c, c)}"
+                for c in visible_columns(analyzed.spec)]
+        sql = f"SELECT {', '.join(cols)} FROM (\n{sql}\n) __renamed"
+    return sql
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return queries()["cf_group_multi"](spark, "/root/testdata/sf0.001")
@@ -38,8 +68,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, spec in APPROX_SPECS.items():
         out[name] = _make_runner(spec)
+    for name, fx in SQL_FIXTURES.items():
+        out[name] = _make_sql_runner(fx)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: oracle_sql_for(spec) for name, spec in APPROX_SPECS.items()}
+    out = {name: oracle_sql_for(spec) for name, spec in APPROX_SPECS.items()}
+    for name, fx in SQL_FIXTURES.items():
+        out[name] = _sql_fixture_oracle(fx)
+    return out

@@ -1,0 +1,219 @@
+"""Session facade — the user-facing API of the engine.
+
+Analog of the reference's session surface (``SnappyContextAQPFunctions``,
+execution/SnappyContextAQPFunctions.scala:48 — createSampleTable /
+withErrorDataFrame / sql with WITH-ERROR, plus the AQP catalog,
+hive/SnappyAQPSessionCatalog.scala:39):
+
+    aqp = AQPSession(spark)
+    aqp.register_table("lineitem", df)
+    aqp.create_sample_table("li_sample", "lineitem",
+                            qcs=["l_returnflag"], fraction=0.05)
+    aqp.sql("SELECT sum(l_extendedprice) AS s, absolute_error(s) "
+            "FROM lineitem GROUP BY l_returnflag WITH ERROR 0.1 "
+            "CONFIDENCE 0.95 BEHAVIOR 'do_nothing'")
+
+Queries without a WITH clause (or with unsupported aggregate shapes) run
+exactly via ``spark.sql`` with error functions constant-folded — the
+reference's query-routing semantics.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import SampleCatalog, SampleInfo
+from .plans.approx_query import _SAMPLE_CACHE, run_approx_query
+from .sampling.samplers import stratified_sample
+from .specs import ApproxAgg, ApproxQuerySpec, SampleSpec
+from .sql import frontend as fe
+from .tables import TABLE_COLUMNS, TABLE_KEYS
+
+
+def spec_from_ddl(base: str, opts: dict[str, str],
+                  key_cols: list[str] | None = None) -> SampleSpec:
+    keys = tuple(key_cols or TABLE_KEYS.get(base.lower()) or ())
+    if not keys:
+        raise ValueError(f"no key columns known for {base}; pass key_cols")
+    qcs = tuple(c.strip() for c in opts.get("qcs", "").split(",") if c.strip())
+    if not qcs:
+        raise fe.SQLFrontendError("CREATE SAMPLE TABLE needs qcs option")
+    return SampleSpec(base.lower(), keys, qcs,
+                      opts.get("method", "fraction"),
+                      float(opts.get("fraction", "0.01")),
+                      int(opts.get("stratareservoirsize", "50")),
+                      int(opts.get("seed", "42")))
+
+
+def _cols_in_text(table: str, text: str,
+                  extra_cols: set[str] | None = None) -> set[str]:
+    cols = set(TABLE_COLUMNS.get(table, ())) | (extra_cols or set())
+    return {t for t in re.findall(r"\w+", text.lower()) if t in cols}
+
+
+def analyze_text(text: str, catalog: SampleCatalog, defaults: dict,
+                 extra_cols: set[str] | None = None):
+    """Session-free routing analysis: WITH-clause strip, parse, sample
+    selection, spec construction. None -> no WITH clause (plain SQL)."""
+    stripped, wc = fe.strip_with_clause(text)
+    if wc is None:
+        return None
+    try:
+        parsed = fe.parse_select(stripped)
+    except fe.SQLFrontendError:
+        return fe.AnalyzedQuery(None, None, {}, "unparseable: routed exact")
+    base = parsed.from_table.lower()
+    group_cols: set[str] = set()
+    for g in parsed.group_by:
+        group_cols.update(_cols_in_text(base, g, extra_cols))
+    filter_cols = _cols_in_text(base, parsed.where or "", extra_cols)
+    info = catalog.select_sample(base, group_cols, filter_cols)
+    if info is None:
+        return fe.AnalyzedQuery(None, parsed, {}, "no sample registered")
+    return fe.analyze(parsed, wc, info.spec, defaults)
+
+
+def build_catalog_from_ddl(ddls: list[str]) -> SampleCatalog:
+    """Construct the catalog a DDL script would produce (no execution) —
+    used to derive replay-oracle SQL for SQL-front-end queries."""
+    catalog = SampleCatalog()
+    for ddl in ddls:
+        parsed = fe.parse_create_sample(ddl)
+        if parsed is None:
+            raise fe.SQLFrontendError(f"not a CREATE SAMPLE TABLE: {ddl}")
+        name, base, opts = parsed
+        catalog.register(SampleInfo(name, spec_from_ddl(base, opts)))
+    return catalog
+
+
+class AQPSession:
+    def __init__(self, spark: SparkSession, error: float = 0.2,
+                 confidence: float = 0.95, behavior: str = "do_nothing",
+                 data_token: str | None = None):
+        self.spark = spark
+        self.catalog = SampleCatalog()
+        self.tables: dict[str, DataFrame] = {}
+        self.defaults = {"error": error, "confidence": confidence,
+                         "behavior": behavior}
+        self._token = data_token or f"aqp-session-{uuid.uuid4().hex[:8]}"
+
+    # -- tables / samples ---------------------------------------------------
+
+    def register_table(self, name: str, df: DataFrame) -> None:
+        self.tables[name.lower()] = df
+        df.createOrReplaceTempView(name)
+
+    def load_tables(self, sf_dir: str, names=None) -> None:
+        for n in names or TABLE_COLUMNS:
+            self.register_table(n, self.spark.read.parquet(f"{sf_dir}/{n}.parquet"))
+
+    def create_sample_table(self, name: str, base: str, qcs: list[str],
+                            method: str = "fraction", fraction: float = 0.01,
+                            strata_reservoir_size: int = 50, seed: int = 42,
+                            key_cols: list[str] | None = None,
+                            path: str | None = None,
+                            materialize: bool = True) -> DataFrame:
+        """reference: CREATE SAMPLE TABLE -> CreateSampleTableCommand
+        (execution/command/CreateSampleTableCommand.scala:27-46)."""
+        keys = tuple(key_cols or TABLE_KEYS.get(base.lower()) or ())
+        if not keys:
+            raise ValueError(f"no key columns known for {base}; pass key_cols")
+        spec = SampleSpec(base.lower(), keys, tuple(qcs), method, fraction,
+                          strata_reservoir_size, seed)
+        key = (spec, self._token)
+        if key in _SAMPLE_CACHE:
+            sample = _SAMPLE_CACHE[key]
+        else:
+            base_df = self.tables[base.lower()]
+            sample = stratified_sample(base_df, spec)
+            if path:
+                sample.write.mode("overwrite").parquet(path)
+                sample = self.spark.read.parquet(path)
+            elif materialize:
+                sample = sample.persist()
+                sample.count()
+            _SAMPLE_CACHE[key] = sample
+        self.catalog.register(SampleInfo(name, spec, path))
+        return sample
+
+    def drop_sample_table(self, name: str) -> None:
+        info = self.catalog.get(name)
+        if info:
+            _SAMPLE_CACHE.pop((info.spec, self._token), None)
+        self.catalog.drop(name)
+
+    # -- SQL ----------------------------------------------------------------
+
+    def sql(self, text: str) -> DataFrame:
+        ddl = fe.parse_create_sample(text)
+        if ddl:
+            name, base, opts = ddl
+            qcs = [c.strip() for c in opts.get("qcs", "").split(",") if c.strip()]
+            if not qcs:
+                raise fe.SQLFrontendError("CREATE SAMPLE TABLE needs qcs option")
+            return self.create_sample_table(
+                name, base, qcs,
+                method=opts.get("method", "fraction"),
+                fraction=float(opts.get("fraction", "0.01")),
+                strata_reservoir_size=int(opts.get("stratareservoirsize", "50")),
+                seed=int(opts.get("seed", "42")))
+        drop = fe.parse_drop_sample(text)
+        if drop:
+            self.drop_sample_table(drop)
+            return self.spark.range(0)
+
+        analyzed = self.analyze_sql(text)
+        if analyzed is None:
+            return self.spark.sql(text)
+        if analyzed.spec is None:
+            stripped, _ = fe.strip_with_clause(text)
+            return self.spark.sql(fe.fold_error_functions(stripped, analyzed.parsed))
+        df = run_approx_query(self.spark, analyzed.spec, self.tables,
+                              cache_token=self._token)
+        if analyzed.rename:
+            df = df.withColumnsRenamed(analyzed.rename)
+        return df
+
+    def analyze_sql(self, text: str):
+        """Routing decision without execution (plan-shape introspection —
+        the rebuild's analog of the reference's AQPInfo test hook,
+        common/AQPInfoStoreTestHook.scala). Returns None when no WITH
+        clause is present (plain exact SQL)."""
+        extra = {c for df in self.tables.values() for c in df.columns}
+        return analyze_text(text, self.catalog, self.defaults,
+                            extra_cols={c.lower() for c in extra})
+
+    def _cols_in(self, table: str, text: str) -> set[str]:
+        extra = (set(self.tables[table].columns)
+                 if table in self.tables else set())
+        return _cols_in_text(table, text, {c.lower() for c in extra})
+
+    # -- DataFrame API ------------------------------------------------------
+
+    def approx_agg(self, base: str, aggs: list[ApproxAgg],
+                   group_by: list[str] = (), where: str | None = None,
+                   error: float | None = None, confidence: float | None = None,
+                   behavior: str | None = None,
+                   estimator: str = "closed_form", **kw) -> DataFrame:
+        """programmatic analog of df.withError(...).agg(...)
+        (SnappyContextAQPFunctions.scala:358-368)."""
+        group_cols = set()
+        for g in group_by:
+            group_cols.update(self._cols_in(base.lower(), g))
+        info = self.catalog.select_sample(base.lower(), group_cols,
+                                          self._cols_in(base.lower(), where or ""))
+        if info is None:
+            raise ValueError(f"no sample registered for {base}")
+        spec = ApproxQuerySpec(
+            sample=info.spec, aggs=tuple(aggs), group_by=tuple(group_by),
+            where=where,
+            error=error if error is not None else self.defaults["error"],
+            confidence=(confidence if confidence is not None
+                        else self.defaults["confidence"]),
+            behavior=behavior or self.defaults["behavior"],
+            estimator=estimator, **kw)
+        return run_approx_query(self.spark, spec, self.tables,
+                                cache_token=self._token)

@@ -32,6 +32,59 @@ _QTY = 2.0 ** 6         # l_quantity <= 50
 _TOTAL = 2.0 ** 19      # o_totalprice < 500k
 
 
+# --- SQL-surface fixtures (snappyAQPParsers.scala:39-106 parity) ------------
+# Each runs through AQPSession.sql: DDL then a WITH-ERROR query. Oracle SQL
+# derives from the identical session-free analysis (api.analyze_text).
+_LI_DDL = ("CREATE SAMPLE TABLE li_sample ON lineitem OPTIONS("
+           "qcs 'l_returnflag,l_linestatus', fraction '0.05', "
+           "method 'hash', seed '42')")
+
+SQL_FIXTURES: dict[str, dict] = {
+    "sql_with_error": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, sum(l_extendedprice) AS s, "
+                  "absolute_error(s), relative_error(s), lower_bound(s), "
+                  "upper_bound(s), count(*) AS c FROM lineitem "
+                  "GROUP BY l_returnflag ORDER BY l_returnflag "
+                  "WITH ERROR 0.5 CONFIDENCE 0.95"),
+    },
+    "sql_behavior_clause": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_linestatus, avg(l_quantity) AS aq, "
+                  "relative_error(aq) FROM lineitem WHERE l_quantity > 5 "
+                  "GROUP BY l_linestatus ORDER BY l_linestatus "
+                  "WITH ERROR 0.4 CONFIDENCE 0.9 BEHAVIOR 'local_omit'"),
+    },
+    "sql_bootstrap_having": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, avg(l_extendedprice) AS a, "
+                  "lower_bound(a), upper_bound(a) FROM lineitem "
+                  "GROUP BY l_returnflag HAVING a > 1000.0 "
+                  "ORDER BY l_returnflag WITH ERROR 0.5"),
+    },
+    "sql_join_where": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem", "orders"),
+        "query": ("SELECT o_orderstatus, sum(l_extendedprice) AS rev, "
+                  "absolute_error(rev) FROM lineitem JOIN orders "
+                  "ON l_orderkey = o_orderkey WHERE o_orderpriority LIKE '1%' "
+                  "GROUP BY o_orderstatus ORDER BY o_orderstatus "
+                  "WITH ERROR 0.5"),
+    },
+    # unsupported aggregate -> exact route with folded error functions
+    # (integer-valued outputs keep the exact oracle engine-independent)
+    "sql_exact_fallback": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, count(DISTINCT l_suppkey) AS u, "
+                  "absolute_error(u) FROM lineitem GROUP BY l_returnflag "
+                  "ORDER BY l_returnflag WITH ERROR 0.1"),
+    },
+}
+
 APPROX_SPECS: dict[str, ApproxQuerySpec] = {
     # global aggregate, all error functions (perfQueries.sql:1 shape)
     "cf_sum_global": ApproxQuerySpec(

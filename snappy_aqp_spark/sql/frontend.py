@@ -1,0 +1,364 @@
+"""SQL front-end: ``SELECT ... WITH ERROR e [CONFIDENCE c] [BEHAVIOR 'b']``.
+
+Rebuilds the reference's parser surface (sql/snappyAQPParsers.scala:39-106 —
+a parboiled2 PEG extending the Snappy parser) as a lightweight single-block
+SELECT parser: the reference's AQP grammar only *adds* the trailing WITH
+clause, the ``CREATE SAMPLE TABLE`` DDL and four error functions; everything
+else stays standard SQL and falls through to ``spark.sql`` untouched.
+
+Routing parity (common/QueryRoutingRules.scala:55-92,
+QueryProcessingRules.scala:1335-1459):
+  * only SUM / AVG / COUNT are approximated; COUNT(DISTINCT ...), window
+    functions, MIN/MAX and other constructs route the query to the base
+    table exactly, with error functions constant-folded to 0 / identity
+    (QueryRoutingRules.scala:370-404)
+  * closed-form is the default estimator; AVG with a HAVING above the
+    aggregate picks bootstrap (QueryProcessingRules.scala:1421-1447)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ..specs import (BEHAVIORS, ERROR_FUNCTIONS, ApproxAgg, ApproxQuerySpec,
+                     JoinSpec)
+from ..tables import DEFAULT_COL_BOUNDS
+
+_WITH_RE = re.compile(
+    r"\s+WITH\s+ERROR(?:\s+(?P<e>[0-9.eE+-]+))?"
+    r"(?:\s+CONFIDENCE\s+(?P<c>[0-9.eE+-]+))?"
+    r"(?:\s+BEHAVIOR\s+'(?P<b>\w+)')?\s*;?\s*$",
+    re.IGNORECASE)
+
+_CLAUSES = ["FROM", "WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT"]
+
+
+class SQLFrontendError(ValueError):
+    pass
+
+
+@dataclass
+class WithClause:
+    error: float | None
+    confidence: float | None
+    behavior: str | None
+
+
+@dataclass
+class ParsedSelect:
+    select_items: list[tuple[str, str | None]]      # (expr, alias)
+    from_table: str
+    joins: list[JoinSpec] = field(default_factory=list)
+    where: str | None = None
+    group_by: list[str] = field(default_factory=list)
+    having: str | None = None
+    order_by: list[str] = field(default_factory=list)
+    limit: int | None = None
+
+
+def strip_with_clause(sql: str) -> tuple[str, WithClause | None]:
+    m = _WITH_RE.search(sql)
+    if not m:
+        return sql, None
+    wc = WithClause(
+        error=float(m.group("e")) if m.group("e") else None,
+        confidence=float(m.group("c")) if m.group("c") else None,
+        behavior=m.group("b").lower() if m.group("b") else None)
+    if wc.behavior is not None and wc.behavior not in BEHAVIORS:
+        raise SQLFrontendError(f"unknown behavior '{wc.behavior}'")
+    return sql[:m.start()], wc
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """split on top-level separators (paren- and quote-aware)."""
+    parts, depth, cur, i = [], 0, [], 0
+    in_str = False
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif depth == 0 and ch == sep:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def _find_clauses(sql: str) -> dict[str, str]:
+    """locate top-level clause keywords and slice the query."""
+    upper = sql.upper()
+    positions: list[tuple[int, str]] = []
+    depth = 0
+    in_str = False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            for kw in _CLAUSES:
+                end = i + len(kw)
+                if (upper.startswith(kw, i)
+                        and (i == 0 or not upper[i - 1].isalnum())
+                        and (end >= len(sql) or not upper[end].isalnum())):
+                    positions.append((i, kw))
+                    i = end - 1
+                    break
+        i += 1
+    if not upper.lstrip().startswith("SELECT"):
+        raise SQLFrontendError("expected SELECT")
+    sel_start = upper.index("SELECT") + len("SELECT")
+    out: dict[str, str] = {}
+    bounds = positions + [(len(sql), "")]
+    out["SELECT"] = sql[sel_start:bounds[0][0]].strip()
+    for (pos, kw), (nxt, _) in zip(positions, bounds[1:]):
+        out[kw] = sql[pos + len(kw):nxt].strip()
+    return out
+
+
+_JOIN_RE = re.compile(
+    r"\s+(?P<how>INNER\s+|LEFT\s+(?:OUTER\s+)?|RIGHT\s+(?:OUTER\s+)?)?JOIN\s+"
+    r"(?P<table>\w+)\s+ON\s+", re.IGNORECASE)
+
+
+def parse_select(sql: str) -> ParsedSelect:
+    clauses = _find_clauses(sql)
+    if "FROM" not in clauses:
+        raise SQLFrontendError("expected FROM")
+    frm = clauses["FROM"]
+    joins: list[JoinSpec] = []
+    m = _JOIN_RE.search(frm)
+    if m:
+        base = frm[:m.start()].strip()
+        rest = frm[m.start():]
+        while True:
+            m = _JOIN_RE.match(rest)
+            if not m:
+                break
+            nxt = _JOIN_RE.search(rest, m.end())
+            on = rest[m.end():nxt.start() if nxt else len(rest)].strip()
+            how = (m.group("how") or "inner").strip().lower().split()[0]
+            joins.append(JoinSpec(m.group("table"), on, how))
+            rest = rest[nxt.start():] if nxt else ""
+            if not rest:
+                break
+    else:
+        base = frm.strip()
+    if not re.fullmatch(r"\w+", base):
+        raise SQLFrontendError(f"unsupported FROM: {base!r} (subqueries route exact)")
+
+    items = []
+    for part in _split_top(clauses["SELECT"]):
+        am = re.search(r"\s+AS\s+(\w+)\s*$", part, re.IGNORECASE)
+        if am:
+            items.append((part[:am.start()].strip(), am.group(1)))
+        else:
+            items.append((part.strip(), None))
+
+    limit = None
+    if "LIMIT" in clauses:
+        limit = int(clauses["LIMIT"].strip())
+    return ParsedSelect(
+        select_items=items, from_table=base, joins=joins,
+        where=clauses.get("WHERE"),
+        group_by=_split_top(clauses.get("GROUP BY", "")),
+        having=clauses.get("HAVING"),
+        order_by=_split_top(clauses.get("ORDER BY", "")),
+        limit=limit)
+
+
+_AGG_RE = re.compile(r"^(SUM|AVG|COUNT)\s*\((.*)\)$", re.IGNORECASE | re.DOTALL)
+_ERRFN_RE = re.compile(r"^(ABSOLUTE_ERROR|RELATIVE_ERROR|LOWER_BOUND|UPPER_BOUND)"
+                       r"\s*\(\s*(\w+)\s*\)$", re.IGNORECASE)
+_UNSUPPORTED_RE = re.compile(
+    r"\bOVER\s*\(|\bDISTINCT\b|\bMIN\s*\(|\bMAX\s*\(|\bGROUPING\b|\bCUBE\b|\bROLLUP\b",
+    re.IGNORECASE)
+
+
+def measure_bound(measure: str) -> float:
+    bounds = [b for col, b in DEFAULT_COL_BOUNDS.items()
+              if re.search(rf"\b{col}\b", measure, re.IGNORECASE)]
+    return 2.0 * max(bounds) if bounds else 2.0 ** 20
+
+
+@dataclass
+class AnalyzedQuery:
+    """outcome of the routing decision."""
+    spec: ApproxQuerySpec | None      # None -> exact route
+    parsed: ParsedSelect
+    rename: dict[str, str]            # engine output name -> user alias
+    reason: str | None = None         # why exact-routed
+
+
+def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
+            defaults: dict) -> AnalyzedQuery:
+    """Map a parsed SELECT + WITH clause + chosen sample to a query spec.
+
+    Returns spec=None (exact route) for unsupported aggregate shapes —
+    mirroring the reference's whole-query routing."""
+    full_text = " ".join(e for e, _ in parsed.select_items)
+    if _UNSUPPORTED_RE.search(full_text):
+        return AnalyzedQuery(None, parsed, {}, "unsupported expression")
+
+    aggs: list[ApproxAgg] = []
+    agg_by_alias: dict[str, ApproxAgg] = {}
+    group_items: list[tuple[str, str | None]] = []
+    errfns: list[tuple[str, str, str | None]] = []   # (fn, target, alias)
+    gen = 0
+    for expr, alias in parsed.select_items:
+        em = _ERRFN_RE.match(expr)
+        if em:
+            errfns.append((em.group(1).lower(), em.group(2), alias))
+            continue
+        m = _AGG_RE.match(expr)
+        if m:
+            fn = m.group(1).lower()
+            arg = m.group(2).strip()
+            if alias is None:
+                gen += 1
+                alias = f"{fn}_{gen}"
+            if fn == "count" and arg == "*":
+                agg = ApproxAgg("count_star", None, alias)
+            else:
+                agg = ApproxAgg(fn, arg, alias, measure_bound(arg))
+            aggs.append(agg)
+            agg_by_alias[alias.lower()] = agg
+            continue
+        group_items.append((expr, alias))
+
+    if not aggs:
+        return AnalyzedQuery(None, parsed, {}, "no approximable aggregates")
+
+    # attach error functions to their target aggregates
+    rename: dict[str, str] = {}
+    by_alias: dict[str, list[str]] = {}
+    for fn, target, alias in errfns:
+        agg = agg_by_alias.get(target.lower())
+        if agg is None:
+            return AnalyzedQuery(None, parsed, {},
+                                 f"error function references unknown alias {target}")
+        by_alias.setdefault(agg.alias, []).append(fn)
+        if alias:
+            rename[f"{agg.alias}_{fn}"] = alias
+    if by_alias:
+        aggs = [ApproxAgg(a.func, a.measure, a.alias, a.max_abs,
+                          tuple(dict.fromkeys(by_alias.get(a.alias, ()))))
+                for a in aggs]
+
+    # group-by output aliases: select-list alias > the identifier itself > g_i
+    alias_by_expr = {e.strip().lower(): a for e, a in group_items if a}
+
+    def group_alias(i: int, g: str) -> str:
+        a = alias_by_expr.get(g.strip().lower())
+        if a:
+            return a
+        if re.fullmatch(r"\w+", g.strip()):
+            return g.strip()
+        return f"g_{i}"
+
+    group_aliases = tuple(group_alias(i, g) for i, g in enumerate(parsed.group_by))
+
+    estimator = "closed_form"
+    if parsed.having and any(a.func == "avg" for a in aggs):
+        estimator = "bootstrap"   # QueryProcessingRules.scala:1421-1447
+    if wc.error is None and wc.confidence is None and wc.behavior is None:
+        # bare WITH ERROR -> session defaults (ErrorDefaults node)
+        pass
+
+    # rewrite having/order-by: user error-fn aliases back to engine names,
+    # raw group expressions to their output aliases
+    rev = {v: k for k, v in rename.items()}
+
+    def unalias(text: str | None) -> str | None:
+        if not text:
+            return text
+        for user, eng in rev.items():
+            text = re.sub(rf"\b{user}\b", eng, text)
+        for i, g in enumerate(parsed.group_by):
+            ga = group_aliases[i]
+            if g.strip().lower() != ga.lower():
+                text = text.replace(g.strip(), ga)
+        return text
+
+    spec = ApproxQuerySpec(
+        sample=sample_spec,
+        aggs=tuple(aggs),
+        group_by=tuple(parsed.group_by),
+        group_aliases=group_aliases,
+        joins=tuple(parsed.joins),
+        where=parsed.where,
+        having=unalias(parsed.having),
+        order_by=tuple(unalias(o) for o in parsed.order_by),
+        limit=parsed.limit,
+        error=wc.error if wc.error is not None else defaults["error"],
+        confidence=(wc.confidence if wc.confidence is not None
+                    else defaults["confidence"]),
+        behavior=wc.behavior or defaults["behavior"],
+        estimator=estimator,
+    )
+    return AnalyzedQuery(spec, parsed, rename)
+
+
+# --- DDL --------------------------------------------------------------------
+
+_CREATE_SAMPLE_RE = re.compile(
+    r"^\s*CREATE\s+SAMPLE\s+TABLE\s+(?P<name>\w+)\s+ON\s+(?P<base>\w+)\s+"
+    r"OPTIONS\s*\((?P<opts>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_DROP_SAMPLE_RE = re.compile(r"^\s*DROP\s+SAMPLE\s+TABLE\s+(?P<name>\w+)\s*;?\s*$",
+                             re.IGNORECASE)
+_OPT_RE = re.compile(r"(\w+)\s+'([^']*)'")
+
+
+def parse_create_sample(sql: str) -> tuple[str, str, dict[str, str]] | None:
+    m = _CREATE_SAMPLE_RE.match(sql)
+    if not m:
+        return None
+    opts = dict(_OPT_RE.findall(m.group("opts")))
+    return m.group("name"), m.group("base"), {k.lower(): v for k, v in opts.items()}
+
+
+def parse_drop_sample(sql: str) -> str | None:
+    m = _DROP_SAMPLE_RE.match(sql)
+    return m.group("name") if m else None
+
+
+def fold_error_functions(sql: str, parsed: ParsedSelect) -> str:
+    """Constant-fold error functions for exact routes: absolute/relative -> 0,
+    lower/upper -> the target's expression (QueryRoutingRules.scala:370-404)."""
+    expr_by_alias = {a.lower(): e for e, a in parsed.select_items if a}
+
+    def repl(m: re.Match) -> str:
+        fn, target = m.group(1).lower(), m.group(2)
+        if fn in ("absolute_error", "relative_error"):
+            return "CAST(0.0 AS DOUBLE)"
+        tgt = expr_by_alias.get(target.lower())
+        if tgt is None:
+            raise SQLFrontendError(f"error fn references unknown alias {target}")
+        return f"({tgt})"
+
+    return re.sub(r"\b(ABSOLUTE_ERROR|RELATIVE_ERROR|LOWER_BOUND|UPPER_BOUND)"
+                  r"\s*\(\s*(\w+)\s*\)", repl, sql, flags=re.IGNORECASE)

@@ -22,6 +22,18 @@ TABLE_COLUMNS: dict[str, tuple[str, ...]] = {
     "embeddings": ("vec_id", "embedding", "label"),
 }
 
+# conservative |value| upper bounds per numeric column (power-of-two), used
+# to pick reproducible-mode quantization scales for SQL-front-end queries
+# (explicit specs carry their own max_abs). Exceeding a bound only costs
+# lattice precision headroom, never correctness.
+DEFAULT_COL_BOUNDS: dict[str, float] = {
+    "l_extendedprice": 2.0 ** 17, "l_quantity": 2.0 ** 6,
+    "l_discount": 1.0, "l_tax": 1.0,
+    "o_totalprice": 2.0 ** 19, "c_acctbal": 2.0 ** 14,
+    "s_acctbal": 2.0 ** 14, "p_retailprice": 2.0 ** 11,
+    "p_size": 2.0 ** 6, "value": 2.0 ** 9, "n_chars": 2.0 ** 11,
+}
+
 # unique integer key columns per table (for the deterministic PRNG)
 TABLE_KEYS: dict[str, tuple[str, ...]] = {
     "region": ("r_regionkey",),

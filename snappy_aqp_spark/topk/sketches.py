@@ -1,0 +1,191 @@
+"""Sketch primitives for approximate time-series TopK.
+
+Rebuilds (in numpy, deterministic):
+  * Count-Min Sketch with conservative point estimate and the reference's
+    ``Approximate`` wrapping: lower = est - floor(size*eps), max = est
+    (reference: execution/cms/CountMinSketch.scala:273-375,
+    execution/Approximate.scala:25-60)
+  * width-halving compression used by Hokusai item aggregation
+    (CountMinSketch.scala:344+ ``compress``; Hokusai paper, Matusevych,
+    Smola, Ahmed 2012)
+  * Space-Saving stream summary (streamsummary/StreamSummaryAggregation.scala:35-131)
+
+Hashing is a fixed-constant polynomial over the key's utf-8 bytes mod a
+Mersenne prime — deterministic across processes, partitions and engines (no
+PYTHONHASHSEED dependence), which keeps sketch contents reproducible for the
+replay oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+
+_P = 2305843009213693951          # 2^61 - 1
+_ROW_A = (1103515245, 1299709, 15485863, 32452843, 49979687, 67867967,
+          86028121, 104395301, 122949823, 141650939, 160481183, 179424673)
+_ROW_B = (12345, 67891, 24680, 13579, 97531, 86420, 11235, 81321, 34553,
+          89151, 43349, 77711)
+
+
+def key_hash(key) -> int:
+    """Deterministic 61-bit hash of a (string or int) key."""
+    if isinstance(key, (int, np.integer)):
+        return (int(key) * 2654435761 + 0x9E3779B9) % _P
+    h = 0
+    for b in str(key).encode("utf-8"):
+        h = (h * 131 + b) % _P
+    return h
+
+
+@dataclass(frozen=True)
+class Approximate:
+    """(lowerBound, estimate, max, probabilityWithinBounds) monoid
+    (Approximate.scala:25-60): a + b keeps lower sums and max := est sum."""
+    lower: int
+    estimate: int
+    max: int
+    probability: float
+
+    def __add__(self, other: "Approximate") -> "Approximate":
+        est = self.estimate + other.estimate
+        return Approximate(self.lower + other.lower, est, est,
+                           self.probability)
+
+
+class CountMinSketch:
+    """depth x width counter matrix; eps = e/width, confidence = 1-exp(-depth)
+    (CMSParams semantics, Hokusai.scala:698)."""
+
+    def __init__(self, depth: int = 7, width: int = 200,
+                 table: np.ndarray | None = None, size: int = 0):
+        if depth > len(_ROW_A):
+            raise ValueError(f"depth > {len(_ROW_A)} unsupported")
+        self.depth, self.width = depth, width
+        self.table = table if table is not None else np.zeros(
+            (depth, width), dtype=np.int64)
+        self.size = size                      # total count added
+        self.eps = float(np.e) / width
+        self.confidence = 1.0 - float(np.exp(-depth))
+
+    # -- hashing -----------------------------------------------------------
+
+    def _buckets(self, h: int) -> list[int]:
+        return [((_ROW_A[i] * h + _ROW_B[i]) % _P) % self.width
+                for i in range(self.depth)]
+
+    # -- updates -----------------------------------------------------------
+
+    def add(self, key, count: int = 1) -> None:
+        for i, b in enumerate(self._buckets(key_hash(key))):
+            self.table[i, b] += count
+        self.size += count
+
+    def add_many(self, keys, counts) -> None:
+        for k, c in zip(keys, counts):
+            self.add(k, int(c))
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.depth, self.width) == (other.depth, other.width)
+        return CountMinSketch(self.depth, self.width,
+                              self.table + other.table,
+                              self.size + other.size)
+
+    def compress(self) -> "CountMinSketch":
+        """Halve the width: column i of the new table is col i + col i+w/2
+        (Hokusai item aggregation). Hash buckets stay consistent because
+        b mod (w/2) == (b mod w) mod (w/2) when w is a power of two."""
+        w2 = self.width // 2
+        return CountMinSketch(self.depth, w2,
+                              self.table[:, :w2] + self.table[:, w2:2 * w2],
+                              self.size)
+
+    # -- queries -----------------------------------------------------------
+
+    def estimate(self, key) -> int:
+        return int(min(self.table[i, b]
+                       for i, b in enumerate(self._buckets(key_hash(key)))))
+
+    def estimate_approximate(self, key) -> Approximate:
+        est = self.estimate(key)
+        return Approximate(est - int(self.size * self.eps), est, est,
+                           self.confidence)
+
+    # -- serialization (deterministic little-endian bytes) ------------------
+
+    def to_bytes(self) -> bytes:
+        head = np.array([self.depth, self.width, self.size],
+                        dtype="<i8").tobytes()
+        return head + self.table.astype("<i8").tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CountMinSketch":
+        depth, width, size = np.frombuffer(data[:24], dtype="<i8")
+        table = np.frombuffer(data[24:], dtype="<i8").reshape(
+            int(depth), int(width)).copy()
+        return cls(int(depth), int(width), table, int(size))
+
+
+class TopKCMS(CountMinSketch):
+    """CMS + maintained top-k key set (cms/TopKCMS.scala:32-193)."""
+
+    def __init__(self, k: int, depth: int = 7, width: int = 200, **kw):
+        super().__init__(depth, width, **kw)
+        self.k = k
+        self._top: dict = {}                  # key -> estimate
+
+    def add(self, key, count: int = 1) -> None:
+        super().add(key, count)
+        est = self.estimate(key)
+        if key in self._top or len(self._top) < self.k:
+            self._top[key] = est
+        else:
+            mn_key = min(self._top, key=lambda x: (self._top[x], str(x)))
+            if est > self._top[mn_key]:
+                del self._top[mn_key]
+                self._top[key] = est
+
+    def topk(self) -> list[tuple]:
+        return heapq.nlargest(self.k, self._top.items(),
+                              key=lambda kv: (kv[1], str(kv[0])))
+
+
+class SpaceSaving:
+    """Space-Saving stream summary: capacity-bounded (key -> count, error)
+    (StreamSummaryAggregation.scala:35-131, Metwally et al. 2005)."""
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.counts: dict = {}                # key -> (count, error)
+
+    def add(self, key, count: int = 1) -> None:
+        if key in self.counts:
+            c, e = self.counts[key]
+            self.counts[key] = (c + count, e)
+        elif len(self.counts) < self.capacity:
+            self.counts[key] = (count, 0)
+        else:
+            mn_key = min(self.counts,
+                         key=lambda x: (self.counts[x][0], str(x)))
+            mn_c, _ = self.counts.pop(mn_key)
+            self.counts[key] = (mn_c + count, mn_c)
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        out = SpaceSaving(self.capacity)
+        keys = set(self.counts) | set(other.counts)
+        merged = {}
+        for k in keys:
+            c1, e1 = self.counts.get(k, (0, 0))
+            c2, e2 = other.counts.get(k, (0, 0))
+            merged[k] = (c1 + c2, e1 + e2)
+        for k in sorted(merged, key=lambda x: (-merged[x][0], str(x)))[
+                : self.capacity]:
+            out.counts[k] = merged[k]
+        return out
+
+    def topk(self, k: int) -> list[tuple]:
+        items = sorted(self.counts.items(),
+                       key=lambda kv: (-kv[1][0], str(kv[0])))
+        return [(key, c, e) for key, (c, e) in items[:k]]

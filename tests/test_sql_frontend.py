@@ -1,0 +1,120 @@
+"""SQL-surface semantics (reference QuerySyntaxTestSuite analog): WITH clause
+parsing, DDL, routing decisions, error-function folding, end-to-end equality
+with the replay oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from snappy_aqp_spark.api import AQPSession
+from snappy_aqp_spark.plans.approx_query import oracle_sql_for
+from snappy_aqp_spark.sql import frontend as fe
+from tests.conftest import SF_SMALL, compare_frames
+
+
+@pytest.fixture(scope="module")
+def aqp(spark):
+    s = AQPSession(spark, data_token="test-sf0.001")
+    s.load_tables(SF_SMALL, ["lineitem", "orders"])
+    s.sql("CREATE SAMPLE TABLE li_sample ON lineitem OPTIONS("
+          "qcs 'l_returnflag,l_linestatus', fraction '0.05', method 'hash', seed '42')")
+    return s
+
+
+def test_with_clause_parsing():
+    q, wc = fe.strip_with_clause(
+        "SELECT 1 FROM t WITH ERROR 0.1 CONFIDENCE 0.9 BEHAVIOR 'strict'")
+    assert q == "SELECT 1 FROM t"
+    assert (wc.error, wc.confidence, wc.behavior) == (0.1, 0.9, "strict")
+    q2, wc2 = fe.strip_with_clause("SELECT 1 FROM t WITH ERROR")
+    assert wc2.error is None and wc2.behavior is None
+    _, wc3 = fe.strip_with_clause("SELECT 1 FROM t")
+    assert wc3 is None
+
+
+def test_parse_select_joins_and_clauses():
+    p = fe.parse_select(
+        "SELECT o_orderstatus, sum(l_extendedprice) AS s FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey WHERE l_quantity < 10 "
+        "GROUP BY o_orderstatus HAVING s > 5 ORDER BY o_orderstatus LIMIT 3")
+    assert p.from_table == "lineitem"
+    assert p.joins[0].table == "orders"
+    assert p.where == "l_quantity < 10"
+    assert p.group_by == ["o_orderstatus"]
+    assert p.limit == 3
+
+
+def test_sql_approx_matches_oracle(aqp, duck):
+    text = ("SELECT l_returnflag, sum(l_extendedprice) AS s, "
+            "absolute_error(s), relative_error(s) AS rel_s, "
+            "avg(l_discount) AS d, lower_bound(d), upper_bound(d) "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag "
+            "WITH ERROR 0.5 CONFIDENCE 0.95")
+    analyzed = aqp.analyze_sql(text)
+    assert analyzed.spec is not None
+    assert analyzed.spec.estimator == "closed_form"
+    df = aqp.sql(text)
+    oracle = duck.sql(oracle_sql_for(analyzed.spec)).df()
+    oracle = oracle.rename(columns=analyzed.rename)
+    compare_frames(df, oracle)
+
+
+def test_avg_having_picks_bootstrap(aqp):
+    text = ("SELECT l_returnflag, avg(l_extendedprice) AS a FROM lineitem "
+            "GROUP BY l_returnflag HAVING a > 1000 WITH ERROR 0.2")
+    analyzed = aqp.analyze_sql(text)
+    assert analyzed.spec.estimator == "bootstrap"
+
+
+def test_unsupported_routes_exact(aqp, duck):
+    text = ("SELECT count(DISTINCT l_suppkey) AS u, absolute_error(u) "
+            "FROM lineitem WITH ERROR 0.1")
+    analyzed = aqp.analyze_sql(text)
+    assert analyzed.spec is None
+    df = aqp.sql(text).toPandas()
+    exact = duck.sql("SELECT count(DISTINCT l_suppkey) AS u, "
+                     "CAST(0.0 AS DOUBLE) FROM lineitem").df()
+    assert int(df["u"].iloc[0]) == int(exact["u"].iloc[0])
+    assert float(df.iloc[0, 1]) == 0.0
+
+
+def test_no_sample_routes_exact(aqp):
+    text = "SELECT sum(o_totalprice) AS s FROM orders WITH ERROR 0.1"
+    analyzed = aqp.analyze_sql(text)
+    assert analyzed.spec is None and analyzed.reason == "no sample registered"
+    df = aqp.sql(text).toPandas()
+    assert len(df) == 1 and df["s"].iloc[0] > 0
+
+
+def test_no_with_clause_passthrough(aqp):
+    df = aqp.sql("SELECT count(*) AS n FROM lineitem").toPandas()
+    assert int(df["n"].iloc[0]) == 6000
+
+
+def test_strict_behavior_via_sql(aqp):
+    from snappy_aqp_spark import ErrorLimitExceededException
+    with pytest.raises(ErrorLimitExceededException):
+        aqp.sql("SELECT sum(l_extendedprice) AS s FROM lineitem "
+                "GROUP BY l_returnflag WITH ERROR 0.000001 BEHAVIOR 'strict'")
+
+
+def test_sample_selection_priority(aqp):
+    # second sample with qcs exactly matching a different group-by
+    aqp.sql("CREATE SAMPLE TABLE li_by_mode ON lineitem OPTIONS("
+            "qcs 'l_linestatus', fraction '0.1', method 'hash', seed '9')")
+    a = aqp.analyze_sql("SELECT l_linestatus, count(*) AS c FROM lineitem "
+                        "GROUP BY l_linestatus WITH ERROR 0.3")
+    assert a.spec.sample.qcs == ("l_linestatus",)
+    b = aqp.analyze_sql("SELECT l_returnflag, l_linestatus, count(*) AS c "
+                        "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+                        "WITH ERROR 0.3")
+    assert set(b.spec.sample.qcs) == {"l_returnflag", "l_linestatus"}
+    aqp.sql("DROP SAMPLE TABLE li_by_mode")
+
+
+def test_error_stats_defaults(aqp):
+    # session defaults apply on bare WITH ERROR
+    a = aqp.analyze_sql("SELECT sum(l_quantity) AS q FROM lineitem WITH ERROR")
+    assert a.spec.error == 0.2 and a.spec.confidence == 0.95
