@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from snappy_aqp_spark.api import (AQPSession, analyze_text,
                                   build_catalog_from_ddl)
-from snappy_aqp_spark.fixtures import APPROX_SPECS, SQL_FIXTURES
+import dataclasses
+
+from snappy_aqp_spark.fixtures import APPROX_SPECS, SQL_FIXTURES, TOPK_FIXTURES
+from snappy_aqp_spark.topk.api import (TopKRegistry, create_approx_ts_topk,
+                                       query_approx_ts_topk)
+from snappy_aqp_spark.topk.oracle import topk_oracle_sql
 from snappy_aqp_spark.plans.approx_query import (load_tables, oracle_sql_for,
                                                  run_approx_query,
                                                  visible_columns)
@@ -64,12 +69,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return queries()["cf_group_multi"](spark, "/root/testdata/sf0.001")
 
 
+_TOPK_REGISTRY = TopKRegistry()
+
+
+def _make_topk_runner(name: str, fx: dict) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tbl = f"{name}@{sf_dir}"
+        if tbl.lower() not in _TOPK_REGISTRY.tables:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/events.parquet")
+            spec = dataclasses.replace(fx["spec"], name=tbl)
+            create_approx_ts_topk(spark, _TOPK_REGISTRY, df, spec)
+        return query_approx_ts_topk(spark, _TOPK_REGISTRY, tbl,
+                                    fx["start"], fx["end"], fx["k"])
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, spec in APPROX_SPECS.items():
         out[name] = _make_runner(spec)
     for name, fx in SQL_FIXTURES.items():
         out[name] = _make_sql_runner(fx)
+    for name, fx in TOPK_FIXTURES.items():
+        out[name] = _make_topk_runner(name, fx)
     return out
 
 
@@ -77,4 +100,7 @@ def oracle_sql() -> dict[str, str]:
     out = {name: oracle_sql_for(spec) for name, spec in APPROX_SPECS.items()}
     for name, fx in SQL_FIXTURES.items():
         out[name] = _sql_fixture_oracle(fx)
+    for name, fx in TOPK_FIXTURES.items():
+        out[name] = topk_oracle_sql(fx["spec"], "events",
+                                    fx["start"], fx["end"], fx["k"])
     return out

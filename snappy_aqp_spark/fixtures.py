@@ -10,6 +10,7 @@ perfJoinQueries.sql) re-targeted at the driver's TPC-H-ish tables.
 from __future__ import annotations
 
 from .specs import ApproxAgg, ApproxQuerySpec, JoinSpec, SampleSpec
+from .topk.api import TopKSpec
 
 ALL_ERRORS = ("absolute_error", "relative_error", "lower_bound", "upper_bound")
 
@@ -31,6 +32,44 @@ _PRICE = 2.0 ** 17      # l_extendedprice < 105k
 _QTY = 2.0 ** 6         # l_quantity <= 50
 _TOTAL = 2.0 ** 19      # o_totalprice < 500k
 
+
+# --- approximate time-series TopK fixtures (SURVEY §2.6) --------------------
+_3D_US = 3 * 24 * 3600 * 1_000_000
+_T_2024_01_08 = 1_704_672_000_000_000
+_T_2024_01_22 = 1_705_881_600_000_000
+
+TOPK_FIXTURES: dict[str, dict] = {
+    # TopKHokusai-analog CMS table, full-range query
+    "topk_cms_full": {
+        "spec": TopKSpec("topk_cms_full", key="user_id", time_col="ts",
+                         time_interval_us=_3D_US, size=100, depth=7,
+                         width=4096, num_partitions=8, int_key=True),
+        "start": None, "end": None, "k": 20,
+    },
+    # between-time query over a sub-range (Hokusai getTopKBetweenTime)
+    "topk_cms_window": {
+        "spec": TopKSpec("topk_cms_window", key="user_id", time_col="ts",
+                         time_interval_us=_3D_US, size=100, depth=7,
+                         width=4096, num_partitions=8, int_key=True),
+        "start": _T_2024_01_08, "end": _T_2024_01_22, "k": 15,
+    },
+    # weighted frequency column (TopKWrapper frequencyCol)
+    "topk_cms_freq": {
+        "spec": TopKSpec("topk_cms_freq", key="user_id", time_col="ts",
+                         time_interval_us=_3D_US, size=100, depth=7,
+                         width=4096, num_partitions=8, int_key=True,
+                         frequency_col="CAST(FLOOR(value) AS BIGINT)"),
+        "start": None, "end": None, "k": 20,
+    },
+    # Space-Saving stream summary variant
+    "topk_streamsummary": {
+        "spec": TopKSpec("topk_streamsummary", key="user_id", time_col="ts",
+                         time_interval_us=_3D_US, size=100,
+                         stream_summary=True, capacity=4096,
+                         num_partitions=8, int_key=True),
+        "start": _T_2024_01_08, "end": None, "k": 20,
+    },
+}
 
 # --- SQL-surface fixtures (snappyAQPParsers.scala:39-106 parity) ------------
 # Each runs through AQPSession.sql: DDL then a WITH-ERROR query. Oracle SQL

@@ -1,0 +1,125 @@
+"""Sketch invariants (reference HokusaiSpec / TopCMSSpec analogs) and the
+Spark TopK table lifecycle (create / insert / between-time query)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from snappy_aqp_spark.topk.api import (TopKRegistry, TopKSpec,
+                                       create_approx_ts_topk,
+                                       insert_into_topk,
+                                       query_approx_ts_topk)
+from snappy_aqp_spark.topk.oracle import topk_oracle_sql
+from snappy_aqp_spark.topk.sketches import (Approximate, CountMinSketch,
+                                            SpaceSaving, TopKCMS)
+from tests.conftest import SF_SMALL, compare_frames
+
+
+def test_cms_estimate_overcounts_never_under():
+    rng = np.random.default_rng(7)
+    cms = CountMinSketch(depth=5, width=64)
+    truth = {}
+    for _ in range(2000):
+        k = int(rng.integers(0, 200))
+        cms.add(k)
+        truth[k] = truth.get(k, 0) + 1
+    for k, c in truth.items():
+        assert cms.estimate(k) >= c
+    assert cms.size == 2000
+
+
+def test_cms_merge_and_serde():
+    a, b = CountMinSketch(4, 128), CountMinSketch(4, 128)
+    for i in range(100):
+        a.add(i)
+        b.add(i % 10)
+    m = a.merge(b)
+    assert m.estimate(3) >= a.estimate(3) + b.estimate(3) - 1
+    rt = CountMinSketch.from_bytes(m.to_bytes())
+    assert np.array_equal(rt.table, m.table) and rt.size == m.size
+
+
+def test_cms_compress_halves_width_preserving_estimates():
+    cms = CountMinSketch(4, 256)
+    for i in range(500):
+        cms.add(i % 40)
+    half = cms.compress()
+    assert half.width == 128
+    for k in range(40):
+        assert half.estimate(k) >= cms.estimate(k)   # coarser, never lower
+    assert half.size == cms.size
+
+
+def test_approximate_monoid():
+    a = Approximate(8, 10, 10, 0.95)
+    b = Approximate(3, 5, 5, 0.95)
+    c = a + b
+    assert (c.lower, c.estimate, c.max) == (11, 15, 15)
+
+
+def test_topkcms_tracks_heavy_hitters():
+    t = TopKCMS(k=5, depth=5, width=512)
+    for i in range(50):
+        for _ in range(100 - i):
+            t.add(f"k{i}")
+    top = [k for k, _ in t.topk()]
+    assert top[:3] == ["k0", "k1", "k2"]
+
+
+def test_spacesaving_exact_when_capacity_sufficient():
+    ss = SpaceSaving(capacity=100)
+    for i in range(50):
+        ss.add(f"k{i}", 50 - i)
+    top = ss.topk(5)
+    assert top[0] == ("k0", 50, 0) and top[4] == ("k4", 46, 0)
+
+
+def test_spacesaving_bounded_capacity_overestimates():
+    ss = SpaceSaving(capacity=4)
+    for i in range(20):
+        ss.add(f"k{i % 8}")
+    assert len(ss.counts) == 4
+    for k, (c, e) in ss.counts.items():
+        assert c >= e >= 0
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{SF_SMALL}/events.parquet")
+
+
+def _spec(name, **kw):
+    base = dict(key="user_id", time_col="ts",
+                time_interval_us=3 * 24 * 3600 * 1_000_000,
+                depth=7, width=4096, num_partitions=8, int_key=True)
+    base.update(kw)
+    return TopKSpec(name, **base)
+
+
+def test_topk_create_query_matches_oracle(spark, duck, events):
+    reg = TopKRegistry()
+    spec = _spec("t1")
+    create_approx_ts_topk(spark, reg, events, spec)
+    res = query_approx_ts_topk(spark, reg, "t1", None, None, 10)
+    oracle = duck.sql(topk_oracle_sql(spec, "events", None, None, 10))
+    compare_frames(res, oracle, sort_cols=["key"])
+
+
+def test_topk_incremental_insert_equals_batch(spark, events):
+    reg = TopKRegistry()
+    spec = _spec("full")
+    create_approx_ts_topk(spark, reg, events, spec)
+    full = query_approx_ts_topk(spark, reg, "full", None, None, 10).toPandas()
+
+    half1 = events.where("event_id % 2 = 0")
+    half2 = events.where("event_id % 2 = 1")
+    spec2 = dataclasses.replace(spec, name="inc",
+                                epoch_us=reg.get("full").epoch_us)
+    create_approx_ts_topk(spark, reg, half1, spec2)
+    insert_into_topk(spark, reg, "inc", half2)
+    inc = query_approx_ts_topk(spark, reg, "inc", None, None, 10).toPandas()
+    assert full.equals(inc)
