@@ -16,7 +16,12 @@ from snappy_aqp_spark.api import (AQPSession, analyze_text,
                                   build_catalog_from_ddl)
 import dataclasses
 
-from snappy_aqp_spark.fixtures import APPROX_SPECS, SQL_FIXTURES, TOPK_FIXTURES
+from snappy_aqp_spark.dialect import DUCKDB as _DK, SPARK as _SP
+from snappy_aqp_spark.fixtures import (APPROX_SPECS, PIPELINE_FIXTURES,
+                                       SQL_FIXTURES, TOPK_FIXTURES)
+from snappy_aqp_spark.pipeline import multimodal as mm
+from snappy_aqp_spark.pipeline.dual import run_stages, stages_sql
+from snappy_aqp_spark.pipeline.text import text_features, text_features_oracle
 from snappy_aqp_spark.topk.api import (TopKRegistry, create_approx_ts_topk,
                                        query_approx_ts_topk)
 from snappy_aqp_spark.topk.oracle import topk_oracle_sql
@@ -85,6 +90,28 @@ def _make_topk_runner(name: str, fx: dict) -> Callable[[SparkSession, str], Data
     return run
 
 
+def _make_pipeline_runner(fx: dict) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in fx["tables"]:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        stages, final = fx["builder"](_SP, **fx["kw"])
+        return run_stages(spark, stages, final)
+    return run
+
+
+def _text_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_features(docs)
+
+
+def _multimodal_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = mm.synthesize_media(docs, n_frames=4, width=16, height=16)
+    decoded = mm.decode_media(media, decode_fn="fake", sample_every=2)
+    resized = mm.resize_pixels(decoded, factor=2)
+    return mm.extract_features(resized).orderBy("id", "frame")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, spec in APPROX_SPECS.items():
@@ -93,6 +120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _make_sql_runner(fx)
     for name, fx in TOPK_FIXTURES.items():
         out[name] = _make_topk_runner(name, fx)
+    for name, fx in PIPELINE_FIXTURES.items():
+        out[name] = _make_pipeline_runner(fx)
+    out["text_analysis"] = _text_runner
+    out["multimodal_features"] = _multimodal_runner   # rows-only (no oracle)
     return out
 
 
@@ -103,4 +134,8 @@ def oracle_sql() -> dict[str, str]:
     for name, fx in TOPK_FIXTURES.items():
         out[name] = topk_oracle_sql(fx["spec"], "events",
                                     fx["start"], fx["end"], fx["k"])
+    for name, fx in PIPELINE_FIXTURES.items():
+        stages, final = fx["builder"](_DK, **fx["kw"])
+        out[name] = stages_sql(stages, final)
+    out["text_analysis"] = text_features_oracle(_DK)
     return out

@@ -9,8 +9,31 @@ perfJoinQueries.sql) re-targeted at the driver's TPC-H-ish tables.
 
 from __future__ import annotations
 
+from .pipeline import dedup as _dd
+from .pipeline import similarity as _sim
 from .specs import ApproxAgg, ApproxQuerySpec, JoinSpec, SampleSpec
 from .topk.api import TopKSpec
+
+# --- data-pipeline fixtures (dedup / similarity; dual-dialect stages) -------
+PIPELINE_FIXTURES: dict[str, dict] = {
+    "dedup_exact": {
+        "builder": _dd.exact_dedup_stages, "kw": {}, "tables": ("documents",)},
+    "dedup_ngram_jaccard": {
+        "builder": _dd.ngram_jaccard_stages, "kw": {"threshold": 0.5},
+        "tables": ("documents",)},
+    "dedup_minhash_lsh": {
+        "builder": _dd.minhash_lsh_stages, "kw": {"threshold": 0.5},
+        "tables": ("documents",)},
+    "dedup_simhash": {
+        "builder": _dd.simhash_stages, "kw": {"max_hamming": 3},
+        "tables": ("documents",)},
+    "ann_cosine_topk": {
+        "builder": _sim.brute_force_topk_stages, "kw": {},
+        "tables": ("embeddings",)},
+    "ann_lsh_topk": {
+        "builder": _sim.lsh_topk_stages, "kw": {},
+        "tables": ("embeddings",)},
+}
 
 ALL_ERRORS = ("absolute_error", "relative_error", "lower_bound", "upper_bound")
 

@@ -1,0 +1,167 @@
+"""Deduplication operators for training-data pipelines.
+
+Four flavors over ``documents(doc_id, text, ...)``:
+
+  * exact          — full-text hash clusters (one shuffle on the hash)
+  * ngram_jaccard  — exact character-k-gram Jaccard on all co-shingled
+                     pairs (inverted-index join; the quadratic baseline)
+  * minhash_lsh    — MinHash signatures -> banded LSH buckets -> candidate
+                     pairs -> exact-Jaccard verification (the 100 TB path:
+                     cost ~ O(docs x H) + bucket-join, no all-pairs)
+  * simhash        — 32-bit simhash over tokens, pairs within Hamming
+                     distance (bit_count(xor) filter)
+
+Declared as dialect-parameterized CTE stages (pipeline/dual.py): the Spark
+plan and the DuckDB replay oracle come from the same text. All hashing is
+md5-derived integer arithmetic — deterministic everywhere.
+
+Scale notes: shingle explosion is ~len(text) rows per doc — at 100 TB run
+minhash on a capped shingle sample per doc and bucket-join with AQE;
+the inverted-index join partitions by shingle so hot shingles (stopword
+grams) should be frequency-capped (``max_doc_freq``) exactly as done here.
+"""
+
+from __future__ import annotations
+
+from . import dual
+from ..dialect import DUCKDB, SPARK, dlit
+
+P31 = 2147483647
+
+
+def _shingles(dialect: str, table: str, col: str, k: int) -> list[tuple[str, str]]:
+    """(doc_id, shingle-int) rows: distinct char k-grams -> 60-bit ints."""
+    grams = dual.transform(
+        dialect,
+        dual.sequence(dialect, "1", f"GREATEST(length({col}) - {k - 1}, 1)"),
+        f"i -> md5(substring({col}, CAST(i AS INT), {k}))")
+    stages = [
+        ("__grams", f"SELECT doc_id, {dual.arr_distinct(dialect, grams)} AS gs "
+                    f"FROM {table}"),
+        ("__shx", f"SELECT doc_id, {dual.explode(dialect, 'gs', 'g')} FROM __grams"),
+        ("__sh", f"SELECT doc_id, {dual.hex15_to_long('g')} % {P31} AS sh "
+                 f"FROM __shx"),
+    ]
+    return stages
+
+
+def exact_dedup_stages(dialect: str, table: str = "documents",
+                       col: str = "text") -> tuple[list[tuple[str, str]], str]:
+    stages = [
+        ("__fp", f"SELECT doc_id, md5({col}) AS fp FROM {table}"),
+        ("__cl", "SELECT fp, CAST(COUNT(*) AS BIGINT) AS cluster_size, "
+                 "CAST(MIN(doc_id) AS BIGINT) AS keeper FROM __fp GROUP BY fp"),
+    ]
+    final = ("SELECT f.doc_id, c.keeper, c.cluster_size, "
+             "CASE WHEN f.doc_id = c.keeper THEN 0 ELSE 1 END AS is_duplicate "
+             "FROM __fp f JOIN __cl c ON f.fp = c.fp "
+             "ORDER BY f.doc_id")
+    return stages, final
+
+
+def ngram_jaccard_stages(dialect: str, threshold: float, k: int = 5,
+                         table: str = "documents", col: str = "text",
+                         max_doc_freq: int = 10_000
+                         ) -> tuple[list[tuple[str, str]], str]:
+    stages = _shingles(dialect, table, col, k)
+    stages += [
+        ("__sz", "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM __sh "
+                 "GROUP BY doc_id"),
+        # frequency-cap hot shingles (stopword-gram skew guard)
+        ("__df", f"SELECT sh FROM __sh GROUP BY sh "
+                 f"HAVING COUNT(*) <= {max_doc_freq}"),
+        ("__shc", "SELECT s.doc_id, s.sh FROM __sh s JOIN __df d ON s.sh = d.sh"),
+        ("__pairs", "SELECT a.doc_id AS ida, b.doc_id AS idb, "
+                    "CAST(COUNT(*) AS BIGINT) AS common "
+                    "FROM __shc a JOIN __shc b ON a.sh = b.sh "
+                    "AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id"),
+        ("__j", "SELECT p.ida, p.idb, CAST(p.common AS DOUBLE) / "
+                "CAST(sa.n + sb.n - p.common AS DOUBLE) AS jaccard "
+                "FROM __pairs p JOIN __sz sa ON p.ida = sa.doc_id "
+                "JOIN __sz sb ON p.idb = sb.doc_id"),
+    ]
+    final = (f"SELECT ida, idb, jaccard FROM __j WHERE jaccard >= {dlit(threshold)} "
+             f"ORDER BY ida, idb")
+    return stages, final
+
+
+def _minhash_exprs(n_hashes: int) -> list[tuple[int, int]]:
+    """fixed (a, b) constants for the permutation hashes."""
+    rnd = []
+    a, b = 1103515245, 12345
+    for i in range(n_hashes):
+        a = (a * 1299709 + 15485863) % P31
+        b = (b * 179424673 + 99991) % P31
+        rnd.append((a | 1, b))
+    return rnd
+
+
+def minhash_lsh_stages(dialect: str, threshold: float, k: int = 5,
+                       n_hashes: int = 32, bands: int = 8,
+                       table: str = "documents", col: str = "text"
+                       ) -> tuple[list[tuple[str, str]], str]:
+    """signatures -> bands -> bucket join -> exact-Jaccard verify."""
+    rows = n_hashes // bands
+    stages = _shingles(dialect, table, col, k)
+    consts = _minhash_exprs(n_hashes)
+    mins = ", ".join(
+        f"CAST(MIN((sh * {a} + {b}) % {P31}) AS BIGINT) AS m{i}"
+        for i, (a, b) in enumerate(consts))
+    stages.append(("__sig", f"SELECT doc_id, {mins} FROM __sh GROUP BY doc_id"))
+    band_rows = []
+    for bi in range(bands):
+        h = f"m{bi * rows}"
+        for r in range(1, rows):
+            h = f"(({h}) * 1299721 + m{bi * rows + r}) % {P31}"
+        band_rows.append(f"SELECT doc_id, {bi} AS band, CAST({h} AS BIGINT) "
+                         f"AS bh FROM __sig")
+    stages.append(("__bands", " UNION ALL ".join(band_rows)))
+    stages.append(("__cand",
+                   "SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
+                   "FROM __bands a JOIN __bands b "
+                   "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"))
+    stages += [
+        ("__sz", "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM __sh "
+                 "GROUP BY doc_id"),
+        ("__common",
+         "SELECT c.ida, c.idb, CAST(COUNT(*) AS BIGINT) AS common "
+         "FROM __cand c JOIN __sh a ON a.doc_id = c.ida "
+         "JOIN __sh b ON b.doc_id = c.idb AND a.sh = b.sh "
+         "GROUP BY c.ida, c.idb"),
+        ("__j", "SELECT m.ida, m.idb, CAST(m.common AS DOUBLE) / "
+                "CAST(sa.n + sb.n - m.common AS DOUBLE) AS jaccard "
+                "FROM __common m JOIN __sz sa ON m.ida = sa.doc_id "
+                "JOIN __sz sb ON m.idb = sb.doc_id"),
+    ]
+    final = (f"SELECT ida, idb, jaccard FROM __j "
+             f"WHERE jaccard >= {dlit(threshold)} ORDER BY ida, idb")
+    return stages, final
+
+
+def simhash_stages(dialect: str, max_hamming: int = 3, n_bits: int = 32,
+                   table: str = "documents", col: str = "text"
+                   ) -> tuple[list[tuple[str, str]], str]:
+    n_toks = (f"GREATEST(CAST(FLOOR(CAST(length({col}) AS DOUBLE) / 4.0) "
+              f"AS BIGINT), 1)")
+    toks = dual.transform(
+        dialect,
+        dual.sequence(dialect, "1", n_toks),
+        f"i -> md5(substring({col}, CAST((i - 1) * 4 + 1 AS INT), 4))")
+    stages = [
+        ("__tok", f"SELECT doc_id, {dual.explode(dialect, toks, 't')} FROM {table}"),
+        ("__th", f"SELECT doc_id, {dual.hex15_to_long('t')} AS h FROM __tok"),
+    ]
+    bit_sums = ", ".join(
+        f"SUM(CAST(({dual.shiftright(dialect, 'h', str(j))} % 2) * 2 - 1 "
+        f"AS BIGINT)) AS s{j}" for j in range(n_bits))
+    stages.append(("__bits", f"SELECT doc_id, {bit_sums} FROM __th GROUP BY doc_id"))
+    sig = " + ".join(f"(CASE WHEN s{j} >= 0 THEN {2 ** j} ELSE 0 END)"
+                     for j in range(n_bits))
+    stages.append(("__sig", f"SELECT doc_id, CAST({sig} AS BIGINT) AS sig "
+                            f"FROM __bits"))
+    ham = f"bit_count({dual.xor(dialect, 'a.sig', 'b.sig')})"
+    final = (f"SELECT a.doc_id AS ida, b.doc_id AS idb, "
+             f"CAST({ham} AS BIGINT) AS hamming "
+             f"FROM __sig a JOIN __sig b ON a.doc_id < b.doc_id "
+             f"WHERE {ham} <= {max_hamming} ORDER BY ida, idb")
+    return stages, final

@@ -1,0 +1,123 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language ID
+(stopword-profile heuristic), quality scoring (length / punctuation /
+stopword ratios), token counting, and document fingerprinting (full-text
+hash + min-k-gram winnowing hash).
+
+Everything is a scalar projection over ``documents`` — embarrassingly
+parallel, no shuffle, pure JVM expressions (whole-stage codegen) on the
+Spark side. Fragments avoid backslash regex classes and transcendental
+functions so the identical semantics replay on DuckDB for the exact oracle
+(backslash escaping and libm rounding differ between engines; integer
+counts and single-division ratios do not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..dialect import DUCKDB, SPARK, dlit
+
+STOPWORDS = {
+    "en": ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una", "los", "se"),
+    "de": ("der", "die", "das", "und", "ein", "zu", "mit", "von", "ist", "im"),
+}
+
+
+def regex_count(dialect: str, col: str, pat: str) -> str:
+    if dialect == SPARK:
+        return f"size(regexp_extract_all({col}, '{pat}', 0))"
+    return f"len(regexp_extract_all({col}, '{pat}'))"
+
+
+def _padded(col: str) -> str:
+    """double inner spaces + pad ends so ' word ' matches every token
+    without overlap issues (portable: no backslash classes)."""
+    return f"(' ' || replace({col}, ' ', '  ') || ' ')"
+
+
+def word_set_count(dialect: str, col: str, words: tuple[str, ...]) -> str:
+    pat = " (" + "|".join(words) + ") "
+    return regex_count(dialect, _padded(col), pat)
+
+
+def text_feature_frags(dialect: str, col: str = "text") -> dict[str, str]:
+    """doc-level features; identical values on Spark and DuckDB."""
+    n_tokens = regex_count(dialect, col, "[A-Za-z0-9]+")
+    n_punct = regex_count(dialect, col, "[.,;:!?]")
+    frags = {
+        "n_tokens": f"CAST({n_tokens} AS BIGINT)",
+        "n_punct": f"CAST({n_punct} AS BIGINT)",
+        "n_chars_m": f"CAST(length({col}) AS BIGINT)",
+    }
+    for lang, words in STOPWORDS.items():
+        frags[f"sw_{lang}"] = f"CAST({word_set_count(dialect, col, words)} AS BIGINT)"
+    return frags
+
+
+def quality_frags() -> dict[str, str]:
+    """quality score from the feature columns (rational arithmetic only:
+    identical doubles cross-engine). Range [0, 1]."""
+    tok = "CAST(n_tokens AS DOUBLE)"
+    stop_ratio = f"(CASE WHEN n_tokens = 0 THEN {dlit(0.0)} ELSE CAST(sw_en AS DOUBLE) / {tok} END)"
+    punct_ratio = f"(CASE WHEN n_chars_m = 0 THEN {dlit(0.0)} ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE) END)"
+    len_score = f"(CASE WHEN n_tokens >= 100 THEN {dlit(1.0)} ELSE {tok} / {dlit(100.0)} END)"
+    q = (f"(({dlit(2.0)} * {stop_ratio} + {dlit(1.0)} * {len_score} + "
+         f"{dlit(1.0)} * ({dlit(1.0)} - {punct_ratio})) / {dlit(4.0)})")
+    return {"stopword_ratio": stop_ratio, "punct_ratio": punct_ratio,
+            "quality": q}
+
+
+def langid_frag() -> str:
+    """argmax over per-language stopword hits; ties and zero -> 'und'.
+
+    CASE evaluates in declaration order, so ties resolve identically in
+    both engines."""
+    langs = sorted(STOPWORDS)
+    conds = []
+    for lang in langs:
+        others = [f"sw_{lang} >= sw_{o}" for o in langs if o != lang]
+        conds.append(f"WHEN sw_{lang} > 0 AND {' AND '.join(others)} "
+                     f"THEN '{lang}'")
+    return f"(CASE {' '.join(conds)} ELSE 'und' END)"
+
+
+def fingerprint_frags(dialect: str, col: str = "text",
+                      k: int = 8) -> dict[str, str]:
+    """md5 full-text fingerprint + winnowing-style min k-gram hash."""
+    if dialect == SPARK:
+        mingram = (f"array_min(transform(sequence(1, GREATEST(length({col}) - {k - 1}, 1)), "
+                   f"i -> md5(substring({col}, i, {k}))))")
+    else:
+        mingram = (f"list_min(list_transform(generate_series(1, GREATEST(length({col}) - {k - 1}, 1)), "
+                   f"i -> md5(substring({col}, CAST(i AS INT), {k}))))")
+    return {"fp_md5": f"md5({col})", "fp_mingram": mingram}
+
+
+def text_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Spark path: features -> quality -> langid -> fingerprints."""
+    out = df.select("doc_id", "lang", "source",
+                    *[F.expr(s).alias(n)
+                      for n, s in text_feature_frags(SPARK, col).items()],
+                    *[F.expr(s).alias(n)
+                      for n, s in fingerprint_frags(SPARK, col).items()])
+    # quality/langid read the feature columns -> second projection
+    out = out.select("*",
+                     *[F.expr(s).alias(n) for n, s in quality_frags().items()],
+                     F.expr(langid_frag()).alias("lang_pred"))
+    return out
+
+
+def text_features_oracle(dialect: str = DUCKDB, table: str = "documents",
+                         col: str = "text") -> str:
+    feat = text_feature_frags(dialect, col)
+    fp = fingerprint_frags(dialect, col)
+    inner_parts = ["doc_id", "lang", "source"]
+    inner_parts += [f"{s} AS {n}" for n, s in {**feat, **fp}.items()]
+    inner = f"SELECT {', '.join(inner_parts)} FROM {table}"
+    outer_parts = ["*"]
+    outer_parts += [f"{s} AS {n}" for n, s in quality_frags().items()]
+    outer_parts.append(f"{langid_frag()} AS lang_pred")
+    return f"SELECT {', '.join(outer_parts)} FROM ({inner}) __t"

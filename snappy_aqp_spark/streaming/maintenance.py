@@ -1,0 +1,148 @@
+"""Structured-Streaming maintenance of sample tables and TopK structures.
+
+The reference populates samples and TopK sketches from DStreams
+(``collectSamples`` / ``aqpTablePopulator``,
+execution/SnappyContextAQPFunctions.scala:81-105, 390-442 — per-RDD inserts
+into every dependent AQP structure). The rebuild attaches the same fan-out
+to Structured Streaming via ``foreachBatch``; queries then run as batch
+reads over the maintained state, exactly the reference's model.
+
+Key design — weights are computed at *read* time, not write time:
+sample rows persist without weight columns; a tiny per-stratum stats table
+(QCS -> rows seen / rows kept) is updated each micro-batch and broadcast-
+joined at read time to attach ``snappy_sampler_weightage``. This is how the
+reference stays correct under growth (``fillWeightage`` at scan,
+stratifiedSampling.scala:456-464) and it makes streaming maintenance
+*exactly* equal to a batch re-sample of the accumulated data:
+
+  * hash method: membership depends only on the row key -> append-only rows
+  * reservoir method: the reservoir is the k smallest key-hashes per
+    stratum -> incremental top-k merge reproduces the batch pick
+    bit-for-bit (Algorithm-R analog with deterministic priorities)
+
+State lives in two parquet directories (rows/, stats/) — at scale these
+would be a transactional table format; the swap-directory write here keeps
+local runs atomic enough.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..detrng import hash_sql, threshold_for_fraction
+from ..specs import (STRATA_SAMPLED_COL, STRATA_TOTAL_COL, WEIGHT_COL,
+                     SampleSpec)
+from ..topk.api import TopKRegistry, TopKSpec, create_approx_ts_topk, insert_into_topk
+
+
+class StreamingSampleMaintainer:
+    def __init__(self, spark: SparkSession, spec: SampleSpec, state_dir: str):
+        if spec.method not in ("hash", "reservoir"):
+            raise ValueError("streaming maintenance supports hash/reservoir")
+        self.spark, self.spec = spark, spec
+        self.rows_dir = os.path.join(state_dir, "rows")
+        self.stats_dir = os.path.join(state_dir, "stats")
+        self._qcs = [f"__q{i}" for i in range(len(spec.qcs))]
+
+    # -- helpers ------------------------------------------------------------
+
+    def _tag(self, df: DataFrame) -> DataFrame:
+        out = df.withColumn("__h", F.expr(hash_sql(list(self.spec.key_cols),
+                                                   self.spec.seed)))
+        for i, q in enumerate(self.spec.qcs):
+            out = out.withColumn(f"__q{i}", F.expr(q))
+        return out
+
+    def _read(self, path: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    def _swap_write(self, df: DataFrame, path: str) -> None:
+        tmp = path + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    # -- the foreachBatch hook ----------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        spec = self.spec
+        tagged = self._tag(batch_df)
+
+        # 1. accumulate per-stratum totals (global, not per-batch — the
+        #    incremental-weights pitfall called out in SURVEY §7)
+        batch_stats = tagged.groupBy(*self._qcs).agg(
+            F.count(F.lit(1)).alias("__seen"))
+        old = self._read(self.stats_dir)
+        if old is not None:
+            batch_stats = (batch_stats.unionByName(old)
+                           .groupBy(*self._qcs)
+                           .agg(F.sum("__seen").alias("__seen")))
+        self._swap_write(batch_stats, self.stats_dir)
+
+        # 2. maintain kept rows
+        if spec.method == "hash":
+            # membership is key-determined -> append-only (no rewrite at scale)
+            thr = threshold_for_fraction(spec.fraction)
+            kept = tagged.where(F.col("__h") < F.lit(thr))
+            kept.write.mode("append").parquet(self.rows_dir)
+        else:
+            merged = tagged
+            old_rows = self._read(self.rows_dir)
+            if old_rows is not None:
+                merged = old_rows.unionByName(merged)
+            order = ([F.col("__h").asc()] +
+                     [F.col(c).asc() for c in batch_df.columns])
+            w = Window.partitionBy(*self._qcs).orderBy(*order)
+            kept = (merged.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") <= spec.reservoir_size).drop("__rn"))
+            self._swap_write(kept, self.rows_dir)
+
+    # -- read side ----------------------------------------------------------
+
+    def sample_df(self) -> DataFrame:
+        """rows ⨝ current stats -> weight columns (read-time fillWeightage)."""
+        rows = self._read(self.rows_dir)
+        stats = self._read(self.stats_dir)
+        if rows is None or stats is None:
+            raise RuntimeError("no streaming state yet")
+        n_kept = rows.groupBy(*self._qcs).agg(F.count(F.lit(1)).alias("__kept"))
+        joined = (rows.join(F.broadcast(stats), on=self._qcs)
+                  .join(F.broadcast(n_kept), on=self._qcs))
+        base_cols = [c for c in rows.columns
+                     if c not in self._qcs and c != "__h"]
+        return joined.select(
+            *base_cols,
+            F.col("__kept").cast("bigint").alias(STRATA_SAMPLED_COL),
+            F.col("__seen").cast("bigint").alias(STRATA_TOTAL_COL),
+            (F.col("__seen").cast("double") /
+             F.col("__kept").cast("double")).alias(WEIGHT_COL))
+
+    def attach(self, stream_df: DataFrame, **write_kwargs):
+        """stream_df.writeStream.foreachBatch(self.process_batch)..."""
+        return (stream_df.writeStream.foreachBatch(self.process_batch)
+                .options(**write_kwargs))
+
+
+class StreamingTopKMaintainer:
+    """foreachBatch fan-in to a TopK table (reference aqpTablePopulator)."""
+
+    def __init__(self, spark: SparkSession, registry: TopKRegistry,
+                 spec: TopKSpec):
+        self.spark, self.registry, self.spec = spark, registry, spec
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        if self.spec.name.lower() not in self.registry.tables:
+            create_approx_ts_topk(self.spark, self.registry, batch_df, self.spec)
+        else:
+            insert_into_topk(self.spark, self.registry, self.spec.name, batch_df)
+
+    def attach(self, stream_df: DataFrame):
+        return stream_df.writeStream.foreachBatch(self.process_batch)

@@ -1,0 +1,69 @@
+"""Data-pipeline operators: dedup, similarity, text analysis, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+
+from snappy_aqp_spark.dialect import DUCKDB, SPARK
+from snappy_aqp_spark.fixtures import PIPELINE_FIXTURES
+from snappy_aqp_spark.pipeline import multimodal as mm
+from snappy_aqp_spark.pipeline.dual import run_stages, stages_sql
+from snappy_aqp_spark.pipeline.text import text_features, text_features_oracle
+from tests.conftest import SF_SMALL, compare_frames
+
+
+@pytest.fixture(scope="module")
+def views(spark):
+    for t in ("documents", "embeddings"):
+        spark.read.parquet(f"{SF_SMALL}/{t}.parquet").createOrReplaceTempView(t)
+    return spark
+
+
+@pytest.mark.parametrize("name", sorted(PIPELINE_FIXTURES))
+def test_pipeline_matches_oracle(views, duck, name):
+    fx = PIPELINE_FIXTURES[name]
+    stages, final = fx["builder"](SPARK, **fx["kw"])
+    sp = run_stages(views, stages, final)
+    stages2, final2 = fx["builder"](DUCKDB, **fx["kw"])
+    compare_frames(sp, duck.sql(stages_sql(stages2, final2)))
+
+
+def test_minhash_recall_equals_exact_ngram(views):
+    """LSH with these band parameters finds every true pair on the test
+    corpus (completeness critic for the approximate path)."""
+    from snappy_aqp_spark.pipeline import dedup
+    st1, f1 = dedup.ngram_jaccard_stages(SPARK, threshold=0.5)
+    st2, f2 = dedup.minhash_lsh_stages(SPARK, threshold=0.5)
+    exact = {(r.ida, r.idb) for r in run_stages(views, st1, f1).collect()}
+    lsh = {(r.ida, r.idb) for r in run_stages(views, st2, f2).collect()}
+    assert lsh == exact
+
+
+def test_text_features_match(views, duck):
+    docs = views.read.parquet(f"{SF_SMALL}/documents.parquet")
+    compare_frames(text_features(docs), duck.sql(text_features_oracle()))
+
+
+def test_multimodal_pipeline_shapes_and_determinism(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(20)
+    media = mm.synthesize_media(docs, n_frames=4, width=16, height=16)
+    decoded = mm.decode_media(media, decode_fn="fake", sample_every=2)
+    rows = decoded.collect()
+    assert len(rows) == 40            # 20 docs x frames {0, 2}
+    assert all(len(r.pixels) == 256 for r in rows)
+    resized = mm.resize_pixels(decoded, factor=2)
+    r2 = resized.collect()
+    assert all(len(r.pixels) == 64 and r.width == 8 for r in r2)
+    feats = mm.extract_features(resized).orderBy("id", "frame").toPandas()
+    feats2 = mm.extract_features(mm.resize_pixels(
+        mm.decode_media(media, decode_fn="fake", sample_every=2),
+        factor=2)).orderBy("id", "frame").toPandas()
+    assert feats.equals(feats2)
+    assert ((feats["mean_px"] > 0) & (feats["mean_px"] < 255)).all()
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(1)
+    media = mm.synthesize_media(docs)
+    with pytest.raises(Exception):    # NotImplementedError inside the task
+        mm.decode_media(media, decode_fn="real").collect()

@@ -1,0 +1,89 @@
+"""Streaming maintenance == batch recompute, bit-for-bit.
+
+Feeds the lineitem/events tables through a file-source stream in chunks and
+asserts the maintained sample table (and TopK state) equals the batch path
+over the full data — the determinism contract makes this an exact check.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from snappy_aqp_spark.sampling import stratified_sample
+from snappy_aqp_spark.specs import SampleSpec
+from snappy_aqp_spark.streaming import (StreamingSampleMaintainer,
+                                        StreamingTopKMaintainer)
+from snappy_aqp_spark.topk.api import (TopKRegistry, TopKSpec,
+                                       query_approx_ts_topk)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="aqp-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _chunked_stream(spark, src_parquet: str, tmpdir: str, chunks: int,
+                    order_col: str):
+    """write the table as N parquet chunks, return a file-source stream."""
+    df = spark.read.parquet(src_parquet)
+    data_dir = f"{tmpdir}/in"
+    for i in range(chunks):
+        (df.where(F.pmod(F.col(order_col), F.lit(chunks)) == i)
+         .write.mode("append").parquet(data_dir))
+    schema = df.schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2").parquet(data_dir)), df
+
+
+@pytest.mark.parametrize("method", ["hash", "reservoir"])
+def test_stream_sample_equals_batch(spark, tmpdir, method):
+    spec = SampleSpec("lineitem", ("l_orderkey", "l_linenumber"),
+                      ("l_returnflag", "l_linestatus"), method,
+                      fraction=0.05, reservoir_size=100, seed=42)
+    stream, full = _chunked_stream(spark, f"{SF_SMALL}/lineitem.parquet",
+                                   tmpdir, chunks=4, order_col="l_orderkey")
+    m = StreamingSampleMaintainer(spark, spec, f"{tmpdir}/state")
+    q = (m.attach(stream, checkpointLocation=f"{tmpdir}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    streamed = m.sample_df().toPandas()
+    batch = stratified_sample(full, spec).toPandas()
+    cols = sorted(batch.columns)
+    a = streamed[cols].sort_values(cols).reset_index(drop=True)
+    b = batch[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b), f"{len(a)} streamed vs {len(b)} batch rows"
+
+
+def test_stream_topk_equals_batch(spark, tmpdir, duck):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from snappy_aqp_spark.topk.api import create_approx_ts_topk
+    stream, full = _chunked_stream(spark, f"{SF_SMALL}/events.parquet",
+                                   tmpdir, chunks=3, order_col="event_id")
+    epoch = None
+    # pin the epoch so batch/stream bucket identically
+    from snappy_aqp_spark.topk.api import min_time_us
+    epoch = min_time_us(full, "ts")
+    spec = TopKSpec("s_topk", key="user_id", time_col="ts",
+                    time_interval_us=3 * 24 * 3600 * 1_000_000,
+                    epoch_us=epoch, width=4096, num_partitions=8, int_key=True)
+    reg = TopKRegistry()
+    m = StreamingTopKMaintainer(spark, reg, spec)
+    q = (m.attach(stream).option("checkpointLocation", f"{tmpdir}/ck2")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    import dataclasses
+    reg2 = TopKRegistry()
+    create_approx_ts_topk(spark, reg2, full,
+                          dataclasses.replace(spec, name="b_topk"))
+    s = query_approx_ts_topk(spark, reg, "s_topk", None, None, 10).toPandas()
+    b = query_approx_ts_topk(spark, reg2, "b_topk", None, None, 10).toPandas()
+    assert s.equals(b)
