@@ -124,7 +124,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _make_pipeline_runner(fx)
     out["text_analysis"] = _text_runner
     out["multimodal_features"] = _multimodal_runner   # rows-only (no oracle)
+    out["sample_error_stats"] = _error_stats_runner
+    out["sample_error_estimate_avg"] = _error_estimate_avg_runner
     return out
+
+
+def _error_stats_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from snappy_aqp_spark.fixtures import LI_HASH, _PRICE
+    from snappy_aqp_spark.operators.sample_stats import error_stats
+    from snappy_aqp_spark.plans.approx_query import get_sample
+    tables = load_tables(spark, sf_dir, ("lineitem",))
+    import types
+    sample = get_sample(tables["lineitem"],
+                        types.SimpleNamespace(sample=LI_HASH), sf_dir)
+    return error_stats(sample, "l_extendedprice",
+                       ["l_returnflag", "l_linestatus"],
+                       max_abs=_PRICE).orderBy("l_returnflag", "l_linestatus")
+
+
+def _error_estimate_avg_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from snappy_aqp_spark.fixtures import LI_HASH, _PRICE
+    from snappy_aqp_spark.operators.sample_stats import error_estimate_average
+    from snappy_aqp_spark.plans.approx_query import get_sample
+    import types
+    tables = load_tables(spark, sf_dir, ("lineitem",))
+    sample = get_sample(tables["lineitem"],
+                        types.SimpleNamespace(sample=LI_HASH), sf_dir)
+    return error_estimate_average(sample, "l_extendedprice",
+                                  ["l_returnflag", "l_linestatus"],
+                                  confidence=0.95, max_abs=_PRICE)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -138,4 +166,14 @@ def oracle_sql() -> dict[str, str]:
         stages, final = fx["builder"](_DK, **fx["kw"])
         out[name] = stages_sql(stages, final)
     out["text_analysis"] = text_features_oracle(_DK)
+    from snappy_aqp_spark.fixtures import LI_HASH, _PRICE
+    from snappy_aqp_spark.operators.sample_stats import (
+        error_estimate_average_oracle, error_stats_oracle)
+    from snappy_aqp_spark.sampling.sql import sample_cte_stages
+    out["sample_error_stats"] = error_stats_oracle(
+        sample_cte_stages(LI_HASH), "l_extendedprice",
+        ["l_returnflag", "l_linestatus"], max_abs=_PRICE)
+    out["sample_error_estimate_avg"] = error_estimate_average_oracle(
+        sample_cte_stages(LI_HASH), "l_extendedprice",
+        ["l_returnflag", "l_linestatus"], confidence=0.95, max_abs=_PRICE)
     return out

@@ -72,6 +72,18 @@ def main() -> None:
             times = [_time(once) for _ in range(ITERS)]
             results[f"{label}{name}"] = round(statistics.median(times), 4)
 
+    # --- TopK / pipeline operators ---------------------------------------
+    import __spark_entry__ as entry
+    qs = entry.queries()
+    for name in ("topk_cms_full", "topk_streamsummary", "dedup_minhash_lsh",
+                 "dedup_simhash", "ann_cosine_topk", "text_analysis"):
+        def once():
+            qs[name](spark, SF_DIR).collect()
+        for _ in range(max(1, WARMUP - 1)):
+            once()
+        times = [_time(once) for _ in range(max(3, ITERS - 2))]
+        results[name] = round(statistics.median(times), 4)
+
     total = round(sum(v for k, v in results.items() if not k.startswith("exact:")), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -145,6 +145,36 @@ class AQPSession:
             _SAMPLE_CACHE.pop((info.spec, self._token), None)
         self.catalog.drop(name)
 
+    # -- TopK (SnappyContextAQPFunctions.scala:107-356) ---------------------
+
+    @property
+    def topk(self):
+        from .topk.api import TopKRegistry
+        if not hasattr(self, "_topk"):
+            self._topk = TopKRegistry()
+        return self._topk
+
+    def create_approx_ts_topk(self, name: str, base: str, key: str,
+                              time_series_column: str | None = None,
+                              time_interval_us: int = 5_000_000,
+                              size: int = 100, **kw):
+        from .topk.api import TopKSpec, create_approx_ts_topk
+        spec = TopKSpec(name, key=key, time_col=time_series_column,
+                        time_interval_us=time_interval_us, size=size, **kw)
+        return create_approx_ts_topk(self.spark, self.topk,
+                                     self.tables[base.lower()], spec)
+
+    def insert_into_topk(self, name: str, df: DataFrame):
+        from .topk.api import insert_into_topk
+        return insert_into_topk(self.spark, self.topk, name, df)
+
+    def query_approx_ts_topk(self, name: str, start_us: int | None = None,
+                             end_us: int | None = None,
+                             k: int | None = None) -> DataFrame:
+        from .topk.api import query_approx_ts_topk
+        return query_approx_ts_topk(self.spark, self.topk, name,
+                                    start_us, end_us, k)
+
     # -- SQL ----------------------------------------------------------------
 
     def sql(self, text: str) -> DataFrame:
@@ -160,6 +190,23 @@ class AQPSession:
                 fraction=float(opts.get("fraction", "0.01")),
                 strata_reservoir_size=int(opts.get("stratareservoirsize", "50")),
                 seed=int(opts.get("seed", "42")))
+        topk_ddl = fe.parse_create_topk(text)
+        if topk_ddl:
+            name, base, opts = topk_ddl
+            interval = opts.get("timeinterval", "5000ms")
+            iv_us = (int(interval[:-2]) * 1000 if interval.endswith("ms")
+                     else int(interval.rstrip("s")) * 1_000_000)
+            self.create_approx_ts_topk(
+                name, base, key=opts["key"],
+                time_series_column=opts.get("timeseriescolumn"),
+                time_interval_us=iv_us,
+                size=int(opts.get("size", "100")),
+                depth=int(opts.get("depth", "7")),
+                width=int(opts.get("width", "4096")),
+                frequency_col=opts.get("frequencycol"),
+                stream_summary=opts.get("streamsummary", "").lower() == "true",
+                int_key=opts.get("intkey", "").lower() == "true")
+            return self.spark.range(0)
         drop = fe.parse_drop_sample(text)
         if drop:
             self.drop_sample_table(drop)

@@ -27,6 +27,9 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "dedup_simhash": {
         "builder": _dd.simhash_stages, "kw": {"max_hamming": 3},
         "tables": ("documents",)},
+    "dedup_embedding_cosine": {
+        "builder": _sim.cosine_pairs_stages, "kw": {"threshold": 0.32},
+        "tables": ("embeddings",)},
     "ann_cosine_topk": {
         "builder": _sim.brute_force_topk_stages, "kw": {},
         "tables": ("embeddings",)},
@@ -255,6 +258,20 @@ APPROX_SPECS: dict[str, ApproxQuerySpec] = {
         group_by=("l_returnflag", "l_linestatus"), group_aliases=("rf", "ls"),
         order_by=("rf", "ls"),
         error=0.008, behavior="partial_run_on_base_table",
+    ),
+    # error-limit sampler: stratum sizes grown until the CLT relative error
+    # of l_extendedprice stays under 5% (StratifiedSamplerErrorLimit)
+    "cf_error_limit_sample": ApproxQuerySpec(
+        sample=SampleSpec("lineitem",
+                          ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+                          ("l_returnflag", "l_linestatus"), "error_limit",
+                          seed=42, reservoir_size=30,
+                          error_limit_col="l_extendedprice",
+                          error_limit_pct=0.05, error_limit_conf=0.95,
+                          error_limit_max_abs=_PRICE),
+        aggs=(ApproxAgg("sum", "l_extendedprice", "sum_price", _PRICE, ALL_ERRORS),
+              ApproxAgg("count_star", None, "cnt")),
+        group_by=("l_returnflag",), group_aliases=("rf",), order_by=("rf",),
     ),
     # bootstrap estimator: Poisson resampling CIs (bootstrap/BootstrapSum etc.)
     "bs_sum_group": ApproxQuerySpec(

@@ -1,0 +1,167 @@
+"""SampleDataFrame contract: per-stratum statistics and quick CI estimates.
+
+Rebuilds ``SampleDataFrameContractImpl`` (sql/SampleDataFrameContractImpl.scala:33):
+  * ``errorStats``           (:55)  — per-QCS StatCounter map: count, mean,
+                                      stddev, weighted count
+  * ``errorEstimateAverage`` (:119) — weighted mean with Student-t/z CI and
+                                      relative error at a confidence level
+
+Operates directly on a sample DataFrame carrying the hidden weight columns;
+all math follows the closed-form estimator conventions (quantized integer
+sums -> mirrored double formulas), so both functions replay exactly on the
+oracle via the matching ``*_oracle_stages`` emitters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..dialect import DUCKDB, SPARK, array_lit, dlit, element_at
+from ..quant import measure_scale, pow2_literal
+from ..specs import STRATA_SAMPLED_COL, STRATA_TOTAL_COL
+from ..stats import confidence_factors
+
+
+def _stat_frags(measure: str, max_abs: float) -> dict[str, str]:
+    m = measure_scale(max_abs)
+    mq = f"CAST(FLOOR(({measure}) * {pow2_literal(m)}) AS BIGINT)"
+    return {
+        "__scnt": f"CAST(COUNT({measure}) AS BIGINT)",
+        "__ssx": f"CAST(SUM({mq}) AS BIGINT)",
+        "__ssxx": f"CAST(SUM(({mq}) * ({mq})) AS BIGINT)",
+        "__sns": f"MAX({STRATA_SAMPLED_COL})",
+        "__snt": f"MAX({STRATA_TOTAL_COL})",
+    }
+
+
+def _stat_final(max_abs: float) -> dict[str, str]:
+    m = measure_scale(max_abs)
+    cnt = "CAST(__scnt AS DOUBLE)"
+    mean = f"(CAST(__ssx AS DOUBLE) * {pow2_literal(-m)} / {cnt})"
+    var = (f"(CAST(__ssxx AS DOUBLE) * {pow2_literal(-2 * m)} / {cnt} "
+           f"- {mean} * {mean})")
+    w = "(CAST(__snt AS DOUBLE) / CAST(__sns AS DOUBLE))"
+    return {
+        "count": "__scnt",
+        "mean": f"(CASE WHEN __scnt = 0 THEN NULL ELSE {mean} END)",
+        "stddev": (f"(CASE WHEN __scnt = 0 THEN NULL "
+                   f"ELSE SQRT(GREATEST({var}, {dlit(0.0)})) END)"),
+        "weighted_count": f"({cnt} * {w})",
+    }
+
+
+def error_stats(sample_df: DataFrame, measure: str, qcs: list[str],
+                max_abs: float = 2.0 ** 20) -> DataFrame:
+    """per-stratum StatCounter rows (errorStats analog)."""
+    df = sample_df
+    qcols = []
+    for i, q in enumerate(qcs):
+        df = df.withColumn(f"__eq{i}", F.expr(q))
+        qcols.append(f"__eq{i}")
+    agg = df.groupBy(*qcols).agg(
+        *[F.expr(s).alias(n) for n, s in _stat_frags(measure, max_abs).items()])
+    sel = [F.col(c).alias(q) for c, q in zip(qcols, qcs)]
+    sel += [F.expr(s).alias(n) for n, s in _stat_final(max_abs).items()]
+    return agg.select(*sel)
+
+
+def error_stats_oracle(sample_stages, measure: str, qcs: list[str],
+                       max_abs: float = 2.0 ** 20) -> str:
+    from ..sampling.sql import stages_to_sql
+    frags = _stat_frags(measure, max_abs)
+    qsel = ", ".join(qcs)
+    inner = (f"SELECT {qsel}, "
+             + ", ".join(f"{s} AS {n}" for n, s in frags.items())
+             + f" FROM __sample GROUP BY {qsel}")
+    fin = _stat_final(max_abs)
+    outer = (f"SELECT {qsel}, "
+             + ", ".join(f"{s} AS {n}" for n, s in fin.items())
+             + f" FROM ({inner}) __i")
+    return stages_to_sql(sample_stages, outer)
+
+
+def _avg_ci_final(max_abs: float, confidence: float, dialect: str) -> dict[str, str]:
+    """weighted average + CLT bound from global quantized sums.
+
+    Uses the same per-stratum conditional-variance formula as the
+    closed-form AVG estimator (operators/closedform.py)."""
+    z, ts_table = confidence_factors(confidence)
+    wc = f"(CAST(__qwc AS DOUBLE) * {pow2_literal(-22)})"
+    tsum = f"(CAST(__qts AS DOUBLE) * {pow2_literal(-10)})"
+    nv = f"(CAST(__qnv AS DOUBLE) * {pow2_literal(-2)})"
+    est = f"(CASE WHEN __c = 0 THEN NULL ELSE {tsum} / {wc} END)"
+    sd = f"(CASE WHEN __c = 0 THEN NULL ELSE SQRT({nv}) / {wc} END)"
+    t_arr = array_lit(dialect, [dlit(v) for v in ts_table])
+    t_idx = f"GREATEST(LEAST(__c - 1, {len(ts_table)}), 1)"
+    factor = (f"(CASE WHEN __c >= 30 THEN {dlit(z)} "
+              f"ELSE {element_at(dialect, t_arr, t_idx)} END)")
+    bound = f"({sd} * {factor})"
+    rel = (f"(CASE WHEN {est} IS NULL THEN NULL "
+           f"WHEN {est} < {dlit(-1.0)} OR {est} > {dlit(1.0)} "
+           f"THEN ABS({bound} / {est}) "
+           f"ELSE ABS({bound} / (ABS({est}) + {dlit(1.0)})) END)")
+    return {"mean": est, "stddev": sd, "lower_bound": f"({est} - {bound})",
+            "upper_bound": f"({est} + {bound})", "relative_error": rel}
+
+
+def _avg_ci_outer(measure: str, max_abs: float) -> tuple[dict[str, str], dict[str, str]]:
+    m = measure_scale(max_abs)
+    inner = _stat_frags(measure, max_abs)
+    w = "(CAST(__snt AS DOUBLE) / CAST(__sns AS DOUBLE))"
+    ns_d, NS_d = "CAST(__sns AS DOUBLE)", "CAST(__snt AS DOUBLE)"
+    sx_d = f"(CAST(__ssx AS DOUBLE) * {pow2_literal(-m)})"
+    sxx_d = f"(CAST(__ssxx AS DOUBLE) * {pow2_literal(-2 * m)})"
+    mul = f"({NS_d} * ({NS_d} - {ns_d}) / ({ns_d} - 1.0))"
+    sv = f"(({sxx_d} / {ns_d}) - (({sx_d} / {ns_d}) * ({sx_d} / {ns_d})))"
+    raw = f"({mul} * {sv})"
+    nv_term = (f"(CASE WHEN __sns <= 1 THEN 0.0 "
+               f"WHEN isnan({raw}) OR {raw} < 0.0 THEN 0.0 ELSE {raw} END)")
+
+    def q(term, s):
+        return (f"CAST(SUM(CAST(FLOOR(({term}) * {pow2_literal(s)}) AS BIGINT)) "
+                f"AS BIGINT)")
+
+    outer = {
+        "__c": "CAST(SUM(__scnt) AS BIGINT)",
+        "__qwc": q(f"(CAST(__scnt AS DOUBLE) * {w})", 22),
+        "__qts": q(f"({sx_d} * {w})", 10),
+        "__qnv": q(nv_term, 2),
+    }
+    return inner, outer
+
+
+def error_estimate_average(sample_df: DataFrame, measure: str, qcs: list[str],
+                           confidence: float = 0.95,
+                           max_abs: float = 2.0 ** 20) -> DataFrame:
+    """single-row weighted average with CI (errorEstimateAverage analog)."""
+    inner_frags, outer_frags = _avg_ci_outer(measure, max_abs)
+    df = sample_df
+    qcols = []
+    for i, q in enumerate(qcs):
+        df = df.withColumn(f"__eq{i}", F.expr(q))
+        qcols.append(f"__eq{i}")
+    inner = df.groupBy(*qcols).agg(
+        *[F.expr(s).alias(n) for n, s in inner_frags.items()])
+    outer = inner.groupBy().agg(
+        *[F.expr(s).alias(n) for n, s in outer_frags.items()])
+    fin = _avg_ci_final(max_abs, confidence, SPARK)
+    return outer.select(*[F.expr(s).alias(n) for n, s in fin.items()])
+
+
+def error_estimate_average_oracle(sample_stages, measure: str, qcs: list[str],
+                                  confidence: float = 0.95,
+                                  max_abs: float = 2.0 ** 20) -> str:
+    from ..sampling.sql import stages_to_sql
+    inner_frags, outer_frags = _avg_ci_outer(measure, max_abs)
+    qsel = ", ".join(qcs)
+    inner = (f"SELECT {qsel}, "
+             + ", ".join(f"{s} AS {n}" for n, s in inner_frags.items())
+             + f" FROM __sample GROUP BY {qsel}")
+    outer = ("SELECT "
+             + ", ".join(f"{s} AS {n}" for n, s in outer_frags.items())
+             + f" FROM ({inner}) __i")
+    fin = _avg_ci_final(max_abs, confidence, DUCKDB)
+    final = ("SELECT "
+             + ", ".join(f"{s} AS {n}" for n, s in fin.items())
+             + f" FROM ({outer}) __o")
+    return stages_to_sql(sample_stages, final)

@@ -30,17 +30,15 @@ P31 = 2147483647
 
 
 def _shingles(dialect: str, table: str, col: str, k: int) -> list[tuple[str, str]]:
-    """(doc_id, shingle-int) rows: distinct char k-grams -> 60-bit ints."""
-    grams = dual.transform(
-        dialect,
-        dual.sequence(dialect, "1", f"GREATEST(length({col}) - {k - 1}, 1)"),
-        f"i -> md5(substring({col}, CAST(i AS INT), {k}))")
+    """(doc_id, shingle-int) rows: distinct char k-grams as exact ints
+    (Σ ascii·257^j, injective for k <= 7) — O(len·k) per doc via the bound
+    char array (dual.gram_int_array)."""
+    grams = dual.gram_int_array(dialect, col, k)
     stages = [
         ("__grams", f"SELECT doc_id, {dual.arr_distinct(dialect, grams)} AS gs "
                     f"FROM {table}"),
-        ("__shx", f"SELECT doc_id, {dual.explode(dialect, 'gs', 'g')} FROM __grams"),
-        ("__sh", f"SELECT doc_id, {dual.hex15_to_long('g')} % {P31} AS sh "
-                 f"FROM __shx"),
+        ("__sh", f"SELECT doc_id, {dual.explode(dialect, 'gs', 'sh')} "
+                 f"FROM __grams"),
     ]
     return stages
 
@@ -105,7 +103,7 @@ def minhash_lsh_stages(dialect: str, threshold: float, k: int = 5,
     stages = _shingles(dialect, table, col, k)
     consts = _minhash_exprs(n_hashes)
     mins = ", ".join(
-        f"CAST(MIN((sh * {a} + {b}) % {P31}) AS BIGINT) AS m{i}"
+        f"CAST(MIN(((sh % {P31}) * {a} + {b}) % {P31}) AS BIGINT) AS m{i}"
         for i, (a, b) in enumerate(consts))
     stages.append(("__sig", f"SELECT doc_id, {mins} FROM __sh GROUP BY doc_id"))
     band_rows = []
@@ -141,15 +139,13 @@ def minhash_lsh_stages(dialect: str, threshold: float, k: int = 5,
 def simhash_stages(dialect: str, max_hamming: int = 3, n_bits: int = 32,
                    table: str = "documents", col: str = "text"
                    ) -> tuple[list[tuple[str, str]], str]:
-    n_toks = (f"GREATEST(CAST(FLOOR(CAST(length({col}) AS DOUBLE) / 4.0) "
-              f"AS BIGINT), 1)")
-    toks = dual.transform(
-        dialect,
-        dual.sequence(dialect, "1", n_toks),
-        f"i -> md5(substring({col}, CAST((i - 1) * 4 + 1 AS INT), 4))")
+    toks_raw = dual.gram_int_array(dialect, col, 4, stride=4)
+    # multiplicative mixing so simhash bits decorrelate from raw characters
+    toks = dual.transform(dialect, toks_raw,
+                          f"t -> (((t % {P31}) * 2654435761 + 12345) % {P31})")
     stages = [
-        ("__tok", f"SELECT doc_id, {dual.explode(dialect, toks, 't')} FROM {table}"),
-        ("__th", f"SELECT doc_id, {dual.hex15_to_long('t')} AS h FROM __tok"),
+        ("__th", f"SELECT doc_id, {dual.explode(dialect, toks, 'h')} "
+                 f"FROM {table}"),
     ]
     bit_sums = ", ".join(
         f"SUM(CAST(({dual.shiftright(dialect, 'h', str(j))} % 2) * 2 - 1 "

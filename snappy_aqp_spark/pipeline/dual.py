@@ -49,6 +49,68 @@ def elem(dialect: str, arr_sql: str, idx_sql: str) -> str:
     return f"list_extract({arr_sql}, CAST({idx_sql} AS INT))"
 
 
+def ascii_array(dialect: str, col: str) -> str:
+    """string -> array of character codes, computed in one O(len) pass.
+
+    Positional ``substring(col, i, 1)`` loops are O(len^2) per document
+    (UTF-8 strings scan from the start for every call) — this is the O(len)
+    replacement; downstream grams index the array in O(1)."""
+    if dialect == SPARK:
+        return f"transform(split({col}, ''), c -> ascii(c))"
+    return f"list_transform(string_split({col}, ''), c -> ascii(c))"
+
+
+def elem0(dialect: str, arr: str, idx: str, n: str) -> str:
+    """1-based element access returning 0 out of bounds (ANSI-safe)."""
+    return (f"(CASE WHEN ({idx}) <= ({n}) THEN {elem(dialect, arr, idx)} "
+            f"ELSE 0 END)")
+
+
+def empty_bigint_array(dialect: str) -> str:
+    if dialect == SPARK:
+        return "CAST(array() AS ARRAY<BIGINT>)"
+    return "CAST([] AS BIGINT[])"
+
+
+def bind_array(dialect: str, arr_sql: str, body_fn) -> str:
+    """Evaluate ``arr_sql`` once per row and expose it as a lambda variable
+    inside ``body_fn(var) -> sql``.
+
+    Necessary because Catalyst collapses projections: referencing an
+    array-valued column N times re-evaluates its defining expression N
+    times (O(len^2) blowups for char arrays). Wrapping the array in a
+    single-element array and a HOF binds it once."""
+    inner = body_fn("__ba")
+    if dialect == SPARK:
+        return f"element_at(transform(array({arr_sql}), __ba -> {inner}), 1)"
+    return f"list_extract(list_transform([{arr_sql}], __ba -> {inner}), 1)"
+
+
+def gram_int_array(dialect: str, col: str, k: int,
+                   coeffs: list[int] | None = None,
+                   stride: int = 1) -> str:
+    """array of k-gram integer codes for a string column, O(len·k) total.
+
+    Default coefficients 257^j are injective for k <= 7; pass modular
+    coefficients for longer grams. ``stride`` > 1 gives non-overlapping
+    tokens (simhash). Documents shorter than k yield an empty array."""
+    cs = coeffs or [257 ** j for j in range(k)]
+    n_pos = (f"(CAST(FLOOR(CAST(length({col}) - {k} AS DOUBLE) "
+             f"/ CAST({stride} AS DOUBLE)) AS BIGINT) + 1)")
+    start = f"((i - 1) * {stride} + 1)"
+
+    def body(a: str) -> str:
+        terms = " + ".join(
+            f"CAST({elem(dialect, a, f'{start} + {j}')} AS BIGINT) * {c}"
+            for j, c in enumerate(cs))
+        return transform(dialect, sequence(dialect, "1", n_pos),
+                         f"i -> ({terms})")
+
+    bound = bind_array(dialect, ascii_array(dialect, col), body)
+    return (f"(CASE WHEN length({col}) >= {k} THEN {bound} "
+            f"ELSE {empty_bigint_array(dialect)} END)")
+
+
 def xor(dialect: str, a: str, b: str) -> str:
     return f"({a} ^ {b})" if dialect == SPARK else f"xor({a}, {b})"
 
@@ -75,4 +137,28 @@ def stages_sql(stages: list[tuple[str, str]], final: str) -> str:
 
 
 def run_stages(spark, stages: list[tuple[str, str]], final: str):
-    return spark.sql(stages_sql(stages, final))
+    """Execute the stage list on Spark.
+
+    Spark inlines CTE/view references, so a stage referenced N times is
+    recomputed N times — ruinous for expensive stages like shingle
+    explosion. Stages referenced more than once downstream are therefore
+    materialized (persisted temp view) before the rest of the plan runs;
+    DuckDB materializes CTEs natively, so semantics stay identical.
+    """
+    import re as _re
+    texts = [s for _, s in stages] + [final]
+    persisted = []
+    for i, (name, _) in enumerate(stages):
+        later = " ".join(texts[i + 1:])
+        if len(_re.findall(rf"\b{name}\b", later)) > 1:
+            persisted.append(name)
+
+    if not persisted:
+        return spark.sql(stages_sql(stages, final))
+
+    for name, sql in stages:
+        df = spark.sql(sql)            # references earlier stages as views
+        if name in persisted:
+            df = df.persist()
+        df.createOrReplaceTempView(name)
+    return spark.sql(final)

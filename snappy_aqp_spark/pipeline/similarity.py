@@ -72,6 +72,24 @@ def brute_force_topk_stages(dialect: str, n_queries: int = 20, k: int = 5,
     return stages, final
 
 
+def cosine_pairs_stages(dialect: str, threshold: float = 0.95, dim: int = 64,
+                        table: str = "embeddings"
+                        ) -> tuple[list[tuple[str, str]], str]:
+    """embedding-cosine near-duplicate pairs (dedup flavor): all pairs with
+    cosine >= threshold. The quadratic baseline; LSH buckets are the scale
+    path (lsh_topk_stages)."""
+    from ..dialect import dlit
+    stages = [
+        _vec_stage(dialect, table, dim),
+        ("__pairs", f"SELECT a.vec_id AS ida, b.vec_id AS idb, "
+                    f"{_cos(_dot(dialect, 'a.v', 'b.v', dim), 'a.n2', 'b.n2')} "
+                    f"AS cos FROM __vec a JOIN __vec b ON a.vec_id < b.vec_id"),
+    ]
+    final = (f"SELECT ida, idb, cos FROM __pairs "
+             f"WHERE cos >= {dlit(threshold)} ORDER BY ida, idb")
+    return stages, final
+
+
 def _lsh_bucket(dialect: str, vec: str, dim: int, planes: int) -> str:
     """random-hyperplane signature: plane weights ±1 from integer hashing."""
     bits = []

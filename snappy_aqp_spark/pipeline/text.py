@@ -86,28 +86,32 @@ def langid_frag() -> str:
 
 def fingerprint_frags(dialect: str, col: str = "text",
                       k: int = 8) -> dict[str, str]:
-    """md5 full-text fingerprint + winnowing-style min k-gram hash."""
-    if dialect == SPARK:
-        mingram = (f"array_min(transform(sequence(1, GREATEST(length({col}) - {k - 1}, 1)), "
-                   f"i -> md5(substring({col}, i, {k}))))")
-    else:
-        mingram = (f"list_min(list_transform(generate_series(1, GREATEST(length({col}) - {k - 1}, 1)), "
-                   f"i -> md5(substring({col}, CAST(i AS INT), {k}))))")
-    return {"fp_md5": f"md5({col})", "fp_mingram": mingram}
+    """md5 full-text fingerprint + winnowing-style min k-gram hash.
+
+    The min-gram hash reads the precomputed ``__ac`` character-code array
+    (O(1) per access) — a positional-substring formulation is O(len^2) per
+    document (see dual.ascii_array)."""
+    from . import dual
+    P31 = 2147483647
+    coeffs = [pow(257, j, P31) for j in range(k)]
+    grams_raw = dual.gram_int_array(dialect, col, k, coeffs=coeffs)
+    grams = dual.transform(dialect, grams_raw, f"g -> (g % {P31})")
+    return {"fp_md5": f"md5({col})",
+            "fp_mingram": f"CAST({dual.arr_min(dialect, grams)} AS BIGINT)"}
 
 
 def text_features(df: DataFrame, col: str = "text") -> DataFrame:
-    """Spark path: features -> quality -> langid -> fingerprints."""
-    out = df.select("doc_id", "lang", "source",
-                    *[F.expr(s).alias(n)
-                      for n, s in text_feature_frags(SPARK, col).items()],
-                    *[F.expr(s).alias(n)
-                      for n, s in fingerprint_frags(SPARK, col).items()])
-    # quality/langid read the feature columns -> second projection
-    out = out.select("*",
-                     *[F.expr(s).alias(n) for n, s in quality_frags().items()],
-                     F.expr(langid_frag()).alias("lang_pred"))
-    return out
+    """Spark path: counts + fingerprints -> quality/langid."""
+    stage_a = df.select(
+        "doc_id", "lang", "source",
+        *[F.expr(s).alias(n)
+          for n, s in text_feature_frags(SPARK, col).items()],
+        *[F.expr(s).alias(n)
+          for n, s in fingerprint_frags(SPARK, col).items()])
+    return stage_a.select(
+        "*",
+        *[F.expr(s).alias(n) for n, s in quality_frags().items()],
+        F.expr(langid_frag()).alias("lang_pred"))
 
 
 def text_features_oracle(dialect: str = DUCKDB, table: str = "documents",
@@ -117,7 +121,7 @@ def text_features_oracle(dialect: str = DUCKDB, table: str = "documents",
     inner_parts = ["doc_id", "lang", "source"]
     inner_parts += [f"{s} AS {n}" for n, s in {**feat, **fp}.items()]
     inner = f"SELECT {', '.join(inner_parts)} FROM {table}"
-    outer_parts = ["*"]
-    outer_parts += [f"{s} AS {n}" for n, s in quality_frags().items()]
-    outer_parts.append(f"{langid_frag()} AS lang_pred")
+    outer_parts = (["*"]
+                   + [f"{s} AS {n}" for n, s in quality_frags().items()]
+                   + [f"{langid_frag()} AS lang_pred"])
     return f"SELECT {', '.join(outer_parts)} FROM ({inner}) __t"

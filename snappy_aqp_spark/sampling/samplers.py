@@ -137,6 +137,24 @@ def _ranked_sample(df: DataFrame, spec: SampleSpec, use_prefilter: bool = True) 
     return _finish(out, df.columns)
 
 
+def _error_limit_sample(df: DataFrame, spec: SampleSpec) -> DataFrame:
+    """per-stratum n from the CLT error-limit formula, then keep the n
+    smallest key-hashes (see sampling/error_limit.py)."""
+    from .error_limit import nreq_frag, stats_frags
+    qcs = _qcs_cols(spec)
+    tagged = _tag(df, spec)
+    stats = tagged.groupBy(*qcs).agg(
+        *[F.expr(s).alias(n) for n, s in stats_frags(spec).items()])
+    req = stats.select(*qcs, F.col("__eN").alias("__ntot"),
+                       F.expr(nreq_frag(spec)).alias("__nsmp"))
+    pool = tagged.join(F.broadcast(req), on=qcs, how="inner")
+    order = [F.col("__h").asc()] + [F.col(c).asc() for c in df.columns]
+    w = Window.partitionBy(*qcs).orderBy(*order)
+    picked = (pool.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= F.col("__nsmp")))
+    return _finish(picked, df.columns)
+
+
 def stratified_sample(df: DataFrame, spec: SampleSpec) -> DataFrame:
     """Return df's stratified sample with the hidden weight columns appended.
 
@@ -145,6 +163,8 @@ def stratified_sample(df: DataFrame, spec: SampleSpec) -> DataFrame:
     """
     if spec.method == "hash":
         return _hash_sample(df, spec)
+    if spec.method == "error_limit":
+        return _error_limit_sample(df, spec)
     return _ranked_sample(df, spec)
 
 

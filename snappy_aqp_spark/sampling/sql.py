@@ -29,15 +29,42 @@ def sample_cte_stages(spec: SampleSpec, out_name: str = "__sample",
     k = spec.reservoir_size
     thr = threshold_for_fraction(spec.fraction)
 
+    stages: list[tuple[str, str]] = []
+    stages.append(("__tag", f"SELECT {col_list}, {h} AS __h FROM ({base}) __b"))
+
+    if spec.method == "error_limit":
+        from .error_limit import nreq_frag, stats_frags
+        qcs_cols = [q.strip() for q in spec.qcs]
+        assert all(q.isidentifier() for q in qcs_cols), \
+            "error_limit oracle needs simple-column QCS"
+        sf = stats_frags(spec)
+        stats_sel = ", ".join([qcs] + [f"{s} AS {n}" for n, s in sf.items()])
+        stages.append(("__estats",
+                       f"SELECT {stats_sel} FROM __tag GROUP BY {qcs}"))
+        stages.append(("__ereq",
+                       f"SELECT {qcs}, __eN, {nreq_frag(spec)} AS __enreq "
+                       f"FROM __estats"))
+        # rank within stratum, then join the per-stratum requirement
+        stages.append(("__erk",
+                       f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {qcs} "
+                       f"ORDER BY __h, {keys}) AS __rn FROM __tag"))
+        on = " AND ".join(f"a.{q} = r.{q}" for q in qcs_cols)
+        stages.append((out_name,
+                       f"SELECT {', '.join('a.' + c for c in cols)}, "
+                       f"CAST(r.__enreq AS BIGINT) AS {STRATA_SAMPLED_COL}, "
+                       f"CAST(r.__eN AS BIGINT) AS {STRATA_TOTAL_COL}, "
+                       f"CAST(r.__eN AS DOUBLE) / CAST(r.__enreq AS DOUBLE) "
+                       f"AS {WEIGHT_COL} "
+                       f"FROM __erk a JOIN __ereq r ON {on} "
+                       f"WHERE a.__rn <= r.__enreq"))
+        return stages
+
     if spec.method == "hash":
         include = f"__h < {thr}"
     elif spec.method == "reservoir":
         include = f"__rn <= {k}"
     else:  # fraction with per-stratum floor
         include = f"__rn <= {k} OR __h < {thr}"
-
-    stages: list[tuple[str, str]] = []
-    stages.append(("__tag", f"SELECT {col_list}, {h} AS __h FROM ({base}) __b"))
     stages.append(("__rk",
                    f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {qcs} ORDER BY __h, {keys}) AS __rn, "
                    f"COUNT(*) OVER (PARTITION BY {qcs}) AS __ntot FROM __tag"))

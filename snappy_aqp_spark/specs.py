@@ -34,14 +34,24 @@ class SampleSpec:
     base_table: str
     key_cols: tuple[str, ...]          # integer exprs uniquely identifying a row
     qcs: tuple[str, ...]               # stratification exprs (portable SQL)
-    method: str = "hash"               # hash | reservoir | fraction
+    method: str = "hash"               # hash | reservoir | fraction | error_limit
     fraction: float = 0.01
     reservoir_size: int = 50           # per-stratum rows (reservoir / floor for fraction)
     seed: int = 42
+    # error_limit method only (StratifiedSamplerErrorLimit.scala:31-42):
+    # grow each stratum until the closed-form relative error of
+    # error_limit_col stays under error_limit_pct at error_limit_conf
+    error_limit_col: str | None = None
+    error_limit_pct: float = 0.1
+    error_limit_conf: float = 0.95
+    error_limit_max_abs: float = 2.0 ** 20
 
     def __post_init__(self):
-        assert self.method in ("hash", "reservoir", "fraction"), self.method
+        assert self.method in ("hash", "reservoir", "fraction",
+                               "error_limit"), self.method
         assert self.key_cols and self.qcs
+        if self.method == "error_limit":
+            assert self.error_limit_col
 
 
 @dataclass(frozen=True)

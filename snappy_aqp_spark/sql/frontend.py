@@ -324,6 +324,20 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
 
 # --- DDL --------------------------------------------------------------------
 
+_CREATE_TOPK_RE = re.compile(
+    r"^\s*CREATE\s+TOPK\s+TABLE\s+(?P<name>\w+)\s+ON\s+(?P<base>\w+)\s+"
+    r"OPTIONS\s*\((?P<opts>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def parse_create_topk(sql: str) -> tuple[str, str, dict[str, str]] | None:
+    m = _CREATE_TOPK_RE.match(sql)
+    if not m:
+        return None
+    opts = dict(_OPT_RE.findall(m.group("opts")))
+    return m.group("name"), m.group("base"), {k.lower(): v for k, v in opts.items()}
+
+
 _CREATE_SAMPLE_RE = re.compile(
     r"^\s*CREATE\s+SAMPLE\s+TABLE\s+(?P<name>\w+)\s+ON\s+(?P<base>\w+)\s+"
     r"OPTIONS\s*\((?P<opts>.*)\)\s*;?\s*$",

@@ -118,3 +118,16 @@ def test_error_stats_defaults(aqp):
     # session defaults apply on bare WITH ERROR
     a = aqp.analyze_sql("SELECT sum(l_quantity) AS q FROM lineitem WITH ERROR")
     assert a.spec.error == 0.2 and a.spec.confidence == 0.95
+
+
+def test_create_topk_table_ddl(aqp, spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from tests.conftest import SF_SMALL
+    aqp.register_table("events", spark.read.parquet(f"{SF_SMALL}/events.parquet"))
+    aqp.sql("CREATE TOPK TABLE ev_topk ON events OPTIONS("
+            "key 'user_id', timeSeriesColumn 'ts', timeInterval '259200000000ms', "
+            "size '10', width '4096', intKey 'true')")
+    res = aqp.query_approx_ts_topk("ev_topk", k=5).toPandas()
+    assert len(res) == 5
+    assert list(res.columns) == ["key", "EstimatedValue", "LowerBound"]
+    assert res["EstimatedValue"].is_monotonic_decreasing
