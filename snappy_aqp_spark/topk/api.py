@@ -195,6 +195,38 @@ def insert_into_topk(spark: SparkSession, registry: TopKRegistry,
     return table
 
 
+def decay_topk(spark: SparkSession, registry: TopKRegistry, name: str,
+               older_than_bucket: int, levels: int = 1) -> TopKTable:
+    """Hokusai item aggregation: halve the CMS width of buckets older than
+    a cutoff (``levels`` times), bounding historical memory at the cost of
+    estimate resolution (Hokusai.scala:68-1017; CountMinSketch ``compress``).
+
+    Width-halving keeps estimates conservative (counts of column i and
+    i + w/2 merge), so range queries stay upper bounds after decay."""
+    table = registry.get(name)
+    spec = table.spec
+    if spec.stream_summary:
+        raise ValueError("decay applies to CMS-backed TopK tables")
+
+    def decay(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        for idx, r in out.iterrows():
+            if int(r["bucket"]) < older_than_bucket:
+                s = CountMinSketch.from_bytes(bytes(r["sketch"]))
+                for _ in range(levels):
+                    if s.width >= 2:
+                        s = s.compress()
+                out.at[idx, "sketch"] = s.to_bytes()
+        return out
+
+    new_state = (table.state.groupBy("pid")
+                 .applyInPandas(decay, schema=_STATE_SCHEMA).persist())
+    new_state.count()
+    table.state.unpersist()
+    table.state = new_state
+    return table
+
+
 def query_approx_ts_topk(spark: SparkSession, registry: TopKRegistry,
                          name: str, start_us: int | None = None,
                          end_us: int | None = None,

@@ -1,0 +1,91 @@
+"""Statistical accuracy (reference test strategy, SURVEY §5):
+
+  * CI coverage — across independent sampler seeds, [lower, upper] must
+    contain the exact answer at roughly the confidence level
+    (BootStrapAccuracySuite.scala:307-460 protocol, scaled down)
+  * point estimates converge to the exact answer on average
+  * closed-form and bootstrap agree: same sample -> same point estimate;
+    bounds within a small factor (CompareBootstrapClosedFormSuite analog)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import pytest
+
+from snappy_aqp_spark.fixtures import ALL_ERRORS, LI_HASH, _PRICE
+from snappy_aqp_spark.plans.approx_query import load_tables, run_approx_query
+from snappy_aqp_spark.specs import ApproxAgg, ApproxQuerySpec
+from tests.conftest import SF_SMALL
+
+N_SEEDS = 30
+CONFIDENCE = 0.95
+
+
+def _spec(seed: int, estimator: str = "closed_form") -> ApproxQuerySpec:
+    sample = dataclasses.replace(LI_HASH, seed=seed, fraction=0.1)
+    return ApproxQuerySpec(
+        sample=sample,
+        aggs=(ApproxAgg("sum", "l_extendedprice", "s", _PRICE, ALL_ERRORS),),
+        confidence=CONFIDENCE, estimator=estimator, trials=100)
+
+
+@pytest.fixture(scope="module")
+def exact_sum(duck):
+    return float(duck.sql(
+        "SELECT SUM(CAST(FLOOR(l_extendedprice * 4.0) AS BIGINT)) / 4.0 "
+        "FROM lineitem").fetchone()[0])
+
+
+@pytest.fixture(scope="module")
+def runs(spark, exact_sum):
+    tables = load_tables(spark, SF_SMALL, ("lineitem",))
+    out = []
+    for seed in range(N_SEEDS):
+        row = run_approx_query(spark, _spec(seed), tables).collect()[0]
+        out.append((row["s"], row["s_lower_bound"], row["s_upper_bound"]))
+    return out
+
+
+def test_ci_coverage(runs, exact_sum):
+    covered = sum(1 for est, lo, hi in runs if lo <= exact_sum <= hi)
+    # binomial(30, 0.95): P(covered < 24) < 1e-4
+    assert covered >= 24, f"coverage {covered}/{N_SEEDS} at {CONFIDENCE}"
+
+
+def test_point_estimates_converge(runs, exact_sum):
+    mean_est = sum(e for e, _, _ in runs) / len(runs)
+    assert abs(mean_est - exact_sum) / exact_sum < 0.03
+
+
+def test_individual_estimates_reasonable(runs, exact_sum):
+    for est, _, _ in runs:
+        assert abs(est - exact_sum) / exact_sum < 0.25
+
+
+def test_bootstrap_agrees_with_closed_form(spark, exact_sum):
+    tables = load_tables(spark, SF_SMALL, ("lineitem",))
+    cf = run_approx_query(spark, _spec(7, "closed_form"), tables).collect()[0]
+    bs = run_approx_query(spark, _spec(7, "bootstrap"), tables).collect()[0]
+    # same sample -> identical Horvitz-Thompson point estimate
+    assert cf["s"] == pytest.approx(bs["s"], rel=1e-9)
+    cf_width = cf["s_upper_bound"] - cf["s_lower_bound"]
+    bs_width = bs["s_upper_bound"] - bs["s_lower_bound"]
+    assert 0.3 < bs_width / cf_width < 3.0
+    assert bs["s_lower_bound"] < exact_sum < bs["s_upper_bound"]
+
+
+def test_higher_fraction_tightens_bounds(spark):
+    tables = load_tables(spark, SF_SMALL, ("lineitem",))
+
+    def width(fraction):
+        sample = dataclasses.replace(LI_HASH, seed=3, fraction=fraction)
+        spec = ApproxQuerySpec(
+            sample=sample,
+            aggs=(ApproxAgg("sum", "l_extendedprice", "s", _PRICE, ALL_ERRORS),),
+            confidence=CONFIDENCE)
+        r = run_approx_query(spark, spec, tables).collect()[0]
+        return r["s_upper_bound"] - r["s_lower_bound"]
+
+    assert width(0.2) < width(0.05)

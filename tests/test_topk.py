@@ -123,3 +123,18 @@ def test_topk_incremental_insert_equals_batch(spark, events):
     insert_into_topk(spark, reg, "inc", half2)
     inc = query_approx_ts_topk(spark, reg, "inc", None, None, 10).toPandas()
     assert full.equals(inc)
+
+
+def test_hokusai_decay_keeps_conservative_estimates(spark, events):
+    from snappy_aqp_spark.topk.api import decay_topk
+    reg = TopKRegistry()
+    spec = _spec("decay", width=4096)
+    create_approx_ts_topk(spark, reg, events, spec)
+    before = {r.key: r.EstimatedValue for r in
+              query_approx_ts_topk(spark, reg, "decay", None, None, 50).collect()}
+    decay_topk(spark, reg, "decay", older_than_bucket=5, levels=2)
+    after = {r.key: r.EstimatedValue for r in
+             query_approx_ts_topk(spark, reg, "decay", None, None, 50).collect()}
+    # decayed sketches may only overestimate, never underestimate
+    for k, v in before.items():
+        assert after.get(k, 0) >= v
