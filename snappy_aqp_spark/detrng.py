@@ -35,9 +35,19 @@ def hash_sql(key_cols: list[str], seed: int, salt: str | int = 0) -> str:
     if not key_cols:
         raise ValueError("need at least one key column")
     seed_c = (seed * _MIX + 12345) % MODULUS
-    expr = f"((({key_cols[0]}) % {MODULUS}) * {_MUL} + {seed_c}) % {MODULUS}"
+
+    def nn(k: str) -> str:
+        # % keeps the dividend's sign in both engines: normalize to
+        # [0, MODULUS) so negative keys hash uniformly instead of always
+        # passing `hash < threshold` (identical for non-negative keys).
+        # BIGINT cast first: INT key columns would overflow int32 on
+        # `+ MODULUS` under Spark 4 ANSI mode.
+        return (f"(((CAST({k} AS BIGINT) % {MODULUS}) + {MODULUS}) "
+                f"% {MODULUS})")
+
+    expr = f"({nn(key_cols[0])} * {_MUL} + {seed_c}) % {MODULUS}"
     for k in key_cols[1:]:
-        expr = f"(({expr} + ({k}) % {MODULUS}) * {_MUL} + {seed_c}) % {MODULUS}"
+        expr = f"(({expr} + {nn(k)}) * {_MUL} + {seed_c}) % {MODULUS}"
     if isinstance(salt, int):
         if salt != 0:
             salt_c = (salt * _MIX + 777) % MODULUS

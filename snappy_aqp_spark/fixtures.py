@@ -21,14 +21,20 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "dedup_ngram_jaccard": {
         "builder": _dd.ngram_jaccard_stages, "kw": {"threshold": 0.5},
         "tables": ("documents",)},
+    # k=7 shingles: background char-gram Jaccard on natural text is high at
+    # k=5 (~0.17 here), flooding the bands with false-positive candidates;
+    # k=7 drops it ~3x while staying injective in the 257^j polynomial code
     "dedup_minhash_lsh": {
-        "builder": _dd.minhash_lsh_stages, "kw": {"threshold": 0.5},
+        "builder": _dd.minhash_lsh_stages, "kw": {"threshold": 0.5, "k": 7},
         "tables": ("documents",)},
     "dedup_simhash": {
         "builder": _dd.simhash_stages, "kw": {"max_hamming": 3},
         "tables": ("documents",)},
+    # planted near-dups (deterministic integer perturbation, cos ~ 0.99)
+    # + multi-table hyperplane LSH candidates + exact verify — the equi-join
+    # scale path; cosine_pairs_stages is the brute-force small-N verifier
     "dedup_embedding_cosine": {
-        "builder": _sim.cosine_pairs_stages, "kw": {"threshold": 0.32},
+        "builder": _sim.near_dup_pairs_stages, "kw": {"threshold": 0.9},
         "tables": ("embeddings",)},
     "ann_cosine_topk": {
         "builder": _sim.brute_force_topk_stages, "kw": {},

@@ -80,15 +80,28 @@ def error_stats_oracle(sample_stages, measure: str, qcs: list[str],
     return stages_to_sql(sample_stages, outer)
 
 
-def _avg_ci_final(max_abs: float, confidence: float, dialect: str) -> dict[str, str]:
+def _ci_scales(max_abs: float, rows_hint: float) -> tuple[int, int, int]:
+    """lattice exponents (weighted-count, sum, variance) derived from the
+    measure bound and expected row count — the same rule as
+    closedform.agg_scales, so __qnv (~ N_s^2 * var) cannot overflow BIGINT
+    under Spark 4 ANSI mode for large strata."""
+    from ..quant import scale_exponent
+    sum_bound = max(1.0, max_abs) * rows_hint
+    return (scale_exponent(rows_hint), scale_exponent(sum_bound),
+            scale_exponent(sum_bound * sum_bound))
+
+
+def _avg_ci_final(max_abs: float, confidence: float, dialect: str,
+                  rows_hint: float) -> dict[str, str]:
     """weighted average + CLT bound from global quantized sums.
 
     Uses the same per-stratum conditional-variance formula as the
     closed-form AVG estimator (operators/closedform.py)."""
+    sw, st, sv = _ci_scales(max_abs, rows_hint)
     z, ts_table = confidence_factors(confidence)
-    wc = f"(CAST(__qwc AS DOUBLE) * {pow2_literal(-22)})"
-    tsum = f"(CAST(__qts AS DOUBLE) * {pow2_literal(-10)})"
-    nv = f"(CAST(__qnv AS DOUBLE) * {pow2_literal(-2)})"
+    wc = f"(CAST(__qwc AS DOUBLE) * {pow2_literal(-sw)})"
+    tsum = f"(CAST(__qts AS DOUBLE) * {pow2_literal(-st)})"
+    nv = f"(CAST(__qnv AS DOUBLE) * {pow2_literal(-sv)})"
     est = f"(CASE WHEN __c = 0 THEN NULL ELSE {tsum} / {wc} END)"
     sd = f"(CASE WHEN __c = 0 THEN NULL ELSE SQRT({nv}) / {wc} END)"
     t_arr = array_lit(dialect, [dlit(v) for v in ts_table])
@@ -104,7 +117,9 @@ def _avg_ci_final(max_abs: float, confidence: float, dialect: str) -> dict[str, 
             "upper_bound": f"({est} + {bound})", "relative_error": rel}
 
 
-def _avg_ci_outer(measure: str, max_abs: float) -> tuple[dict[str, str], dict[str, str]]:
+def _avg_ci_outer(measure: str, max_abs: float,
+                  rows_hint: float) -> tuple[dict[str, str], dict[str, str]]:
+    s_wc, s_ts, s_nv = _ci_scales(max_abs, rows_hint)
     m = measure_scale(max_abs)
     inner = _stat_frags(measure, max_abs)
     w = "(CAST(__snt AS DOUBLE) / CAST(__sns AS DOUBLE))"
@@ -123,18 +138,19 @@ def _avg_ci_outer(measure: str, max_abs: float) -> tuple[dict[str, str], dict[st
 
     outer = {
         "__c": "CAST(SUM(__scnt) AS BIGINT)",
-        "__qwc": q(f"(CAST(__scnt AS DOUBLE) * {w})", 22),
-        "__qts": q(f"({sx_d} * {w})", 10),
-        "__qnv": q(nv_term, 2),
+        "__qwc": q(f"(CAST(__scnt AS DOUBLE) * {w})", s_wc),
+        "__qts": q(f"({sx_d} * {w})", s_ts),
+        "__qnv": q(nv_term, s_nv),
     }
     return inner, outer
 
 
 def error_estimate_average(sample_df: DataFrame, measure: str, qcs: list[str],
                            confidence: float = 0.95,
-                           max_abs: float = 2.0 ** 20) -> DataFrame:
+                           max_abs: float = 2.0 ** 20,
+                           rows_hint: float = 2.0 ** 20) -> DataFrame:
     """single-row weighted average with CI (errorEstimateAverage analog)."""
-    inner_frags, outer_frags = _avg_ci_outer(measure, max_abs)
+    inner_frags, outer_frags = _avg_ci_outer(measure, max_abs, rows_hint)
     df = sample_df
     qcols = []
     for i, q in enumerate(qcs):
@@ -144,15 +160,16 @@ def error_estimate_average(sample_df: DataFrame, measure: str, qcs: list[str],
         *[F.expr(s).alias(n) for n, s in inner_frags.items()])
     outer = inner.groupBy().agg(
         *[F.expr(s).alias(n) for n, s in outer_frags.items()])
-    fin = _avg_ci_final(max_abs, confidence, SPARK)
+    fin = _avg_ci_final(max_abs, confidence, SPARK, rows_hint)
     return outer.select(*[F.expr(s).alias(n) for n, s in fin.items()])
 
 
 def error_estimate_average_oracle(sample_stages, measure: str, qcs: list[str],
                                   confidence: float = 0.95,
-                                  max_abs: float = 2.0 ** 20) -> str:
+                                  max_abs: float = 2.0 ** 20,
+                                  rows_hint: float = 2.0 ** 20) -> str:
     from ..sampling.sql import stages_to_sql
-    inner_frags, outer_frags = _avg_ci_outer(measure, max_abs)
+    inner_frags, outer_frags = _avg_ci_outer(measure, max_abs, rows_hint)
     qsel = ", ".join(qcs)
     inner = (f"SELECT {qsel}, "
              + ", ".join(f"{s} AS {n}" for n, s in inner_frags.items())
@@ -160,7 +177,7 @@ def error_estimate_average_oracle(sample_stages, measure: str, qcs: list[str],
     outer = ("SELECT "
              + ", ".join(f"{s} AS {n}" for n, s in outer_frags.items())
              + f" FROM ({inner}) __i")
-    fin = _avg_ci_final(max_abs, confidence, DUCKDB)
+    fin = _avg_ci_final(max_abs, confidence, DUCKDB, rows_hint)
     final = ("SELECT "
              + ", ".join(f"{s} AS {n}" for n, s in fin.items())
              + f" FROM ({outer}) __o")

@@ -98,33 +98,59 @@ def minhash_lsh_stages(dialect: str, threshold: float, k: int = 5,
                        n_hashes: int = 32, bands: int = 8,
                        table: str = "documents", col: str = "text"
                        ) -> tuple[list[tuple[str, str]], str]:
-    """signatures -> bands -> bucket join -> exact-Jaccard verify."""
+    """signatures -> bands -> bucket join -> exact-Jaccard verify.
+
+    Scale shape (the 100 TB plan):
+      * signatures are computed per-document with array HOFs over the
+        shingle array — a pure projection scan, no explode and no
+        n_hashes-way aggregate shuffle;
+      * all band hashes are emitted as ONE array in a single projection
+        and exploded (no bands-way self-UNION re-scan);
+      * shingles are exploded ONLY for documents that appear in a candidate
+        pair (semi-join first), so the exact-Jaccard verify join never
+        touches the full corpus.
+    The only shuffles left are the (small) band self-join and the verify
+    join over candidate docs.
+    """
     rows = n_hashes // bands
-    stages = _shingles(dialect, table, col, k)
     consts = _minhash_exprs(n_hashes)
-    mins = ", ".join(
-        f"CAST(MIN(((sh % {P31}) * {a} + {b}) % {P31}) AS BIGINT) AS m{i}"
-        for i, (a, b) in enumerate(consts))
-    stages.append(("__sig", f"SELECT doc_id, {mins} FROM __sh GROUP BY doc_id"))
-    band_rows = []
+    grams = dual.gram_int_array(dialect, col, k)
+    stages = [
+        ("__grams", f"SELECT doc_id, {dual.arr_distinct(dialect, grams)} AS gs "
+                    f"FROM {table} WHERE length({col}) >= {k}"),
+    ]
+    # minhash m_i per doc = min over the (materialized) gram array; band
+    # hash chains `rows` consecutive minhashes; emit all bands in one array.
+    mins = [dual.arr_min(
+        dialect, dual.transform(
+            dialect, "gs", f"sh -> (((sh % {P31}) * {a} + {b}) % {P31})"))
+        for (a, b) in consts]
+    band_vals = []
     for bi in range(bands):
-        h = f"m{bi * rows}"
+        h = mins[bi * rows]
         for r in range(1, rows):
-            h = f"(({h}) * 1299721 + m{bi * rows + r}) % {P31}"
-        band_rows.append(f"SELECT doc_id, {bi} AS band, CAST({h} AS BIGINT) "
-                         f"AS bh FROM __sig")
-    stages.append(("__bands", " UNION ALL ".join(band_rows)))
-    stages.append(("__cand",
-                   "SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
-                   "FROM __bands a JOIN __bands b "
-                   "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"))
+            h = f"(({h}) * 1299721 + {mins[bi * rows + r]}) % {P31}"
+        # band id packed above the 31-bit hash -> one equi-join key
+        band_vals.append(f"(CAST({bi} AS BIGINT) * {2 ** 31} + ({h}))")
     stages += [
-        ("__sz", "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM __sh "
-                 "GROUP BY doc_id"),
+        ("__bands", f"SELECT doc_id, "
+                    f"{dual.explode(dialect, dual.array_lit(dialect, band_vals), 'bv')} "
+                    f"FROM __grams"),
+        ("__cand",
+         "SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
+         "FROM __bands a JOIN __bands b "
+         "ON a.bv = b.bv AND a.doc_id < b.doc_id"),
+        ("__cdoc", "SELECT ida AS doc_id FROM __cand "
+                   "UNION SELECT idb AS doc_id FROM __cand"),
+        # shingle rows only for candidate documents
+        ("__shc", f"SELECT g.doc_id, {dual.explode(dialect, 'g.gs', 'sh')} "
+                  f"FROM __grams g JOIN __cdoc d ON g.doc_id = d.doc_id"),
+        ("__sz", f"SELECT doc_id, CAST({dual.arr_len(dialect, 'gs')} AS BIGINT) "
+                 f"AS n FROM __grams"),
         ("__common",
          "SELECT c.ida, c.idb, CAST(COUNT(*) AS BIGINT) AS common "
-         "FROM __cand c JOIN __sh a ON a.doc_id = c.ida "
-         "JOIN __sh b ON b.doc_id = c.idb AND a.sh = b.sh "
+         "FROM __cand c JOIN __shc a ON a.doc_id = c.ida "
+         "JOIN __shc b ON b.doc_id = c.idb AND a.sh = b.sh "
          "GROUP BY c.ida, c.idb"),
         ("__j", "SELECT m.ida, m.idb, CAST(m.common AS DOUBLE) / "
                 "CAST(sa.n + sb.n - m.common AS DOUBLE) AS jaccard "
@@ -139,25 +165,56 @@ def minhash_lsh_stages(dialect: str, threshold: float, k: int = 5,
 def simhash_stages(dialect: str, max_hamming: int = 3, n_bits: int = 32,
                    table: str = "documents", col: str = "text"
                    ) -> tuple[list[tuple[str, str]], str]:
+    """simhash signatures + pigeonhole-banded candidate pairs.
+
+    Signature: per-bit sums of ±1 over mixed token hashes, computed with
+    array HOFs inside one projection (no explode, no n_bits-way aggregate
+    shuffle; the token array is bound once via dual.bind_array).
+
+    Pair generation: the signature is split into ``max_hamming + 1``
+    disjoint bit segments. Two signatures within Hamming distance
+    ``max_hamming`` differ in at most ``max_hamming`` segments, so they
+    must agree EXACTLY on at least one (pigeonhole) — an equi-join on
+    (segment-id, segment-value) yields a guaranteed-complete candidate set;
+    ``bit_count(xor) <= d`` verifies candidates. No all-pairs product.
+    """
     toks_raw = dual.gram_int_array(dialect, col, 4, stride=4)
     # multiplicative mixing so simhash bits decorrelate from raw characters
     toks = dual.transform(dialect, toks_raw,
                           f"t -> (((t % {P31}) * 2654435761 + 12345) % {P31})")
+
+    def sig_body(ba: str) -> str:
+        terms = []
+        for j in range(n_bits):
+            bit = (f"t -> CAST(({dual.shiftright(dialect, 't', str(j))} % 2) "
+                   f"* 2 - 1 AS BIGINT)")
+            sj = dual.arr_sum_bigint(dialect, dual.transform(dialect, ba, bit))
+            terms.append(f"(CASE WHEN {sj} >= 0 THEN {2 ** j} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    sig = dual.bind_array(dialect, toks, sig_body)
     stages = [
-        ("__th", f"SELECT doc_id, {dual.explode(dialect, toks, 'h')} "
-                 f"FROM {table}"),
+        # docs shorter than the token width have no tokens: excluded, as the
+        # explode-based formulation produced no rows for them
+        ("__sig", f"SELECT doc_id, CAST({sig} AS BIGINT) AS sig "
+                  f"FROM {table} WHERE length({col}) >= 4"),
     ]
-    bit_sums = ", ".join(
-        f"SUM(CAST(({dual.shiftright(dialect, 'h', str(j))} % 2) * 2 - 1 "
-        f"AS BIGINT)) AS s{j}" for j in range(n_bits))
-    stages.append(("__bits", f"SELECT doc_id, {bit_sums} FROM __th GROUP BY doc_id"))
-    sig = " + ".join(f"(CASE WHEN s{j} >= 0 THEN {2 ** j} ELSE 0 END)"
-                     for j in range(n_bits))
-    stages.append(("__sig", f"SELECT doc_id, CAST({sig} AS BIGINT) AS sig "
-                            f"FROM __bits"))
-    ham = f"bit_count({dual.xor(dialect, 'a.sig', 'b.sig')})"
-    final = (f"SELECT a.doc_id AS ida, b.doc_id AS idb, "
-             f"CAST({ham} AS BIGINT) AS hamming "
-             f"FROM __sig a JOIN __sig b ON a.doc_id < b.doc_id "
-             f"WHERE {ham} <= {max_hamming} ORDER BY ida, idb")
+    n_seg = max_hamming + 1
+    seg_bits = -(-n_bits // n_seg)          # ceil; segments cover all bits
+    segs = [f"(CAST({bi} AS BIGINT) * 4294967296 + "
+            f"({dual.shiftright(dialect, 'sig', str(bi * seg_bits))} "
+            f"% {2 ** seg_bits}))" for bi in range(n_seg)]
+    stages += [
+        ("__seg", f"SELECT doc_id, sig, "
+                  f"{dual.explode(dialect, dual.array_lit(dialect, segs), 'segv')} "
+                  f"FROM __sig"),
+        ("__cand",
+         f"SELECT DISTINCT a.doc_id AS ida, a.sig AS siga, "
+         f"b.doc_id AS idb, b.sig AS sigb "
+         f"FROM __seg a JOIN __seg b "
+         f"ON a.segv = b.segv AND a.doc_id < b.doc_id"),
+    ]
+    hamc = f"bit_count({dual.xor(dialect, 'siga', 'sigb')})"
+    final = (f"SELECT ida, idb, CAST({hamc} AS BIGINT) AS hamming "
+             f"FROM __cand WHERE {hamc} <= {max_hamming} ORDER BY ida, idb")
     return stages, final

@@ -37,6 +37,16 @@ def arr_min(dialect: str, arr_sql: str) -> str:
             else f"list_min({arr_sql})")
 
 
+def arr_len(dialect: str, arr_sql: str) -> str:
+    return (f"size({arr_sql})" if dialect == SPARK
+            else f"len({arr_sql})")
+
+
+def array_lit(dialect: str, items: list[str]) -> str:
+    body = ", ".join(items)
+    return f"array({body})" if dialect == SPARK else f"[{body}]"
+
+
 def arr_sum_bigint(dialect: str, arr_sql: str) -> str:
     if dialect == SPARK:
         return f"aggregate({arr_sql}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"

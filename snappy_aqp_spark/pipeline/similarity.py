@@ -72,35 +72,145 @@ def brute_force_topk_stages(dialect: str, n_queries: int = 20, k: int = 5,
     return stages, final
 
 
-def cosine_pairs_stages(dialect: str, threshold: float = 0.95, dim: int = 64,
-                        table: str = "embeddings"
-                        ) -> tuple[list[tuple[str, str]], str]:
-    """embedding-cosine near-duplicate pairs (dedup flavor): all pairs with
-    cosine >= threshold. The quadratic baseline; LSH buckets are the scale
-    path (lsh_topk_stages)."""
-    from ..dialect import dlit
-    stages = [
+_DUP_ID_OFFSET = 10_000_000
+
+
+def _planted_corpus_stages(dialect: str, table: str, dim: int,
+                           plant_rate: int) -> list[tuple[str, str]]:
+    """Corpus with deterministic planted near-duplicates: every
+    ``plant_rate``-th vector gets a copy (id + 10M) perturbed per-dimension
+    by an integer LCG factor in [-31, 31]/256 (≈ ±12% multiplicative noise,
+    cosine ≈ 0.997 to its source). All-integer arithmetic — bit-identical on
+    any engine — giving the near-dup operator true positives with a wide
+    margin over the random background (max random cosine ≈ 0.6)."""
+    pert = (f"i -> ({dual.elem(dialect, 'v', 'i')} + CAST(FLOOR(CAST("
+            f"{dual.elem(dialect, 'v', 'i')} * "
+            f"(((1103515245 * (vec_id * {dim} + i) + 12345) % 63) - 31) "
+            f"AS DOUBLE) / CAST('256.0' AS DOUBLE)) AS BIGINT))")
+    v2 = dual.transform(dialect, dual.sequence(dialect, "1", str(dim)), pert)
+    return [
         _vec_stage(dialect, table, dim),
+        ("__pert", f"SELECT vec_id + {_DUP_ID_OFFSET} AS vec_id, {v2} AS v "
+                   f"FROM __vec WHERE vec_id % {plant_rate} = 0"),
+        ("__corpus", f"SELECT vec_id, v, n2 FROM __vec UNION ALL "
+                     f"SELECT vec_id, v, {_norm2(dialect, 'v', dim)} AS n2 "
+                     f"FROM __pert"),
+    ]
+
+
+def cosine_pairs_stages(dialect: str, threshold: float = 0.9, dim: int = 64,
+                        table: str = "embeddings", plant_rate: int | None = 10
+                        ) -> tuple[list[tuple[str, str]], str]:
+    """embedding-cosine near-duplicate pairs, brute force: all pairs with
+    cosine >= threshold. The small-N verifier for near_dup_pairs_stages
+    (quadratic — never the scale path)."""
+    from ..dialect import dlit
+    if plant_rate:
+        stages = _planted_corpus_stages(dialect, table, dim, plant_rate)
+    else:
+        stages = [_vec_stage(dialect, table, dim),
+                  ("__corpus", "SELECT vec_id, v, n2 FROM __vec")]
+    stages.append(
         ("__pairs", f"SELECT a.vec_id AS ida, b.vec_id AS idb, "
                     f"{_cos(_dot(dialect, 'a.v', 'b.v', dim), 'a.n2', 'b.n2')} "
-                    f"AS cos FROM __vec a JOIN __vec b ON a.vec_id < b.vec_id"),
+                    f"AS cos FROM __corpus a JOIN __corpus b "
+                    f"ON a.vec_id < b.vec_id"))
+    final = (f"SELECT ida, idb, cos FROM __pairs "
+             f"WHERE cos >= {dlit(threshold)} ORDER BY ida, idb")
+    return stages, final
+
+
+def near_dup_pairs_stages(dialect: str, threshold: float = 0.9, dim: int = 64,
+                          n_tables: int = 8, planes: int = 10,
+                          table: str = "embeddings", plant_rate: int | None = 10
+                          ) -> tuple[list[tuple[str, str]], str]:
+    """embedding-cosine near-duplicate pairs, the 100 TB path: candidates
+    from ``n_tables`` independent random-hyperplane LSH tables (equi-join on
+    the packed (table, bucket) key — no all-pairs product), then exact
+    integer-cosine verification of candidates only. ``planes`` sizes the
+    bucket count (2^planes per table) — scale it with log2(corpus) to keep
+    per-bucket candidate lists O(1).
+
+    Recall is probabilistic in general (a cos >= t pair collides in at least
+    one table with prob 1 - (1 - p^planes)^n_tables, p = 1 - arccos(t)/pi;
+    ≈ 1 - 3e-6 per pair at the planted cos ≈ 0.997 with the defaults) but
+    deterministic for a given corpus — the hyperplanes are fixed integer
+    hashes, so Spark and the DuckDB oracle compute identical candidate sets,
+    and the verifier (cosine_pairs_stages) empirically pins recall = 1 on
+    the test corpus (tests/test_pipeline.py)."""
+    from ..dialect import dlit
+    if plant_rate:
+        stages = _planted_corpus_stages(dialect, table, dim, plant_rate)
+    else:
+        stages = [_vec_stage(dialect, table, dim),
+                  ("__corpus", "SELECT vec_id, v, n2 FROM __vec")]
+    # one bucket value per LSH table, packed with the table id -> a single
+    # exploded equi-join key (plane seeds offset per table)
+    buckets = [
+        f"(CAST({t} AS BIGINT) * {2 ** 31} + "
+        f"{_lsh_bucket(dialect, 'v', dim, planes, seed_offset=t * planes)})"
+        for t in range(n_tables)]
+    stages += [
+        ("__sigt", f"SELECT vec_id, "
+                   f"{dual.explode(dialect, dual.array_lit(dialect, buckets), 'bv')} "
+                   f"FROM __corpus"),
+        ("__cand", "SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb "
+                   "FROM __sigt a JOIN __sigt b "
+                   "ON a.bv = b.bv AND a.vec_id < b.vec_id"),
+        ("__pairs", f"SELECT c.ida, c.idb, "
+                    f"{_cos(_dot(dialect, 'a.v', 'b.v', dim), 'a.n2', 'b.n2')} "
+                    f"AS cos FROM __cand c "
+                    f"JOIN __corpus a ON a.vec_id = c.ida "
+                    f"JOIN __corpus b ON b.vec_id = c.idb"),
     ]
     final = (f"SELECT ida, idb, cos FROM __pairs "
              f"WHERE cos >= {dlit(threshold)} ORDER BY ida, idb")
     return stages, final
 
 
-def _lsh_bucket(dialect: str, vec: str, dim: int, planes: int) -> str:
-    """random-hyperplane signature: plane weights ±1 from integer hashing."""
+def _plane_signs(seed: int, dim: int) -> list[int]:
+    """±1 hyperplane weights from md5 — the weights are data-independent
+    CONSTANTS, so they are generated at plan-build time and inlined as array
+    literals (identical text in both dialects; no per-row hash arithmetic).
+    md5 avoids the modular-parity trap: LCG/parity-derived signs correlate
+    across planes whose seeds differ by a fixed stride, collapsing buckets."""
+    import hashlib
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"lsh:{seed}:{i}".encode()).digest()
+        out.append(1 if h[0] & 1 else -1)
+    return out
+
+
+def _signed_sum(dialect: str, vec: str, signs: list[int]) -> str:
+    """<v, w> for a ±1 literal weight vector.
+
+    Spark: zip_with against the literal sign array + aggregate — HOF lambdas
+    evaluate outside whole-stage codegen, so an 8-table x 10-plane signature
+    projection stays kilobytes of generated Java (the explicit-term form
+    OOMed janino: ~5k nested additions per projection).
+    DuckDB: explicit term sum — constant-folded, and avoids DuckDB's
+    O(dim^2) re-materialization of literal arrays inside list HOFs."""
+    if dialect == SPARK:
+        lits = ", ".join(str(s) for s in signs)
+        return (f"aggregate(zip_with({vec}, array({lits}), "
+                f"(x, s) -> x * CAST(s AS BIGINT)), "
+                f"CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    terms = [f"{'+' if s > 0 else '-'} {dual.elem(dialect, vec, str(i + 1))}"
+             for i, s in enumerate(signs)]
+    return "(0 " + " ".join(terms) + ")"
+
+
+def _lsh_bucket(dialect: str, vec: str, dim: int, planes: int,
+                seed_offset: int = 0) -> str:
+    """random-hyperplane signature: sign of <v, w_j> for ``planes`` fixed
+    ±1-weight hyperplanes, via the exact integer dot product.
+    ``seed_offset`` shifts the plane seeds so independent LSH tables can be
+    derived from the same generator."""
     bits = []
     for j in range(planes):
-        w = (f"x -> CASE WHEN ((1103515245 * CAST({j * dim} + i AS BIGINT) "
-             f"+ 12345) % {P31}) % 2 = 1 THEN x ELSE -x END")
-        lam = (f"i -> (CASE WHEN ((1103515245 * CAST({j * dim} AS BIGINT) + i * 1299709 "
-               f"+ 12345) % {P31}) % 2 = 1 THEN {dual.elem(dialect, vec, 'i')} "
-               f"ELSE -{dual.elem(dialect, vec, 'i')} END)")
-        proj = dual.arr_sum_bigint(
-            dialect, dual.transform(dialect, dual.sequence(dialect, "1", str(dim)), lam))
+        signs = _plane_signs(seed_offset + j, dim)
+        proj = _signed_sum(dialect, vec, signs)
         bits.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** j} ELSE 0 END)")
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 

@@ -291,15 +291,24 @@ def run_approx_query(spark: SparkSession, spec: ApproxQuerySpec,
     if behavior in ("do_nothing", "local_omit"):
         return _apply_tail(spec, _finalize_visible(spec, fin_rel))
 
+    # The violation check and the visible output both consume fin_rel; the
+    # reference checks error flags on the already-computed aggregation
+    # (AQPRules.scala:341-363), so persist the (tiny: one row per group)
+    # aggregate result instead of recomputing it per consumer. Persisted
+    # blocks are reclaimed by Spark's ContextCleaner once the returned
+    # DataFrame goes out of scope on the caller side.
     viol = _violation_cond(spec)
+    fin_rel = fin_rel.persist()
     if behavior == "strict":
         if fin_rel.where(F.expr(viol)).limit(1).count() > 0:
+            fin_rel.unpersist()
             raise cf.ErrorLimitExceededException(
                 f"relative error exceeded {spec.error} (behavior=strict)")
         return _apply_tail(spec, _finalize_visible(spec, fin_rel))
 
     if behavior == "run_on_full_table":
         if fin_rel.where(F.expr(viol)).limit(1).count() > 0:
+            fin_rel.unpersist()
             return _apply_tail(spec, _exact_query(spec, tables))
         return _apply_tail(spec, _finalize_visible(spec, fin_rel))
 

@@ -53,11 +53,27 @@ def _tag(df: DataFrame, spec: SampleSpec) -> DataFrame:
     return out
 
 
-def _nullsafe_join_cond(left: DataFrame, right: DataFrame, cols: list[str]):
-    cond = left[cols[0]].eqNullSafe(right[cols[0]])
-    for c in cols[1:]:
-        cond = cond & left[c].eqNullSafe(right[c])
-    return cond
+def _nullsafe_join(left: DataFrame, right: DataFrame, cols: list[str],
+                   how: str = "inner") -> DataFrame:
+    """broadcast-join on ``cols`` with NULL-safe equality (<=>).
+
+    A NULL-valued QCS expression is a real stratum (the SQL-oracle window
+    partitions keep it), so plain ``on=cols`` equality would silently drop
+    its rows from the sample. Right-side join columns are renamed before the
+    join and dropped after, so the output schema matches an ``on=cols``
+    join."""
+    ren = {c: f"__rj_{c}" for c in cols}
+    r = right
+    for c, rc in ren.items():
+        r = r.withColumnRenamed(c, rc)
+    cond = None
+    for c, rc in ren.items():
+        e = F.col(c).eqNullSafe(F.col(rc))
+        cond = e if cond is None else cond & e
+    out = left.join(F.broadcast(r), on=cond, how=how)
+    if how in ("leftsemi", "left_semi", "leftanti", "left_anti"):
+        return out
+    return out.drop(*ren.values())
 
 
 def _finish(df: DataFrame, base_cols: list[str]) -> DataFrame:
@@ -76,9 +92,8 @@ def _hash_sample(df: DataFrame, spec: SampleSpec) -> DataFrame:
         "__in", F.when(F.col("__h") < F.lit(thr), F.lit(1)).otherwise(F.lit(0)))
     counts = (tagged.groupBy(*qcs)
               .agg(F.count(F.lit(1)).alias("__ntot"), F.sum("__in").alias("__nsmp")))
-    joined = tagged.where(F.col("__in") == 1).drop("__in").join(
-        F.broadcast(counts.where(F.col("__nsmp") > 0)),
-        on=qcs, how="inner")
+    joined = _nullsafe_join(tagged.where(F.col("__in") == 1).drop("__in"),
+                            counts.where(F.col("__nsmp") > 0), qcs)
     return _finish(joined, df.columns)
 
 
@@ -111,16 +126,16 @@ def _ranked_sample(df: DataFrame, spec: SampleSpec, use_prefilter: bool = True) 
             )
         )
         counts_thr = counts.withColumn("__cthr", cand_thr)
-        with_n = tagged.join(F.broadcast(counts_thr), on=qcs, how="inner")
+        with_n = _nullsafe_join(tagged, counts_thr, qcs)
         cands = with_n.where(F.col("__h") < F.col("__cthr"))
         # exactness check: a stratum's prefilter is valid iff it kept >= k rows
         cand_counts = cands.groupBy(*qcs).agg(F.count(F.lit(1)).alias("__cn"))
         ok = cand_counts.where(F.col("__cn") >= F.lit(k)).drop("__cn")
         bad = cand_counts.where(F.col("__cn") < F.lit(k)).drop("__cn")
-        pool = cands.join(F.broadcast(ok), on=qcs, how="leftsemi").unionByName(
-            with_n.join(F.broadcast(bad), on=qcs, how="leftsemi"))
+        pool = _nullsafe_join(cands, ok, qcs, how="leftsemi").unionByName(
+            _nullsafe_join(with_n, bad, qcs, how="leftsemi"))
     else:
-        pool = tagged.join(F.broadcast(counts), on=qcs, how="inner")
+        pool = _nullsafe_join(tagged, counts, qcs)
 
     # tiebreak by every base column: key columns may not be unique in the
     # wild, and rows identical in all columns are interchangeable — this
@@ -133,7 +148,7 @@ def _ranked_sample(df: DataFrame, spec: SampleSpec, use_prefilter: bool = True) 
     else:
         picked = ranked.where((F.col("__rn") <= F.lit(k)) | (F.col("__h") < F.lit(thr)))
     n_per = picked.groupBy(*qcs).agg(F.count(F.lit(1)).alias("__nsmp"))
-    out = picked.join(F.broadcast(n_per), on=qcs, how="inner")
+    out = _nullsafe_join(picked, n_per, qcs)
     return _finish(out, df.columns)
 
 
@@ -147,7 +162,7 @@ def _error_limit_sample(df: DataFrame, spec: SampleSpec) -> DataFrame:
         *[F.expr(s).alias(n) for n, s in stats_frags(spec).items()])
     req = stats.select(*qcs, F.col("__eN").alias("__ntot"),
                        F.expr(nreq_frag(spec)).alias("__nsmp"))
-    pool = tagged.join(F.broadcast(req), on=qcs, how="inner")
+    pool = _nullsafe_join(tagged, req, qcs)
     order = [F.col("__h").asc()] + [F.col(c).asc() for c in df.columns]
     w = Window.partitionBy(*qcs).orderBy(*order)
     picked = (pool.withColumn("__rn", F.row_number().over(w))

@@ -300,7 +300,10 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
         for i, g in enumerate(parsed.group_by):
             ga = group_aliases[i]
             if g.strip().lower() != ga.lower():
-                text = text.replace(g.strip(), ga)
+                # boundary-guarded: a bare replace would corrupt expressions
+                # where the group text is a substring of another token
+                text = re.sub(rf"(?<![\w.]){re.escape(g.strip())}(?![\w.])",
+                              ga, text)
         return text
 
     spec = ApproxQuerySpec(

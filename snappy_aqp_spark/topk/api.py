@@ -231,9 +231,13 @@ def query_approx_ts_topk(spark: SparkSession, registry: TopKRegistry,
                          name: str, start_us: int | None = None,
                          end_us: int | None = None,
                          k: int | None = None) -> DataFrame:
-    """Top-k keys over [start, end): (key, EstimatedValue, LowerBound) for
-    CMS tables, (key, EstimatedValue, DeltaError) for stream summaries —
-    the reference result schemas (SnappyContextAQPFunctions.scala:315-351)."""
+    """Top-k keys over the time range, with BUCKET-INCLUSIVE endpoints: the
+    whole interval containing ``start_us`` and the whole interval containing
+    ``end_us`` contribute (matching the reference's interval resolution —
+    TopKHokusai answers at time-bucket granularity). Result schemas
+    (SnappyContextAQPFunctions.scala:315-351): (key, EstimatedValue,
+    LowerBound) for CMS tables, (key, EstimatedValue, DeltaError) for stream
+    summaries."""
     table = registry.get(name)
     spec = table.spec
     k = k or spec.size

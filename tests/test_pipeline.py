@@ -32,11 +32,41 @@ def test_minhash_recall_equals_exact_ngram(views):
     """LSH with these band parameters finds every true pair on the test
     corpus (completeness critic for the approximate path)."""
     from snappy_aqp_spark.pipeline import dedup
-    st1, f1 = dedup.ngram_jaccard_stages(SPARK, threshold=0.5)
-    st2, f2 = dedup.minhash_lsh_stages(SPARK, threshold=0.5)
+    st1, f1 = dedup.ngram_jaccard_stages(SPARK, threshold=0.5, k=7)
+    st2, f2 = dedup.minhash_lsh_stages(SPARK, threshold=0.5, k=7)
     exact = {(r.ida, r.idb) for r in run_stages(views, st1, f1).collect()}
     lsh = {(r.ida, r.idb) for r in run_stages(views, st2, f2).collect()}
     assert lsh == exact
+
+
+def test_simhash_banding_equals_all_pairs(views):
+    """Pigeonhole banding is *provably* complete: any pair within Hamming
+    max_hamming agrees exactly on one of max_hamming+1 disjoint segments.
+    Assert the banded plan reproduces the brute-force all-pairs result."""
+    from snappy_aqp_spark.pipeline import dedup, dual
+    stages, final = dedup.simhash_stages(SPARK, max_hamming=3)
+    banded = {(r.ida, r.idb, r.hamming)
+              for r in run_stages(views, stages, final).collect()}
+    ham = f"bit_count({dual.xor(SPARK, 'a.sig', 'b.sig')})"
+    brute_final = (f"SELECT a.doc_id AS ida, b.doc_id AS idb, "
+                   f"CAST({ham} AS BIGINT) AS hamming "
+                   f"FROM __sig a JOIN __sig b ON a.doc_id < b.doc_id "
+                   f"WHERE {ham} <= 3")
+    brute = {(r.ida, r.idb, r.hamming)
+             for r in run_stages(views, stages[:1], brute_final).collect()}
+    assert banded == brute
+
+
+def test_embedding_lsh_candidates_cover_true_pairs(views):
+    """The multi-table LSH candidate set contains every brute-force
+    cosine >= threshold pair on the test corpus (recall = 1)."""
+    from snappy_aqp_spark.pipeline import similarity
+    st1, f1 = similarity.cosine_pairs_stages(SPARK, threshold=0.9)
+    st2, f2 = similarity.near_dup_pairs_stages(SPARK, threshold=0.9)
+    brute = {(r.ida, r.idb) for r in run_stages(views, st1, f1).collect()}
+    lsh = {(r.ida, r.idb) for r in run_stages(views, st2, f2).collect()}
+    assert brute  # planted near-dups exist
+    assert brute == lsh
 
 
 def test_text_features_match(views, duck):
