@@ -35,7 +35,8 @@ _SQL_DEFAULTS = {"error": 0.2, "confidence": 0.95, "behavior": "do_nothing"}
 
 
 def _tables_for(spec: ApproxQuerySpec) -> tuple[str, ...]:
-    return (spec.sample.base_table, *[j.table for j in spec.joins])
+    return (spec.sample.base_table, *[j.table for j in spec.joins],
+            *[t for sp in spec.where_subs for t in sp.tables])
 
 
 def _make_runner(spec: ApproxQuerySpec) -> Callable[[SparkSession, str], DataFrame]:

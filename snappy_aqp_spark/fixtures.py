@@ -67,6 +67,10 @@ _TOTAL = 2.0 ** 19      # o_totalprice < 500k
 
 # --- approximate time-series TopK fixtures (SURVEY §2.6) --------------------
 _3D_US = 3 * 24 * 3600 * 1_000_000
+# pinned epoch (2024-01-01T00:00:00Z): makes time buckets plan-time
+# constants — no create-time min(ts) scan, and the replay oracle can emit
+# the dyadic-cover slack terms as literals
+_T_EPOCH = 1_704_067_200_000_000
 _T_2024_01_08 = 1_704_672_000_000_000
 _T_2024_01_22 = 1_705_881_600_000_000
 
@@ -74,21 +78,21 @@ TOPK_FIXTURES: dict[str, dict] = {
     # TopKHokusai-analog CMS table, full-range query
     "topk_cms_full": {
         "spec": TopKSpec("topk_cms_full", key="user_id", time_col="ts",
-                         time_interval_us=_3D_US, size=100, depth=7,
+                         time_interval_us=_3D_US, epoch_us=_T_EPOCH, size=100, depth=7,
                          width=4096, num_partitions=8, int_key=True),
         "start": None, "end": None, "k": 20,
     },
     # between-time query over a sub-range (Hokusai getTopKBetweenTime)
     "topk_cms_window": {
         "spec": TopKSpec("topk_cms_window", key="user_id", time_col="ts",
-                         time_interval_us=_3D_US, size=100, depth=7,
+                         time_interval_us=_3D_US, epoch_us=_T_EPOCH, size=100, depth=7,
                          width=4096, num_partitions=8, int_key=True),
         "start": _T_2024_01_08, "end": _T_2024_01_22, "k": 15,
     },
     # weighted frequency column (TopKWrapper frequencyCol)
     "topk_cms_freq": {
         "spec": TopKSpec("topk_cms_freq", key="user_id", time_col="ts",
-                         time_interval_us=_3D_US, size=100, depth=7,
+                         time_interval_us=_3D_US, epoch_us=_T_EPOCH, size=100, depth=7,
                          width=4096, num_partitions=8, int_key=True,
                          frequency_col="CAST(FLOOR(value) AS BIGINT)"),
         "start": None, "end": None, "k": 20,
@@ -96,7 +100,7 @@ TOPK_FIXTURES: dict[str, dict] = {
     # Space-Saving stream summary variant
     "topk_streamsummary": {
         "spec": TopKSpec("topk_streamsummary", key="user_id", time_col="ts",
-                         time_interval_us=_3D_US, size=100,
+                         time_interval_us=_3D_US, epoch_us=_T_EPOCH, size=100,
                          stream_summary=True, capacity=4096,
                          num_partitions=8, int_key=True),
         "start": _T_2024_01_08, "end": None, "k": 20,
@@ -143,6 +147,22 @@ SQL_FIXTURES: dict[str, dict] = {
                   "absolute_error(rev) FROM lineitem JOIN orders "
                   "ON l_orderkey = o_orderkey WHERE o_orderpriority LIKE '1%' "
                   "GROUP BY o_orderstatus ORDER BY o_orderstatus "
+                  "WITH ERROR 0.5"),
+    },
+    # WHERE-clause subqueries: IN-subquery -> exact semi-join feeding the
+    # sampled outer plan, scalar subquery -> inlined literal (PlaceHolderPlan
+    # routing, QueryProcessingRules.scala:119-148; SubQueryRoutingTestSuite)
+    "sql_subquery": {
+        "ddl": [("CREATE SAMPLE TABLE ord_sample ON orders OPTIONS("
+                 "qcs 'o_orderpriority', fraction '0.1', "
+                 "method 'hash', seed '42')")],
+        "tables": ("orders", "lineitem", "customer"),
+        "query": ("SELECT o_orderpriority, sum(o_totalprice) AS st, "
+                  "absolute_error(st), relative_error(st) FROM orders "
+                  "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+                  "WHERE l_quantity > 45) "
+                  "AND o_custkey <= (SELECT MAX(c_custkey) FROM customer) "
+                  "GROUP BY o_orderpriority ORDER BY o_orderpriority "
                   "WITH ERROR 0.5"),
     },
     # unsupported aggregate -> exact route with folded error functions
@@ -207,6 +227,18 @@ APPROX_SPECS: dict[str, ApproxQuerySpec] = {
         aggs=(ApproxAgg("avg", "l_extendedprice", "avg_price", _PRICE, ALL_ERRORS),),
         group_by=("year(l_shipdate)",), group_aliases=("ship_year",),
         order_by=("ship_year",),
+    ),
+    # MIN/MAX alongside approx aggregates: args in the QCS -> bypass error
+    # calc (ByPassErrorCalc, QueryRoutingRules.scala:55-92); the extremum is
+    # exact because every stratum is represented in the sample
+    "cf_minmax_alongside": ApproxQuerySpec(
+        sample=LI_EXPR_QCS,
+        aggs=(ApproxAgg("sum", "l_extendedprice", "sum_price", _PRICE, ALL_ERRORS),
+              ApproxAgg("min", "year(l_shipdate)", "min_year",
+                        errors=("absolute_error", "lower_bound")),
+              ApproxAgg("max", "year(l_shipdate)", "max_year",
+                        errors=("relative_error", "upper_bound"))),
+        group_by=("l_returnflag",), group_aliases=("rf",), order_by=("rf",),
     ),
     # join: sample x exact dimension (perfJoinQueries.sql shape; sample table
     # on exactly one relation — QueryProcessingRules.scala:504-515)

@@ -50,6 +50,11 @@ def multiplicity_sql(sample: SampleSpec) -> str:
 def inner_frags(agg: ApproxAgg, sc: AggScales, sample: SampleSpec) -> dict[str, str]:
     """per (group, stratum, trial): integer-exact resampled sums."""
     a = agg.alias
+    if agg.func in ("min", "max"):
+        # bypass aggregate (ByPassErrorCalc): extremum over the ACTUAL
+        # sample rows — resampling multiplicities are ignored, the trial
+        # dimension just carries the value through unchanged
+        return {f"__bmm_{a}": f"CAST({agg.func.upper()}({agg.measure}) AS DOUBLE)"}
     m = multiplicity_sql(sample)
     out: dict[str, str] = {}
     if agg.func == "count_star":
@@ -76,6 +81,8 @@ def mask_frag(sample: SampleSpec) -> dict[str, str]:
 def outer_frags(agg: ApproxAgg, sc: AggScales) -> dict[str, str]:
     """per (group, trial): lattice-combined weighted estimates."""
     a = agg.alias
+    if agg.func in ("min", "max"):
+        return {f"__bmm_{a}": f"{agg.func.upper()}(__bmm_{a})"}
     w = "(CAST(__snt AS DOUBLE) / CAST(__sns AS DOUBLE))"
 
     def qsum(term: str, s: int) -> str:
@@ -93,6 +100,8 @@ def outer_frags(agg: ApproxAgg, sc: AggScales) -> dict[str, str]:
 def trial_value_frag(agg: ApproxAgg, sc: AggScales) -> dict[str, str]:
     """per (group, trial) scalar estimate."""
     a = agg.alias
+    if agg.func in ("min", "max"):
+        return {f"__bv_{a}": f"__bmm_{a}"}
     wc = f"(CAST(__bqwc_{a} AS DOUBLE) * {pow2_literal(-sc.sw)})"
     if agg.func in ("count", "count_star"):
         return {f"__bv_{a}": wc}
@@ -108,6 +117,8 @@ def group_frags(agg: ApproxAgg, dialect: str) -> dict[str, str]:
     from ..dialect import array_sort, collect_list
     a = agg.alias
     v = f"__bv_{a}"
+    if agg.func in ("min", "max"):
+        return {f"__best_{a}": f"MAX(CASE WHEN {TRIAL_COL} = 0 THEN {v} END)"}
     if agg.func in ("count", "count_star"):
         include = f"(__bmask = 1)"
     else:
@@ -125,6 +136,9 @@ def fin_frags(agg: ApproxAgg, spec: ApproxQuerySpec, dialect: str) -> dict[str, 
     HAC machinery (strict / rerouting) is shared."""
     from ..dialect import element_at
     a = agg.alias
+    if agg.func in ("min", "max"):
+        e = f"__best_{a}"
+        return {f"__est_{a}": e, f"__blb_{a}": e, f"__bub_{a}": e}
     est, vals, ln = f"__best_{a}", f"__bvals_{a}", f"__blen_{a}"
     lower = (1.0 - spec.confidence) / 2.0
     upper = (1.0 + spec.confidence) / 2.0

@@ -78,6 +78,11 @@ def quantized_measure(measure: str, m: int) -> str:
 def inner_frags(agg: ApproxAgg, sc: AggScales) -> dict[str, str]:
     a = agg.alias
     out: dict[str, str] = {}
+    if agg.func in ("min", "max"):
+        # bypass aggregate: extremum over raw sample rows, no quantization
+        # (MIN/MAX of the same values is already engine-exact)
+        fn = agg.func.upper()
+        return {f"__mm_{a}": f"CAST({fn}({agg.measure}) AS DOUBLE)"}
     if agg.func == "count_star":
         out[f"__cnt_{a}"] = "CAST(COUNT(*) AS BIGINT)"
     else:
@@ -121,6 +126,8 @@ def _cell_terms(agg: ApproxAgg, sc: AggScales) -> dict[str, str]:
 
 def outer_frags(agg: ApproxAgg, sc: AggScales) -> dict[str, str]:
     a = agg.alias
+    if agg.func in ("min", "max"):
+        return {f"__mm_{a}": f"{agg.func.upper()}(__mm_{a})"}
     t = _cell_terms(agg, sc)
 
     def qsum(term: str, s: int) -> str:
@@ -140,6 +147,10 @@ def fin_est_frags(agg: ApproxAgg, sc: AggScales, confidence: float,
                   dialect: str) -> dict[str, str]:
     """estimate + confidence bound per agg, from outer-stage columns."""
     a = agg.alias
+    if agg.func in ("min", "max"):
+        # ByPassErrorCalc: the estimate IS the sample extremum, zero bound
+        return {f"__est_{a}": f"__mm_{a}",
+                f"__bnd_{a}": "CAST(0.0 AS DOUBLE)"}
     z, ts_table = confidence_factors(confidence)
     wc = f"(CAST(__qwc_{a} AS DOUBLE) * {pow2_literal(-sc.sw)})"
     nv = f"(CAST(__qnv_{a} AS DOUBLE) * {pow2_literal(-sc.sv)})"
@@ -213,7 +224,9 @@ def exact_output_frags(agg: ApproxAgg, sc: AggScales) -> dict[str, str]:
     (reference folds error functions to 0/identity on exact plans,
     common/QueryRoutingRules.scala:370-404)."""
     a = agg.alias
-    if agg.func == "count_star":
+    if agg.func in ("min", "max"):
+        est = f"CAST({agg.func.upper()}({agg.measure}) AS DOUBLE)"
+    elif agg.func == "count_star":
         est = "CAST(COUNT(*) AS DOUBLE)"
     elif agg.func == "count":
         est = f"CAST(COUNT({agg.measure}) AS DOUBLE)"

@@ -192,6 +192,59 @@ def get_sample(base: DataFrame, spec: ApproxQuerySpec,
     return _SAMPLE_CACHE[key]
 
 
+def _sql_literal(val) -> str:
+    """render a collected scalar as a portable SQL literal."""
+    if val is None:
+        return "NULL"
+    if isinstance(val, bool):
+        return "TRUE" if val else "FALSE"
+    if isinstance(val, int):
+        return str(val)
+    if isinstance(val, float):
+        from ..dialect import dlit
+        return dlit(val)
+    return "'" + str(val).replace("'", "''") + "'"
+
+
+def _apply_subqueries(df: DataFrame, spec: ApproxQuerySpec,
+                      tables: dict[str, DataFrame]) -> DataFrame:
+    """Execute WHERE-clause subquery predicates (SubqueryPred): the subquery
+    plan runs exactly via spark.sql over temp views; IN/NOT IN become
+    semi/anti joins against the (distinct, typically tiny -> broadcast)
+    value set, scalar comparisons inline the collected value as a literal.
+    At scale the semi-join is the shape you want anyway: Catalyst broadcasts
+    the value set and the sampled scan is never shuffled."""
+    if not spec.where_subs:
+        return df
+    spark = df.sparkSession
+    for sp in spec.where_subs:
+        for t in sp.tables:
+            tables[t].createOrReplaceTempView(t)
+        if sp.kind == "scalar":
+            val = spark.sql(sp.sub_sql).collect()[0][0]
+            df = df.where(F.expr(sp.expr.replace("__SUBQ__", _sql_literal(val))))
+        else:
+            sub = spark.sql(sp.sub_sql)
+            sub = sub.select(F.col(sub.columns[0]).alias("__subv")).distinct()
+            how = "leftsemi" if sp.kind == "in" else "leftanti"
+            df = df.join(F.broadcast(sub),
+                         on=F.expr(sp.expr) == sub["__subv"], how=how)
+    return df
+
+
+def full_where_sql(spec: ApproxQuerySpec) -> str | None:
+    """WHERE text with subquery predicates re-inlined (oracle replay path —
+    DuckDB evaluates the subqueries natively)."""
+    parts = [f"({spec.where})"] if spec.where else []
+    for sp in spec.where_subs:
+        if sp.kind == "scalar":
+            parts.append("(" + sp.expr.replace("__SUBQ__", f"({sp.sub_sql})") + ")")
+        else:
+            op = "IN" if sp.kind == "in" else "NOT IN"
+            parts.append(f"({sp.expr} {op} ({sp.sub_sql}))")
+    return " AND ".join(parts) if parts else None
+
+
 def _prepare(spec: ApproxQuerySpec, tables: dict[str, DataFrame],
              sampled: bool, cache_token: str | None = None) -> DataFrame:
     base = tables[spec.sample.base_table]
@@ -200,6 +253,7 @@ def _prepare(spec: ApproxQuerySpec, tables: dict[str, DataFrame],
         df = df.join(tables[j.table], on=F.expr(j.on), how=j.how)
     if spec.where:
         df = df.where(F.expr(spec.where))
+    df = _apply_subqueries(df, spec, tables)
     for i, g in enumerate(spec.group_by):
         df = df.withColumn(f"__g{i}", F.expr(g))
     if sampled:
@@ -350,8 +404,9 @@ def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
         for j in spec.joins:
             frm += f" {j.how.upper()} JOIN {j.table} ON {j.on}"
         sql = f"SELECT {sel} FROM {frm}"
-        if spec.where:
-            sql += f" WHERE {spec.where}"
+        where_full = full_where_sql(spec)
+        if where_full:
+            sql += f" WHERE {where_full}"
         proj = [f"{g} AS __g{i}" for i, g in enumerate(spec.group_by)]
         if sampled:
             proj += [f"{q} AS __sq{i}" for i, q in enumerate(spec.sample.qcs)]
@@ -462,8 +517,9 @@ def exact_oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
     sql = f"SELECT *, {', '.join(f'{g} AS __g{i}' for i, g in enumerate(spec.group_by))} FROM {frm}"
     if not spec.group_by:
         sql = f"SELECT * FROM {frm}"
-    if spec.where:
-        sql += f" WHERE {spec.where}"
+    where_full = full_where_sql(spec)
+    if where_full:
+        sql += f" WHERE {where_full}"
     gcols = _gcols(spec)
     parts = [f"__g{i} AS {name}" for i, name in enumerate(spec.group_out)]
     parts += [f"{s} AS {n}" for n, s in _exact_frags(spec).items()]

@@ -58,14 +58,19 @@ class SampleSpec:
 class ApproxAgg:
     """One approximate aggregate (reference supports Sum/Avg/Count,
     common/QueryRoutingRules.scala:55-92)."""
-    func: str                           # sum | avg | count | count_star
+    func: str                           # sum | avg | count | count_star | min | max
     measure: str | None                 # portable SQL expr; None only for count_star
     alias: str
     max_abs: float = 2.0 ** 20          # |measure| bound -> quantization scale
     errors: tuple[str, ...] = ()        # subset of ERROR_FUNCTIONS to emit
 
+    # min/max are BYPASS aggregates (reference ByPassErrorCalc,
+    # common/QueryRoutingRules.scala:55-92): computed directly on sample rows
+    # (weights cannot change an extremum), error functions constant — allowed
+    # alongside approximated SUM/AVG/COUNT when their arg is in the QCS.
     def __post_init__(self):
-        assert self.func in ("sum", "avg", "count", "count_star"), self.func
+        assert self.func in ("sum", "avg", "count", "count_star",
+                             "min", "max"), self.func
         if self.func == "count_star":
             assert self.measure is None
         else:
@@ -82,6 +87,32 @@ class JoinSpec:
 
 
 @dataclass(frozen=True)
+class SubqueryPred:
+    """One WHERE-clause subquery predicate of the outer (sampled) query.
+
+    Rebuild of the reference's subquery routing (PlaceHolderPlan hide/show,
+    common/QueryProcessingRules.scala:119-148, :2522-2597; tests
+    SubQueryRoutingTestSuite.scala): the outer query routes through its
+    sample while each subquery tree is planned independently — here the
+    subquery runs exactly and feeds the outer plan as a semi/anti join
+    (``in`` / ``not_in``) or an inlined literal (``scalar``).
+
+    NULL caveat: ``not_in`` is executed as an anti-join, which matches SQL
+    ``NOT IN`` only when neither side of the comparison is NULL (the usual
+    key-column case); NULL-producing subqueries should route exact.
+    """
+    kind: str                           # in | not_in | scalar
+    expr: str                           # lhs expr; for scalar: template with __SUBQ__
+    sub_sql: str                        # single-block SELECT (portable SQL)
+    tables: tuple[str, ...] = ()        # tables the subquery reads
+
+    def __post_init__(self):
+        assert self.kind in ("in", "not_in", "scalar"), self.kind
+        if self.kind == "scalar":
+            assert "__SUBQ__" in self.expr
+
+
+@dataclass(frozen=True)
 class ApproxQuerySpec:
     sample: SampleSpec
     aggs: tuple[ApproxAgg, ...]
@@ -89,6 +120,7 @@ class ApproxQuerySpec:
     group_aliases: tuple[str, ...] = ()     # output names; default = expr text
     joins: tuple[JoinSpec, ...] = ()
     where: str | None = None                # over base/join columns (pre-agg)
+    where_subs: tuple[SubqueryPred, ...] = ()   # subquery predicates (ANDed)
     having: str | None = None               # over output aliases (post-finalize)
     order_by: tuple[str, ...] = ()          # over output aliases
     limit: int | None = None

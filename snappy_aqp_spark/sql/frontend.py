@@ -8,10 +8,12 @@ else stays standard SQL and falls through to ``spark.sql`` untouched.
 
 Routing parity (common/QueryRoutingRules.scala:55-92,
 QueryProcessingRules.scala:1335-1459):
-  * only SUM / AVG / COUNT are approximated; COUNT(DISTINCT ...), window
-    functions, MIN/MAX and other constructs route the query to the base
-    table exactly, with error functions constant-folded to 0 / identity
-    (QueryRoutingRules.scala:370-404)
+  * only SUM / AVG / COUNT are approximated; MIN/MAX alongside them bypass
+    error calculation when their arg is in the QCS (ByPassErrorCalc,
+    QueryRoutingRules.scala:55-92) and route the whole query exact
+    otherwise; COUNT(DISTINCT ...), COUNT(IF(...)), window functions and
+    other constructs route the query to the base table exactly, with error
+    functions constant-folded to 0 / identity (QueryRoutingRules.scala:370-404)
   * closed-form is the default estimator; AVG with a HAVING above the
     aggregate picks bootstrap (QueryProcessingRules.scala:1421-1447)
 """
@@ -22,7 +24,7 @@ import re
 from dataclasses import dataclass, field
 
 from ..specs import (BEHAVIORS, ERROR_FUNCTIONS, ApproxAgg, ApproxQuerySpec,
-                     JoinSpec)
+                     JoinSpec, SubqueryPred)
 from ..tables import DEFAULT_COL_BOUNDS
 
 _WITH_RE = re.compile(
@@ -190,12 +192,109 @@ def parse_select(sql: str) -> ParsedSelect:
         limit=limit)
 
 
-_AGG_RE = re.compile(r"^(SUM|AVG|COUNT)\s*\((.*)\)$", re.IGNORECASE | re.DOTALL)
+_AGG_RE = re.compile(r"^(SUM|AVG|COUNT|MIN|MAX)\s*\((.*)\)$",
+                     re.IGNORECASE | re.DOTALL)
 _ERRFN_RE = re.compile(r"^(ABSOLUTE_ERROR|RELATIVE_ERROR|LOWER_BOUND|UPPER_BOUND)"
                        r"\s*\(\s*(\w+)\s*\)$", re.IGNORECASE)
 _UNSUPPORTED_RE = re.compile(
-    r"\bOVER\s*\(|\bDISTINCT\b|\bMIN\s*\(|\bMAX\s*\(|\bGROUPING\b|\bCUBE\b|\bROLLUP\b",
+    r"\bOVER\s*\(|\bDISTINCT\b|\bGROUPING\b|\bCUBE\b|\bROLLUP\b",
     re.IGNORECASE)
+# conditional counts — COUNT(IF(..)) / COUNT(CASE ..) — are NOT weighted
+# like plain counts (the condition interacts with stratification); the
+# reference routes them exact (common/QueryRoutingRules.scala:55-92)
+_COND_COUNT_RE = re.compile(r"\bIF\s*\(|\bCASE\b", re.IGNORECASE)
+
+
+_SUBQ_OPEN_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+_IN_SUBQ_RE = re.compile(r"^(?P<lhs>.+?)\s+(?P<neg>NOT\s+)?IN\s*"
+                         r"\(\s*(?P<sub>SELECT\b.*)\)$",
+                         re.IGNORECASE | re.DOTALL)
+
+
+def _split_and(s: str) -> list[str]:
+    """split a boolean expression on top-level ANDs (paren/quote aware)."""
+    parts, cur = [], []
+    depth, in_str, i = 0, False, 0
+    up = s.upper()
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif (depth == 0 and up.startswith("AND", i)
+              and (i == 0 or not up[i - 1].isalnum() and up[i - 1] != "_")
+              and (i + 3 >= len(s) or not (up[i + 3].isalnum() or up[i + 3] == "_"))):
+            parts.append("".join(cur).strip())
+            cur = []
+            i += 2
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def extract_subqueries(where: str) -> tuple[str | None, tuple[SubqueryPred, ...]]:
+    """Split a WHERE clause into plain conjuncts and subquery predicates
+    (the front half of the reference's PlaceHolderPlan routing,
+    QueryProcessingRules.scala:119-148). Supported per conjunct:
+    ``lhs [NOT] IN (SELECT ...)`` and a single scalar subquery anywhere in
+    a comparison. EXISTS, OR-nested subqueries, and non-single-block
+    subqueries raise (-> the query routes exact)."""
+    plain: list[str] = []
+    subs: list[SubqueryPred] = []
+    for conj in _split_and(where):
+        if not _SUBQ_OPEN_RE.search(conj):
+            plain.append(f"({conj})")
+            continue
+        if re.search(r"\bEXISTS\s*\(", conj, re.IGNORECASE):
+            raise SQLFrontendError("EXISTS subquery routes exact")
+        m = _IN_SUBQ_RE.match(conj.strip())
+        if (m and not _SUBQ_OPEN_RE.search(m.group("lhs"))
+                and not re.search(r"\bOR\b|\bAND\b|\bNOT\b|[<>=!]",
+                                  m.group("lhs"), re.IGNORECASE)):
+            sub_sql = m.group("sub").strip()
+            sub_parsed = parse_select(sub_sql)      # raises -> exact route
+            if len(sub_parsed.select_items) != 1:
+                raise SQLFrontendError("IN subquery must select one column")
+            subs.append(SubqueryPred(
+                "not_in" if m.group("neg") else "in",
+                m.group("lhs").strip(), sub_sql,
+                (sub_parsed.from_table, *[j.table for j in sub_parsed.joins])))
+            continue
+        if re.search(r"\bIN\s*\(\s*SELECT\b", conj, re.IGNORECASE):
+            raise SQLFrontendError("unsupported IN-subquery shape routes exact")
+        # scalar subquery inside a comparison: exactly one (SELECT ...) span
+        om = _SUBQ_OPEN_RE.search(conj)
+        depth, j = 0, om.start()
+        while j < len(conj):
+            if conj[j] == "(":
+                depth += 1
+            elif conj[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0 or _SUBQ_OPEN_RE.search(conj, j):
+            raise SQLFrontendError("unsupported subquery shape routes exact")
+        sub_sql = conj[om.start() + 1:j].strip()
+        sub_parsed = parse_select(sub_sql)          # raises -> exact route
+        template = conj[:om.start()] + "__SUBQ__" + conj[j + 1:]
+        subs.append(SubqueryPred(
+            "scalar", template.strip(), sub_sql,
+            (sub_parsed.from_table, *[jn.table for jn in sub_parsed.joins])))
+    return (" AND ".join(plain) or None), tuple(subs)
 
 
 def measure_bound(measure: str) -> float:
@@ -223,6 +322,15 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
     if _UNSUPPORTED_RE.search(full_text):
         return AnalyzedQuery(None, parsed, {}, "unsupported expression")
 
+    # WHERE-clause subqueries: one sampled relation per subquery tree
+    # (PlaceHolderPlan routing) — subqueries run exact, outer query samples
+    where_plain, where_subs = parsed.where, ()
+    if parsed.where and _SUBQ_OPEN_RE.search(parsed.where):
+        try:
+            where_plain, where_subs = extract_subqueries(parsed.where)
+        except SQLFrontendError as exc:
+            return AnalyzedQuery(None, parsed, {}, str(exc))
+
     aggs: list[ApproxAgg] = []
     agg_by_alias: dict[str, ApproxAgg] = {}
     group_items: list[tuple[str, str | None]] = []
@@ -237,6 +345,19 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
         if m:
             fn = m.group(1).lower()
             arg = m.group(2).strip()
+            if fn == "count" and arg != "*" and _COND_COUNT_RE.search(arg):
+                return AnalyzedQuery(None, parsed, {},
+                                     "conditional COUNT routes exact")
+            if fn in ("min", "max"):
+                # MIN/MAX alongside approx aggs bypass error calc ONLY when
+                # their arg is a QCS expression (every stratum is represented
+                # in the sample, so the sample extremum is trustworthy) —
+                # reference QueryRoutingRules.scala:55-92,
+                # QueryProcessingRules.scala:1335-1459
+                qcs_norm = {q.strip().lower() for q in sample_spec.qcs}
+                if arg.strip().lower() not in qcs_norm:
+                    return AnalyzedQuery(None, parsed, {},
+                                         "min/max arg not in QCS")
             if alias is None:
                 gen += 1
                 alias = f"{fn}_{gen}"
@@ -249,7 +370,7 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
             continue
         group_items.append((expr, alias))
 
-    if not aggs:
+    if not any(a.func in ("sum", "avg", "count", "count_star") for a in aggs):
         return AnalyzedQuery(None, parsed, {}, "no approximable aggregates")
 
     # attach error functions to their target aggregates
@@ -312,7 +433,8 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
         group_by=tuple(parsed.group_by),
         group_aliases=group_aliases,
         joins=tuple(parsed.joins),
-        where=parsed.where,
+        where=where_plain,
+        where_subs=where_subs,
         having=unalias(parsed.having),
         order_by=tuple(unalias(o) for o in parsed.order_by),
         limit=parsed.limit,

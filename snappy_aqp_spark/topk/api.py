@@ -30,9 +30,11 @@ from dataclasses import dataclass, field
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .sketches import CountMinSketch, SpaceSaving
+from .sketches import CountMinSketch, IntervalTracker, SpaceSaving
 
-_STATE_SCHEMA = ("pid long, bucket long, sketch binary, "
+# level: Hokusai dyadic time-aggregation level — level l rows hold one
+# sketch per aligned span of 2^l time buckets (level 0 = raw buckets)
+_STATE_SCHEMA = ("pid long, level long, bucket long, sketch binary, "
                  "cand_keys array<string>, cand_counts array<long>")
 
 
@@ -49,16 +51,18 @@ class TopKSpec:
     frequency_col: str | None = None
     stream_summary: bool = False
     capacity: int = 4096                       # candidates kept per bucket
-    num_partitions: int = 8
+    num_partitions: int = 32
     int_key: bool = False                      # integer keys partition by mod
                                                # (engine-portable, see oracle.py)
+    dyadic: bool = True                        # Hokusai time-aggregation levels
 
 
 @dataclass
 class TopKTable:
     spec: TopKSpec
-    state: DataFrame
+    state: DataFrame                           # all levels (level 0 = raw)
     epoch_us: int
+    max_level: int = 0
 
 
 class TopKRegistry:
@@ -104,6 +108,9 @@ def _bucketed(df: DataFrame, spec: TopKSpec, epoch_us: int) -> DataFrame:
                      freq.alias("__freq"))
 
 
+_STATE_COLS = ["pid", "level", "bucket", "sketch", "cand_keys", "cand_counts"]
+
+
 def _build_state(spec: TopKSpec):
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -117,7 +124,7 @@ def _build_state(spec: TopKSpec):
                 for k, c in items:
                     ss.add(k, int(c))
                 top = ss.topk(spec.capacity)
-                rows.append((pid, int(bucket), b"",
+                rows.append((pid, 0, int(bucket), b"",
                              [t[0] for t in top],
                              [int(t[1]) for t in top]))
             else:
@@ -125,11 +132,73 @@ def _build_state(spec: TopKSpec):
                 for k, c in items:
                     cms.add(k, int(c))
                 cand = items[: spec.capacity]
-                rows.append((pid, int(bucket), cms.to_bytes(),
+                rows.append((pid, 0, int(bucket), cms.to_bytes(),
                              [k for k, _ in cand], [int(c) for _, c in cand]))
-        return pd.DataFrame(rows, columns=["pid", "bucket", "sketch",
-                                           "cand_keys", "cand_counts"])
+        return pd.DataFrame(rows, columns=_STATE_COLS)
     return build
+
+
+def _merge_rows(spec: TopKSpec, pdf: pd.DataFrame, level: int,
+                bucket: int) -> pd.DataFrame:
+    """merge the sketch rows of ``pdf`` into ONE (level, bucket) row —
+    counter addition for CMS, count-summed candidate union (capped)."""
+    pid = int(pdf["pid"].iloc[0])
+    agg: dict[str, int] = {}
+    for ck, cc in zip(pdf["cand_keys"], pdf["cand_counts"]):
+        for k, c in zip(ck, cc):
+            agg[k] = agg.get(k, 0) + int(c)
+    cand = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[: spec.capacity]
+    if spec.stream_summary:
+        return pd.DataFrame([(pid, level, bucket, b"",
+                              [k for k, _ in cand], [int(c) for _, c in cand])],
+                            columns=_STATE_COLS)
+    cms = None
+    for r in pdf["sketch"]:
+        s = CountMinSketch.from_bytes(bytes(r))
+        if cms is None:
+            cms = s
+        else:
+            # width-align decayed (compressed) siblings before counter add
+            while s.width > cms.width:
+                s = s.compress()
+            while cms.width > s.width:
+                cms = cms.compress()
+            cms = cms.merge(s)
+    return pd.DataFrame([(pid, level, bucket, cms.to_bytes(),
+                          [k for k, _ in cand], [int(c) for _, c in cand])],
+                        columns=_STATE_COLS)
+
+
+def _with_levels(state0: DataFrame, spec: TopKSpec) -> tuple[DataFrame, int]:
+    """Attach Hokusai dyadic time-aggregation levels on top of the level-0
+    buckets (Hokusai.scala:394-432 taAggregates): level l+1 merges sketch
+    PAIRS of level l, so the whole pyramid costs O(buckets) tiny sketch-row
+    merges and range queries touch O(log n) rows. Production note: an
+    append touching bucket b only invalidates b's O(log n) dyadic ancestors;
+    the full rebuild here is create/insert-time simplicity, not a query-path
+    cost."""
+    if (spec.stream_summary or not spec.dyadic or spec.time_col is None):
+        return state0, 0
+    mx = state0.select(F.max("bucket").alias("m")).collect()[0]["m"]
+    max_level = int(mx).bit_length() if mx else 0
+    if max_level == 0:
+        return state0, 0
+
+    def merge_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        lvl = int(pdf["level"].iloc[0]) + 1
+        return _merge_rows(spec, pdf, lvl, int(pdf["bucket"].iloc[0]) // 2)
+
+    levels = [state0]
+    cur = state0
+    for _ in range(max_level):
+        cur = (cur.groupBy("pid", F.expr("bucket DIV 2").alias("__pb"))
+               .applyInPandas(lambda pdf: merge_pairs(pdf),
+                              schema=_STATE_SCHEMA))
+        levels.append(cur)
+    out = levels[0]
+    for ly in levels[1:]:
+        out = out.unionByName(ly)
+    return out, max_level
 
 
 def create_approx_ts_topk(spark: SparkSession, registry: TopKRegistry,
@@ -138,12 +207,23 @@ def create_approx_ts_topk(spark: SparkSession, registry: TopKRegistry,
     if epoch is None and spec.time_col is not None:
         epoch = min_time_us(df, spec.time_col)
     epoch = int(epoch or 0)
-    bucketed = _bucketed(df, spec, epoch)
-    state = (bucketed.groupBy("pid")
-             .applyInPandas(_build_state(spec), schema=_STATE_SCHEMA)
-             .persist())
-    state.count()
-    table = TopKTable(spec, state, epoch)
+    # JVM-side pre-aggregation: Python receives one row per DISTINCT
+    # (pid, bucket, key), never raw events — at stream scale the Arrow
+    # transfer is bounded by key cardinality, not event volume
+    # (rowToTupleConverter's combine, TopKWrapper.scala:157-209)
+    preagg = (_bucketed(df, spec, epoch)
+              .groupBy("pid", "bucket", "__key")
+              .agg(F.sum("__freq").alias("__freq")))
+    state0 = (preagg.groupBy("pid")
+              .applyInPandas(_build_state(spec), schema=_STATE_SCHEMA)
+              .persist())
+    state0.count()
+    state, max_level = _with_levels(state0, spec)
+    if max_level > 0:
+        state = state.persist()
+        state.count()
+        state0.unpersist()
+    table = TopKTable(spec, state, epoch, max_level)
     registry.tables[spec.name.lower()] = table
     return table
 
@@ -155,43 +235,43 @@ def insert_into_topk(spark: SparkSession, registry: TopKRegistry,
     (CountMinSketch.scala merge semantics)."""
     table = registry.get(name)
     spec = table.spec
-    new_state = (_bucketed(df, spec, table.epoch_us).groupBy("pid")
+    preagg = (_bucketed(df, spec, table.epoch_us)
+              .groupBy("pid", "bucket", "__key")
+              .agg(F.sum("__freq").alias("__freq")))
+    new_state = (preagg.groupBy("pid")
                  .applyInPandas(_build_state(spec), schema=_STATE_SCHEMA))
-    both = table.state.unionByName(new_state)
+    both = table.state.where(F.col("level") == 0).unionByName(new_state)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 1:
             return pdf
-        pid, bucket = int(pdf["pid"].iloc[0]), int(pdf["bucket"].iloc[0])
         if spec.stream_summary:
+            # Space-Saving re-feed in deterministic (count desc, key) order
+            pid, bucket = int(pdf["pid"].iloc[0]), int(pdf["bucket"].iloc[0])
             ss = SpaceSaving(spec.capacity)
-            agg = {}
-            for _, r in pdf.iterrows():
-                for k, c in zip(r["cand_keys"], r["cand_counts"]):
+            agg: dict[str, int] = {}
+            for ck, cc in zip(pdf["cand_keys"], pdf["cand_counts"]):
+                for k, c in zip(ck, cc):
                     agg[k] = agg.get(k, 0) + int(c)
             for k, c in sorted(agg.items(), key=lambda kv: (-kv[1], kv[0])):
                 ss.add(k, c)
             top = ss.topk(spec.capacity)
-            return pd.DataFrame([(pid, bucket, b"", [t[0] for t in top],
+            return pd.DataFrame([(pid, 0, bucket, b"", [t[0] for t in top],
                                   [int(t[1]) for t in top])],
-                                columns=pdf.columns)
-        cms = None
-        agg = {}
-        for _, r in pdf.iterrows():
-            s = CountMinSketch.from_bytes(bytes(r["sketch"]))
-            cms = s if cms is None else cms.merge(s)
-            for k, c in zip(r["cand_keys"], r["cand_counts"]):
-                agg[k] = agg.get(k, 0) + int(c)
-        cand = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[: spec.capacity]
-        return pd.DataFrame([(pid, bucket, cms.to_bytes(),
-                              [k for k, _ in cand], [int(c) for _, c in cand])],
-                            columns=pdf.columns)
+                                columns=_STATE_COLS)
+        return _merge_rows(spec, pdf, 0, int(pdf["bucket"].iloc[0]))
 
-    merged = (both.groupBy("pid", "bucket")
-              .applyInPandas(merge, schema=_STATE_SCHEMA).persist())
-    merged.count()
+    merged0 = (both.groupBy("pid", "bucket")
+               .applyInPandas(merge, schema=_STATE_SCHEMA).persist())
+    merged0.count()
+    merged, max_level = _with_levels(merged0, spec)
+    if max_level > 0:
+        merged = merged.persist()
+        merged.count()
+        merged0.unpersist()
     table.state.unpersist()
     table.state = merged
+    table.max_level = max_level
     return table
 
 
@@ -219,11 +299,17 @@ def decay_topk(spark: SparkSession, registry: TopKRegistry, name: str,
                 out.at[idx, "sketch"] = s.to_bytes()
         return out
 
-    new_state = (table.state.groupBy("pid")
-                 .applyInPandas(decay, schema=_STATE_SCHEMA).persist())
-    new_state.count()
+    decayed0 = (table.state.where(F.col("level") == 0).groupBy("pid")
+                .applyInPandas(decay, schema=_STATE_SCHEMA).persist())
+    decayed0.count()
+    new_state, max_level = _with_levels(decayed0, spec)
+    if max_level > 0:
+        new_state = new_state.persist()
+        new_state.count()
+        decayed0.unpersist()
     table.state.unpersist()
     table.state = new_state
+    table.max_level = max_level
     return table
 
 
@@ -235,20 +321,40 @@ def query_approx_ts_topk(spark: SparkSession, registry: TopKRegistry,
     whole interval containing ``start_us`` and the whole interval containing
     ``end_us`` contribute (matching the reference's interval resolution —
     TopKHokusai answers at time-bucket granularity). Result schemas
-    (SnappyContextAQPFunctions.scala:315-351): (key, EstimatedValue,
-    LowerBound) for CMS tables, (key, EstimatedValue, DeltaError) for stream
-    summaries."""
+    (SnappyContextAQPFunctions.scala:315-351): CMS tables emit the full
+    ErrorBoundsInfo (key, EstimatedValue, LowerBound, MaxBound, Probability)
+    — the ``Approximate`` monoid fields (Approximate.scala:25-60) — stream
+    summaries (key, EstimatedValue, DeltaError).
+
+    Bounded two-sided ranges on a dyadic table touch the O(log n) Hokusai
+    cover (IntervalTracker; Hokusai.scala:394-432) instead of one sketch
+    row per raw bucket — months of 5-second intervals stay cheap."""
     table = registry.get(name)
     spec = table.spec
     k = k or spec.size
+    iv = spec.time_interval_us
     state = table.state
-    if spec.time_col is not None:
+    if (not spec.stream_summary and spec.time_col is not None
+            and start_us is not None and end_us is not None
+            and table.max_level > 0):
+        b0 = max(0, (start_us - table.epoch_us) // iv)
+        b1 = (end_us - table.epoch_us) // iv
+        cover = IntervalTracker(table.max_level).cover(int(b0), int(b1))
+        cond = None
+        for lvl, idx in cover:
+            c = (F.col("level") == lvl) & (F.col("bucket") == idx)
+            cond = c if cond is None else cond | c
+        state = state.where(cond)
+    elif spec.time_col is not None:
+        state = state.where(F.col("level") == 0)
         if start_us is not None:
             state = state.where(
-                F.col("bucket") >= (start_us - table.epoch_us) // spec.time_interval_us)
+                F.col("bucket") >= (start_us - table.epoch_us) // iv)
         if end_us is not None:
             state = state.where(
-                F.col("bucket") <= (end_us - table.epoch_us) // spec.time_interval_us)
+                F.col("bucket") <= (end_us - table.epoch_us) // iv)
+    else:
+        state = state.where(F.col("level") == 0)
 
     if spec.stream_summary:
         def query(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -270,15 +376,17 @@ def query_approx_ts_topk(spark: SparkSession, registry: TopKRegistry,
                 cands.update(ck)
             rows = []
             for key in sorted(cands):
-                est, lower = 0, 0
+                acc = None
                 for s in sketches:
                     a = s.estimate_approximate(key)
-                    est += a.estimate
-                    lower += a.lower
-                rows.append((key, est, lower))
+                    acc = a if acc is None else acc + a
+                rows.append((key, acc.estimate, acc.lower, acc.max,
+                             acc.probability))
             return pd.DataFrame(rows, columns=["key", "EstimatedValue",
-                                               "LowerBound"])
-        out_schema = "key string, EstimatedValue long, LowerBound long"
+                                               "LowerBound", "MaxBound",
+                                               "Probability"])
+        out_schema = ("key string, EstimatedValue long, LowerBound long, "
+                      "MaxBound long, Probability double")
 
     per_part = state.groupBy("pid").applyInPandas(query, schema=out_schema)
     return (per_part.orderBy(F.col("EstimatedValue").desc(), F.col("key").asc())

@@ -128,6 +128,39 @@ class CountMinSketch:
         return cls(int(depth), int(width), table, int(size))
 
 
+class IntervalTracker:
+    """Dyadic-interval bookkeeping for Hokusai time aggregation
+    (reference: execution/Hokusai.scala:763 ``IntervalTracker``; the range
+    query walks taAggregates over a dyadic cover, Hokusai.scala:394-432).
+
+    Level ``l`` holds sketches over aligned spans of ``2^l`` time buckets;
+    any bucket range [lo, hi] is covered by at most ``2*log2(n)`` aligned
+    spans, so a months-long range query merges O(log n) sketches instead of
+    one per interval."""
+
+    def __init__(self, max_level: int):
+        self.max_level = max_level
+
+    @staticmethod
+    def span(level: int, idx: int) -> tuple[int, int]:
+        """bucket range [lo, hi] covered by node ``idx`` of ``level``."""
+        return idx << level, ((idx + 1) << level) - 1
+
+    def cover(self, lo: int, hi: int) -> list[tuple[int, int]]:
+        """minimal dyadic cover of [lo, hi] as (level, idx) nodes, left to
+        right — greedy largest-aligned-block decomposition."""
+        assert lo >= 0 and hi >= lo
+        out: list[tuple[int, int]] = []
+        while lo <= hi:
+            l = self.max_level if lo == 0 else min(
+                (lo & -lo).bit_length() - 1, self.max_level)
+            while lo + (1 << l) - 1 > hi:
+                l -= 1
+            out.append((l, lo >> l))
+            lo += 1 << l
+        return out
+
+
 class TopKCMS(CountMinSketch):
     """CMS + maintained top-k key set (cms/TopKCMS.scala:32-193)."""
 

@@ -129,5 +129,77 @@ def test_create_topk_table_ddl(aqp, spark):
             "size '10', width '4096', intKey 'true')")
     res = aqp.query_approx_ts_topk("ev_topk", k=5).toPandas()
     assert len(res) == 5
-    assert list(res.columns) == ["key", "EstimatedValue", "LowerBound"]
+    assert list(res.columns) == ["key", "EstimatedValue", "LowerBound",
+                                 "MaxBound", "Probability"]
     assert res["EstimatedValue"].is_monotonic_decreasing
+
+
+def test_minmax_alongside_routing(aqp):
+    """MIN/MAX next to approx aggs: bypass when the arg is in the QCS,
+    whole-query exact route otherwise (QueryRoutingRules.scala:55-92)."""
+    a = aqp.analyze_sql(
+        "SELECT l_returnflag, sum(l_extendedprice) AS s, "
+        "min(l_returnflag) AS mn FROM lineitem "
+        "GROUP BY l_returnflag WITH ERROR 0.5")
+    assert a.spec is not None
+    assert [g.func for g in a.spec.aggs] == ["sum", "min"]
+    # arg NOT in the QCS -> exact route
+    b = aqp.analyze_sql(
+        "SELECT l_returnflag, sum(l_extendedprice) AS s, "
+        "max(l_quantity) AS mx FROM lineitem "
+        "GROUP BY l_returnflag WITH ERROR 0.5")
+    assert b.spec is None and "not in QCS" in b.reason
+    # only MIN/MAX (no approximable agg) -> exact route
+    c = aqp.analyze_sql(
+        "SELECT min(l_returnflag) AS mn FROM lineitem WITH ERROR 0.5")
+    assert c.spec is None and c.reason == "no approximable aggregates"
+
+
+def test_conditional_count_routes_exact(aqp):
+    a = aqp.analyze_sql(
+        "SELECT count(CASE WHEN l_quantity > 10 THEN 1 END) AS c "
+        "FROM lineitem WITH ERROR 0.5")
+    assert a.spec is None and "conditional COUNT" in a.reason
+
+
+def test_subquery_routing(aqp):
+    """IN-subquery + scalar subquery both feed the sampled outer plan;
+    EXISTS and OR-nested subqueries route exact."""
+    a = aqp.analyze_sql(
+        "SELECT sum(l_extendedprice) AS s FROM lineitem "
+        "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+        "WHERE o_orderpriority LIKE '1%') AND l_quantity > 5 "
+        "WITH ERROR 0.5")
+    assert a.spec is not None
+    assert len(a.spec.where_subs) == 1
+    assert a.spec.where_subs[0].kind == "in"
+    assert a.spec.where_subs[0].tables == ("orders",)
+    assert a.spec.where == "(l_quantity > 5)"
+    b = aqp.analyze_sql(
+        "SELECT sum(l_extendedprice) AS s FROM lineitem "
+        "WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem) "
+        "WITH ERROR 0.5")
+    assert b.spec is not None and b.spec.where_subs[0].kind == "scalar"
+    c = aqp.analyze_sql(
+        "SELECT sum(l_extendedprice) AS s FROM lineitem "
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey) "
+        "WITH ERROR 0.5")
+    assert c.spec is None and "EXISTS" in c.reason
+    d = aqp.analyze_sql(
+        "SELECT sum(l_extendedprice) AS s FROM lineitem "
+        "WHERE l_quantity > 40 OR l_orderkey IN (SELECT o_orderkey FROM orders) "
+        "WITH ERROR 0.5")
+    assert d.spec is None
+
+
+def test_subquery_execution_matches_inline(aqp, duck):
+    """the semi-join rewrite of the IN-subquery must equal DuckDB's native
+    IN evaluation over the identical sample."""
+    text = ("SELECT l_linestatus, sum(l_extendedprice) AS s, "
+            "absolute_error(s) FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+            "WHERE o_totalprice > 150000.0) "
+            "GROUP BY l_linestatus ORDER BY l_linestatus WITH ERROR 0.5")
+    analyzed = aqp.analyze_sql(text)
+    assert analyzed.spec is not None and analyzed.spec.where_subs
+    compare_frames(aqp.sql(text), duck.sql(oracle_sql_for(analyzed.spec)))

@@ -138,3 +138,36 @@ def test_hokusai_decay_keeps_conservative_estimates(spark, events):
     # decayed sketches may only overestimate, never underestimate
     for k, v in before.items():
         assert after.get(k, 0) >= v
+
+
+def test_interval_tracker_cover_properties():
+    """IntervalTracker invariants (HokusaiIntervalTrackerSpec analog):
+    the cover partitions [lo, hi] exactly into aligned dyadic spans,
+    with O(log n) spans."""
+    from snappy_aqp_spark.topk.sketches import IntervalTracker
+    tr = IntervalTracker(6)
+    for lo in range(0, 40):
+        for hi in range(lo, 64):
+            cover = tr.cover(lo, hi)
+            covered = []
+            for level, idx in cover:
+                s, e = IntervalTracker.span(level, idx)
+                assert idx << level == s and e - s + 1 == 1 << level
+                assert level <= tr.max_level
+                covered.extend(range(s, e + 1))
+            assert covered == list(range(lo, hi + 1))  # exact, ordered, disjoint
+            assert len(cover) <= 2 * 7  # <= 2*(log2(64)+1)
+
+
+def test_dyadic_window_query_matches_oracle(spark, duck, events):
+    """two-sided range queries walk the O(log n) dyadic cover; pinned epoch
+    lets the oracle reproduce the cover's slack terms exactly."""
+    reg = TopKRegistry()
+    spec = _spec("dy", epoch_us=1_704_067_200_000_000)
+    t = create_approx_ts_topk(spark, reg, events, spec)
+    assert t.max_level > 0          # levels materialized
+    start, end = 1_704_672_000_000_000, 1_705_881_600_000_000
+    res = query_approx_ts_topk(spark, reg, "dy", start, end, 10)
+    # the plan touches the dyadic cover: [2,3] + [4,7] for this range
+    oracle = duck.sql(topk_oracle_sql(spec, "events", start, end, 10))
+    compare_frames(res, oracle, sort_cols=["key"])
