@@ -124,7 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, fx in PIPELINE_FIXTURES.items():
         out[name] = _make_pipeline_runner(fx)
     out["text_analysis"] = _text_runner
-    out["multimodal_features"] = _multimodal_runner   # rows-only (no oracle)
+    out["multimodal_features"] = _multimodal_runner
     out["sample_error_stats"] = _error_stats_runner
     out["sample_error_estimate_avg"] = _error_estimate_avg_runner
     return out
@@ -167,6 +167,8 @@ def oracle_sql() -> dict[str, str]:
         stages, final = fx["builder"](_DK, **fx["kw"])
         out[name] = stages_sql(stages, final)
     out["text_analysis"] = text_features_oracle(_DK)
+    out["multimodal_features"] = mm.multimodal_oracle_sql(
+        _DK, n_frames=4, sample_every=2, width=16, height=16, factor=2)
     from snappy_aqp_spark.fixtures import LI_HASH, _PRICE
     from snappy_aqp_spark.operators.sample_stats import (
         error_estimate_average_oracle, error_stats_oracle)

@@ -4,11 +4,17 @@ pipelines.
 Binary media live as opaque ``binary`` columns with typed metadata; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas
 functions over ``mapInPandas`` — the plumbing (schemas, batching,
-partitioning) is real and tested. The actual codec is STUBBED: this
-container has no image/audio libraries, so ``decode_fn="fake"`` derives a
-deterministic pixel/sample buffer from the content hash, and
+partitioning) is real and tested, and every batch body is vectorized numpy
+(no per-row Python loops). The actual codec is STUBBED: this container has
+no image/audio libraries, so ``decode_fn="fake"`` derives a deterministic
+pixel buffer from the content via pure integer arithmetic, and
 ``decode_fn="real"`` raises ``NotImplementedError`` where a PIL/ffmpeg call
 would plug in.
+
+The fake codec is deliberately *SQL-computable*: pixel(i) is a counter-based
+LCG over (content-hash seed, frame, i) in BIGINT-safe modular arithmetic, so
+``multimodal_oracle_sql`` replays the entire decode -> resize -> features
+pipeline inside DuckDB and the driver can hash-compare values exactly.
 
 Scale design: media blobs never shuffle — every stage is mapInPandas over
 the scan partitioning; only extracted features (small fixed-size vectors)
@@ -17,12 +23,14 @@ flow into joins/aggregations downstream.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from ..dialect import DUCKDB, dlit
+from . import dual
 
 MEDIA_SCHEMA = ("id bigint, content binary, format string, "
                 "width int, height int, n_frames int")
@@ -31,6 +39,13 @@ _DECODED_SCHEMA = ("id bigint, frame int, width int, height int, "
                    "pixels array<int>")
 _FEATURE_SCHEMA = ("id bigint, frame int, mean_px double, std_px double, "
                    "p_low double, p_high double")
+
+# all arithmetic stays below 2^62: safe under Spark 4 ANSI mode and int64
+_P31 = 2147483647          # 2^31 - 1
+_MUL = 1103515245          # classic LCG multiplier, < 2^31
+_INC = 12345
+_FMIX = 179424673          # frame mixer (prime)
+_IMIX = 2654435761         # pixel-counter mixer (Knuth 2^32 golden ratio)
 
 
 def synthesize_media(df: DataFrame, text_col: str = "text",
@@ -46,11 +61,31 @@ def synthesize_media(df: DataFrame, text_col: str = "text",
         F.lit(n_frames).alias("n_frames"))
 
 
-def _fake_decode(content: bytes, frame: int, width: int, height: int) -> np.ndarray:
-    """hash-seeded deterministic 'pixels' (uint8)."""
-    seed = hashlib.sha256(content + frame.to_bytes(4, "little")).digest()
-    rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
-    return rng.integers(0, 256, size=width * height, dtype=np.int64)
+def _content_seed(content: bytes) -> int:
+    """position-weighted code-point hash of the content, mod 2^31-1.
+
+    Matches ``_seed_sql`` exactly: code point of character k (1-based)
+    weighted by ((k*k) % 64) + 1. utf-32-le round-trip vectorizes the
+    per-character ord()."""
+    codes = np.frombuffer(bytes(content).decode("utf-8").encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.int64)
+    if codes.size == 0:
+        return 0
+    k = np.arange(1, codes.size + 1, dtype=np.int64)
+    w = (k * k) % 64 + 1
+    return int((codes * w).sum() % _P31)
+
+
+def _pixels(seeds: np.ndarray, frames: np.ndarray, n_px: int) -> np.ndarray:
+    """(rows,) seeds + (rows,) frames -> (rows, n_px) uint8-range pixels.
+
+    Counter-based two-step LCG; identical formula to ``_px_sql``."""
+    i = np.arange(n_px, dtype=np.int64)[None, :]
+    s1 = (seeds[:, None] + (frames[:, None] + 1) * _FMIX
+          + (i + 1) * _IMIX) % _P31
+    s2 = (s1 * _MUL + _INC) % _P31
+    s3 = (s2 * _MUL + _INC) % _P31
+    return s3 % 256
 
 
 def decode_media(df: DataFrame, decode_fn: str = "fake",
@@ -61,55 +96,173 @@ def decode_media(df: DataFrame, decode_fn: str = "fake",
         raise ValueError(decode_fn)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["id", "frame", "width", "height", "pixels"]
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                if decode_fn == "real":
-                    raise NotImplementedError(
-                        "real media decoding needs PIL/ffmpeg; plug in here")
-                for frame in range(0, int(r["n_frames"]), sample_every):
-                    px = _fake_decode(bytes(r["content"]), frame,
-                                      int(r["width"]), int(r["height"]))
-                    rows.append((int(r["id"]), frame, int(r["width"]),
-                                 int(r["height"]), px.tolist()))
-            yield pd.DataFrame(rows, columns=["id", "frame", "width",
-                                              "height", "pixels"])
+            if decode_fn == "real":
+                raise NotImplementedError(
+                    "real media decoding needs PIL/ffmpeg; plug in here")
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            seeds = np.fromiter((_content_seed(c) for c in pdf["content"]),
+                                dtype=np.int64, count=len(pdf))
+            nf = pdf["n_frames"].to_numpy(np.int64)
+            w = pdf["width"].to_numpy(np.int64)
+            h = pdf["height"].to_numpy(np.int64)
+            # expand rows -> one output row per sampled frame (vectorized)
+            counts = (nf + sample_every - 1) // sample_every
+            ri = np.repeat(np.arange(len(pdf)), counts)
+            off = np.repeat(np.cumsum(counts) - counts, counts)
+            fi = (np.arange(counts.sum()) - off) * sample_every
+            out = pd.DataFrame({"id": pdf["id"].to_numpy(np.int64)[ri],
+                                "frame": fi, "width": w[ri], "height": h[ri]})
+            # pixel generation is uniform per (width, height) group
+            px = np.empty(len(out), dtype=object)
+            npx = w[ri] * h[ri]
+            for n in np.unique(npx):
+                m = np.nonzero(npx == n)[0]
+                vals = _pixels(seeds[ri][m], fi[m], int(n)).tolist()
+                for t, v in zip(m, vals):
+                    px[t] = v
+            out["pixels"] = list(px)
+            yield out
 
     return df.mapInPandas(gen, schema=_DECODED_SCHEMA)
 
 
 def resize_pixels(df: DataFrame, factor: int = 2) -> DataFrame:
     """average-pool downsample by ``factor`` (deterministic integer mean)."""
+    f2 = factor * factor
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["id", "frame", "width", "height", "pixels"]
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                w, h = int(r["width"]), int(r["height"])
-                px = np.asarray(r["pixels"], dtype=np.int64).reshape(h, w)
-                h2, w2 = h // factor, w // factor
-                pooled = px[:h2 * factor, :w2 * factor].reshape(
-                    h2, factor, w2, factor).sum(axis=(1, 3)) // (factor * factor)
-                rows.append((int(r["id"]), int(r["frame"]), w2, h2,
-                             pooled.reshape(-1).tolist()))
-            yield pd.DataFrame(rows, columns=["id", "frame", "width",
-                                              "height", "pixels"])
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            w = pdf["width"].to_numpy(np.int64)
+            h = pdf["height"].to_numpy(np.int64)
+            out = pd.DataFrame({"id": pdf["id"].to_numpy(np.int64),
+                                "frame": pdf["frame"].to_numpy(np.int64),
+                                "width": w // factor, "height": h // factor})
+            pooled = np.empty(len(pdf), dtype=object)
+            pxs = pdf["pixels"].to_numpy()
+            for wh in np.unique(np.stack([w, h], axis=1), axis=0):
+                m = np.nonzero((w == wh[0]) & (h == wh[1]))[0]
+                wi, hi = int(wh[0]), int(wh[1])
+                h2, w2 = hi // factor, wi // factor
+                px = np.stack([np.asarray(pxs[t], dtype=np.int64)
+                               for t in m]).reshape(-1, hi, wi)
+                pl = ((px[:, :h2 * factor, :w2 * factor]
+                       .reshape(-1, h2, factor, w2, factor)
+                       .sum(axis=(2, 4)) // f2)
+                      .reshape(-1, h2 * w2).tolist())
+                for t, v in zip(m, pl):
+                    pooled[t] = v
+            out["pixels"] = list(pooled)
+            yield out
     return df.mapInPandas(gen, schema=_DECODED_SCHEMA)
 
 
 def extract_features(df: DataFrame) -> DataFrame:
-    """fixed-size per-frame features (exact integer-derived statistics)."""
+    """fixed-size per-frame features (exact integer-derived statistics).
+
+    Double math is single-division / single-sqrt so the SQL replay
+    (``multimodal_oracle_sql``) reproduces bit-identical values."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["id", "frame", "mean_px", "std_px", "p_low", "p_high"]
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                px = np.asarray(r["pixels"], dtype=np.int64)
-                n = len(px)
-                mean = float(px.sum()) / n
-                var = float((px * px).sum()) / n - mean * mean
-                rows.append((int(r["id"]), int(r["frame"]), mean,
-                             float(np.sqrt(max(var, 0.0))),
-                             float((px < 64).sum()) / n,
-                             float((px >= 192).sum()) / n))
-            yield pd.DataFrame(rows, columns=["id", "frame", "mean_px",
-                                              "std_px", "p_low", "p_high"])
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            px = np.stack([np.asarray(p, dtype=np.int64)
+                           for p in pdf["pixels"]])
+            n = float(px.shape[1])
+            mean = px.sum(axis=1) / n
+            var = (px * px).sum(axis=1) / n - mean * mean
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(np.int64),
+                "frame": pdf["frame"].to_numpy(np.int64),
+                "mean_px": mean,
+                "std_px": np.sqrt(np.maximum(var, 0.0)),
+                "p_low": (px < 64).sum(axis=1) / n,
+                "p_high": (px >= 192).sum(axis=1) / n})
     return df.mapInPandas(gen, schema=_FEATURE_SCHEMA)
+
+
+# --- exact SQL replay of the fake-codec pipeline ---------------------------
+
+def _seed_sql(dialect: str, col: str = "text") -> str:
+    """SQL twin of ``_content_seed`` (O(len) via the bound char array)."""
+    def body(a: str) -> str:
+        term = (f"CAST({dual.elem(dialect, a, 'k')} AS BIGINT) * "
+                f"(((k * k) % 64) + 1)")
+        arr = dual.transform(
+            dialect, dual.sequence(dialect, "CAST(1 AS BIGINT)",
+                                   f"CAST(length({col}) AS BIGINT)"),
+            f"k -> ({term})")
+        return dual.arr_sum_bigint(dialect, arr)
+    bound = dual.bind_array(dialect, dual.ascii_array(dialect, col), body)
+    return (f"(CASE WHEN length({col}) >= 1 THEN ({bound} % {_P31}) "
+            f"ELSE CAST(0 AS BIGINT) END)")
+
+
+def _px_sql(seed: str, frame: str, i_expr: str) -> str:
+    """SQL twin of ``_pixels`` for one flattened pixel index."""
+    s1 = (f"(({seed} + ({frame} + 1) * {_FMIX} + (({i_expr}) + 1) * "
+          f"{_IMIX}) % {_P31})")
+    s2 = f"(({s1} * {_MUL} + {_INC}) % {_P31})"
+    s3 = f"(({s2} * {_MUL} + {_INC}) % {_P31})"
+    return f"({s3} % 256)"
+
+
+def multimodal_oracle_sql(dialect: str = DUCKDB, table: str = "documents",
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n_frames: int = 4, sample_every: int = 2,
+                          width: int = 16, height: int = 16,
+                          factor: int = 2) -> str:
+    """One SQL statement reproducing synthesize -> decode(fake) ->
+    resize -> extract_features bit-exactly (fixed ``factor=2`` pooling)."""
+    if factor != 2:
+        raise ValueError("oracle supports factor=2 (the fixture shape)")
+    frames = list(range(0, n_frames, sample_every))
+    w2, h2 = width // factor, height // factor
+    n2 = w2 * h2
+    # pooled pixel j (0-based): source 2x2 block around (2r, 2c)
+    r = f"CAST((j - (j % {w2})) / {w2} AS BIGINT)"
+    c = f"(j % {w2})"
+    quads = [f"CAST({_px_sql('seed', 'frame', f'(({r} * {factor} + {dr}) * {width} + ({c} * {factor} + {dc}))')} AS BIGINT)"
+             for dr in range(factor) for dc in range(factor)]
+    pooled = (f"CAST(FLOOR(CAST(({' + '.join(quads)}) AS DOUBLE) / "
+              f"{dlit(factor * factor)}) AS BIGINT)")
+    px_arr = dual.transform(
+        dialect, dual.sequence(dialect, "CAST(0 AS BIGINT)",
+                               f"CAST({n2 - 1} AS BIGINT)"),
+        f"j -> {pooled}")
+    frames_arr = dual.array_lit(dialect, [str(f) for f in frames])
+    nd = dlit(float(n2))
+    mean = f"(CAST(s AS DOUBLE) / {nd})"
+    stages = [
+        ("__mmseed",
+         f"SELECT CAST({id_col} AS BIGINT) AS id, {_seed_sql(dialect, text_col)} AS seed "
+         f"FROM {table}"),
+        ("__mmframes",
+         f"SELECT id, seed, {dual.explode(dialect, frames_arr, 'frame')} "
+         f"FROM __mmseed"),
+        ("__mmpool",
+         f"SELECT id, frame, {px_arr} AS px FROM __mmframes"),
+        ("__mmagg",
+         "SELECT id, frame, "
+         f"{dual.arr_sum_bigint(dialect, 'px')} AS s, "
+         f"{dual.arr_sum_bigint(dialect, dual.transform(dialect, 'px', 'p -> p * p'))} AS sq, "
+         f"{dual.arr_sum_bigint(dialect, dual.transform(dialect, 'px', 'p -> (CASE WHEN p < 64 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)'))} AS nlo, "
+         f"{dual.arr_sum_bigint(dialect, dual.transform(dialect, 'px', 'p -> (CASE WHEN p >= 192 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)'))} AS nhi "
+         "FROM __mmpool"),
+    ]
+    final = (f"SELECT id, CAST(frame AS INT) AS frame, {mean} AS mean_px, "
+             f"sqrt(greatest(CAST(sq AS DOUBLE) / {nd} - {mean} * {mean}, "
+             f"{dlit(0.0)})) AS std_px, "
+             f"CAST(nlo AS DOUBLE) / {nd} AS p_low, "
+             f"CAST(nhi AS DOUBLE) / {nd} AS p_high "
+             f"FROM __mmagg ORDER BY id, frame")
+    return dual.stages_sql(stages, final)

@@ -92,6 +92,17 @@ def test_multimodal_pipeline_shapes_and_determinism(spark):
     assert ((feats["mean_px"] > 0) & (feats["mean_px"] < 255)).all()
 
 
+def test_multimodal_features_match_oracle(spark, duck):
+    """The fake codec is SQL-computable: the DuckDB replay of decode ->
+    resize -> features is bit-identical to the mapInPandas pipeline."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    media = mm.synthesize_media(docs, n_frames=4, width=16, height=16)
+    feats = mm.extract_features(mm.resize_pixels(
+        mm.decode_media(media, sample_every=2), factor=2))
+    compare_frames(feats.orderBy("id", "frame"),
+                   duck.sql(mm.multimodal_oracle_sql()))
+
+
 def test_multimodal_real_decode_is_stubbed(spark):
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(1)
     media = mm.synthesize_media(docs)
