@@ -90,14 +90,40 @@ def build_catalog_from_ddl(ddls: list[str]) -> SampleCatalog:
 
 
 class AQPSession:
-    def __init__(self, spark: SparkSession, error: float = 0.2,
-                 confidence: float = 0.95, behavior: str = "do_nothing",
+    # Spark-conf property surface (reference SnappyAQPSessionState.scala:222:
+    # spark.sql.aqp.{error,confidence,behavior,numBootStrapTrials}).
+    # Resolution order: explicit constructor arg > Spark conf > built-in.
+    CONF_ERROR = "spark.sql.aqp.error"
+    CONF_CONFIDENCE = "spark.sql.aqp.confidence"
+    CONF_BEHAVIOR = "spark.sql.aqp.behavior"
+    CONF_TRIALS = "spark.sql.aqp.numBootStrapTrials"
+
+    def __init__(self, spark: SparkSession, error: float | None = None,
+                 confidence: float | None = None, behavior: str | None = None,
+                 num_bootstrap_trials: int | None = None,
                  data_token: str | None = None):
         self.spark = spark
         self.catalog = SampleCatalog()
         self.tables: dict[str, DataFrame] = {}
-        self.defaults = {"error": error, "confidence": confidence,
-                         "behavior": behavior}
+
+        def conf(key, cast, fallback):
+            raw = spark.conf.get(key, None)
+            return cast(raw) if raw is not None else fallback
+
+        behavior = (behavior if behavior is not None
+                    else conf(self.CONF_BEHAVIOR, str, "do_nothing")).lower()
+        if behavior not in fe.BEHAVIORS:
+            raise ValueError(f"unknown behavior '{behavior}' "
+                             f"(from {self.CONF_BEHAVIOR} or constructor)")
+        self.defaults = {
+            "error": (error if error is not None
+                      else conf(self.CONF_ERROR, float, 0.2)),
+            "confidence": (confidence if confidence is not None
+                           else conf(self.CONF_CONFIDENCE, float, 0.95)),
+            "behavior": behavior,
+            "trials": (num_bootstrap_trials if num_bootstrap_trials is not None
+                       else conf(self.CONF_TRIALS, int, 100)),
+        }
         self._token = data_token or f"aqp-session-{uuid.uuid4().hex[:8]}"
 
     # -- tables / samples ---------------------------------------------------
@@ -261,6 +287,7 @@ class AQPSession:
             confidence=(confidence if confidence is not None
                         else self.defaults["confidence"]),
             behavior=behavior or self.defaults["behavior"],
-            estimator=estimator, **kw)
+            estimator=estimator,
+            **{"trials": self.defaults["trials"], **kw})
         return run_approx_query(self.spark, spec, self.tables,
                                 cache_token=self._token)

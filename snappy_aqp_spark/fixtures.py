@@ -182,6 +182,18 @@ APPROX_SPECS: dict[str, ApproxQuerySpec] = {
         sample=LI_HASH,
         aggs=(ApproxAgg("sum", "l_extendedprice", "sum_price", _PRICE, ALL_ERRORS),),
     ),
+    # DecimalType measures: exact DECIMAL(38,2) stratum sums for the
+    # estimate (reference widens Decimal, QueryProcessingRules.scala:1461-1466)
+    "cf_decimal_measure": ApproxQuerySpec(
+        sample=LI_HASH,
+        aggs=(ApproxAgg("sum", "CAST(l_extendedprice AS DECIMAL(18,2))",
+                        "sum_dec", _PRICE, ("absolute_error",), dec_scale=2),
+              ApproxAgg("avg", "CAST(l_extendedprice AS DECIMAL(18,2))",
+                        "avg_dec", _PRICE, dec_scale=2)),
+        group_by=("l_returnflag",),
+        group_aliases=("l_returnflag",),
+        order_by=("l_returnflag",),
+    ),
     # grouped multi-aggregate with ORDER BY (perfQueries.sql:4 shape)
     "cf_group_multi": ApproxQuerySpec(
         sample=LI_HASH,

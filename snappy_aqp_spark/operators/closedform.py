@@ -75,6 +75,14 @@ def quantized_measure(measure: str, m: int) -> str:
     return f"CAST(FLOOR(({measure}) * {pow2_literal(m)}) AS BIGINT)"
 
 
+def decimal_sum(measure: str, dec_scale: int) -> str:
+    """Exact order-independent per-stratum sum of a decimal measure: both
+    engines sum DECIMAL(38, s) in integer arithmetic; the outer CAST pins the
+    result type so Spark and DuckDB agree bit-for-bit."""
+    d = f"DECIMAL(38,{dec_scale})"
+    return f"CAST(SUM(CAST(({measure}) AS {d})) AS {d})"
+
+
 def inner_frags(agg: ApproxAgg, sc: AggScales) -> dict[str, str]:
     a = agg.alias
     out: dict[str, str] = {}
@@ -89,7 +97,12 @@ def inner_frags(agg: ApproxAgg, sc: AggScales) -> dict[str, str]:
         mq = quantized_measure(agg.measure, sc.m)
         out[f"__cnt_{a}"] = f"CAST(COUNT({agg.measure}) AS BIGINT)"
         if agg.func in ("sum", "avg"):
-            out[f"__sx_{a}"] = f"CAST(SUM({mq}) AS BIGINT)"
+            if agg.dec_scale is not None:
+                # decimal widening path: exact DECIMAL(38, s) stratum sum for
+                # the estimate; quantized squares only feed the variance
+                out[f"__dsx_{a}"] = decimal_sum(agg.measure, agg.dec_scale)
+            else:
+                out[f"__sx_{a}"] = f"CAST(SUM({mq}) AS BIGINT)"
             out[f"__sxx_{a}"] = f"CAST(SUM(({mq}) * ({mq})) AS BIGINT)"
     return out
 
@@ -112,10 +125,21 @@ def _cell_terms(agg: ApproxAgg, sc: AggScales) -> dict[str, str]:
     if agg.func in ("sum", "avg"):
         unscale = pow2_literal(-sc.m)
         unscale2 = pow2_literal(-2 * sc.m)
-        sx_d = f"(CAST(__sx_{a} AS DOUBLE) * {unscale})"
+        if agg.dec_scale is not None:
+            # decimal widening: split the stratum weight snt/sns into its
+            # integer part W (handled exactly in decimal arithmetic by
+            # outer_frags' __qdt term) and the fractional remainder f < 1;
+            # only dsx*f rides the double lattice. Estimates are EXACT for
+            # integral weights (e.g. weight 1, HAC full-route) and the
+            # residual error is bounded by the lattice granularity otherwise.
+            sx_d = f"CAST(__dsx_{a} AS DOUBLE)"
+            frac_w = (f"(CAST(__snt % __sns AS DOUBLE) / {ns_d})")
+            terms["ts"] = f"({sx_d} * {frac_w})"
+        else:
+            sx_d = f"(CAST(__sx_{a} AS DOUBLE) * {unscale})"
+            terms["ts"] = f"({sx_d} * {w})"
         sxx_d = f"(CAST(__sxx_{a} AS DOUBLE) * {unscale2})"
         sv = f"(({sxx_d} / {ns_d}) - (({sx_d} / {ns_d}) * ({sx_d} / {ns_d})))"
-        terms["ts"] = f"({sx_d} * {w})"
     else:
         sv = f"(({cnt_d} / {ns_d}) * (1.0 - ({cnt_d} / {ns_d})))"
     raw = f"({mul} * {sv})"
@@ -138,6 +162,15 @@ def outer_frags(agg: ApproxAgg, sc: AggScales) -> dict[str, str]:
            f"__qnv_{a}": qsum(t["nv"], sc.sv)}
     if "ts" in t:
         out[f"__qts_{a}"] = qsum(t["ts"], sc.st)
+    if agg.dec_scale is not None and agg.func in ("sum", "avg"):
+        # exact part of the weighted sum: dsx * floor(snt/sns), summed in
+        # DECIMAL(38, s) integer arithmetic (order-independent; both engines
+        # agree bit-for-bit — overflow past 38 digits raises under ANSI,
+        # mirroring the reference's bounded widening)
+        d = f"DECIMAL(38,{agg.dec_scale})"
+        w_int = "CAST((__snt - (__snt % __sns)) / __sns AS BIGINT)"
+        out[f"__qdt_{a}"] = (f"CAST(SUM(CAST((__dsx_{a} * {w_int}) AS {d})) "
+                             f"AS {d})")
     return out
 
 
@@ -157,6 +190,9 @@ def fin_est_frags(agg: ApproxAgg, sc: AggScales, confidence: float,
     c = f"__c_{a}"
     if agg.func in ("sum", "avg"):
         tsum = f"(CAST(__qts_{a} AS DOUBLE) * {pow2_literal(-sc.st)})"
+        if agg.dec_scale is not None:
+            # exact integer-weight part + lattice fractional residual
+            tsum = f"(CAST(__qdt_{a} AS DOUBLE) + {tsum})"
     if agg.func == "sum":
         est = f"(CASE WHEN {c} = 0 THEN NULL ELSE {tsum} END)"
         sd = f"SQRT({nv})"
@@ -232,7 +268,10 @@ def exact_output_frags(agg: ApproxAgg, sc: AggScales) -> dict[str, str]:
         est = f"CAST(COUNT({agg.measure}) AS DOUBLE)"
     else:
         mq = quantized_measure(agg.measure, sc.m)
-        s = f"(CAST(SUM({mq}) AS DOUBLE) * {pow2_literal(-sc.m)})"
+        if agg.dec_scale is not None:
+            s = f"CAST({decimal_sum(agg.measure, agg.dec_scale)} AS DOUBLE)"
+        else:
+            s = f"(CAST(SUM({mq}) AS DOUBLE) * {pow2_literal(-sc.m)})"
         est = (f"(CASE WHEN COUNT({agg.measure}) = 0 THEN NULL ELSE {s} END)"
                if agg.func == "sum" else
                f"(CASE WHEN COUNT({agg.measure}) = 0 THEN NULL "

@@ -98,44 +98,50 @@ def minhash_lsh_stages(dialect: str, threshold: float, k: int = 5,
                        n_hashes: int = 32, bands: int = 8,
                        table: str = "documents", col: str = "text"
                        ) -> tuple[list[tuple[str, str]], str]:
-    """signatures -> bands -> bucket join -> exact-Jaccard verify.
+    """one-permutation MinHash -> bands -> bucket join -> exact verify.
 
     Scale shape (the 100 TB plan):
-      * signatures are computed per-document with array HOFs over the
-        shingle array — a pure projection scan, no explode and no
-        n_hashes-way aggregate shuffle;
-      * all band hashes are emitted as ONE array in a single projection
-        and exploded (no bands-way self-UNION re-scan);
+      * signatures use ONE permutation hash per shingle (Li, Owen, Zhang
+        2012, "One Permutation Hashing"): the hash value selects one of
+        ``n_hashes`` bins and the per-bin minimum is the signature slot.
+        One explode + two narrow whole-stage-codegen aggregations replace
+        the n_hashes-way per-document array passes (which burned ~45M boxed
+        lambda evaluations at sf0.1 and dominated the bench);
+      * the band hash combines its bins positionally (m · C^(bin mod r),
+        summed mod P31) so it is ORDER-INDEPENDENT — no sort, identical
+        result on any execution order, and empty bins (short docs) simply
+        contribute nothing;
       * shingles are exploded ONLY for documents that appear in a candidate
         pair (semi-join first), so the exact-Jaccard verify join never
         touches the full corpus.
-    The only shuffles left are the (small) band self-join and the verify
-    join over candidate docs.
+    The only shuffles left are the per-doc bin/band aggregations (rows ~
+    shingle count, then n_hashes/doc, then bands/doc), the (small) band
+    self-join, and the verify join over candidate docs.
     """
     rows = n_hashes // bands
-    consts = _minhash_exprs(n_hashes)
+    (pa, pb) = _minhash_exprs(1)[0]
+    cpows = [pow(1299721, j, P31) for j in range(rows)]
     grams = dual.gram_int_array(dialect, col, k)
     stages = [
-        ("__grams", f"SELECT doc_id, {dual.arr_distinct(dialect, grams)} AS gs "
-                    f"FROM {table} WHERE length({col}) >= {k}"),
-    ]
-    # minhash m_i per doc = min over the (materialized) gram array; band
-    # hash chains `rows` consecutive minhashes; emit all bands in one array.
-    mins = [dual.arr_min(
-        dialect, dual.transform(
-            dialect, "gs", f"sh -> (((sh % {P31}) * {a} + {b}) % {P31})"))
-        for (a, b) in consts]
-    band_vals = []
-    for bi in range(bands):
-        h = mins[bi * rows]
-        for r in range(1, rows):
-            h = f"(({h}) * 1299721 + {mins[bi * rows + r]}) % {P31}"
-        # band id packed above the 31-bit hash -> one equi-join key
-        band_vals.append(f"(CAST({bi} AS BIGINT) * {2 ** 31} + ({h}))")
-    stages += [
-        ("__bands", f"SELECT doc_id, "
-                    f"{dual.explode(dialect, dual.array_lit(dialect, band_vals), 'bv')} "
-                    f"FROM __grams"),
+        # distinct shingles as NARROW ROWS, not arrays: this stage is the
+        # one worth caching (3 downstream readers), and persisting two-long
+        # rows is ~10x cheaper than serializing per-doc array columns
+        ("__shr", f"SELECT doc_id, "
+                  f"{dual.explode(dialect, dual.arr_distinct(dialect, grams), 'sh')} "
+                  f"FROM {table} WHERE length({col}) >= {k}"),
+        # one permutation hash per shingle; hash selects the signature bin
+        ("__bins", f"SELECT doc_id, h % {n_hashes} AS bin, MIN(h) AS m FROM "
+                   f"(SELECT doc_id, ((sh % {P31}) * {pa} + {pb}) % {P31} AS h "
+                   f"FROM __shr) __oph GROUP BY doc_id, h % {n_hashes}"),
+        # band value = band-id packed above an order-independent positional
+        # combine of the band's bins (sum of m * C^(bin mod rows) mod P31)
+        ("__bands",
+         f"SELECT doc_id, CAST((bin - (bin % {rows})) / {rows} AS BIGINT) "
+         f"* {2 ** 31} + SUM((m * (CASE "
+         + " ".join(f"WHEN bin % {rows} = {j} THEN {c}" for j, c in enumerate(cpows))
+         + f" END)) % {P31}) % {P31} AS bv "
+         f"FROM __bins "
+         f"GROUP BY doc_id, CAST((bin - (bin % {rows})) / {rows} AS BIGINT)"),
         ("__cand",
          "SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
          "FROM __bands a JOIN __bands b "
@@ -143,10 +149,10 @@ def minhash_lsh_stages(dialect: str, threshold: float, k: int = 5,
         ("__cdoc", "SELECT ida AS doc_id FROM __cand "
                    "UNION SELECT idb AS doc_id FROM __cand"),
         # shingle rows only for candidate documents
-        ("__shc", f"SELECT g.doc_id, {dual.explode(dialect, 'g.gs', 'sh')} "
-                  f"FROM __grams g JOIN __cdoc d ON g.doc_id = d.doc_id"),
-        ("__sz", f"SELECT doc_id, CAST({dual.arr_len(dialect, 'gs')} AS BIGINT) "
-                 f"AS n FROM __grams"),
+        ("__shc", "SELECT g.doc_id, g.sh "
+                  "FROM __shr g JOIN __cdoc d ON g.doc_id = d.doc_id"),
+        ("__sz", "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM __shr "
+                 "GROUP BY doc_id"),
         ("__common",
          "SELECT c.ida, c.idb, CAST(COUNT(*) AS BIGINT) AS common "
          "FROM __cand c JOIN __shc a ON a.doc_id = c.ida "

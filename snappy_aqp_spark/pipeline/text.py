@@ -32,29 +32,53 @@ def regex_count(dialect: str, col: str, pat: str) -> str:
     return f"len(regexp_extract_all({col}, '{pat}'))"
 
 
-def _padded(col: str) -> str:
-    """double inner spaces + pad ends so ' word ' matches every token
-    without overlap issues (portable: no backslash classes)."""
-    return f"(' ' || replace({col}, ' ', '  ') || ' ')"
+def _tokens(dialect: str, col: str) -> str:
+    """one regex-split pass -> non-empty alnum tokens (identical split
+    semantics verified on both engines, incl. boundary empties)."""
+    split = (f"split({col}, '[^A-Za-z0-9]+')" if dialect == SPARK
+             else f"regexp_split_to_array({col}, '[^A-Za-z0-9]+')")
+    flt = "filter" if dialect == SPARK else "list_filter"
+    return f"{flt}({split}, t -> t <> '')"
 
 
-def word_set_count(dialect: str, col: str, words: tuple[str, ...]) -> str:
-    pat = " (" + "|".join(words) + ") "
-    return regex_count(dialect, _padded(col), pat)
+def _in_count(dialect: str, toks: str, words: tuple[str, ...]) -> str:
+    flt = "filter" if dialect == SPARK else "list_filter"
+    lst = ", ".join(f"'{w}'" for w in words)
+    body = f"{flt}({toks}, t -> t IN ({lst}))"
+    return (f"size({body})" if dialect == SPARK else f"len({body})")
+
+
+TOKEN_FEATURES = ("n_tokens", "sw_en", "sw_es", "sw_de")
+
+
+def _token_counts(dialect: str, toks: str) -> dict[str, str]:
+    """count fragments over a bound token-array variable."""
+    arr_n = "size" if dialect == SPARK else "len"
+    out = {"n_tokens": f"CAST({arr_n}({toks}) AS BIGINT)"}
+    for lang, words in STOPWORDS.items():
+        out[f"sw_{lang}"] = f"CAST({_in_count(dialect, toks, words)} AS BIGINT)"
+    return out
+
+
+def token_struct_frag(col: str = "text") -> str:
+    """Spark: all token-derived counts in ONE generator expression.
+
+    The token array binds once as a lambda variable (one regex-split pass
+    per document — the former 6-regex formulation re-scanned the document
+    per feature and dominated the bench); ``explode`` of the 1-element
+    struct array is a Generate node, which CollapseProject cannot inline
+    through, so downstream references extract struct fields instead of
+    re-splitting."""
+    counts = _token_counts(SPARK, "t")
+    fields = ", ".join(f"'{n}', {s}" for n, s in counts.items())
+    return (f"explode(transform(array({_tokens(SPARK, col)}), "
+            f"t -> named_struct({fields})))")
 
 
 def text_feature_frags(dialect: str, col: str = "text") -> dict[str, str]:
-    """doc-level features; identical values on Spark and DuckDB."""
-    n_tokens = regex_count(dialect, col, "[A-Za-z0-9]+")
-    n_punct = regex_count(dialect, col, "[.,;:!?]")
-    frags = {
-        "n_tokens": f"CAST({n_tokens} AS BIGINT)",
-        "n_punct": f"CAST({n_punct} AS BIGINT)",
-        "n_chars_m": f"CAST(length({col}) AS BIGINT)",
-    }
-    for lang, words in STOPWORDS.items():
-        frags[f"sw_{lang}"] = f"CAST({word_set_count(dialect, col, words)} AS BIGINT)"
-    return frags
+    """non-token doc features; identical values on Spark and DuckDB."""
+    return {"n_chars_m": f"CAST(length({col}) AS BIGINT)",
+            "n_punct": f"CAST({regex_count(dialect, col, '[.,;:!?]')} AS BIGINT)"}
 
 
 def quality_frags() -> dict[str, str]:
@@ -101,14 +125,22 @@ def fingerprint_frags(dialect: str, col: str = "text",
 
 
 def text_features(df: DataFrame, col: str = "text") -> DataFrame:
-    """Spark path: counts + fingerprints -> quality/langid."""
+    """Spark path: one tokenization generator + scalar counts +
+    fingerprints -> quality/langid."""
     stage_a = df.select(
         "doc_id", "lang", "source",
         *[F.expr(s).alias(n)
           for n, s in text_feature_frags(SPARK, col).items()],
+        F.expr(token_struct_frag(col)).alias("__tf"),
         *[F.expr(s).alias(n)
           for n, s in fingerprint_frags(SPARK, col).items()])
-    return stage_a.select(
+    stage_b = stage_a.select(
+        "doc_id", "lang", "source",
+        *[F.col(f"__tf.{n}").alias(n) for n in ("n_tokens",)],
+        "n_punct", "n_chars_m",
+        *[F.col(f"__tf.{n}").alias(n) for n in TOKEN_FEATURES[1:]],
+        "fp_md5", "fp_mingram")
+    return stage_b.select(
         "*",
         *[F.expr(s).alias(n) for n, s in quality_frags().items()],
         F.expr(langid_frag()).alias("lang_pred"))
@@ -116,11 +148,19 @@ def text_features(df: DataFrame, col: str = "text") -> DataFrame:
 
 def text_features_oracle(dialect: str = DUCKDB, table: str = "documents",
                          col: str = "text") -> str:
+    """replay SQL: a __toks CTE column feeds the token counts (DuckDB CSEs
+    the references; the barrier trick is only needed under Catalyst)."""
     feat = text_feature_frags(dialect, col)
+    tok = _token_counts(dialect, "__toks")
     fp = fingerprint_frags(dialect, col)
-    inner_parts = ["doc_id", "lang", "source"]
-    inner_parts += [f"{s} AS {n}" for n, s in {**feat, **fp}.items()]
-    inner = f"SELECT {', '.join(inner_parts)} FROM {table}"
+    base = (f"SELECT doc_id, lang, source, {col}, "
+            f"{_tokens(dialect, col)} AS __toks FROM {table}")
+    inner_parts = ["doc_id", "lang", "source",
+                   f"{tok['n_tokens']} AS n_tokens"]
+    inner_parts += [f"{s} AS {n}" for n, s in feat.items()]
+    inner_parts += [f"{tok[n]} AS {n}" for n in TOKEN_FEATURES[1:]]
+    inner_parts += [f"{s} AS {n}" for n, s in fp.items()]
+    inner = f"SELECT {', '.join(inner_parts)} FROM ({base}) __b"
     outer_parts = (["*"]
                    + [f"{s} AS {n}" for n, s in quality_frags().items()]
                    + [f"{langid_frag()} AS lang_pred"])

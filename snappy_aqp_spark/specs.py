@@ -63,6 +63,16 @@ class ApproxAgg:
     alias: str
     max_abs: float = 2.0 ** 20          # |measure| bound -> quantization scale
     errors: tuple[str, ...] = ()        # subset of ERROR_FUNCTIONS to emit
+    # DecimalType(p, s) measures (reference widens Decimal in AQP aggregation,
+    # common/QueryProcessingRules.scala:1461-1466, bypassErrorCalculations
+    # .scala:45-49): when set, SUM/AVG estimates run on exact DECIMAL(38, s)
+    # per-stratum sums (order-independent integer arithmetic — no per-row
+    # double floor, no precision loss past 2^53); doubles enter only at the
+    # per-stratum weighting term. The variance/error path stays double, as in
+    # the reference (StatCounterWithFullCount buffers are Double). Set
+    # automatically by the SQL front-end for CAST(expr AS DECIMAL(p,s))
+    # measures; DataFrame-API callers pass it for native decimal columns.
+    dec_scale: int | None = None
 
     # min/max are BYPASS aggregates (reference ByPassErrorCalc,
     # common/QueryRoutingRules.scala:55-92): computed directly on sample rows

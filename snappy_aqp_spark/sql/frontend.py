@@ -203,6 +203,11 @@ _UNSUPPORTED_RE = re.compile(
 # like plain counts (the condition interacts with stratification); the
 # reference routes them exact (common/QueryRoutingRules.scala:55-92)
 _COND_COUNT_RE = re.compile(r"\bIF\s*\(|\bCASE\b", re.IGNORECASE)
+# decimal-typed measure: SUM/AVG(CAST(expr AS DECIMAL(p, s))) takes the
+# exact decimal-widening path (reference QueryProcessingRules.scala:1461-1466)
+_DEC_MEASURE_RE = re.compile(
+    r"^CAST\s*\(.*\s+AS\s+DECIMAL\s*\(\s*\d+\s*,\s*(\d+)\s*\)\s*\)$",
+    re.IGNORECASE | re.DOTALL)
 
 
 _SUBQ_OPEN_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
@@ -364,7 +369,9 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
             if fn == "count" and arg == "*":
                 agg = ApproxAgg("count_star", None, alias)
             else:
-                agg = ApproxAgg(fn, arg, alias, measure_bound(arg))
+                dm = _DEC_MEASURE_RE.match(arg) if fn in ("sum", "avg") else None
+                agg = ApproxAgg(fn, arg, alias, measure_bound(arg),
+                                dec_scale=int(dm.group(1)) if dm else None)
             aggs.append(agg)
             agg_by_alias[alias.lower()] = agg
             continue
@@ -443,6 +450,7 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
                     else defaults["confidence"]),
         behavior=wc.behavior or defaults["behavior"],
         estimator=estimator,
+        trials=defaults.get("trials", 100),
     )
     return AnalyzedQuery(spec, parsed, rename)
 

@@ -31,3 +31,32 @@ def test_strict_raises(spark):
     tables = load_tables(spark, SF_SMALL, _tables_for(spec))
     with pytest.raises(ErrorLimitExceededException):
         run_approx_query(spark, spec, tables)
+
+
+def test_decimal_measure_exact_past_double(spark):
+    """dec_scale path keeps sums exact beyond 2^53 (the double-floor path
+    cannot); reference widens Decimal per QueryProcessingRules.scala:1461-1466."""
+    from decimal import Decimal
+
+    from snappy_aqp_spark.api import AQPSession
+    from snappy_aqp_spark.specs import ApproxAgg
+
+    vals = [Decimal("123456789012345678.91"), Decimal("123456789012345611.35"),
+            Decimal("98765432109876543.21"), Decimal("111111111111111111.11")]
+    rows = [(i, g, v) for i, (g, v) in
+            enumerate(zip(["a", "a", "b", "b"], vals))]
+    df = spark.createDataFrame(rows, "k INT, g STRING, v DECIMAL(38,2)")
+    aqp = AQPSession(spark)
+    aqp.register_table("bigdec", df)
+    # fraction-1.0 hash sample keeps every row with weight 1 -> the
+    # estimate must equal the exact decimal sum, double-rounded once
+    aqp.create_sample_table("bigdec_s", "bigdec", qcs=["g"], method="hash",
+                            fraction=1.0, key_cols=["k"], materialize=False)
+    out = aqp.approx_agg(
+        "bigdec",
+        [ApproxAgg("sum", "v", "s", max_abs=1e18, dec_scale=2)]).collect()
+    assert out[0]["s"] == float(sum(vals))
+    # the double-floor path loses ~2^37 per row at this magnitude
+    out_lossy = aqp.approx_agg(
+        "bigdec", [ApproxAgg("sum", "v", "s", max_abs=1e18)]).collect()
+    assert abs(out_lossy[0]["s"] - float(sum(vals))) > 1.0

@@ -203,3 +203,32 @@ def test_subquery_execution_matches_inline(aqp, duck):
     analyzed = aqp.analyze_sql(text)
     assert analyzed.spec is not None and analyzed.spec.where_subs
     compare_frames(aqp.sql(text), duck.sql(oracle_sql_for(analyzed.spec)))
+
+
+def test_session_conf_property_surface(spark):
+    """spark.sql.aqp.* conf keys feed session defaults; constructor args win
+    (reference SnappyAQPSessionState.scala:222)."""
+    keys = {AQPSession.CONF_ERROR: "0.07", AQPSession.CONF_CONFIDENCE: "0.9",
+            AQPSession.CONF_BEHAVIOR: "LOCAL_OMIT", AQPSession.CONF_TRIALS: "37"}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        s = AQPSession(spark)
+        assert s.defaults == {"error": 0.07, "confidence": 0.9,
+                              "behavior": "local_omit", "trials": 37}
+        # explicit constructor args override the conf
+        s2 = AQPSession(spark, error=0.2, behavior="strict")
+        assert s2.defaults["error"] == 0.2
+        assert s2.defaults["behavior"] == "strict"
+        assert s2.defaults["confidence"] == 0.9    # still from conf
+        assert s2.defaults["trials"] == 37
+        spark.conf.set(AQPSession.CONF_BEHAVIOR, "bogus")
+        with pytest.raises(ValueError, match="unknown behavior"):
+            AQPSession(spark)
+    finally:
+        for k in keys:
+            spark.conf.unset(k)
+    # without conf keys, built-in defaults apply
+    s3 = AQPSession(spark)
+    assert s3.defaults == {"error": 0.2, "confidence": 0.95,
+                           "behavior": "do_nothing", "trials": 100}
