@@ -179,6 +179,19 @@ def _select_frags(df: DataFrame, keep: list[str], frags: dict[str, str]) -> Data
 # results.
 _SAMPLE_CACHE: dict[tuple, DataFrame] = {}
 
+# prepared-plan cache: the generated closed-form/bootstrap expression trees
+# are large, and profiling shows DataFrame construction + Catalyst analysis
+# dominates interactive query latency (~0.3 s build vs ~0.03 s execution at
+# sf0.1) — the reference caches analyzed AQP plans for the same reason
+# (internal/SnappyAQPSessionState.scala AQPQueryAnalyzer re-entrancy cache).
+# Only side-effect-free behaviors are cacheable: strict / run_on_full_table /
+# partial_run_on_base_table run an eager violation check with a
+# persist/unpersist lifecycle, so they rebuild per call. Specs are frozen
+# dataclasses and the data location is pinned by cache_token, so a cached
+# plan can never return different results.
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+_CACHEABLE_BEHAVIORS = ("do_nothing", "local_omit")
+
 
 def get_sample(base: DataFrame, spec: ApproxQuerySpec,
                cache_token: str | None) -> DataFrame:
@@ -334,6 +347,18 @@ def run_approx_query(spark: SparkSession, spec: ApproxQuerySpec,
                      tables: dict[str, DataFrame],
                      cache_token: str | None = None) -> DataFrame:
     """Execute the approximate query; returns the visible-result DataFrame."""
+    behavior = spec.behavior
+    if cache_token is not None and behavior in _CACHEABLE_BEHAVIORS:
+        pkey = (spec, cache_token)
+        if pkey not in _PLAN_CACHE:
+            df = _prepare(spec, tables, sampled=True, cache_token=cache_token)
+            fin_rel = (_bootstrap_fin_rel(spark, spec, df)
+                       if spec.estimator == "bootstrap"
+                       else _closedform_fin_rel(spec, df))
+            _PLAN_CACHE[pkey] = _apply_tail(
+                spec, _finalize_visible(spec, fin_rel))
+        return _PLAN_CACHE[pkey]
+
     df = _prepare(spec, tables, sampled=True, cache_token=cache_token)
     gcols = _gcols(spec)
     if spec.estimator == "bootstrap":
@@ -341,7 +366,6 @@ def run_approx_query(spark: SparkSession, spec: ApproxQuerySpec,
     else:
         fin_rel = _closedform_fin_rel(spec, df)
 
-    behavior = spec.behavior
     if behavior in ("do_nothing", "local_omit"):
         return _apply_tail(spec, _finalize_visible(spec, fin_rel))
 
