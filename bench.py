@@ -76,7 +76,8 @@ def main() -> None:
     import __spark_entry__ as entry
     qs = entry.queries()
     for name in ("topk_cms_full", "topk_streamsummary", "dedup_minhash_lsh",
-                 "dedup_simhash", "ann_cosine_topk", "text_analysis"):
+                 "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk",
+                 "text_analysis"):
         def once():
             qs[name](spark, SF_DIR).collect()
         for _ in range(max(1, WARMUP - 1)):

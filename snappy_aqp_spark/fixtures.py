@@ -42,6 +42,11 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "ann_lsh_topk": {
         "builder": _sim.lsh_topk_stages, "kw": {},
         "tables": ("embeddings",)},
+    # centroid-partitioned IVF-Flat (deterministic seed subsample + one SQL
+    # Lloyd step); probing scans nprobe/n_centroids of the corpus
+    "ann_ivf_topk": {
+        "builder": _sim.ivf_topk_stages, "kw": {},
+        "tables": ("embeddings",)},
 }
 
 ALL_ERRORS = ("absolute_error", "relative_error", "lower_bound", "upper_bound")

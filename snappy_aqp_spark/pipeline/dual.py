@@ -121,6 +121,41 @@ def gram_int_array(dialect: str, col: str, k: int,
             f"ELSE {empty_bigint_array(dialect)} END)")
 
 
+def arr_max(dialect: str, arr_sql: str) -> str:
+    return (f"array_max({arr_sql})" if dialect == SPARK
+            else f"list_max({arr_sql})")
+
+
+def arr_filter(dialect: str, arr_sql: str, lam: str) -> str:
+    return (f"filter({arr_sql}, {lam})" if dialect == SPARK
+            else f"list_filter({arr_sql}, {lam})")
+
+
+def mk_struct(dialect: str, fields: list[tuple[str, str]]) -> str:
+    if dialect == SPARK:
+        body = ", ".join(f"'{n}', {s}" for n, s in fields)
+        return f"named_struct({body})"
+    body = ", ".join(f"{n} := {s}" for n, s in fields)
+    return f"struct_pack({body})"
+
+
+def collect(dialect: str, val_sql: str) -> str:
+    """unordered array aggregation (use only where downstream consumption is
+    order-independent, e.g. an argmax fold)."""
+    return (f"collect_list({val_sql})" if dialect == SPARK
+            else f"list({val_sql})")
+
+
+def ordered_list(dialect: str, val: str, order: str) -> str:
+    """aggregate ``val`` into an array ordered by ``order`` (both column
+    references; ``order`` must be unique within the group so the result is
+    deterministic). Spark has no ordered array_agg — sort structs instead."""
+    if dialect == SPARK:
+        return (f"transform(sort_array(collect_list(struct({order}, {val}))), "
+                f"x -> x.{val.split('.')[-1]})")
+    return f"list({val} ORDER BY {order})"
+
+
 def xor(dialect: str, a: str, b: str) -> str:
     return f"({a} ^ {b})" if dialect == SPARK else f"xor({a}, {b})"
 

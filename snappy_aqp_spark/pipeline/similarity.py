@@ -215,6 +215,126 @@ def _lsh_bucket(dialect: str, vec: str, dim: int, planes: int,
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
+def ivf_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
+                    dim: int = 64, n_centroids: int = 16, nprobe: int = 4,
+                    seed_stride: int = 31, table: str = "embeddings",
+                    plant_rate: int | None = None
+                    ) -> tuple[list[tuple[str, str]], str]:
+    """IVF-Flat approximate top-k — the centroid-partitioned scale path.
+
+    Classic inverted-file ANN (FAISS IVF-Flat shape) expressed as pure
+    relational algebra:
+
+      1. seed centroids = a deterministic corpus subsample (every
+         ``seed_stride``-th vector; random-subsample init is the standard
+         IVF baseline),
+      2. ONE Lloyd refinement step, fully in SQL: assign every vector to
+         its nearest seed via an in-row argmax fold over the packed
+         (single-row, broadcast) centroid array — the corpus is never
+         shuffled or windowed for assignment — then component-wise integer
+         floor-mean per cluster (explode(dim) -> groupBy(cid, i) ->
+         ordered re-collect),
+      3. inverted lists = the final nearest-centroid assignment
+         (vec_id -> cid),
+      4. a query probes its ``nprobe`` closest centroids and re-ranks ONLY
+         the vectors on those lists with the exact integer cosine.
+
+    At 100 TB the centroid table stays tiny (broadcast both in assignment
+    and probing — the corpus never shuffles for either), the inverted lists
+    are just a cluster-id column (write the corpus bucketed/partitioned by
+    ``cid`` and probing becomes partition pruning: nprobe/n_centroids of
+    the data is scanned), and the only wide op is the groupBy(cid, i)
+    centroid mean — n_centroids*dim groups. More Lloyd steps = repeat
+    stage 2; recall/cost tune via nprobe like any IVF index.
+
+    All arithmetic is the quantized-BIGINT reproducible mode, so the DuckDB
+    replay computes the identical index and identical results; recall vs
+    the exact scan is pinned by a pytest (not by luck at query time).
+    """
+    def nearest(left: str, lv: str, ln2: str, right: str, keep: int,
+                out: str) -> str:
+        """rank ``right``'s centroids per ``left`` row by exact cosine,
+        keep the ``keep`` best (deterministic cid tie-break). Window-based —
+        used ONLY on the query side (rows << corpus); corpus assignment
+        goes through the shuffle-free argmax fold below."""
+        cos = _cos(_dot(dialect, lv, "s.cv", dim), ln2, "s.cn2")
+        return (f"SELECT {out}, cid, cos FROM ("
+                f"SELECT a.{out}, s.cid, {cos} AS cos, "
+                f"ROW_NUMBER() OVER (PARTITION BY a.{out} "
+                f"ORDER BY {cos} DESC, s.cid ASC) AS rnk "
+                f"FROM {left} a CROSS JOIN {right} s) t WHERE rnk <= {keep}")
+
+    def pack(src: str) -> str:
+        """collapse a centroid relation to ONE row holding all centroids as
+        an array of structs — broadcastable next to every corpus row.
+        collect order is irrelevant: the argmax fold is order-independent."""
+        cents = dual.collect(dialect, dual.mk_struct(
+            dialect, [("cid", "cid"), ("cv", "cv"), ("cn2", "cn2")]))
+        return f"SELECT {cents} AS cents FROM {src}"
+
+    def argmax_cid(lv: str, ln2: str) -> str:
+        """nearest-centroid id for one corpus row: score every packed
+        centroid in a single projection, take max of (cos, -cid) structs —
+        lexicographic struct comparison gives cos DESC, cid ASC, identical
+        in Spark and DuckDB. No join fan-out, no window, no shuffle."""
+        cos = _cos(_dot(dialect, lv, "c.cv", dim), ln2, "c.cn2")
+        scored = dual.transform(
+            dialect, "p.cents",
+            f"c -> {dual.mk_struct(dialect, [('cos', cos), ('ncid', '-c.cid')])}")
+        return f"(-(({dual.arr_max(dialect, scored)}).ncid))"
+
+    if plant_rate:               # planted-near-dup corpus for recall tests
+        stages = _planted_corpus_stages(dialect, table, dim, plant_rate)
+        base = "__corpus"
+    else:
+        stages = [_vec_stage(dialect, table, dim)]
+        base = "__vec"
+    stages += [
+        ("__seed", f"SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM {base} "
+                   f"WHERE vec_id % {seed_stride} = 0 "
+                   f"AND vec_id < {seed_stride * n_centroids}"),
+        ("__pos", f"SELECT "
+                  f"{dual.explode(dialect, dual.sequence(dialect, '1', str(dim)), 'i')}"),
+        ("__seedp", pack("__seed")),
+        # carry v through assignment: the Lloyd mean then needs no
+        # corpus self-join
+        ("__asg0", f"SELECT a.vec_id, a.v, {argmax_cid('a.v', 'a.n2')} "
+                   f"AS cid FROM {base} a CROSS JOIN __seedp p"),
+        # one Lloyd step: component-wise floor-mean of each cluster's
+        # members (sums << 2^53 -> the DOUBLE division is exact)
+        ("__cm", f"SELECT g.cid, p.i, CAST(FLOOR(CAST(SUM("
+                 f"{dual.elem(dialect, 'g.v', 'p.i')}) AS DOUBLE) "
+                 f"/ CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS s "
+                 f"FROM __asg0 g CROSS JOIN __pos p GROUP BY g.cid, p.i"),
+        ("__cent", f"SELECT cid, {dual.ordered_list(dialect, 's', 'i')} "
+                   f"AS cv FROM __cm GROUP BY cid"),
+        ("__centn", f"SELECT cid, cv, {_norm2(dialect, 'cv', dim)} AS cn2 "
+                    f"FROM __cent"),
+        ("__centnp", pack("__centn")),
+        ("__asg", f"SELECT a.vec_id, {argmax_cid('a.v', 'a.n2')} AS cid "
+                  f"FROM {base} a CROSS JOIN __centnp p"),
+        ("__qs", f"SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM {base} "
+                 f"WHERE vec_id < {n_queries}"),
+        ("__probe", nearest("__qs", "a.qv", "a.qn2", "__centn", nprobe,
+                            "qid")),
+        # each vector lives on exactly one inverted list and probed cids are
+        # distinct per query, so (qid, vid) is already unique — no dedup
+        ("__cand", f"SELECT p.qid, q.qv, q.qn2, g.vec_id AS vid "
+                   f"FROM __probe p JOIN __asg g ON g.cid = p.cid "
+                   f"JOIN __qs q ON q.qid = p.qid "
+                   f"WHERE g.vec_id <> p.qid"),
+        ("__sim", f"SELECT c.qid, c.vid, "
+                  f"{_cos(_dot(dialect, 'c.qv', 'a.v', dim), 'c.qn2', 'a.n2')} "
+                  f"AS cos FROM __cand c JOIN {base} a ON a.vec_id = c.vid"),
+        ("__rk", "SELECT qid, vid, cos, ROW_NUMBER() OVER "
+                 "(PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank "
+                 "FROM __sim"),
+    ]
+    final = (f"SELECT qid, vid, CAST(rank AS BIGINT) AS rank, cos "
+             f"FROM __rk WHERE rank <= {k} ORDER BY qid, rank")
+    return stages, final
+
+
 def lsh_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
                     dim: int = 64, planes: int = 6,
                     table: str = "embeddings"

@@ -69,6 +69,21 @@ def test_embedding_lsh_candidates_cover_true_pairs(views):
     assert brute == lsh
 
 
+def test_ivf_finds_planted_neighbors(views):
+    """IVF probing must route each query to the cluster holding its planted
+    near-duplicate (cos ~ 1): rank-1 hit for every planted query. Random
+    background neighbors (max cos ~ 0.37 on this corpus) are allowed to
+    straddle cluster boundaries; genuinely-similar vectors are not."""
+    from snappy_aqp_spark.pipeline import similarity
+    st, fin = similarity.ivf_topk_stages(SPARK, plant_rate=10)
+    rows = run_stages(views, st, fin).collect()
+    got = {(r.qid, r.vid): r.rank for r in rows}
+    planted = [q for q in range(20) if q % 10 == 0]
+    assert planted
+    for q in planted:
+        assert got.get((q, q + 10_000_000)) == 1
+
+
 def test_text_features_match(views, duck):
     docs = views.read.parquet(f"{SF_SMALL}/documents.parquet")
     compare_frames(text_features(docs), duck.sql(text_features_oracle()))
