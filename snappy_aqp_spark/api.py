@@ -273,6 +273,7 @@ class AQPSession:
                    estimator: str = "closed_form", **kw) -> DataFrame:
         """programmatic analog of df.withError(...).agg(...)
         (SnappyContextAQPFunctions.scala:358-368)."""
+        fe.validate_error_confidence(error, confidence)
         group_cols = set()
         for g in group_by:
             group_cols.update(self._cols_in(base.lower(), g))

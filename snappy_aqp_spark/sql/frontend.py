@@ -27,8 +27,11 @@ from ..specs import (BEHAVIORS, ERROR_FUNCTIONS, ApproxAgg, ApproxQuerySpec,
                      JoinSpec, SubqueryPred)
 from ..tables import DEFAULT_COL_BOUNDS
 
+# WITH ERROR is optional: the reference also accepts bare trailing
+# `CONFIDENCE x` / `BEHAVIOR 'y'` clauses (QuerySyntaxTestSuite.scala:123-165)
+# whose error then resolves from the session/connection default.
 _WITH_RE = re.compile(
-    r"\s+WITH\s+ERROR(?:\s+(?P<e>[0-9.eE+-]+))?"
+    r"(?:\s+(?P<w>WITH\s+ERROR)(?:\s+(?P<e>[0-9.eE+-]+))?)?"
     r"(?:\s+CONFIDENCE\s+(?P<c>[0-9.eE+-]+))?"
     r"(?:\s+BEHAVIOR\s+'(?P<b>\w+)')?\s*;?\s*$",
     re.IGNORECASE)
@@ -45,6 +48,23 @@ class WithClause:
     error: float | None
     confidence: float | None
     behavior: str | None
+    has_error_kw: bool = True     # WITH ERROR keyword present (vs bare
+                                  # CONFIDENCE/BEHAVIOR trailing clause)
+
+
+def validate_error_confidence(error: float | None,
+                              confidence: float | None) -> None:
+    """Reference range contract (QuerySyntaxTestSuite.scala:168-259):
+    0 < error < 1 and 0 < confidence < 1, both endpoints excluded. A
+    NEGATIVE error is not a range violation — it is the reference's
+    'AQP disabled' sentinel (`spark.sql.aqp.error=-1d`): the query routes
+    exact instead of raising."""
+    if error is not None and error >= 0 and not 0 < error < 1:
+        raise SQLFrontendError(
+            f"error within range of 0 to 1 required, got {error}")
+    if confidence is not None and not 0 < confidence < 1:
+        raise SQLFrontendError(
+            f"confidence within range of 0 to 1 required, got {confidence}")
 
 
 @dataclass
@@ -61,14 +81,18 @@ class ParsedSelect:
 
 def strip_with_clause(sql: str) -> tuple[str, WithClause | None]:
     m = _WITH_RE.search(sql)
-    if not m:
+    # with every component optional the regex can match empty trailing
+    # whitespace — only a real keyword hit is a WITH clause
+    if not m or not (m.group("w") or m.group("c") or m.group("b")):
         return sql, None
     wc = WithClause(
         error=float(m.group("e")) if m.group("e") else None,
         confidence=float(m.group("c")) if m.group("c") else None,
-        behavior=m.group("b").lower() if m.group("b") else None)
+        behavior=m.group("b").lower() if m.group("b") else None,
+        has_error_kw=bool(m.group("w")))
     if wc.behavior is not None and wc.behavior not in BEHAVIORS:
         raise SQLFrontendError(f"unknown behavior '{wc.behavior}'")
+    validate_error_confidence(wc.error, wc.confidence)
     return sql[:m.start()], wc
 
 
@@ -327,6 +351,15 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
     if _UNSUPPORTED_RE.search(full_text):
         return AnalyzedQuery(None, parsed, {}, "unsupported expression")
 
+    # negative error — explicit (`WITH ERROR -1.3`) or from the session
+    # default (`spark.sql.aqp.error=-1d`) when the clause omits a value —
+    # is the reference's AQP-off sentinel: route exact, don't raise
+    # (QuerySyntaxTestSuite.scala:150-161,205-211)
+    resolved_error = wc.error if wc.error is not None else defaults["error"]
+    if resolved_error is None or resolved_error < 0:
+        return AnalyzedQuery(None, parsed, {},
+                             "negative/unset error: AQP disabled")
+
     # WHERE-clause subqueries: one sampled relation per subquery tree
     # (PlaceHolderPlan routing) — subqueries run exact, outer query samples
     where_plain, where_subs = parsed.where, ()
@@ -445,7 +478,7 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
         having=unalias(parsed.having),
         order_by=tuple(unalias(o) for o in parsed.order_by),
         limit=parsed.limit,
-        error=wc.error if wc.error is not None else defaults["error"],
+        error=resolved_error,
         confidence=(wc.confidence if wc.confidence is not None
                     else defaults["confidence"]),
         behavior=wc.behavior or defaults["behavior"],

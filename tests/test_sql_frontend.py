@@ -232,3 +232,45 @@ def test_session_conf_property_surface(spark):
     s3 = AQPSession(spark)
     assert s3.defaults == {"error": 0.2, "confidence": 0.95,
                            "behavior": "do_nothing", "trials": 100}
+
+
+def test_bare_confidence_and_behavior_clauses(aqp):
+    """QuerySyntaxTestSuite.scala:123-165: CONFIDENCE / BEHAVIOR may appear
+    without WITH ERROR — the error then resolves from the session default."""
+    a = aqp.analyze_sql("SELECT sum(l_extendedprice) AS s FROM lineitem "
+                        "GROUP BY l_returnflag CONFIDENCE 0.5")
+    assert a is not None and a.spec is not None
+    assert a.spec.confidence == 0.5
+    b = aqp.analyze_sql("SELECT avg(l_quantity) AS a FROM lineitem "
+                        "GROUP BY l_returnflag BEHAVIOR 'do_nothing'")
+    assert b is not None and b.spec is not None
+    assert b.spec.behavior == "do_nothing"
+    # a trailing bare column is NOT a with-clause
+    assert aqp.analyze_sql("SELECT count(*) AS n FROM lineitem") is None
+
+
+def test_error_confidence_range_validation():
+    """QuerySyntaxTestSuite.scala:168-259: both values strictly in (0,1)."""
+    for bad in ("WITH ERROR 1.3", "WITH ERROR 1", "WITH ERROR 0",
+                "WITH ERROR 0.3 CONFIDENCE 1.2",
+                "WITH ERROR 0.3 CONFIDENCE -0.9",
+                "WITH ERROR 0.3 CONFIDENCE 0.0",
+                "WITH ERROR 0.3 CONFIDENCE 1.0"):
+        with pytest.raises(fe.SQLFrontendError):
+            fe.strip_with_clause(f"SELECT 1 FROM t {bad}")
+
+
+def test_negative_error_disables_aqp(aqp, spark):
+    """negative error = the reference's AQP-off sentinel: route exact, not
+    raise — explicit (QuerySyntaxTestSuite.scala:205-211) and via
+    spark.sql.aqp.error=-1d (:150-161)."""
+    a = aqp.analyze_sql("SELECT sum(l_extendedprice) AS s FROM lineitem "
+                        "GROUP BY l_returnflag WITH ERROR -1.3")
+    assert a is not None and a.spec is None
+    neg = AQPSession(spark, error=-1.0, data_token="test-sf0.001-neg")
+    neg.load_tables(SF_SMALL, ["lineitem"])
+    neg.sql("CREATE SAMPLE TABLE li_neg ON lineitem OPTIONS("
+            "qcs 'l_returnflag', fraction '0.05', method 'hash', seed '42')")
+    b = neg.analyze_sql("SELECT sum(l_extendedprice) AS s FROM lineitem "
+                        "GROUP BY l_returnflag CONFIDENCE 0.5")
+    assert b is not None and b.spec is None
