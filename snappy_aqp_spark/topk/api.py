@@ -80,9 +80,15 @@ class TopKRegistry:
 
 def _time_us(df: DataFrame, time_col: str):
     """timestamp -> epoch microseconds; LONG columns are nanosecond ticks
-    (Spark reads TIMESTAMP(NANOS) parquet via legacy nanosAsLong)."""
-    if dict(df.dtypes).get(time_col) == "bigint":
+    (Spark reads TIMESTAMP(NANOS) parquet via legacy nanosAsLong).
+    TIMESTAMP_NTZ (naive parquet timestamps) uses timestampdiff from the
+    NTZ epoch — timezone-independent and identical to DuckDB epoch_us()."""
+    dt = dict(df.dtypes).get(time_col)
+    if dt == "bigint":
         return F.expr(f"({time_col}) DIV 1000")
+    if dt == "timestamp_ntz":
+        return F.expr(f"timestampdiff(MICROSECOND, "
+                      f"TIMESTAMP_NTZ'1970-01-01 00:00:00', ({time_col}))")
     return F.unix_micros(F.expr(time_col))
 
 
