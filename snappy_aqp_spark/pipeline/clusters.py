@@ -1,0 +1,133 @@
+"""Near-duplicate cluster assignment: LSH pairs -> connected components ->
+one canonical document per cluster.
+
+The missing last stage of a dedup pipeline: pair detection (minhash_lsh)
+emits edges; transitive closure groups them (A~B, B~C => {A,B,C} even when
+A,C never co-bucket), and the canonical keep-list is the per-cluster
+minimum doc_id — the same keep rule the reference-style exact dedup uses
+(pipeline/dedup.py exact_dedup_stages).
+
+Spark side: iterative min-label propagation with POINTER DOUBLING
+(label <- label(label) each round), the alternating-star / hash-to-min
+family of MapReduce CC algorithms (Rastogi et al. 2012, "Finding Connected
+Components in Map-Reduce in Logarithmic Rounds"; Kiveris et al. 2014).
+Convergence in O(log diameter) rounds; each round is two key-partitioned
+shuffles over the EDGE list only (never the corpus), so at 100 TB the cost
+is proportional to the near-dup pair count, and the driver-side loop moves
+one scalar (sum of labels) per round — no collect of rows.
+
+Oracle side: the identical pair stages replayed on DuckDB + a recursive
+CTE transitive closure (WITH RECURSIVE reach) — exact, engine-checked
+closure semantics at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import dual
+from .dedup import minhash_lsh_stages
+from ..dialect import DUCKDB, SPARK, dlit
+
+
+def connected_components(pairs: DataFrame, src: str = "ida",
+                         dst: str = "idb", max_iter: int = 30) -> DataFrame:
+    """(doc_id, cluster_id) for every node in ``pairs``; cluster_id is the
+    component-minimum node id (deterministic, iteration-order independent).
+
+    Labels start as node ids and are monotonically non-increasing: each
+    round takes the min over neighbor labels (propagation) then follows the
+    label's own label (pointer doubling). The sum of labels strictly
+    decreases until the fixpoint, so one scalar per round decides
+    convergence."""
+    e = pairs.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    e = (e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+         .distinct().persist())
+    # localCheckpoint (not persist) per round: the pointer-doubling
+    # self-join doubles the logical plan every iteration — lineage must be
+    # truncated or plan construction itself goes exponential
+    lab = (e.select("u").distinct()
+           .select("u", F.col("u").alias("lab")).localCheckpoint())
+    prev = lab.agg(F.sum("lab")).collect()[0][0]
+    for _ in range(max_iter):
+        nb = (e.join(lab.select(F.col("u").alias("v"), "lab"), "v")
+              .groupBy("u").agg(F.min("lab").alias("nlab")))
+        lab1 = (lab.join(nb, "u", "left")
+                .select("u", F.least("lab", "nlab").alias("lab")))
+        # pointer doubling: lab <- lab(lab); labels are always node ids so
+        # the lookup is a self-join on the label table
+        lab = (lab1.join(lab1.select(F.col("u").alias("lab"),
+                                     F.col("lab").alias("lab2")),
+                         "lab", "left")
+               .select("u", F.coalesce("lab2", "lab").alias("lab"))
+               .localCheckpoint())
+        cur = lab.agg(F.sum("lab")).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    e.unpersist()
+    return lab.select(F.col("u").alias("doc_id"),
+                      F.col("lab").alias("cluster_id"))
+
+
+def dedup_clusters(spark: SparkSession, threshold: float = 0.5, k: int = 7,
+                   n_hashes: int = 32, bands: int = 8,
+                   table: str = "documents", col: str = "text") -> DataFrame:
+    """Full-corpus cluster assignment over ``table`` (must be a temp view):
+    (doc_id, cluster_id, cluster_size, is_duplicate), one row per document;
+    documents in no near-dup pair are singleton clusters of themselves."""
+    stages, final = minhash_lsh_stages(SPARK, threshold=threshold, k=k,
+                                       n_hashes=n_hashes, bands=bands,
+                                       table=table, col=col)
+    pairs = dual.run_stages(spark, stages, final)
+    cc = connected_components(pairs)
+    docs = spark.table(table).select(F.col("doc_id").cast("long").alias("doc_id"))
+    lab = (docs.join(cc, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("cluster_id", "doc_id").alias("cluster_id")))
+    sz = lab.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (lab.join(sz, "cluster_id")
+            .select("doc_id", "cluster_id", "cluster_size",
+                    F.expr("CASE WHEN doc_id = cluster_id THEN 0 ELSE 1 END")
+                    .alias("is_duplicate"))
+            .orderBy("doc_id"))
+
+
+def dedup_clusters_oracle_sql(threshold: float = 0.5, k: int = 7,
+                              n_hashes: int = 32, bands: int = 8,
+                              table: str = "documents",
+                              col: str = "text") -> str:
+    """DuckDB replay: same pair stages + recursive-CTE transitive closure."""
+    stages, _ = minhash_lsh_stages(DUCKDB, threshold=threshold, k=k,
+                                   n_hashes=n_hashes, bands=bands,
+                                   table=table, col=col)
+    # the transitive closure lives in a NESTED subquery scope: a top-level
+    # WITH RECURSIVE changes how DuckDB evaluates the non-recursive stages
+    # of the same WITH list (observed: candidate pairs differ vs the plain
+    # WITH evaluation) — nesting confines the iterative semantics to the
+    # closure itself
+    closure = ("WITH RECURSIVE __reach(u, v) AS ("
+               "SELECT u, v FROM __edges UNION "
+               "SELECT r.u, e.v FROM __reach r "
+               "JOIN __edges e ON r.v = e.u WHERE e.v <> r.u) "
+               "SELECT u, v FROM __reach")
+    stages = stages + [
+        ("__cpairs", f"SELECT ida, idb FROM __j "
+                     f"WHERE jaccard >= {dlit(threshold)}"),
+        ("__edges", "SELECT ida AS u, idb AS v FROM __cpairs "
+                    "UNION SELECT idb AS u, ida AS v FROM __cpairs"),
+        ("__comp", f"SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id "
+                   f"FROM ({closure}) __r GROUP BY u"),
+        ("__lab", f"SELECT d.doc_id, "
+                  f"COALESCE(c.cluster_id, d.doc_id) AS cluster_id "
+                  f"FROM {table} d LEFT JOIN __comp c ON d.doc_id = c.doc_id"),
+        ("__csz", "SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS "
+                  "cluster_size FROM __lab GROUP BY cluster_id"),
+    ]
+    final = ("SELECT l.doc_id, l.cluster_id, s.cluster_size, "
+             "CASE WHEN l.doc_id = l.cluster_id THEN 0 ELSE 1 END "
+             "AS is_duplicate "
+             "FROM __lab l JOIN __csz s ON l.cluster_id = s.cluster_id "
+             "ORDER BY l.doc_id")
+    return dual.stages_sql(stages, final)

@@ -123,3 +123,53 @@ def test_multimodal_real_decode_is_stubbed(spark):
     media = mm.synthesize_media(docs)
     with pytest.raises(Exception):    # NotImplementedError inside the task
         mm.decode_media(media, decode_fn="real").collect()
+
+
+# --- connected-components cluster assignment ---------------------------------
+
+def test_connected_components_unit(spark):
+    from snappy_aqp_spark.pipeline.clusters import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], "ida long, idb long")
+    got = {(r.doc_id, r.cluster_id)
+           for r in connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (9, 1), (5, 5), (6, 5)}
+
+
+def test_connected_components_long_chain(spark):
+    """pointer doubling converges on a diameter-63 path well inside the
+    iteration cap (plain propagation would need 63 rounds)."""
+    from snappy_aqp_spark.pipeline.clusters import connected_components
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "ida long, idb long")
+    lab = connected_components(pairs, max_iter=10).collect()
+    assert len(lab) == 64
+    assert all(r.cluster_id == 0 for r in lab)
+
+
+def test_dedup_clusters_matches_oracle(views, duck):
+    from snappy_aqp_spark.pipeline.clusters import (dedup_clusters,
+                                                    dedup_clusters_oracle_sql)
+    sp = dedup_clusters(views)
+    compare_frames(sp, duck.sql(dedup_clusters_oracle_sql()))
+
+
+def test_dedup_clusters_consistent_with_pairs(views):
+    """every near-dup pair lands in one cluster; cluster_id is the member
+    minimum; docs in no pair are singletons."""
+    from snappy_aqp_spark.pipeline import dedup
+    from snappy_aqp_spark.pipeline.clusters import dedup_clusters
+    st, fin = dedup.minhash_lsh_stages(SPARK, threshold=0.5, k=7)
+    pairs = [(r.ida, r.idb) for r in run_stages(views, st, fin).collect()]
+    lab = {r.doc_id: r.cluster_id for r in dedup_clusters(views).collect()}
+    for a, b in pairs:
+        assert lab[a] == lab[b]
+    by_cluster: dict = {}
+    for d, c in lab.items():
+        by_cluster.setdefault(c, []).append(d)
+    for c, members in by_cluster.items():
+        assert c == min(members)
+    paired = {d for p in pairs for d in p}
+    for d, c in lab.items():
+        if d not in paired:
+            assert c == d and len(by_cluster[c]) == 1
