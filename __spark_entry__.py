@@ -112,6 +112,13 @@ def _dedup_clusters_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(spark)
 
 
+def _clean_corpus_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from snappy_aqp_spark.pipeline.clusters import clean_corpus
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    return clean_corpus(spark)
+
+
 def _multimodal_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = mm.synthesize_media(docs, n_frames=4, width=16, height=16)
@@ -159,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _make_pipeline_runner(fx)
     out["multimodal_features"] = _multimodal_runner
     out["dedup_clusters"] = _dedup_clusters_runner
+    out["corpus_clean"] = _clean_corpus_runner
     return out
 
 
@@ -199,8 +207,10 @@ def oracle_sql() -> dict[str, str]:
         stages, final = fx["builder"](_DK, **fx["kw"])
         out[name] = stages_sql(stages, final)
     out["text_analysis"] = text_features_oracle(_DK)
-    from snappy_aqp_spark.pipeline.clusters import dedup_clusters_oracle_sql
+    from snappy_aqp_spark.pipeline.clusters import (clean_corpus_oracle_sql,
+                                                    dedup_clusters_oracle_sql)
     out["dedup_clusters"] = dedup_clusters_oracle_sql()
+    out["corpus_clean"] = clean_corpus_oracle_sql()
     out["multimodal_features"] = mm.multimodal_oracle_sql(
         _DK, n_frames=4, sample_every=2, width=16, height=16, factor=2)
     from snappy_aqp_spark.fixtures import LI_HASH, _PRICE

@@ -131,3 +131,66 @@ def dedup_clusters_oracle_sql(threshold: float = 0.5, k: int = 7,
              "FROM __lab l JOIN __csz s ON l.cluster_id = s.cluster_id "
              "ORDER BY l.doc_id")
     return dual.stages_sql(stages, final)
+
+
+def clean_corpus(spark: SparkSession, min_quality: float = 0.32,
+                 threshold: float = 0.5, k: int = 7,
+                 table: str = "documents") -> DataFrame:
+    """End-to-end corpus cleaning: one keep/drop decision per document with
+    the reason, composing the pipeline's stages the way a training-data job
+    would run them:
+
+      1. quality scoring  (text.quality_frags — projection, no shuffle)
+      2. exact dedup      (md5 clusters, keeper = min doc_id)
+      3. near-dup dedup   (minhash-LSH pairs -> connected components,
+                           canonical = min doc_id of the cluster)
+
+    Precedence: low_quality > exact_dup > near_dup > ok. The canonical of a
+    near-dup cluster is the min doc_id regardless of its own quality — the
+    policy stays a pure function of the cluster, not of filter ordering
+    (document-level filters can always be re-applied downstream).
+
+    At scale: steps 1-2 are one scan + one hash shuffle; step 3 costs the
+    pair detection (bucketed, no all-pairs) + CC over the pair list only.
+    """
+    from .text import text_features
+    docs = spark.table(table)
+    feats = text_features(docs).select("doc_id", "quality")
+    fp = docs.select("doc_id", F.expr("md5(text)").alias("fp"))
+    keep_fp = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    exact = fp.join(keep_fp, "fp").select("doc_id", "keeper")
+    cl = dedup_clusters(spark, threshold=threshold, k=k, table=table) \
+        .select("doc_id", "cluster_id")
+    reason = (f"CASE WHEN quality < {dlit(min_quality)} THEN 'low_quality' "
+              f"WHEN doc_id <> keeper THEN 'exact_dup' "
+              f"WHEN doc_id <> cluster_id THEN 'near_dup' "
+              f"ELSE 'ok' END")
+    return (feats.join(exact, "doc_id").join(cl, "doc_id")
+            .select("doc_id", "quality", F.expr(reason).alias("reason"),
+                    F.expr(f"CASE WHEN {reason} = 'ok' THEN 1 ELSE 0 END")
+                    .alias("keep"))
+            .orderBy("doc_id"))
+
+
+def clean_corpus_oracle_sql(min_quality: float = 0.32,
+                            threshold: float = 0.5, k: int = 7,
+                            table: str = "documents") -> str:
+    from .text import text_features_oracle
+    reason = (f"CASE WHEN q.quality < {dlit(min_quality)} THEN 'low_quality' "
+              f"WHEN q.doc_id <> e.keeper THEN 'exact_dup' "
+              f"WHEN q.doc_id <> c.cluster_id THEN 'near_dup' "
+              f"ELSE 'ok' END")
+    return (
+        f"WITH __q AS (SELECT doc_id, quality FROM "
+        f"({text_features_oracle(DUCKDB, table)}) __tf), "
+        f"__fp AS (SELECT doc_id, md5(text) AS fp FROM {table}), "
+        f"__kfp AS (SELECT fp, MIN(doc_id) AS keeper FROM __fp GROUP BY fp), "
+        f"__ex AS (SELECT f.doc_id, kk.keeper FROM __fp f "
+        f"JOIN __kfp kk ON f.fp = kk.fp), "
+        f"__cl AS (SELECT doc_id, cluster_id FROM "
+        f"({dedup_clusters_oracle_sql(threshold, k, table=table)}) __c) "
+        f"SELECT q.doc_id, q.quality, {reason} AS reason, "
+        f"CASE WHEN {reason} = 'ok' THEN 1 ELSE 0 END AS keep "
+        f"FROM __q q JOIN __ex e ON q.doc_id = e.doc_id "
+        f"JOIN __cl c ON q.doc_id = c.doc_id "
+        f"ORDER BY q.doc_id")

@@ -30,6 +30,12 @@ def _quantize(dialect: str, arr: str, dim: int) -> str:
 
 
 def _dot(dialect: str, a: str, b: str, dim: int) -> str:
+    """exact int64 dot product, JVM-side. Measured A/B (sf0.1, local[8]):
+    an Arrow-batched pandas-UDF einsum kernel is ~1.6x SLOWER end-to-end
+    than these interpreted HOF lambdas (0.81s vs 0.52s brute-force top-k)
+    — the per-projection Arrow round-trip exceeds the lambda cost, and a
+    Python UDF also cannot appear inside HOF lambdas (the IVF argmax fold),
+    so the SQL form is both faster and uniformly applicable here."""
     if dialect == SPARK:
         return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
                 f"CAST(0 AS BIGINT), (acc, x) -> acc + x)")

@@ -173,3 +173,20 @@ def test_dedup_clusters_consistent_with_pairs(views):
     for d, c in lab.items():
         if d not in paired:
             assert c == d and len(by_cluster[c]) == 1
+
+
+def test_clean_corpus_matches_oracle(views, duck):
+    from snappy_aqp_spark.pipeline.clusters import (clean_corpus,
+                                                    clean_corpus_oracle_sql)
+    compare_frames(clean_corpus(views), duck.sql(clean_corpus_oracle_sql()))
+
+
+def test_clean_corpus_policy(views):
+    """precedence + keep-list invariants: every near-dup cluster keeps
+    exactly its canonical (unless quality-dropped), keep == (reason='ok')."""
+    from snappy_aqp_spark.pipeline.clusters import clean_corpus
+    rows = clean_corpus(views).collect()
+    assert all((r.keep == 1) == (r.reason == "ok") for r in rows)
+    reasons = {r.reason for r in rows}
+    assert reasons <= {"ok", "low_quality", "exact_dup", "near_dup"}
+    assert "ok" in reasons and "near_dup" in reasons
