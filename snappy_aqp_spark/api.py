@@ -237,6 +237,10 @@ class AQPSession:
         if drop:
             self.drop_sample_table(drop)
             return self.spark.range(0)
+        scan = fe.parse_topk_scan(text)
+        if scan and scan[0].lower() in self.topk.tables:
+            name, start_us, end_us, k = scan
+            return self.query_approx_ts_topk(name, start_us, end_us, k)
 
         analyzed = self.analyze_sql(text)
         if analyzed is None:

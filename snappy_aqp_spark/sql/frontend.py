@@ -504,6 +504,53 @@ def parse_create_topk(sql: str) -> tuple[str, str, dict[str, str]] | None:
     return m.group("name"), m.group("base"), {k.lower(): v for k, v in opts.items()}
 
 
+_TOPK_SCAN_RE = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+(?P<name>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+LIMIT\s+(?P<k>\d+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_TOPK_TIME_RE = re.compile(
+    r"^(?P<col>StartTime|EndTime)\s*=\s*'(?P<val>[^']*)'\s*$", re.IGNORECASE)
+
+
+def parse_topk_scan(sql: str) -> tuple[str, int | None, int | None,
+                                       int | None] | None:
+    """``SELECT * FROM <topk> [WHERE StartTime='..' [AND EndTime='..']]
+    [LIMIT k]`` — the reference's PrunedFilteredScan surface, which
+    recognizes exactly the StartTime/EndTime equality filters
+    (topk/TopKRelation.scala:59-87). Times are epoch-microsecond integers
+    or ``yyyy-MM-dd HH:mm:ss[.ffffff]`` strings (naive; reference parses
+    with the JVM default calendar, we pin UTC-naive for determinism).
+    Returns None when the text is not this shape (caller falls through to
+    the normal SQL path)."""
+    m = _TOPK_SCAN_RE.match(sql)
+    if not m:
+        return None
+    start = end = None
+    if m.group("where"):
+        for conj in re.split(r"\bAND\b", m.group("where"), flags=re.IGNORECASE):
+            tm = _TOPK_TIME_RE.match(conj.strip())
+            if not tm:
+                return None
+            us = _parse_time_us(tm.group("val"))
+            if tm.group("col").lower() == "starttime":
+                start = us
+            else:
+                end = us
+    k = int(m.group("k")) if m.group("k") else None
+    return m.group("name"), start, end, k
+
+
+def _parse_time_us(val: str) -> int:
+    if re.fullmatch(r"\d+", val):
+        return int(val)
+    from datetime import datetime, timezone
+    fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in val else "%Y-%m-%d %H:%M:%S"
+    dt = datetime.strptime(val, fmt).replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
+
+
 _CREATE_SAMPLE_RE = re.compile(
     r"^\s*CREATE\s+SAMPLE\s+TABLE\s+(?P<name>\w+)\s+ON\s+(?P<base>\w+)\s+"
     r"OPTIONS\s*\((?P<opts>.*)\)\s*;?\s*$",

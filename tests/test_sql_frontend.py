@@ -274,3 +274,42 @@ def test_negative_error_disables_aqp(aqp, spark):
     b = neg.analyze_sql("SELECT sum(l_extendedprice) AS s FROM lineitem "
                         "GROUP BY l_returnflag CONFIDENCE 0.5")
     assert b is not None and b.spec is None
+
+
+def test_topk_sql_scan(aqp, spark):
+    """SELECT * FROM <topk> with StartTime/EndTime equality filters — the
+    reference's PrunedFilteredScan surface (topk/TopKRelation.scala:59-87).
+    Must be identical to the Python query API, and must NOT intercept scans
+    of non-TopK tables."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from tests.conftest import SF_SMALL
+    aqp.register_table("events", spark.read.parquet(f"{SF_SMALL}/events.parquet"))
+    aqp.sql("CREATE TOPK TABLE ev_topk2 ON events OPTIONS("
+            "key 'user_id', timeSeriesColumn 'ts', timeInterval '259200000000ms', "
+            "size '10', width '4096', intKey 'true')")
+    via_sql = aqp.sql("SELECT * FROM ev_topk2 LIMIT 5").toPandas()
+    via_api = aqp.query_approx_ts_topk("ev_topk2", k=5).toPandas()
+    assert via_sql.equals(via_api)
+    # time-filtered: epoch-us bounds behave like the API's bucket filters
+    t = aqp.topk.get("ev_topk2")
+    s = t.epoch_us
+    e = t.epoch_us + 30 * 24 * 3600 * 1_000_000
+    via_sql2 = aqp.sql(f"SELECT * FROM ev_topk2 WHERE StartTime = '{s}' "
+                       f"AND EndTime = '{e}' LIMIT 5").toPandas()
+    via_api2 = aqp.query_approx_ts_topk("ev_topk2", s, e, 5).toPandas()
+    assert via_sql2.equals(via_api2)
+    # a plain table scan is not intercepted
+    assert aqp.sql("SELECT * FROM events LIMIT 3").count() == 3
+
+
+def test_parse_topk_scan_shapes():
+    from snappy_aqp_spark.sql.frontend import parse_topk_scan
+    assert parse_topk_scan("SELECT * FROM t1") == ("t1", None, None, None)
+    assert parse_topk_scan("SELECT * FROM t1 LIMIT 7") == ("t1", None, None, 7)
+    name, s, e, k = parse_topk_scan(
+        "SELECT * FROM t1 WHERE StartTime = '1970-01-02 00:00:00' "
+        "AND EndTime = '86500000000' LIMIT 3")
+    assert (name, s, e, k) == ("t1", 86_400_000_000, 86_500_000_000, 3)
+    # non-matching shapes fall through
+    assert parse_topk_scan("SELECT key FROM t1") is None
+    assert parse_topk_scan("SELECT * FROM t1 WHERE key = 'x'") is None
