@@ -119,6 +119,33 @@ def _clean_corpus_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(spark)
 
 
+def _streaming_topk_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events through a REAL multi-trigger stream into the
+    applyInPandasWithState Space-Saving operator; capacity >= distinct keys
+    makes the maintained summary exactly the groupBy counts, so this
+    streaming-stateful path gets a full value-hash oracle."""
+    import tempfile
+    import uuid
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.streaming import final_topk, stateful_space_saving
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="aqp-stream-entry-")
+    for i in range(3):
+        (df.where(F.pmod(F.col("event_id"), F.lit(3)) == i)
+         .write.mode("append").parquet(f"{tmp}/in"))
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "2").parquet(f"{tmp}/in"))
+    out = stateful_space_saving(stream, "user_id", capacity=100_000,
+                                num_partitions=8, int_key=True)
+    sink = f"ss_entry_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName(sink).option("checkpointLocation", f"{tmp}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return final_topk(spark.table(sink), k=20)
+
+
 def _multimodal_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = mm.synthesize_media(docs, n_frames=4, width=16, height=16)
@@ -167,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_features"] = _multimodal_runner
     out["dedup_clusters"] = _dedup_clusters_runner
     out["corpus_clean"] = _clean_corpus_runner
+    out["streaming_topk_state"] = _streaming_topk_runner
     return out
 
 
@@ -211,6 +239,13 @@ def oracle_sql() -> dict[str, str]:
                                                     dedup_clusters_oracle_sql)
     out["dedup_clusters"] = dedup_clusters_oracle_sql()
     out["corpus_clean"] = clean_corpus_oracle_sql()
+    out["streaming_topk_state"] = (
+        "SELECT key, EstimatedValue, DeltaError FROM ("
+        "SELECT CAST(user_id AS VARCHAR) AS key, "
+        "CAST(COUNT(*) AS BIGINT) AS EstimatedValue, "
+        "CAST(0 AS BIGINT) AS DeltaError "
+        "FROM events GROUP BY user_id "
+        "ORDER BY EstimatedValue DESC, key ASC LIMIT 20) __t")
     out["multimodal_features"] = mm.multimodal_oracle_sql(
         _DK, n_frames=4, sample_every=2, width=16, height=16, factor=2)
     from snappy_aqp_spark.fixtures import LI_HASH, _PRICE

@@ -87,3 +87,55 @@ def test_stream_topk_equals_batch(spark, tmpdir, duck):
     s = query_approx_ts_topk(spark, reg, "s_topk", None, None, 10).toPandas()
     b = query_approx_ts_topk(spark, reg2, "b_topk", None, None, 10).toPandas()
     assert s.equals(b)
+
+
+def test_stateful_space_saving_exact_when_capacity_sufficient(spark, tmpdir):
+    """applyInPandasWithState summary == exact groupBy counts when capacity
+    covers the per-pid key space (Space-Saving exactness property), across
+    multiple micro-batches through the real state store."""
+    from snappy_aqp_spark.streaming import final_topk, stateful_space_saving
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream, full = _chunked_stream(spark, f"{SF_SMALL}/events.parquet",
+                                   tmpdir, chunks=3, order_col="event_id")
+    out = stateful_space_saving(stream, "user_id", capacity=10_000,
+                                num_partitions=8, int_key=True)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("ss_sink")
+         .option("checkpointLocation", f"{tmpdir}/ck_ss")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = final_topk(spark.table("ss_sink"), k=20).toPandas()
+    exact = (full.groupBy(F.col("user_id").cast("string").alias("key"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .orderBy(F.col("n").desc(), F.col("key").asc()).limit(20)
+             .toPandas())
+    assert list(got["key"]) == list(exact["key"])
+    assert list(got["EstimatedValue"]) == list(exact["n"])
+    assert (got["DeltaError"] == 0).all()
+
+
+def test_stateful_space_saving_conservative_when_bounded(spark, tmpdir):
+    """bounded capacity: estimates never undercount (est - err <= true <=
+    est), state survives across micro-batches."""
+    from snappy_aqp_spark.streaming import final_topk, stateful_space_saving
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream, full = _chunked_stream(spark, f"{SF_SMALL}/events.parquet",
+                                   tmpdir, chunks=3, order_col="event_id")
+    out = stateful_space_saving(stream, "user_id", capacity=8,
+                                num_partitions=2, int_key=True)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("ss_sink2")
+         .option("checkpointLocation", f"{tmpdir}/ck_ss2")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = final_topk(spark.table("ss_sink2"), k=10).toPandas()
+    true = {r["key"]: r["n"] for r in
+            full.groupBy(F.col("user_id").cast("string").alias("key"))
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        t = true[r["key"]]
+        assert r["EstimatedValue"] >= t
+        assert r["EstimatedValue"] - r["DeltaError"] <= t
