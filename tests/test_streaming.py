@@ -139,3 +139,49 @@ def test_stateful_space_saving_conservative_when_bounded(spark, tmpdir):
         t = true[r["key"]]
         assert r["EstimatedValue"] >= t
         assert r["EstimatedValue"] - r["DeltaError"] <= t
+
+
+def test_windowed_counts_drop_late_rows(spark, tmpdir):
+    """watermark semantics end-to-end, deterministic via two stream runs
+    over one checkpoint: run 1 finalizes window [00:00,00:05) (watermark
+    advances past its end, append emits it once); run 2 restores the
+    watermark from the checkpoint and the engine DROPS a late row aimed at
+    the already-finalized window — if it were accepted, the window would
+    re-open in state and re-emit, which the test would catch."""
+    from datetime import datetime
+    from snappy_aqp_spark.streaming.windowed import windowed_event_counts
+
+    def rows(minutes):
+        return [(i, datetime(2024, 1, 1, 0, m)) for i, m in enumerate(minutes)]
+
+    schema = "event_id long, ts timestamp"
+    in_dir = f"{tmpdir}/win_in"
+
+    out_dir = f"{tmpdir}/win_out"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        out = windowed_event_counts(stream, "ts", "5 minutes", "2 minutes")
+        # file sink: append-mode + supports checkpoint recovery across runs
+        q = (out.writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", f"{tmpdir}/ck_win")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return sorted((r.win_start.minute, r.win_end.minute, r.n)
+                      for r in spark.read.parquet(out_dir).collect())
+
+    # run 1: [0,5) gets 3 rows; max event time 00:11 -> watermark 00:09
+    # passes the window end, so it finalizes and emits exactly once
+    spark.createDataFrame(rows([0, 1, 2, 10, 11]), schema) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    assert run_once() == [(0, 5, 3)]
+
+    # run 2: a late row for minute 1 (behind the restored watermark) plus
+    # an on-time row; the late row must be dropped -> nothing re-emits for
+    # [0,5), and [10,15) stays open (end > watermark), so nothing emits
+    spark.createDataFrame(rows([1, 12]), schema) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    # cumulative file-sink contents unchanged: late row dropped, nothing
+    # re-emitted for [0,5), [10,15) still open
+    assert run_once() == [(0, 5, 3)]
