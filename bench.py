@@ -30,7 +30,10 @@ WARMUP = int(os.environ.get("BENCH_WARMUP", "2"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 
 HEADLINE = ["cf_sum_global", "cf_group_multi", "cf_where", "cf_join_orders",
-            "cf_local_omit", "bypass_weighted_sum"]
+            "cf_local_omit", "bypass_weighted_sum",
+            # bootstrap estimator timing alongside closed-form — the
+            # reference perf protocol reports both (BASELINE.md row 3/6)
+            "bs_sum_group"]
 
 
 def _time(fn) -> float:
