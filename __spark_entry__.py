@@ -13,7 +13,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from snappy_aqp_spark.api import (AQPSession, analyze_text,
-                                  build_catalog_from_ddl)
+                                  build_catalog_from_ddl,
+                                  build_views_from_ddl)
 import dataclasses
 
 from snappy_aqp_spark.dialect import DUCKDB as _DK, SPARK as _SP
@@ -58,7 +59,8 @@ def _make_sql_runner(fx: dict) -> Callable[[SparkSession, str], DataFrame]:
 
 def _sql_fixture_oracle(fx: dict) -> str:
     analyzed = analyze_text(fx["query"], build_catalog_from_ddl(fx["ddl"]),
-                            _SQL_DEFAULTS)
+                            _SQL_DEFAULTS,
+                            views=build_views_from_ddl(fx["ddl"]))
     if analyzed.spec is None:
         stripped, _ = fe.strip_with_clause(fx["query"])
         return fe.fold_error_functions(stripped, analyzed.parsed)

@@ -55,14 +55,17 @@ def _cols_in_text(table: str, text: str,
 
 
 def analyze_text(text: str, catalog: SampleCatalog, defaults: dict,
-                 extra_cols: set[str] | None = None):
-    """Session-free routing analysis: WITH-clause strip, parse, sample
-    selection, spec construction. None -> no WITH clause (plain SQL)."""
+                 extra_cols: set[str] | None = None,
+                 views: dict | None = None):
+    """Session-free routing analysis: WITH-clause strip, parse, view
+    expansion, sample selection, spec construction. None -> no WITH clause
+    (plain SQL)."""
     stripped, wc = fe.strip_with_clause(text)
     if wc is None:
         return None
     try:
         parsed = fe.parse_select(stripped)
+        parsed = fe.expand_view(parsed, views or {})
     except fe.SQLFrontendError:
         return fe.AnalyzedQuery(None, None, {}, "unparseable: routed exact")
     base = parsed.from_table.lower()
@@ -83,10 +86,23 @@ def build_catalog_from_ddl(ddls: list[str]) -> SampleCatalog:
     for ddl in ddls:
         parsed = fe.parse_create_sample(ddl)
         if parsed is None:
+            if fe.parse_create_view(ddl) is not None:
+                continue                     # views: build_views_from_ddl
             raise fe.SQLFrontendError(f"not a CREATE SAMPLE TABLE: {ddl}")
         name, base, opts = parsed
         catalog.register(SampleInfo(name, spec_from_ddl(base, opts)))
     return catalog
+
+
+def build_views_from_ddl(ddls: list[str]) -> dict:
+    views: dict = {}
+    for ddl in ddls:
+        v = fe.parse_create_view(ddl)
+        if v is not None:
+            parsed = fe.parse_select(v[1])
+            if fe.is_projection_view(parsed):
+                views[v[0].lower()] = parsed
+    return views
 
 
 class AQPSession:
@@ -125,6 +141,7 @@ class AQPSession:
                        else conf(self.CONF_TRIALS, int, 100)),
         }
         self._token = data_token or f"aqp-session-{uuid.uuid4().hex[:8]}"
+        self.views: dict = {}          # projection views (approx-routable)
 
     # -- tables / samples ---------------------------------------------------
 
@@ -237,6 +254,25 @@ class AQPSession:
         if drop:
             self.drop_sample_table(drop)
             return self.spark.range(0)
+        view_ddl = fe.parse_create_view(text)
+        if view_ddl:
+            name, body = view_ddl
+            # always a real Spark temp view (exact path is native); simple
+            # projection views additionally register for approx routing
+            self.spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} "
+                           f"AS {body}")
+            try:
+                vparsed = fe.parse_select(body)
+                if fe.is_projection_view(vparsed):
+                    self.views[name.lower()] = vparsed
+            except fe.SQLFrontendError:
+                pass                         # exact-only view shape
+            return self.spark.range(0)
+        vdrop = fe.parse_drop_view(text)
+        if vdrop:
+            self.spark.catalog.dropTempView(vdrop)
+            self.views.pop(vdrop.lower(), None)
+            return self.spark.range(0)
         scan = fe.parse_topk_scan(text)
         if scan and scan[0].lower() in self.topk.tables:
             name, start_us, end_us, k = scan
@@ -261,7 +297,8 @@ class AQPSession:
         clause is present (plain exact SQL)."""
         extra = {c for df in self.tables.values() for c in df.columns}
         return analyze_text(text, self.catalog, self.defaults,
-                            extra_cols={c.lower() for c in extra})
+                            extra_cols={c.lower() for c in extra},
+                            views=self.views)
 
     def _cols_in(self, table: str, text: str) -> set[str]:
         extra = (set(self.tables[table].columns)

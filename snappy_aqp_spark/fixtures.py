@@ -129,6 +129,20 @@ SQL_FIXTURES: dict[str, dict] = {
                   "GROUP BY l_returnflag ORDER BY l_returnflag "
                   "WITH ERROR 0.5 CONFIDENCE 0.95"),
     },
+    # approx query THROUGH a projection view (AbstractViewTest.scala:141-165:
+    # WITH ERROR queries against a view of the base table must route to the
+    # base table's sample; the view predicate conjoins with the query's)
+    "sql_view": {
+        "ddl": [_LI_DDL,
+                "CREATE VIEW li_view AS (SELECT l_returnflag, l_linestatus, "
+                "l_quantity AS qty, l_extendedprice FROM lineitem "
+                "WHERE l_quantity > 2)"],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, sum(qty) AS sq, absolute_error(sq), "
+                  "count(*) AS c FROM li_view WHERE qty < 40 "
+                  "GROUP BY l_returnflag ORDER BY l_returnflag "
+                  "WITH ERROR 0.5 CONFIDENCE 0.95"),
+    },
     "sql_behavior_clause": {
         "ddl": [_LI_DDL],
         "tables": ("lineitem",),

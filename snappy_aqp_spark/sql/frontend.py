@@ -504,6 +504,69 @@ def parse_create_topk(sql: str) -> tuple[str, str, dict[str, str]] | None:
     return m.group("name"), m.group("base"), {k.lower(): v for k, v in opts.items()}
 
 
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?P<name>\w+)\s+AS\s+"
+    r"\(?\s*(?P<body>SELECT\b.*?)\s*\)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE)
+
+
+def parse_create_view(sql: str) -> tuple[str, str] | None:
+    m = _CREATE_VIEW_RE.match(sql)
+    return (m.group("name"), m.group("body")) if m else None
+
+
+def parse_drop_view(sql: str) -> str | None:
+    m = _DROP_VIEW_RE.match(sql)
+    return m.group("name") if m else None
+
+
+def expand_view(parsed: ParsedSelect,
+                views: dict[str, ParsedSelect]) -> ParsedSelect:
+    """Resolve a query over a registered projection view down to its base
+    table so sample selection sees through it (the reference analyzes the
+    view-expanded plan; AbstractViewTest.scala:141-165 runs WITH ERROR
+    queries against plain views). View aliases substitute into every query
+    text (boundary-guarded); view and query predicates conjoin."""
+    import dataclasses
+    for _ in range(10):                       # nested views, cycle-capped
+        v = views.get(parsed.from_table.lower())
+        if v is None:
+            return parsed
+        sub = {a: e for e, a in v.select_items
+               if a is not None and a.lower() != e.strip().lower()}
+
+        def rw(t: str | None) -> str | None:
+            if not t:
+                return t
+            for a, ex in sub.items():
+                t = re.sub(rf"(?<![\w.]){a}(?![\w.])", f"({ex})", t,
+                           flags=re.IGNORECASE)
+            return t
+
+        parts = [p for p in (v.where, rw(parsed.where)) if p]
+        parsed = dataclasses.replace(
+            parsed,
+            select_items=[(rw(e), a) for e, a in parsed.select_items],
+            from_table=v.from_table,
+            where=(" AND ".join(f"({p})" for p in parts) if parts else None),
+            group_by=[rw(g) for g in parsed.group_by],
+            having=rw(parsed.having),
+            order_by=[rw(o) for o in parsed.order_by])
+    raise SQLFrontendError("view nesting too deep (cycle?)")
+
+
+def is_projection_view(parsed: ParsedSelect) -> bool:
+    """only projection(+filter) views participate in approx routing; any
+    other shape still works on the exact path as a plain Spark temp view."""
+    return (not parsed.joins and not parsed.group_by and not parsed.having
+            and not parsed.order_by and parsed.limit is None
+            and all("(" not in e for e, _ in parsed.select_items))
+
+
 _TOPK_SCAN_RE = re.compile(
     r"^\s*SELECT\s+\*\s+FROM\s+(?P<name>\w+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"

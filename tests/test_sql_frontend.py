@@ -313,3 +313,31 @@ def test_parse_topk_scan_shapes():
     # non-matching shapes fall through
     assert parse_topk_scan("SELECT key FROM t1") is None
     assert parse_topk_scan("SELECT * FROM t1 WHERE key = 'x'") is None
+
+
+def test_view_routing(aqp):
+    """a WITH ERROR query through a projection view routes to the base
+    table's sample, equals the directly-written query, and view aliases +
+    predicates fold in (AbstractViewTest protocols)."""
+    aqp.sql("CREATE VIEW lv AS (SELECT l_returnflag, l_quantity AS qty "
+            "FROM lineitem WHERE l_quantity > 2)")
+    a = aqp.analyze_sql("SELECT sum(qty) AS s FROM lv WHERE qty < 40 "
+                        "WITH ERROR 0.5")
+    assert a.spec is not None
+    assert a.spec.sample.base_table == "lineitem"
+    via_view = aqp.sql("SELECT l_returnflag, sum(qty) AS s FROM lv "
+                       "GROUP BY l_returnflag ORDER BY l_returnflag "
+                       "WITH ERROR 0.5").toPandas()
+    direct = aqp.sql("SELECT l_returnflag, sum(l_quantity) AS s "
+                     "FROM lineitem WHERE l_quantity > 2 "
+                     "GROUP BY l_returnflag ORDER BY l_returnflag "
+                     "WITH ERROR 0.5").toPandas()
+    assert via_view.equals(direct)
+    # non-projection views stay on the exact path
+    aqp.sql("CREATE VIEW lagg AS (SELECT l_returnflag, sum(l_quantity) AS s "
+            "FROM lineitem GROUP BY l_returnflag)")
+    b = aqp.analyze_sql("SELECT sum(s) AS t FROM lagg WITH ERROR 0.5")
+    assert b.spec is None
+    assert aqp.sql("SELECT sum(s) AS t FROM lagg WITH ERROR 0.5").count() == 1
+    aqp.sql("DROP VIEW lv")
+    aqp.sql("DROP VIEW IF EXISTS lagg")
