@@ -224,7 +224,7 @@ def _lsh_bucket(dialect: str, vec: str, dim: int, planes: int,
 def ivf_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
                     dim: int = 64, n_centroids: int = 16, nprobe: int = 4,
                     seed_stride: int = 31, table: str = "embeddings",
-                    plant_rate: int | None = None
+                    plant_rate: int | None = None, lloyd_steps: int = 1
                     ) -> tuple[list[tuple[str, str]], str]:
     """IVF-Flat approximate top-k — the centroid-partitioned scale path.
 
@@ -301,27 +301,37 @@ def ivf_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
                    f"AND vec_id < {seed_stride * n_centroids}"),
         ("__pos", f"SELECT "
                   f"{dual.explode(dialect, dual.sequence(dialect, '1', str(dim)), 'i')}"),
-        ("__seedp", pack("__seed")),
-        # carry v through assignment: the Lloyd mean then needs no
-        # corpus self-join
-        ("__asg0", f"SELECT a.vec_id, a.v, {argmax_cid('a.v', 'a.n2')} "
-                   f"AS cid FROM {base} a CROSS JOIN __seedp p"),
-        # one Lloyd step: component-wise floor-mean of each cluster's
-        # members (sums << 2^53 -> the DOUBLE division is exact)
-        ("__cm", f"SELECT g.cid, p.i, CAST(FLOOR(CAST(SUM("
-                 f"{dual.elem(dialect, 'g.v', 'p.i')}) AS DOUBLE) "
-                 f"/ CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS s "
-                 f"FROM __asg0 g CROSS JOIN __pos p GROUP BY g.cid, p.i"),
-        ("__cent", f"SELECT cid, {dual.ordered_list(dialect, 's', 'i')} "
-                   f"AS cv FROM __cm GROUP BY cid"),
-        ("__centn", f"SELECT cid, cv, {_norm2(dialect, 'cv', dim)} AS cn2 "
-                    f"FROM __cent"),
-        ("__centnp", pack("__centn")),
+    ]
+    # Lloyd refinement, repeated ``lloyd_steps`` times: assign every vector
+    # to its nearest centroid via the packed-broadcast argmax fold (the
+    # corpus is never shuffled), then component-wise integer floor-mean per
+    # cluster (sums << 2^53 -> the DOUBLE division is exact)
+    cents = "__seed"
+    for s in range(lloyd_steps):
+        stages += [
+            (f"__cp{s}", pack(cents)),
+            # carry v through assignment: the mean needs no corpus self-join
+            (f"__asg{s}", f"SELECT a.vec_id, a.v, "
+                          f"{argmax_cid('a.v', 'a.n2')} AS cid "
+                          f"FROM {base} a CROSS JOIN __cp{s} p"),
+            (f"__cm{s}", f"SELECT g.cid, p.i, CAST(FLOOR(CAST(SUM("
+                         f"{dual.elem(dialect, 'g.v', 'p.i')}) AS DOUBLE) "
+                         f"/ CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS s "
+                         f"FROM __asg{s} g CROSS JOIN __pos p "
+                         f"GROUP BY g.cid, p.i"),
+            (f"__cent{s}", f"SELECT cid, {dual.ordered_list(dialect, 's', 'i')} "
+                           f"AS cv FROM __cm{s} GROUP BY cid"),
+            (f"__centn{s}", f"SELECT cid, cv, {_norm2(dialect, 'cv', dim)} "
+                            f"AS cn2 FROM __cent{s}"),
+        ]
+        cents = f"__centn{s}"
+    stages += [
+        ("__centnp", pack(cents)),
         ("__asg", f"SELECT a.vec_id, {argmax_cid('a.v', 'a.n2')} AS cid "
                   f"FROM {base} a CROSS JOIN __centnp p"),
         ("__qs", f"SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM {base} "
                  f"WHERE vec_id < {n_queries}"),
-        ("__probe", nearest("__qs", "a.qv", "a.qn2", "__centn", nprobe,
+        ("__probe", nearest("__qs", "a.qv", "a.qn2", cents, nprobe,
                             "qid")),
         # each vector lives on exactly one inverted list and probed cids are
         # distinct per query, so (qid, vid) is already unique — no dedup
