@@ -114,6 +114,13 @@ def _dedup_clusters_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(spark)
 
 
+def _embedding_clusters_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from snappy_aqp_spark.pipeline.clusters import embedding_clusters
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .createOrReplaceTempView("embeddings")
+    return embedding_clusters(spark)
+
+
 def _clean_corpus_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snappy_aqp_spark.pipeline.clusters import clean_corpus
     spark.read.parquet(f"{sf_dir}/documents.parquet") \
@@ -197,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_clusters"] = _dedup_clusters_runner
     out["corpus_clean"] = _clean_corpus_runner
     out["streaming_topk_state"] = _streaming_topk_runner
+    out["dedup_embedding_clusters"] = _embedding_clusters_runner
     return out
 
 
@@ -237,10 +245,12 @@ def oracle_sql() -> dict[str, str]:
         stages, final = fx["builder"](_DK, **fx["kw"])
         out[name] = stages_sql(stages, final)
     out["text_analysis"] = text_features_oracle(_DK)
-    from snappy_aqp_spark.pipeline.clusters import (clean_corpus_oracle_sql,
-                                                    dedup_clusters_oracle_sql)
+    from snappy_aqp_spark.pipeline.clusters import (
+        clean_corpus_oracle_sql, dedup_clusters_oracle_sql,
+        embedding_clusters_oracle_sql)
     out["dedup_clusters"] = dedup_clusters_oracle_sql()
     out["corpus_clean"] = clean_corpus_oracle_sql()
+    out["dedup_embedding_clusters"] = embedding_clusters_oracle_sql()
     out["streaming_topk_state"] = (
         "SELECT key, EstimatedValue, DeltaError FROM ("
         "SELECT CAST(user_id AS VARCHAR) AS key, "

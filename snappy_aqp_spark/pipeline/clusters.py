@@ -194,3 +194,45 @@ def clean_corpus_oracle_sql(min_quality: float = 0.32,
         f"FROM __q q JOIN __ex e ON q.doc_id = e.doc_id "
         f"JOIN __cl c ON q.doc_id = c.doc_id "
         f"ORDER BY q.doc_id")
+
+
+def embedding_clusters(spark: SparkSession,
+                       threshold: float = 0.9) -> DataFrame:
+    """Near-dup groups over the embedding corpus: connected components of
+    the hyperplane-LSH cosine pairs (pipeline/similarity.py
+    near_dup_pairs_stages — bucketed candidates, exact integer-cosine
+    verify). One row per vector that belongs to a group:
+    (vec_id, cluster_id, cluster_size); cluster_id = min member id."""
+    from .similarity import near_dup_pairs_stages
+    stages, final = near_dup_pairs_stages(SPARK, threshold=threshold)
+    pairs = dual.run_stages(spark, stages, final)
+    cc = connected_components(pairs, src="ida", dst="idb")
+    sz = (cc.groupBy("cluster_id")
+          .agg(F.count("*").alias("cluster_size")))
+    return (cc.join(sz, "cluster_id")
+            .select(F.col("doc_id").alias("vec_id"), "cluster_id",
+                    "cluster_size")
+            .orderBy("vec_id"))
+
+
+def embedding_clusters_oracle_sql(threshold: float = 0.9) -> str:
+    from .similarity import near_dup_pairs_stages
+    stages, final = near_dup_pairs_stages(DUCKDB, threshold=threshold)
+    closure = ("WITH RECURSIVE __reach(u, v) AS ("
+               "SELECT u, v FROM __eedges UNION "
+               "SELECT r.u, e.v FROM __reach r "
+               "JOIN __eedges e ON r.v = e.u WHERE e.v <> r.u) "
+               "SELECT u, v FROM __reach")
+    stages = stages + [
+        ("__epairs", f"SELECT ida, idb FROM ({final.rsplit('ORDER BY', 1)[0]}) __f"),
+        ("__eedges", "SELECT ida AS u, idb AS v FROM __epairs "
+                     "UNION SELECT idb AS u, ida AS v FROM __epairs"),
+        ("__ecomp", f"SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id "
+                    f"FROM ({closure}) __r GROUP BY u"),
+        ("__esz", "SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS "
+                  "cluster_size FROM __ecomp GROUP BY cluster_id"),
+    ]
+    out = ("SELECT c.vec_id, c.cluster_id, s.cluster_size "
+           "FROM __ecomp c JOIN __esz s ON c.cluster_id = s.cluster_id "
+           "ORDER BY c.vec_id")
+    return dual.stages_sql(stages, out)

@@ -190,3 +190,21 @@ def test_clean_corpus_policy(views):
     reasons = {r.reason for r in rows}
     assert reasons <= {"ok", "low_quality", "exact_dup", "near_dup"}
     assert "ok" in reasons and "near_dup" in reasons
+
+
+def test_embedding_clusters_matches_oracle(views, duck):
+    from snappy_aqp_spark.pipeline.clusters import (
+        embedding_clusters, embedding_clusters_oracle_sql)
+    compare_frames(embedding_clusters(views),
+                   duck.sql(embedding_clusters_oracle_sql()))
+
+
+def test_embedding_clusters_cover_planted_pairs(views):
+    """every planted (id, id+10M) near-dup lands in one cluster with its
+    source as the canonical member."""
+    from snappy_aqp_spark.pipeline.clusters import embedding_clusters
+    rows = {r.vec_id: r.cluster_id for r in embedding_clusters(views).collect()}
+    planted = [v for v in rows if v >= 10_000_000]
+    assert planted
+    for v in planted:
+        assert rows[v] == rows[v - 10_000_000] == v - 10_000_000
