@@ -307,6 +307,11 @@ class AQPSession:
 
     # -- DataFrame API ------------------------------------------------------
 
+    def table(self, name: str) -> "AQPDataFrame":
+        """fluent entry: aqp.table("lineitem").agg(...).withError(...)"""
+        return AQPDataFrame(self, name)
+
+
     def approx_agg(self, base: str, aggs: list[ApproxAgg],
                    group_by: list[str] = (), where: str | None = None,
                    error: float | None = None, confidence: float | None = None,
@@ -333,3 +338,94 @@ class AQPSession:
             **{"trials": self.defaults["trials"], **kw})
         return run_approx_query(self.spark, spec, self.tables,
                                 cache_token=self._token)
+
+
+class AQPDataFrame:
+    """Fluent DataFrame-API analog of the reference's
+    ``df.agg(...).withError(error, confidence[, behavior])`` chain
+    (AbstractAQPDataFrameAPIPart1Test.scala:160-343): relational verbs
+    accumulate, ``withError`` renders the chain as a WITH ERROR query and
+    executes through the session's single analysis/routing path — the
+    fluent and SQL surfaces cannot drift."""
+
+    def __init__(self, session: "AQPSession", base: str):
+        self._s = session
+        self._base = base
+        self._where: str | None = None
+        self._group: list[str] = []
+        self._aggs: list[str] = []
+        self._order: list[str] = []
+        self._limit: int | None = None
+
+    def _copy(self) -> "AQPDataFrame":
+        import copy
+        return copy.copy(self)
+
+    def where(self, cond: str) -> "AQPDataFrame":
+        out = self._copy()
+        out._where = (f"({self._where}) AND ({cond})" if self._where
+                      else cond)
+        return out
+
+    filter = where
+
+    def groupBy(self, *cols: str) -> "AQPDataFrame":
+        out = self._copy()
+        out._group = list(cols)
+        return out
+
+    def agg(self, *items, **named) -> "AQPDataFrame":
+        """items: SQL aggregate/error-fn strings ("sum(x) AS s",
+        "absolute_error(s)"); a dict maps column -> func (the reference's
+        ``agg(Map("arrdelay" -> "count"))`` shape)."""
+        out = self._copy()
+        out._aggs = list(out._aggs)
+        for it in items:
+            if isinstance(it, dict):
+                for col, fn in it.items():
+                    out._aggs.append(f"{fn}({col}) AS {fn}_{col}")
+            else:
+                out._aggs.append(str(it))
+        for alias, expr in named.items():
+            out._aggs.append(f"{expr} AS {alias}")
+        return out
+
+    def orderBy(self, *cols: str) -> "AQPDataFrame":
+        out = self._copy()
+        out._order = list(cols)
+        return out
+
+    def limit(self, n: int) -> "AQPDataFrame":
+        out = self._copy()
+        out._limit = n
+        return out
+
+    def sql_text(self, error: float, confidence: float | None = None,
+                 behavior: str | None = None) -> str:
+        items = self._group + (self._aggs or ["count(*) AS count_1"])
+        sql = f"SELECT {', '.join(items)} FROM {self._base}"
+        if self._where:
+            sql += f" WHERE {self._where}"
+        if self._group:
+            sql += f" GROUP BY {', '.join(self._group)}"
+        if self._order:
+            sql += f" ORDER BY {', '.join(self._order)}"
+        if self._limit is not None:
+            sql += f" LIMIT {self._limit}"
+        sql += f" WITH ERROR {error!r}"
+        if confidence is not None:
+            sql += f" CONFIDENCE {confidence!r}"
+        if behavior is not None:
+            sql += f" BEHAVIOR '{behavior.lower()}'"
+        return sql
+
+    def withError(self, error: float, confidence: float | None = None,
+                  behavior: str | None = None) -> DataFrame:
+        """execute approximately (reference accepts uppercase behavior
+        names, e.g. "DO_NOTHING"/"STRICT"/"RUN_ON_FULL_TABLE")."""
+        return self._s.sql(self.sql_text(error, confidence, behavior))
+
+    def collect(self):
+        """exact execution of the accumulated chain (no WITH clause)."""
+        txt = self.sql_text(0.5).rsplit(" WITH ERROR", 1)[0]
+        return self._s.spark.sql(txt).collect()

@@ -341,3 +341,31 @@ def test_view_routing(aqp):
     assert aqp.sql("SELECT sum(s) AS t FROM lagg WITH ERROR 0.5").count() == 1
     aqp.sql("DROP VIEW lv")
     aqp.sql("DROP VIEW IF EXISTS lagg")
+
+
+def test_fluent_dataframe_api(aqp):
+    """reference DataFrame-API chain (AbstractAQPDataFrameAPIPart1Test):
+    fluent withError == the SQL form, behaviors accepted uppercase."""
+    fluent = (aqp.table("lineitem")
+              .where("l_quantity > 5")
+              .groupBy("l_returnflag")
+              .agg("sum(l_extendedprice) AS s", "absolute_error(s)")
+              .orderBy("l_returnflag")
+              .withError(0.5, 0.95, "DO_NOTHING")).toPandas()
+    via_sql = aqp.sql(
+        "SELECT l_returnflag, sum(l_extendedprice) AS s, absolute_error(s) "
+        "FROM lineitem WHERE l_quantity > 5 GROUP BY l_returnflag "
+        "ORDER BY l_returnflag WITH ERROR 0.5 CONFIDENCE 0.95 "
+        "BEHAVIOR 'do_nothing'").toPandas()
+    assert fluent.equals(via_sql)
+    # dict-agg shape: agg(Map("arrdelay" -> "count"))
+    cnt = (aqp.table("lineitem").agg({"l_quantity": "count"})
+           .withError(0.9, 0.1)).collect()
+    assert len(cnt) == 1 and cnt[0]["count_l_quantity"] > 0
+    # STRICT behavior raises when the error contract is violated
+    import pytest as _pt
+    from snappy_aqp_spark import ErrorLimitExceededException
+    with _pt.raises(ErrorLimitExceededException):
+        (aqp.table("lineitem")
+         .agg("sum(l_extendedprice) AS s", "relative_error(s)")
+         .withError(0.00001, 0.95, "STRICT")).collect()
