@@ -132,6 +132,18 @@ SQL_FIXTURES: dict[str, dict] = {
     # approx query THROUGH a projection view (AbstractViewTest.scala:141-165:
     # WITH ERROR queries against a view of the base table must route to the
     # base table's sample; the view predicate conjoins with the query's)
+    # two dimension joins on the sampled fact (JoinQueryTest protocols:
+    # one sampled relation, every dimension exact)
+    "sql_join_two_dims": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem", "orders", "customer"),
+        "query": ("SELECT c_mktsegment, sum(l_extendedprice) AS rev, "
+                  "absolute_error(rev), lower_bound(rev) "
+                  "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+                  "JOIN customer ON o_custkey = c_custkey "
+                  "GROUP BY c_mktsegment ORDER BY c_mktsegment "
+                  "WITH ERROR 0.5 CONFIDENCE 0.95"),
+    },
     "sql_view": {
         "ddl": [_LI_DDL,
                 "CREATE VIEW li_view AS (SELECT l_returnflag, l_linestatus, "
