@@ -183,6 +183,18 @@ SQL_FIXTURES: dict[str, dict] = {
     # WHERE-clause subqueries: IN-subquery -> exact semi-join feeding the
     # sampled outer plan, scalar subquery -> inlined literal (PlaceHolderPlan
     # routing, QueryProcessingRules.scala:119-148; SubQueryRoutingTestSuite)
+    "sql_subquery_not_in": {
+        "ddl": [("CREATE SAMPLE TABLE ord_sample2 ON orders OPTIONS("
+                 "qcs 'o_orderpriority', fraction '0.1', "
+                 "method 'hash', seed '42')")],
+        "tables": ("orders", "lineitem"),
+        "query": ("SELECT o_orderpriority, sum(o_totalprice) AS st, "
+                  "upper_bound(st) FROM orders "
+                  "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem "
+                  "WHERE l_quantity > 30) "
+                  "GROUP BY o_orderpriority ORDER BY o_orderpriority "
+                  "WITH ERROR 0.5"),
+    },
     "sql_subquery": {
         "ddl": [("CREATE SAMPLE TABLE ord_sample ON orders OPTIONS("
                  "qcs 'o_orderpriority', fraction '0.1', "
