@@ -151,7 +151,8 @@ def _streaming_topk_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (out.writeStream.outputMode("update").format("memory")
          .queryName(sink).option("checkpointLocation", f"{tmp}/ckpt")
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), \
+        "streaming_topk_state query did not finish within 300s"
     return final_topk(spark.table(sink), k=20)
 
 

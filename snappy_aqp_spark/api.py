@@ -99,7 +99,10 @@ def build_views_from_ddl(ddls: list[str]) -> dict:
     for ddl in ddls:
         v = fe.parse_create_view(ddl)
         if v is not None:
-            parsed = fe.parse_select(v[1])
+            try:
+                parsed = fe.parse_select(v[1])
+            except fe.SQLFrontendError:
+                continue            # exact-only view shape (session tolerates)
             if fe.is_projection_view(parsed):
                 views[v[0].lower()] = parsed
     return views
@@ -400,8 +403,8 @@ class AQPDataFrame:
         out._limit = n
         return out
 
-    def sql_text(self, error: float, confidence: float | None = None,
-                 behavior: str | None = None) -> str:
+    def body_text(self) -> str:
+        """the accumulated chain as plain SQL (no WITH clause)."""
         items = self._group + (self._aggs or ["count(*) AS count_1"])
         sql = f"SELECT {', '.join(items)} FROM {self._base}"
         if self._where:
@@ -412,6 +415,11 @@ class AQPDataFrame:
             sql += f" ORDER BY {', '.join(self._order)}"
         if self._limit is not None:
             sql += f" LIMIT {self._limit}"
+        return sql
+
+    def sql_text(self, error: float, confidence: float | None = None,
+                 behavior: str | None = None) -> str:
+        sql = self.body_text()
         sql += f" WITH ERROR {error!r}"
         if confidence is not None:
             sql += f" CONFIDENCE {confidence!r}"
@@ -427,5 +435,4 @@ class AQPDataFrame:
 
     def collect(self):
         """exact execution of the accumulated chain (no WITH clause)."""
-        txt = self.sql_text(0.5).rsplit(" WITH ERROR", 1)[0]
-        return self._s.spark.sql(txt).collect()
+        return self._s.spark.sql(self.body_text()).collect()

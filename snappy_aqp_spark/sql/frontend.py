@@ -504,9 +504,12 @@ def parse_create_topk(sql: str) -> tuple[str, str, dict[str, str]] | None:
     return m.group("name"), m.group("base"), {k.lower(): v for k, v in opts.items()}
 
 
+# the close paren is only stripped when it matches an open paren right after
+# AS — an optional trailing \)? would eat a paren belonging to the body
+# (e.g. "... WHERE x IN (1,2)")
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?P<name>\w+)\s+AS\s+"
-    r"\(?\s*(?P<body>SELECT\b.*?)\s*\)?\s*;?\s*$",
+    r"(?:\(\s*(?P<b1>SELECT\b.*?)\s*\)|(?P<b2>SELECT\b.*?))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 
 _DROP_VIEW_RE = re.compile(
@@ -516,7 +519,9 @@ _DROP_VIEW_RE = re.compile(
 
 def parse_create_view(sql: str) -> tuple[str, str] | None:
     m = _CREATE_VIEW_RE.match(sql)
-    return (m.group("name"), m.group("body")) if m else None
+    if not m:
+        return None
+    return m.group("name"), (m.group("b1") or m.group("b2"))
 
 
 def parse_drop_view(sql: str) -> str | None:
@@ -536,22 +541,37 @@ def expand_view(parsed: ParsedSelect,
         v = views.get(parsed.from_table.lower())
         if v is None:
             return parsed
-        sub = {a: e for e, a in v.select_items
+        sub = {a.lower(): e for e, a in v.select_items
                if a is not None and a.lower() != e.strip().lower()}
 
-        def rw(t: str | None) -> str | None:
-            if not t:
+        if sub:
+            # single-pass alternation: sequential per-alias re.sub would
+            # cascade when one alias's expansion mentions another alias
+            # ("SELECT b AS a, c AS b"); string literals are consumed by the
+            # first alternative so aliases inside them never substitute
+            alt = "|".join(sorted((re.escape(a) for a in sub),
+                                  key=len, reverse=True))
+            pat = re.compile(
+                rf"('(?:[^']|'')*')|(?<![\w.])({alt})(?![\w.])",
+                re.IGNORECASE)
+
+            def rw(t: str | None) -> str | None:
+                if not t:
+                    return t
+                return pat.sub(
+                    lambda m: m.group(1) if m.group(1) is not None
+                    else f"({sub[m.group(2).lower()]})", t)
+        else:
+            def rw(t: str | None) -> str | None:
                 return t
-            for a, ex in sub.items():
-                t = re.sub(rf"(?<![\w.]){a}(?![\w.])", f"({ex})", t,
-                           flags=re.IGNORECASE)
-            return t
 
         parts = [p for p in (v.where, rw(parsed.where)) if p]
         parsed = dataclasses.replace(
             parsed,
             select_items=[(rw(e), a) for e, a in parsed.select_items],
             from_table=v.from_table,
+            joins=[dataclasses.replace(j, on=rw(j.on))
+                   for j in parsed.joins],
             where=(" AND ".join(f"({p})" for p in parts) if parts else None),
             group_by=[rw(g) for g in parsed.group_by],
             having=rw(parsed.having),

@@ -369,3 +369,58 @@ def test_fluent_dataframe_api(aqp):
         (aqp.table("lineitem")
          .agg("sum(l_extendedprice) AS s", "relative_error(s)")
          .withError(0.00001, 0.95, "STRICT")).collect()
+
+
+# --- round-3 ADVICE regressions ---------------------------------------------
+
+def test_create_view_body_ending_in_paren():
+    # unparenthesized body ending with ')' must keep its close paren
+    name, body = fe.parse_create_view(
+        "CREATE VIEW v AS SELECT a FROM t WHERE x IN (1,2)")
+    assert name == "v"
+    assert body == "SELECT a FROM t WHERE x IN (1,2)"
+    # parenthesized form still strips exactly the wrapping parens
+    name2, body2 = fe.parse_create_view(
+        "CREATE VIEW v2 AS (SELECT a FROM t WHERE x IN (1,2))")
+    assert body2 == "SELECT a FROM t WHERE x IN (1,2)"
+
+
+def test_expand_view_no_alias_cascade():
+    # view 'SELECT b AS a, c AS b': query ref 'a' must become (b), not ((c))
+    v = fe.parse_select("SELECT b AS a, c AS b FROM base")
+    q = fe.parse_select("SELECT a, count(*) AS c1 FROM vw GROUP BY a")
+    out = fe.expand_view(q, {"vw": v})
+    assert out.from_table == "base"
+    assert out.select_items[0][0] == "(b)"
+    assert out.group_by == ["(b)"]
+
+
+def test_expand_view_rewrites_join_on_and_skips_literals():
+    v = fe.parse_select("SELECT l_orderkey AS ok, l_quantity AS qty "
+                        "FROM lineitem")
+    q = fe.parse_select("SELECT o_orderstatus, count(*) AS c FROM vw "
+                        "JOIN orders ON ok = o_orderkey "
+                        "WHERE o_comment = 'keep ok literal' "
+                        "GROUP BY o_orderstatus")
+    out = fe.expand_view(q, {"vw": v})
+    assert out.joins[0].on == "(l_orderkey) = o_orderkey"
+    assert "'keep ok literal'" in out.where
+
+
+def test_build_views_tolerates_unsupported_view_body():
+    from snappy_aqp_spark.api import build_views_from_ddl
+    views = build_views_from_ddl([
+        "CREATE VIEW weird AS SELECT a FROM (SELECT 1 a) t",   # unparseable
+        "CREATE VIEW ok AS SELECT l_orderkey AS k FROM lineitem"])
+    assert "ok" in views and "weird" not in views
+
+
+def test_fluent_collect_survives_with_error_literal(spark):
+    aqp2 = AQPSession(spark, data_token="collect-lit")
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 2], "note": ["x WITH ERROR y", "z"]}))
+    aqp2.register_table("notes", df)
+    rows = (aqp2.table("notes").where("note = 'x WITH ERROR y'")
+            .agg("count(*) AS c").collect())
+    assert rows[0]["c"] == 1

@@ -52,7 +52,7 @@ def test_stream_sample_equals_batch(spark, tmpdir, method):
     m = StreamingSampleMaintainer(spark, spec, f"{tmpdir}/state")
     q = (m.attach(stream, checkpointLocation=f"{tmpdir}/ckpt")
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     streamed = m.sample_df().toPandas()
     batch = stratified_sample(full, spec).toPandas()
@@ -78,7 +78,7 @@ def test_stream_topk_equals_batch(spark, tmpdir, duck):
     m = StreamingTopKMaintainer(spark, reg, spec)
     q = (m.attach(stream).option("checkpointLocation", f"{tmpdir}/ck2")
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     import dataclasses
     reg2 = TopKRegistry()
@@ -103,7 +103,7 @@ def test_stateful_space_saving_exact_when_capacity_sufficient(spark, tmpdir):
          .queryName("ss_sink")
          .option("checkpointLocation", f"{tmpdir}/ck_ss")
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     got = final_topk(spark.table("ss_sink"), k=20).toPandas()
     exact = (full.groupBy(F.col("user_id").cast("string").alias("key"))
@@ -128,7 +128,7 @@ def test_stateful_space_saving_conservative_when_bounded(spark, tmpdir):
          .queryName("ss_sink2")
          .option("checkpointLocation", f"{tmpdir}/ck_ss2")
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     got = final_topk(spark.table("ss_sink2"), k=10).toPandas()
     true = {r["key"]: r["n"] for r in
@@ -167,7 +167,7 @@ def test_windowed_counts_drop_late_rows(spark, tmpdir):
              .option("path", out_dir)
              .option("checkpointLocation", f"{tmpdir}/ck_win")
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in 120s"
         return sorted((r.win_start.minute, r.win_end.minute, r.n)
                       for r in spark.read.parquet(out_dir).collect())
 
