@@ -224,6 +224,14 @@ class AQPSession:
     # -- SQL ----------------------------------------------------------------
 
     def sql(self, text: str) -> DataFrame:
+        target = fe.parse_mutation_target(text)
+        if target:
+            t = target.lower()
+            if self.catalog.get(t) is not None or t in self.topk.tables:
+                raise fe.SQLFrontendError(
+                    f"mutations must target base tables, not the AQP-managed "
+                    f"structure '{target}' (drop and recreate it instead)")
+            return self.spark.sql(text)
         ddl = fe.parse_create_sample(text)
         if ddl:
             name, base, opts = ddl

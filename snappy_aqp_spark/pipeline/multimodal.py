@@ -88,19 +88,66 @@ def _pixels(seeds: np.ndarray, frames: np.ndarray, n_px: int) -> np.ndarray:
     return s3 % 256
 
 
-def decode_media(df: DataFrame, decode_fn: str = "fake",
+def available_codecs() -> dict[str, str]:
+    """Feature-detect real media libraries in this environment.
+
+    Returns e.g. ``{"image": "PIL", "video": "ffmpeg"}``; empty when neither
+    is installed (this container ships none — the fake codec is the tested
+    path)."""
+    found: dict[str, str] = {}
+    try:
+        import PIL  # noqa: F401  (optional, detected only)
+        found["image"] = "PIL"
+    except ImportError:
+        pass
+    import shutil
+    if shutil.which("ffmpeg"):
+        found["video"] = "ffmpeg"
+    return found
+
+
+# Extension contract for real decoders (``decode_fn=<callable>``): the
+# callable receives one pandas batch with MEDIA_SCHEMA columns
+# (id, content, format, width, height, n_frames) plus the frame-sampling
+# stride, and must return a pandas frame with _DECODED_SCHEMA columns
+# (id, frame, width, height, pixels: list[int] of width*height values).
+# It runs Arrow-batched inside mapInPandas — vectorize, never per-row.
+_REAL_DECODERS: dict[str, object] = {}
+
+
+def register_real_decoder(name: str, fn) -> None:
+    """Install a real codec (PIL/ffmpeg-backed) under ``decode_fn=name``."""
+    _REAL_DECODERS[name] = fn
+
+
+def decode_media(df: DataFrame, decode_fn="fake",
                  sample_every: int = 1) -> DataFrame:
     """content -> per-frame pixel rows; ``sample_every`` keeps every n-th
-    frame (video frame sampling)."""
-    if decode_fn not in ("fake", "real"):
-        raise ValueError(decode_fn)
+    frame (video frame sampling).
+
+    ``decode_fn``: "fake" (deterministic SQL-replayable codec), a callable
+    implementing the extension contract above, or the name of a decoder
+    registered via ``register_real_decoder`` ("real" is the conventional
+    name). Unresolvable names fail here at plan time, not inside executors.
+    """
+    custom = decode_fn if callable(decode_fn) else _REAL_DECODERS.get(decode_fn)
+    if decode_fn != "fake" and custom is None:
+        codecs = available_codecs()
+        raise RuntimeError(
+            f"no decoder registered under {decode_fn!r}. Detected media "
+            f"libraries: {codecs or 'none'}. Install PIL/ffmpeg and "
+            f"register_real_decoder({decode_fn!r}, fn) with a batch decoder "
+            f"(pandas batch of id/content/format/width/height/n_frames + "
+            f"stride -> id/frame/width/height/pixels rows), or pass a "
+            f"callable directly; decode_fn='fake' stays the oracle-matched "
+            f"path.")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["id", "frame", "width", "height", "pixels"]
         for pdf in batches:
-            if decode_fn == "real":
-                raise NotImplementedError(
-                    "real media decoding needs PIL/ffmpeg; plug in here")
+            if custom is not None:
+                yield custom(pdf, sample_every)
+                continue
             if len(pdf) == 0:
                 yield pd.DataFrame(columns=cols)
                 continue

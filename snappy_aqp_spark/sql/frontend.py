@@ -656,6 +656,26 @@ def parse_drop_sample(sql: str) -> str | None:
     return m.group("name") if m else None
 
 
+# --- mutations --------------------------------------------------------------
+# The reference analyzes UPDATE/DELETE/INSERT against the mutable base table
+# (AnalyzeMutableOperations, internal/SnappyAQPSessionState.scala:133) and
+# never lets a mutation hit a sample or TopK structure; we reproduce the
+# routing surface: detect the statement, forbid AQP-managed targets, and
+# hand everything else to Spark untouched.
+_MUTATION_RE = re.compile(
+    r"^\s*(?:UPDATE\s+(?P<u>\w+)|DELETE\s+FROM\s+(?P<d>\w+)|"
+    r"INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<i>\w+)|"
+    r"MERGE\s+INTO\s+(?P<m>\w+))\b", re.IGNORECASE)
+
+
+def parse_mutation_target(sql: str) -> str | None:
+    """table name targeted by an UPDATE/DELETE/INSERT/MERGE, else None."""
+    m = _MUTATION_RE.match(sql)
+    if not m:
+        return None
+    return m.group("u") or m.group("d") or m.group("i") or m.group("m")
+
+
 def fold_error_functions(sql: str, parsed: ParsedSelect) -> str:
     """Constant-fold error functions for exact routes: absolute/relative -> 0,
     lower/upper -> the target's expression (QueryRoutingRules.scala:370-404)."""

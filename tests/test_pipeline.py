@@ -208,3 +208,48 @@ def test_embedding_clusters_cover_planted_pairs(views):
     assert planted
     for v in planted:
         assert rows[v] == rows[v - 10_000_000] == v - 10_000_000
+
+
+# --- round-3: real-codec plug point ------------------------------------------
+
+def test_multimodal_unknown_decoder_fails_at_plan_time(spark):
+    from snappy_aqp_spark.pipeline import multimodal as mm
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(5)
+    media = mm.synthesize_media(docs)
+    with pytest.raises(RuntimeError) as ei:
+        mm.decode_media(media, decode_fn="real")
+    msg = str(ei.value)
+    assert "register_real_decoder" in msg and "Detected media" in msg
+
+
+def test_multimodal_custom_decoder_contract(spark):
+    """a callable decoder flows through the mapInPandas plumbing unchanged."""
+    import numpy as np
+    import pandas as pd
+    from snappy_aqp_spark.pipeline import multimodal as mm
+
+    def const_decoder(pdf: pd.DataFrame, stride: int) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            for f in range(0, int(r["n_frames"]), stride):
+                rows.append({"id": int(r["id"]), "frame": f,
+                             "width": int(r["width"]),
+                             "height": int(r["height"]),
+                             "pixels": [7] * (int(r["width"]) * int(r["height"]))})
+        return pd.DataFrame(rows, columns=["id", "frame", "width", "height",
+                                           "pixels"])
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(4)
+    media = mm.synthesize_media(docs, n_frames=4, width=4, height=4)
+    decoded = mm.decode_media(media, decode_fn=const_decoder, sample_every=2)
+    feats = mm.extract_features(decoded).toPandas()
+    assert len(feats) == 8                       # 4 docs x 2 sampled frames
+    assert (feats["mean_px"] == 7.0).all()
+    assert (feats["std_px"] == 0.0).all()
+    # registry path resolves by name too
+    mm.register_real_decoder("const", const_decoder)
+    try:
+        decoded2 = mm.decode_media(media, decode_fn="const", sample_every=2)
+        assert decoded2.count() == 8
+    finally:
+        mm._REAL_DECODERS.pop("const", None)

@@ -424,3 +424,33 @@ def test_fluent_collect_survives_with_error_literal(spark):
     rows = (aqp2.table("notes").where("note = 'x WITH ERROR y'")
             .agg("count(*) AS c").collect())
     assert rows[0]["c"] == 1
+
+
+# --- round-3: UPDATE/DELETE passthrough surface ------------------------------
+
+def test_mutation_parse():
+    assert fe.parse_mutation_target("UPDATE t SET x = 1") == "t"
+    assert fe.parse_mutation_target("DELETE FROM li_sample WHERE 1=1") == "li_sample"
+    assert fe.parse_mutation_target("INSERT INTO tab VALUES (1)") == "tab"
+    assert fe.parse_mutation_target("insert overwrite table tab SELECT 1") == "tab"
+    assert fe.parse_mutation_target("MERGE INTO tgt USING s ON 1=1") == "tgt"
+    assert fe.parse_mutation_target("SELECT * FROM t") is None
+
+
+def test_mutation_on_sample_raises_on_base_passes(aqp, tmp_path):
+    # AQP-managed structures are mutation-protected
+    # (AnalyzeMutableOperations surface, SnappyAQPSessionState.scala:133)
+    for stmt in ("UPDATE li_sample SET l_quantity = 0",
+                 "DELETE FROM li_sample WHERE l_quantity > 0",
+                 "INSERT INTO li_sample VALUES (1)"):
+        with pytest.raises(fe.SQLFrontendError, match="AQP-managed"):
+            aqp.sql(stmt)
+    # base-table mutations pass through to Spark untouched
+    aqp.spark.sql(f"CREATE TABLE mut_base (a INT) USING parquet "
+                  f"LOCATION '{tmp_path}/mut_base'")
+    try:
+        aqp.sql("INSERT INTO mut_base VALUES (1)")
+        aqp.sql("INSERT INTO mut_base VALUES (2)")
+        assert aqp.spark.sql("SELECT count(*) c FROM mut_base").first()["c"] == 2
+    finally:
+        aqp.spark.sql("DROP TABLE mut_base")
