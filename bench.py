@@ -64,12 +64,18 @@ def main() -> None:
     results: dict[str, float] = {}
     for name in HEADLINE:
         spec = APPROX_SPECS[name]
-        for label, runner in (("", run_approx_query), ("exact:", run_exact_query)):
-            def once():
-                if runner is run_approx_query:
-                    runner(spark, spec, tables, cache_token=SF_DIR).collect()
-                else:
-                    runner(spark, spec, tables).collect()
+        # exact_cached reuses one prepared plan across iterations — the
+        # honest mirror of the approx side's _PLAN_CACHE, so the
+        # approx-vs-exact margin excludes plan-build asymmetry
+        exact_prepared = run_exact_query(spark, spec, tables)
+        runners = (
+            ("", lambda s=spec: run_approx_query(
+                spark, s, tables, cache_token=SF_DIR).collect()),
+            ("exact:", lambda s=spec: run_exact_query(
+                spark, s, tables).collect()),
+            ("exact_cached:", lambda df=exact_prepared: df.collect()),
+        )
+        for label, once in runners:
             for _ in range(WARMUP):
                 once()
             times = [_time(once) for _ in range(ITERS)]
@@ -88,7 +94,8 @@ def main() -> None:
         times = [_time(once) for _ in range(max(3, ITERS - 2))]
         results[name] = round(statistics.median(times), 4)
 
-    total = round(sum(v for k, v in results.items() if not k.startswith("exact:")), 4)
+    total = round(sum(v for k, v in results.items()
+                      if not k.startswith(("exact:", "exact_cached:"))), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "aqp_headline_median_total",

@@ -59,20 +59,40 @@ def exact_dedup_stages(dialect: str, table: str = "documents",
 
 def ngram_jaccard_stages(dialect: str, threshold: float, k: int = 5,
                          table: str = "documents", col: str = "text",
-                         max_doc_freq: int = 10_000
+                         max_doc_freq: int = 10_000,
+                         max_docs: int = 100_000
                          ) -> tuple[list[tuple[str, str]], str]:
+    """Exact all-co-shingled-pair Jaccard — the QUADRATIC small-N baseline.
+
+    Guard rail: the co-shingled pair join is ~O(n²) on near-dup-heavy
+    corpora, so corpora above ``max_docs`` documents fail fast with a
+    pointer to ``minhash_lsh_stages`` (same threshold semantics, bucketed
+    candidates) instead of silently launching a scale-killing join. Below
+    the cap, results are byte-identical to the unguarded baseline.
+    """
+    guard = dual.raise_err(
+        dialect, f"ngram_jaccard is a quadratic small-N baseline capped at "
+                 f"{max_docs} documents; use minhash_lsh (banded LSH "
+                 f"candidates + exact-Jaccard verify) for large corpora, or "
+                 f"raise max_docs explicitly")
     stages = _shingles(dialect, table, col, k)
     stages += [
+        ("__ngj_guard",
+         f"SELECT CASE WHEN COUNT(*) > {max_docs} THEN {guard} "
+         f"ELSE CAST(0 AS BIGINT) END AS g FROM {table}"),
         ("__sz", "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM __sh "
                  "GROUP BY doc_id"),
         # frequency-cap hot shingles (stopword-gram skew guard)
         ("__df", f"SELECT sh FROM __sh GROUP BY sh "
                  f"HAVING COUNT(*) <= {max_doc_freq}"),
         ("__shc", "SELECT s.doc_id, s.sh FROM __sh s JOIN __df d ON s.sh = d.sh"),
+        # the guard's scalar subquery gates the quadratic join itself
         ("__pairs", "SELECT a.doc_id AS ida, b.doc_id AS idb, "
                     "CAST(COUNT(*) AS BIGINT) AS common "
                     "FROM __shc a JOIN __shc b ON a.sh = b.sh "
-                    "AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id"),
+                    "AND a.doc_id < b.doc_id "
+                    "WHERE (SELECT g FROM __ngj_guard) = 0 "
+                    "GROUP BY a.doc_id, b.doc_id"),
         ("__j", "SELECT p.ida, p.idb, CAST(p.common AS DOUBLE) / "
                 "CAST(sa.n + sb.n - p.common AS DOUBLE) AS jaccard "
                 "FROM __pairs p JOIN __sz sa ON p.ida = sa.doc_id "

@@ -176,6 +176,14 @@ def hex15_to_long(hex_sql: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def raise_err(dialect: str, msg: str) -> str:
+    """BIGINT-typed expression that raises ``msg`` when evaluated (guard
+    rails inside CASE branches; both engines evaluate CASE lazily)."""
+    lit = "'" + msg.replace("'", "''") + "'"
+    fn = "raise_error" if dialect == SPARK else "error"
+    return f"CAST({fn}({lit}) AS BIGINT)"
+
+
 def stages_sql(stages: list[tuple[str, str]], final: str) -> str:
     ctes = ",\n".join(f"{n} AS (\n{s}\n)" for n, s in stages)
     return f"WITH {ctes}\n{final}"

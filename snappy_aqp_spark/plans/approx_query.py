@@ -192,6 +192,18 @@ _SAMPLE_CACHE: dict[tuple, DataFrame] = {}
 _PLAN_CACHE: dict[tuple, DataFrame] = {}
 _CACHEABLE_BEHAVIORS = ("do_nothing", "local_omit")
 
+# HAC queries persist their (tiny) aggregate relation for the violation
+# check + visible output; the blocks are freed on the NEXT query rather
+# than relying on ContextCleaner GC — a long-lived session running many
+# HAC queries otherwise accumulates persisted blocks until driver GC. An
+# evicted result that the caller re-collects later just recomputes.
+_HAC_PERSISTED: list[DataFrame] = []
+
+
+def _evict_hac_persisted() -> None:
+    while _HAC_PERSISTED:
+        _HAC_PERSISTED.pop().unpersist()
+
 
 def get_sample(base: DataFrame, spec: ApproxQuerySpec,
                cache_token: str | None) -> DataFrame:
@@ -347,6 +359,7 @@ def run_approx_query(spark: SparkSession, spec: ApproxQuerySpec,
                      tables: dict[str, DataFrame],
                      cache_token: str | None = None) -> DataFrame:
     """Execute the approximate query; returns the visible-result DataFrame."""
+    _evict_hac_persisted()
     behavior = spec.behavior
     if cache_token is not None and behavior in _CACHEABLE_BEHAVIORS:
         pkey = (spec, cache_token)
@@ -372,11 +385,12 @@ def run_approx_query(spark: SparkSession, spec: ApproxQuerySpec,
     # The violation check and the visible output both consume fin_rel; the
     # reference checks error flags on the already-computed aggregation
     # (AQPRules.scala:341-363), so persist the (tiny: one row per group)
-    # aggregate result instead of recomputing it per consumer. Persisted
-    # blocks are reclaimed by Spark's ContextCleaner once the returned
-    # DataFrame goes out of scope on the caller side.
+    # aggregate result instead of recomputing it per consumer. Freed
+    # eagerly where the output no longer reads it, and by next-query
+    # eviction otherwise (_evict_hac_persisted).
     viol = _violation_cond(spec)
     fin_rel = fin_rel.persist()
+    _HAC_PERSISTED.append(fin_rel)
     if behavior == "strict":
         if fin_rel.where(F.expr(viol)).limit(1).count() > 0:
             fin_rel.unpersist()

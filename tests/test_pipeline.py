@@ -253,3 +253,20 @@ def test_multimodal_custom_decoder_contract(spark):
         assert decoded2.count() == 8
     finally:
         mm._REAL_DECODERS.pop("const", None)
+
+
+def test_ngram_jaccard_guard_rail(views, duck):
+    """above max_docs the quadratic baseline fails fast in BOTH dialects,
+    pointing at minhash_lsh; below it results are unchanged."""
+    from snappy_aqp_spark.pipeline.dedup import ngram_jaccard_stages
+    spark = views
+    # under the cap: identical to the unguarded baseline (existing fixture)
+    stages, final = ngram_jaccard_stages(SPARK, threshold=0.5, max_docs=100_000)
+    assert run_stages(spark, stages, final).count() > 0
+    # over the cap: loud failure, not a silent quadratic join
+    stages_s, final_s = ngram_jaccard_stages(SPARK, threshold=0.5, max_docs=10)
+    with pytest.raises(Exception, match="quadratic small-N baseline"):
+        run_stages(spark, stages_s, final_s).count()
+    stages_d, final_d = ngram_jaccard_stages(DUCKDB, threshold=0.5, max_docs=10)
+    with pytest.raises(Exception, match="quadratic small-N baseline"):
+        duck.sql(stages_sql(stages_d, final_d)).df()
