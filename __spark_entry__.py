@@ -214,9 +214,7 @@ def _error_stats_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snappy_aqp_spark.operators.sample_stats import error_stats
     from snappy_aqp_spark.plans.approx_query import get_sample
     tables = load_tables(spark, sf_dir, ("lineitem",))
-    import types
-    sample = get_sample(tables["lineitem"],
-                        types.SimpleNamespace(sample=LI_HASH), sf_dir)
+    sample = get_sample(tables["lineitem"], LI_HASH, sf_dir)
     return error_stats(sample, "l_extendedprice",
                        ["l_returnflag", "l_linestatus"],
                        max_abs=_PRICE).orderBy("l_returnflag", "l_linestatus")
@@ -226,10 +224,8 @@ def _error_estimate_avg_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snappy_aqp_spark.fixtures import LI_HASH, _PRICE
     from snappy_aqp_spark.operators.sample_stats import error_estimate_average
     from snappy_aqp_spark.plans.approx_query import get_sample
-    import types
     tables = load_tables(spark, sf_dir, ("lineitem",))
-    sample = get_sample(tables["lineitem"],
-                        types.SimpleNamespace(sample=LI_HASH), sf_dir)
+    sample = get_sample(tables["lineitem"], LI_HASH, sf_dir)
     return error_estimate_average(sample, "l_extendedprice",
                                   ["l_returnflag", "l_linestatus"],
                                   confidence=0.95, max_abs=_PRICE)

@@ -69,14 +69,75 @@ def analyze_text(text: str, catalog: SampleCatalog, defaults: dict,
     except fe.SQLFrontendError:
         return fe.AnalyzedQuery(None, None, {}, "unparseable: routed exact")
     base = parsed.from_table.lower()
-    group_cols: set[str] = set()
-    for g in parsed.group_by:
-        group_cols.update(_cols_in_text(base, g, extra_cols))
-    filter_cols = _cols_in_text(base, parsed.where or "", extra_cols)
-    info = catalog.select_sample(base, group_cols, filter_cols)
+    # ONE sampled relation anywhere in the query, FROM table first then
+    # joined relations in order (the reference's plan-traversal order:
+    # ReplaceWithSampleTable stops at the first sampled relation,
+    # QueryProcessingRules.scala:504-515). Joined relations are eligible
+    # only under all-inner joins: replacing one side of an outer join
+    # would change its null-extension semantics.
+    candidates = [base]
+    if parsed.joins and all(j.how == "inner" for j in parsed.joins):
+        candidates += [j.table.lower() for j in parsed.joins]
+    info, from_rel = None, None
+    for cand in candidates:
+        if not catalog.for_base(cand):
+            continue
+        group_cols: set[str] = set()
+        for g in parsed.group_by:
+            group_cols.update(_cols_in_text(cand, g, extra_cols))
+        filter_cols = _cols_in_text(cand, parsed.where or "", extra_cols)
+        info = catalog.select_sample(cand, group_cols, filter_cols)
+        from_rel = None if cand == base else base
+        break
     if info is None:
         return fe.AnalyzedQuery(None, parsed, {}, "no sample registered")
-    return fe.analyze(parsed, wc, info.spec, defaults)
+    analyzed = fe.analyze(parsed, wc, info.spec, defaults,
+                          from_relation=from_rel)
+    if analyzed.spec is not None and analyzed.spec.where_subs:
+        analyzed = _attach_subquery_samples(analyzed, catalog, extra_cols)
+    return analyzed
+
+
+def _attach_subquery_samples(analyzed, catalog: SampleCatalog,
+                             extra_cols: set[str] | None):
+    """One sample query per WHERE-subquery tree (PlaceHolderPlan +
+    ReplaceWithSampleTable on the subquery child,
+    QueryProcessingRules.scala:119-148): an IN-subquery whose single-block
+    tree reads one relation with a registered sample is replaced by a scan
+    of that sample (row-membership semantics — the reference's relation
+    replacement). NOT IN stays exact: an anti-join against a subset of the
+    true key set admits rows the exact query excludes in a direction the
+    error model doesn't cover; scalar subqueries stay exact (their value
+    inlines as a literal)."""
+    import dataclasses
+    new_subs, changed = [], False
+    for sp in analyzed.spec.where_subs:
+        sub_sample = None
+        if (sp.kind == "in" and len(sp.tables) == 1 and sp.sub_select
+                and re.fullmatch(r"\w+", sp.sub_select.strip())):
+            try:
+                sub_parsed = fe.parse_select(sp.sub_sql)
+            except fe.SQLFrontendError:
+                sub_parsed = None
+            if (sub_parsed is not None and not sub_parsed.joins
+                    and not sub_parsed.group_by and not sub_parsed.having
+                    and sub_parsed.limit is None):
+                sub_base = sub_parsed.from_table.lower()
+                if catalog.for_base(sub_base):
+                    sinfo = catalog.select_sample(
+                        sub_base, set(),
+                        _cols_in_text(sub_base, sub_parsed.where or "",
+                                      extra_cols))
+                    sub_sample = sinfo.spec if sinfo else None
+        if sub_sample is not None:
+            new_subs.append(dataclasses.replace(sp, sample=sub_sample))
+            changed = True
+        else:
+            new_subs.append(sp)
+    if changed:
+        analyzed.spec = dataclasses.replace(analyzed.spec,
+                                            where_subs=tuple(new_subs))
+    return analyzed
 
 
 def build_catalog_from_ddl(ddls: list[str]) -> SampleCatalog:

@@ -208,6 +208,51 @@ SQL_FIXTURES: dict[str, dict] = {
                   "GROUP BY o_orderpriority ORDER BY o_orderpriority "
                   "WITH ERROR 0.5"),
     },
+    # error function called DIRECTLY in HAVING (never selected): resolved
+    # into a hidden engine column, evaluated, then dropped from the output
+    # (reference GetErrorBounds / ErrorEstimateAttribute,
+    # QueryProcessingRules.scala:1525-1566)
+    "sql_having_error_fn": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, l_linestatus, sum(l_extendedprice) AS s "
+                  "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+                  "HAVING relative_error(s) < 0.9 AND s > 1000.0 "
+                  "ORDER BY l_returnflag, l_linestatus WITH ERROR 0.5"),
+    },
+    # sample registered on the JOINED relation, FROM table exact — the
+    # reference picks the one sampled relation anywhere in the join tree
+    # (ReplaceWithSampleTable, QueryProcessingRules.scala:504-515;
+    # JoinQueryRoutingTestSuite.scala)
+    "sql_join_sampled_dim": {
+        "ddl": [("CREATE SAMPLE TABLE ord_dim_sample ON orders OPTIONS("
+                 "qcs 'o_orderpriority', fraction '0.1', "
+                 "method 'hash', seed '42')")],
+        "tables": ("lineitem", "orders"),
+        "query": ("SELECT o_orderpriority, sum(l_extendedprice) AS rev, "
+                  "absolute_error(rev), relative_error(rev) "
+                  "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+                  "GROUP BY o_orderpriority ORDER BY o_orderpriority "
+                  "WITH ERROR 0.5"),
+    },
+    # one sample query per WHERE-subquery tree: the outer query routes
+    # through the lineitem sample while the IN-subquery's relation is
+    # replaced by the orders sample (PlaceHolderPlan + ReplaceWithSampleTable
+    # on the subquery child, QueryProcessingRules.scala:119-148;
+    # SubQueryRoutingTestSuite.scala)
+    "sql_subquery_sampled": {
+        "ddl": [_LI_DDL,
+                ("CREATE SAMPLE TABLE ord_sub_sample ON orders OPTIONS("
+                 "qcs 'o_orderpriority', fraction '0.2', "
+                 "method 'hash', seed '7')")],
+        "tables": ("lineitem", "orders"),
+        "query": ("SELECT l_returnflag, sum(l_extendedprice) AS s, "
+                  "absolute_error(s) FROM lineitem "
+                  "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+                  "WHERE o_orderpriority LIKE '1%') "
+                  "GROUP BY l_returnflag ORDER BY l_returnflag "
+                  "WITH ERROR 0.5"),
+    },
     # unsupported aggregate -> exact route with folded error functions
     # (integer-valued outputs keep the exact oracle engine-independent)
     "sql_exact_fallback": {

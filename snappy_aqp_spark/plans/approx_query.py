@@ -155,12 +155,22 @@ def _exact_frags(spec: ApproxQuerySpec) -> dict[str, str]:
     return frags
 
 
-def visible_columns(spec: ApproxQuerySpec) -> list[str]:
+def output_columns(spec: ApproxQuerySpec) -> list[str]:
+    """every computed output column, including hidden error columns that
+    exist only for HAVING/ORDER BY evaluation."""
     cols = list(spec.group_out)
     for a in spec.aggs:
         cols.append(a.alias)
         cols.extend(f"{a.alias}_{fn}" for fn in a.errors)
     return cols
+
+
+def visible_columns(spec: ApproxQuerySpec) -> list[str]:
+    return [c for c in output_columns(spec) if c not in spec.hidden_cols]
+
+
+def _project_visible(spec: ApproxQuerySpec, df: DataFrame) -> DataFrame:
+    return df.select(*visible_columns(spec)) if spec.hidden_cols else df
 
 
 # --------------------------------------------------------------------------
@@ -205,13 +215,13 @@ def _evict_hac_persisted() -> None:
         _HAC_PERSISTED.pop().unpersist()
 
 
-def get_sample(base: DataFrame, spec: ApproxQuerySpec,
-               cache_token: str | None) -> DataFrame:
+def get_sample(base: DataFrame, sample, cache_token: str | None) -> DataFrame:
+    """materialized stratified sample for a SampleSpec (session-cached)."""
     if cache_token is None:
-        return stratified_sample(base, spec.sample)
-    key = (spec.sample, cache_token)
+        return stratified_sample(base, sample)
+    key = (sample, cache_token)
     if key not in _SAMPLE_CACHE:
-        s = stratified_sample(base, spec.sample).persist()
+        s = stratified_sample(base, sample).persist()
         s.count()
         _SAMPLE_CACHE[key] = s
     return _SAMPLE_CACHE[key]
@@ -232,17 +242,34 @@ def _sql_literal(val) -> str:
 
 
 def _apply_subqueries(df: DataFrame, spec: ApproxQuerySpec,
-                      tables: dict[str, DataFrame]) -> DataFrame:
+                      tables: dict[str, DataFrame],
+                      cache_token: str | None = None) -> DataFrame:
     """Execute WHERE-clause subquery predicates (SubqueryPred): the subquery
     plan runs exactly via spark.sql over temp views; IN/NOT IN become
     semi/anti joins against the (distinct, typically tiny -> broadcast)
     value set, scalar comparisons inline the collected value as a literal.
     At scale the semi-join is the shape you want anyway: Catalyst broadcasts
-    the value set and the sampled scan is never shuffled."""
+    the value set and the sampled scan is never shuffled.
+
+    A SubqueryPred carrying its own ``sample`` (one sample query per
+    subquery tree) is rebuilt directly over the materialized sample instead
+    of its base relation — in every path of the approx query, including HAC
+    exact reroutes: the replacement is an analysis-time plan rewrite, as in
+    the reference."""
     if not spec.where_subs:
         return df
     spark = df.sparkSession
     for sp in spec.where_subs:
+        if sp.sample is not None:
+            sub_src = get_sample(tables[sp.sample.base_table], sp.sample,
+                                 cache_token)
+            if sp.sub_where:
+                sub_src = sub_src.where(F.expr(sp.sub_where))
+            sub = sub_src.select(
+                F.expr(sp.sub_select).alias("__subv")).distinct()
+            df = df.join(F.broadcast(sub),
+                         on=F.expr(sp.expr) == sub["__subv"], how="leftsemi")
+            continue
         for t in sp.tables:
             tables[t].createOrReplaceTempView(t)
         if sp.kind == "scalar":
@@ -259,11 +286,16 @@ def _apply_subqueries(df: DataFrame, spec: ApproxQuerySpec,
 
 def full_where_sql(spec: ApproxQuerySpec) -> str | None:
     """WHERE text with subquery predicates re-inlined (oracle replay path —
-    DuckDB evaluates the subqueries natively)."""
+    DuckDB evaluates the subqueries natively). Sampled subquery trees
+    reference their sample CTE ``__subs{i}`` (emitted by oracle_sql_for)."""
     parts = [f"({spec.where})"] if spec.where else []
-    for sp in spec.where_subs:
+    for i, sp in enumerate(spec.where_subs):
         if sp.kind == "scalar":
             parts.append("(" + sp.expr.replace("__SUBQ__", f"({sp.sub_sql})") + ")")
+        elif sp.sample is not None:
+            w = f" WHERE {sp.sub_where}" if sp.sub_where else ""
+            parts.append(f"({sp.expr} IN (SELECT {sp.sub_select} "
+                         f"FROM __subs{i}{w}))")
         else:
             op = "IN" if sp.kind == "in" else "NOT IN"
             parts.append(f"({sp.expr} {op} ({sp.sub_sql}))")
@@ -272,13 +304,20 @@ def full_where_sql(spec: ApproxQuerySpec) -> str | None:
 
 def _prepare(spec: ApproxQuerySpec, tables: dict[str, DataFrame],
              sampled: bool, cache_token: str | None = None) -> DataFrame:
-    base = tables[spec.sample.base_table]
-    df = get_sample(base, spec, cache_token) if sampled else base
+    sampled_tbl = spec.sample.base_table
+    start = (spec.from_relation or sampled_tbl).lower()
+
+    def rel(name: str) -> DataFrame:
+        if sampled and name.lower() == sampled_tbl:
+            return get_sample(tables[sampled_tbl], spec.sample, cache_token)
+        return tables[name.lower()]
+
+    df = rel(start)
     for j in spec.joins:
-        df = df.join(tables[j.table], on=F.expr(j.on), how=j.how)
+        df = df.join(rel(j.table), on=F.expr(j.on), how=j.how)
     if spec.where:
         df = df.where(F.expr(spec.where))
-    df = _apply_subqueries(df, spec, tables)
+    df = _apply_subqueries(df, spec, tables, cache_token)
     for i, g in enumerate(spec.group_by):
         df = df.withColumn(f"__g{i}", F.expr(g))
     if sampled:
@@ -319,7 +358,7 @@ def _exact_query(spec: ApproxQuerySpec, tables: dict[str, DataFrame],
     agged = grouped.agg(*[F.expr(sql).alias(name) for name, sql in frags.items()])
     sel = [F.col(f"__g{i}").alias(name) for i, name in enumerate(spec.group_out)]
     # exact error functions may reference the estimate alias (lower/upper = est)
-    order = visible_columns(spec)
+    order = output_columns(spec)
     agged = agged.select(*sel, *[c for c in agged.columns if c not in _gcols(spec)])
     return agged.select(*order)
 
@@ -368,8 +407,8 @@ def run_approx_query(spark: SparkSession, spec: ApproxQuerySpec,
             fin_rel = (_bootstrap_fin_rel(spark, spec, df)
                        if spec.estimator == "bootstrap"
                        else _closedform_fin_rel(spec, df))
-            _PLAN_CACHE[pkey] = _apply_tail(
-                spec, _finalize_visible(spec, fin_rel))
+            _PLAN_CACHE[pkey] = _project_visible(spec, _apply_tail(
+                spec, _finalize_visible(spec, fin_rel)))
         return _PLAN_CACHE[pkey]
 
     df = _prepare(spec, tables, sampled=True, cache_token=cache_token)
@@ -380,7 +419,8 @@ def run_approx_query(spark: SparkSession, spec: ApproxQuerySpec,
         fin_rel = _closedform_fin_rel(spec, df)
 
     if behavior in ("do_nothing", "local_omit"):
-        return _apply_tail(spec, _finalize_visible(spec, fin_rel))
+        return _project_visible(spec,
+                                _apply_tail(spec, _finalize_visible(spec, fin_rel)))
 
     # The violation check and the visible output both consume fin_rel; the
     # reference checks error flags on the already-computed aggregation
@@ -396,25 +436,27 @@ def run_approx_query(spark: SparkSession, spec: ApproxQuerySpec,
             fin_rel.unpersist()
             raise cf.ErrorLimitExceededException(
                 f"relative error exceeded {spec.error} (behavior=strict)")
-        return _apply_tail(spec, _finalize_visible(spec, fin_rel))
+        return _project_visible(spec,
+                                _apply_tail(spec, _finalize_visible(spec, fin_rel)))
 
     if behavior == "run_on_full_table":
         if fin_rel.where(F.expr(viol)).limit(1).count() > 0:
             fin_rel.unpersist()
-            return _apply_tail(spec, _exact_query(spec, tables))
-        return _apply_tail(spec, _finalize_visible(spec, fin_rel))
+            return _project_visible(spec, _apply_tail(spec, _exact_query(spec, tables)))
+        return _project_visible(spec,
+                                _apply_tail(spec, _finalize_visible(spec, fin_rel)))
 
     # partial_run_on_base_table: violating groups -> exact, others -> approx
     bad_keys = fin_rel.where(F.expr(viol)).select(*gcols).distinct()
     good = _finalize_visible(spec, fin_rel.where(~F.expr(viol)))
     exact_bad = _exact_query(spec, tables, restrict_to=bad_keys)
-    return _apply_tail(spec, good.unionByName(exact_bad))
+    return _project_visible(spec, _apply_tail(spec, good.unionByName(exact_bad)))
 
 
 def run_exact_query(spark: SparkSession, spec: ApproxQuerySpec,
                     tables: dict[str, DataFrame]) -> DataFrame:
     """Exact path (unsupported-aggregate routing / benchmarking baseline)."""
-    return _apply_tail(spec, _exact_query(spec, tables))
+    return _project_visible(spec, _apply_tail(spec, _exact_query(spec, tables)))
 
 
 def load_tables(spark: SparkSession, sf_dir: str,
@@ -434,14 +476,26 @@ def _dict_select(frags: dict[str, str], keep: list[str]) -> str:
 
 def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
     gcols, qcols = _gcols(spec), _qcols(spec)
-    stages = sample_cte_stages(spec.sample, out_name="__sample")
+    stages = []
+    # sampled subquery trees: each gets its own sample CTE (__subs{i}),
+    # referenced from full_where_sql in BOTH the sampled and the exact
+    # replica stage (the replacement is an analysis-time rewrite)
+    for i, sp in enumerate(spec.where_subs):
+        if sp.sample is not None:
+            stages += sample_cte_stages(sp.sample, out_name=f"__subs{i}",
+                                        prefix=f"__s{i}")
+    stages += sample_cte_stages(spec.sample, out_name="__sample")
 
     def prepared_stage(src: str, sampled: bool) -> str:
-        sel = "*"
-        frm = src
+        sampled_tbl = spec.sample.base_table
+
+        def rel(name: str) -> str:
+            return src if (sampled and name.lower() == sampled_tbl) else name
+
+        frm = rel(spec.from_relation or sampled_tbl)
         for j in spec.joins:
-            frm += f" {j.how.upper()} JOIN {j.table} ON {j.on}"
-        sql = f"SELECT {sel} FROM {frm}"
+            frm += f" {j.how.upper()} JOIN {rel(j.table)} ON {j.on}"
+        sql = f"SELECT * FROM {frm}"
         where_full = full_where_sql(spec)
         if where_full:
             sql += f" WHERE {where_full}"
@@ -511,7 +565,7 @@ def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
                        f"SELECT {', '.join(exact_parts)} FROM __pre_exact" +
                        (f" GROUP BY {exact_group}" if exact_group else "")))
         exact_vis_parts = [f"__eg{i} AS {name}" for i, name in enumerate(spec.group_out)]
-        exact_vis_parts += [a for a in visible_columns(spec) if a not in spec.group_out]
+        exact_vis_parts += [a for a in output_columns(spec) if a not in spec.group_out]
         exact_vis = f"SELECT {', '.join(exact_vis_parts)} FROM __exact_agg"
         if behavior == "run_on_full_table":
             stages.append(("__has_viol",
@@ -549,7 +603,7 @@ def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
 
 def exact_oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
     """Oracle for the exact path (routing fallback / benchmarking)."""
-    frm = spec.sample.base_table
+    frm = spec.from_relation or spec.sample.base_table
     for j in spec.joins:
         frm += f" {j.how.upper()} JOIN {j.table} ON {j.on}"
     sql = f"SELECT *, {', '.join(f'{g} AS __g{i}' for i, g in enumerate(spec.group_by))} FROM {frm}"
@@ -572,4 +626,9 @@ def exact_oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
         final += f" ORDER BY {', '.join(spec.order_by)}"
     if spec.limit is not None:
         final += f" LIMIT {spec.limit}"
-    return final
+    sub_stages = []
+    for i, sp in enumerate(spec.where_subs):
+        if sp.sample is not None:        # full_where_sql references __subs{i}
+            sub_stages += sample_cte_stages(sp.sample, out_name=f"__subs{i}",
+                                            prefix=f"__s{i}")
+    return stages_to_sql(sub_stages, final) if sub_stages else final

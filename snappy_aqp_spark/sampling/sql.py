@@ -15,11 +15,23 @@ from ..tables import TABLE_COLUMNS
 
 def sample_cte_stages(spec: SampleSpec, out_name: str = "__sample",
                       base_sql: str | None = None,
-                      base_cols: tuple[str, ...] | None = None) -> list[tuple[str, str]]:
+                      base_cols: tuple[str, ...] | None = None,
+                      prefix: str = "") -> list[tuple[str, str]]:
     """[(cte_name, select_sql), ...]; the last stage is the sample relation.
 
     ``base_sql`` defaults to ``SELECT * FROM <spec.base_table>``.
+    ``prefix`` renames the internal stages (not ``out_name``) so several
+    sample CTE chains can coexist in one WITH list (e.g. a sampled
+    subquery tree next to the outer query's sample).
     """
+    if prefix:
+        plain = sample_cte_stages(spec, out_name, base_sql, base_cols)
+        internal = [n for n, _ in plain if n != out_name]
+        import re
+        pat = re.compile(r"\b(" + "|".join(internal) + r")\b")
+        return [(n if n == out_name else prefix + n,
+                 pat.sub(lambda m: prefix + m.group(1), s))
+                for n, s in plain]
     cols = base_cols or TABLE_COLUMNS[spec.base_table]
     col_list = ", ".join(cols)
     base = base_sql or f"SELECT {col_list} FROM {spec.base_table}"

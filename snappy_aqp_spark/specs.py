@@ -115,17 +115,36 @@ class SubqueryPred:
     expr: str                           # lhs expr; for scalar: template with __SUBQ__
     sub_sql: str                        # single-block SELECT (portable SQL)
     tables: tuple[str, ...] = ()        # tables the subquery reads
+    # decomposed single-block shape (IN/NOT IN only): the selected expr and
+    # WHERE text, so a sampled subquery tree can be rebuilt over its sample
+    sub_select: str | None = None
+    sub_where: str | None = None
+    # one sample query per subquery tree (reference PlaceHolderPlan +
+    # ReplaceWithSampleTable on the subquery child,
+    # QueryProcessingRules.scala:119-148): when set, the subquery's relation
+    # is replaced by this sample (row semantics — membership over sample
+    # rows, exactly the reference's relation replacement; weights don't
+    # apply to a key-membership scan)
+    sample: "SampleSpec | None" = None
 
     def __post_init__(self):
         assert self.kind in ("in", "not_in", "scalar"), self.kind
         if self.kind == "scalar":
             assert "__SUBQ__" in self.expr
+        if self.sample is not None:
+            assert self.kind == "in" and self.sub_select is not None
 
 
 @dataclass(frozen=True)
 class ApproxQuerySpec:
     sample: SampleSpec
     aggs: tuple[ApproxAgg, ...]
+    # when the sampled relation is a JOINed table rather than the outer FROM
+    # table (reference: ReplaceWithSampleTable picks the single sampled
+    # relation anywhere in the join tree, QueryProcessingRules.scala:504-515),
+    # from_relation holds the outer FROM table; sample.base_table then names
+    # the joined relation replaced by its sample. None -> FROM table sampled.
+    from_relation: str | None = None
     group_by: tuple[str, ...] = ()          # portable SQL exprs
     group_aliases: tuple[str, ...] = ()     # output names; default = expr text
     joins: tuple[JoinSpec, ...] = ()
@@ -134,6 +153,11 @@ class ApproxQuerySpec:
     having: str | None = None               # over output aliases (post-finalize)
     order_by: tuple[str, ...] = ()          # over output aliases
     limit: int | None = None
+    # error columns computed ONLY because HAVING/ORDER BY calls an error
+    # function directly (reference GetErrorBounds/ErrorEstimateAttribute
+    # resolution, QueryProcessingRules.scala:1525-1566): evaluated through
+    # the tail clauses, then dropped from the visible output
+    hidden_cols: tuple[str, ...] = ()
     error: float = 0.2
     confidence: float = 0.95
     behavior: str = "do_nothing"

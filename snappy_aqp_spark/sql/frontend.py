@@ -220,6 +220,10 @@ _AGG_RE = re.compile(r"^(SUM|AVG|COUNT|MIN|MAX)\s*\((.*)\)$",
                      re.IGNORECASE | re.DOTALL)
 _ERRFN_RE = re.compile(r"^(ABSOLUTE_ERROR|RELATIVE_ERROR|LOWER_BOUND|UPPER_BOUND)"
                        r"\s*\(\s*(\w+)\s*\)$", re.IGNORECASE)
+# unanchored form: direct error-fn calls inside HAVING/ORDER BY text
+_ERRFN_CALL_RE = re.compile(
+    r"\b(ABSOLUTE_ERROR|RELATIVE_ERROR|LOWER_BOUND|UPPER_BOUND)"
+    r"\s*\(\s*(\w+)\s*\)", re.IGNORECASE)
 _UNSUPPORTED_RE = re.compile(
     r"\bOVER\s*\(|\bDISTINCT\b|\bGROUPING\b|\bCUBE\b|\bROLLUP\b",
     re.IGNORECASE)
@@ -300,7 +304,9 @@ def extract_subqueries(where: str) -> tuple[str | None, tuple[SubqueryPred, ...]
             subs.append(SubqueryPred(
                 "not_in" if m.group("neg") else "in",
                 m.group("lhs").strip(), sub_sql,
-                (sub_parsed.from_table, *[j.table for j in sub_parsed.joins])))
+                (sub_parsed.from_table, *[j.table for j in sub_parsed.joins]),
+                sub_select=sub_parsed.select_items[0][0],
+                sub_where=sub_parsed.where))
             continue
         if re.search(r"\bIN\s*\(\s*SELECT\b", conj, re.IGNORECASE):
             raise SQLFrontendError("unsupported IN-subquery shape routes exact")
@@ -342,8 +348,12 @@ class AnalyzedQuery:
 
 
 def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
-            defaults: dict) -> AnalyzedQuery:
+            defaults: dict, from_relation: str | None = None) -> AnalyzedQuery:
     """Map a parsed SELECT + WITH clause + chosen sample to a query spec.
+
+    ``from_relation``: outer FROM table when the chosen sample lives on a
+    JOINed relation instead (ReplaceWithSampleTable picks the one sampled
+    relation anywhere in the join tree, QueryProcessingRules.scala:504-515).
 
     Returns spec=None (exact route) for unsupported aggregate shapes —
     mirroring the reference's whole-query routing."""
@@ -424,9 +434,39 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
         by_alias.setdefault(agg.alias, []).append(fn)
         if alias:
             rename[f"{agg.alias}_{fn}"] = alias
+
+    # error functions called DIRECTLY in HAVING/ORDER BY (not just by
+    # select-list alias): rewrite the call into the engine's hidden error
+    # column and compute it even when unselected, dropping it from the
+    # visible output (reference resolves these via GetErrorBounds /
+    # ErrorEstimateAttribute, QueryProcessingRules.scala:1525-1566)
+    selected = {(agg_by_alias[t.lower()].alias, f) for f, t, _ in errfns}
+    hidden: list[str] = []
+
+    def rewrite_direct(text: str | None) -> str | None:
+        if not text:
+            return text
+
+        def repl(m: re.Match) -> str:
+            fn, tgt = m.group(1).lower(), m.group(2)
+            agg = agg_by_alias.get(tgt.lower())
+            if agg is None:
+                return m.group(0)        # not an agg alias; leave untouched
+            eng = f"{agg.alias}_{fn}"
+            by_alias.setdefault(agg.alias, []).append(fn)
+            if (agg.alias, fn) not in selected and eng not in hidden:
+                hidden.append(eng)
+            return eng
+
+        return _ERRFN_CALL_RE.sub(repl, text)
+
+    having_rw = rewrite_direct(parsed.having)
+    order_rw = [rewrite_direct(o) for o in parsed.order_by]
+
     if by_alias:
         aggs = [ApproxAgg(a.func, a.measure, a.alias, a.max_abs,
-                          tuple(dict.fromkeys(by_alias.get(a.alias, ()))))
+                          tuple(dict.fromkeys(by_alias.get(a.alias, ()))),
+                          dec_scale=a.dec_scale)
                 for a in aggs]
 
     # group-by output aliases: select-list alias > the identifier itself > g_i
@@ -469,15 +509,17 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
 
     spec = ApproxQuerySpec(
         sample=sample_spec,
+        from_relation=from_relation,
         aggs=tuple(aggs),
         group_by=tuple(parsed.group_by),
         group_aliases=group_aliases,
         joins=tuple(parsed.joins),
         where=where_plain,
         where_subs=where_subs,
-        having=unalias(parsed.having),
-        order_by=tuple(unalias(o) for o in parsed.order_by),
+        having=unalias(having_rw),
+        order_by=tuple(unalias(o) for o in order_rw),
         limit=parsed.limit,
+        hidden_cols=tuple(hidden),
         error=resolved_error,
         confidence=(wc.confidence if wc.confidence is not None
                     else defaults["confidence"]),

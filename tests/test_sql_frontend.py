@@ -454,3 +454,107 @@ def test_mutation_on_sample_raises_on_base_passes(aqp, tmp_path):
         assert aqp.spark.sql("SELECT count(*) c FROM mut_base").first()["c"] == 2
     finally:
         aqp.spark.sql("DROP TABLE mut_base")
+
+
+# --- round-3: sample selection anywhere in the query -------------------------
+
+def _mk_catalog(*ddls):
+    from snappy_aqp_spark.api import build_catalog_from_ddl
+    return build_catalog_from_ddl(list(ddls))
+
+
+_LI_DDL = ("CREATE SAMPLE TABLE li_s ON lineitem OPTIONS("
+           "qcs 'l_returnflag,l_linestatus', fraction '0.05', "
+           "method 'hash', seed '42')")
+_ORD_DDL = ("CREATE SAMPLE TABLE ord_s ON orders OPTIONS("
+            "qcs 'o_orderpriority', fraction '0.1', method 'hash', seed '42')")
+_JOIN_Q = ("SELECT o_orderpriority, sum(l_extendedprice) AS rev "
+           "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+           "GROUP BY o_orderpriority WITH ERROR 0.5")
+
+
+def test_two_candidate_samples_exactly_one_chosen():
+    """FROM-table sample wins over a joined relation's sample (the
+    reference's traversal order); with only the dimension sampled, the
+    joined relation is picked and from_relation records the FROM table."""
+    from snappy_aqp_spark.api import analyze_text
+    defaults = {"error": 0.2, "confidence": 0.95, "behavior": "do_nothing"}
+    both = analyze_text(_JOIN_Q, _mk_catalog(_LI_DDL, _ORD_DDL), defaults)
+    assert both.spec is not None
+    assert both.spec.sample.base_table == "lineitem"
+    assert both.spec.from_relation is None
+    dim_only = analyze_text(_JOIN_Q, _mk_catalog(_ORD_DDL), defaults)
+    assert dim_only.spec is not None
+    assert dim_only.spec.sample.base_table == "orders"
+    assert dim_only.spec.from_relation == "lineitem"
+
+
+def test_outer_join_keeps_from_table_only():
+    """sampled joined relations are only eligible under all-inner joins."""
+    from snappy_aqp_spark.api import analyze_text
+    defaults = {"error": 0.2, "confidence": 0.95, "behavior": "do_nothing"}
+    q = ("SELECT o_orderpriority, sum(l_extendedprice) AS rev "
+         "FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey "
+         "GROUP BY o_orderpriority WITH ERROR 0.5")
+    out = analyze_text(q, _mk_catalog(_ORD_DDL), defaults)
+    assert out.spec is None and "no sample" in out.reason
+
+
+def test_subquery_tree_gets_own_sample():
+    from snappy_aqp_spark.api import analyze_text
+    defaults = {"error": 0.2, "confidence": 0.95, "behavior": "do_nothing"}
+    q = ("SELECT l_returnflag, sum(l_extendedprice) AS s FROM lineitem "
+         "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+         "WHERE o_orderpriority LIKE '1%') "
+         "GROUP BY l_returnflag WITH ERROR 0.5")
+    out = analyze_text(q, _mk_catalog(_LI_DDL, _ORD_DDL), defaults)
+    assert out.spec is not None
+    (sub,) = out.spec.where_subs
+    assert sub.sample is not None and sub.sample.base_table == "orders"
+    # NOT IN subquery trees stay exact (documented direction asymmetry)
+    q_not = q.replace("IN (SELECT", "NOT IN (SELECT")
+    out_not = analyze_text(q_not, _mk_catalog(_LI_DDL, _ORD_DDL), defaults)
+    (sub_not,) = out_not.spec.where_subs
+    assert sub_not.sample is None
+
+
+# --- round-3: error functions called directly in HAVING/ORDER BY -------------
+
+def test_having_direct_error_fn(aqp, duck):
+    text = ("SELECT l_returnflag, sum(l_extendedprice) AS s FROM lineitem "
+            "GROUP BY l_returnflag HAVING relative_error(s) < 0.9 "
+            "ORDER BY l_returnflag WITH ERROR 0.5")
+    analyzed = aqp.analyze_sql(text)
+    assert analyzed.spec is not None
+    assert analyzed.spec.hidden_cols == ("s_relative_error",)
+    assert "s_relative_error < 0.9" in analyzed.spec.having
+    df = aqp.sql(text)
+    assert df.columns == ["l_returnflag", "s"]      # hidden col dropped
+    oracle = duck.sql(oracle_sql_for(analyzed.spec)).df()
+    compare_frames(df, oracle)
+
+
+def test_order_by_direct_error_fn(aqp, duck):
+    text = ("SELECT l_returnflag, sum(l_extendedprice) AS s FROM lineitem "
+            "GROUP BY l_returnflag "
+            "ORDER BY absolute_error(s), l_returnflag WITH ERROR 0.5")
+    analyzed = aqp.analyze_sql(text)
+    assert analyzed.spec is not None
+    assert analyzed.spec.hidden_cols == ("s_absolute_error",)
+    assert analyzed.spec.order_by[0] == "s_absolute_error"
+    df = aqp.sql(text)
+    assert df.columns == ["l_returnflag", "s"]
+    oracle = duck.sql(oracle_sql_for(analyzed.spec)).df()
+    compare_frames(df, oracle)
+
+
+def test_direct_error_fn_also_selected_stays_visible(aqp):
+    text = ("SELECT l_returnflag, sum(l_extendedprice) AS s, "
+            "relative_error(s) AS r FROM lineitem GROUP BY l_returnflag "
+            "HAVING relative_error(s) < 0.9 ORDER BY l_returnflag "
+            "WITH ERROR 0.5")
+    analyzed = aqp.analyze_sql(text)
+    assert analyzed.spec is not None
+    assert analyzed.spec.hidden_cols == ()          # selected -> visible
+    df = aqp.sql(text)
+    assert df.columns == ["l_returnflag", "s", "r"]
