@@ -33,19 +33,55 @@ from .sql import frontend as fe
 from .tables import TABLE_COLUMNS, TABLE_KEYS
 
 
-def spec_from_ddl(base: str, opts: dict[str, str],
-                  key_cols: list[str] | None = None) -> SampleSpec:
+def spec_from_ddl(base: str | None, opts: dict[str, str],
+                  key_cols: list[str] | None = None,
+                  as_sql: str | None = None) -> SampleSpec:
+    """DDL options -> SampleSpec (option surface of snappyAQPParsers.scala:
+    77-103 / stratifiedSampling.scala:330-357: qcs, fraction, method, seed,
+    strataReservoirSize, errorLimitColumn, errorLimitPercent [0-100],
+    errorLimitConfidence, plus the AS-select populate form)."""
+    base_filter = None
+    if as_sql is not None:
+        p = fe.parse_select(as_sql)
+        if (p.joins or p.group_by or p.having or p.order_by
+                or p.limit is not None or p.select_items != [("*", None)]):
+            raise fe.SQLFrontendError(
+                "CREATE SAMPLE TABLE ... AS supports the filter-populate "
+                "form SELECT * FROM <base> [WHERE ...]")
+        if base is not None and p.from_table.lower() != base.lower():
+            raise fe.SQLFrontendError(
+                f"AS-select reads {p.from_table}, but ON names {base}")
+        base = p.from_table
+        base_filter = p.where
+    if base is None:
+        raise fe.SQLFrontendError(
+            "CREATE SAMPLE TABLE needs ON <base> or an AS-select form")
     keys = tuple(key_cols or TABLE_KEYS.get(base.lower()) or ())
     if not keys:
         raise ValueError(f"no key columns known for {base}; pass key_cols")
     qcs = tuple(c.strip() for c in opts.get("qcs", "").split(",") if c.strip())
     if not qcs:
         raise fe.SQLFrontendError("CREATE SAMPLE TABLE needs qcs option")
-    return SampleSpec(base.lower(), keys, qcs,
-                      opts.get("method", "fraction"),
+    method = opts.get("method", "fraction").lower()
+    el_kw: dict = {}
+    if "errorlimitcolumn" in opts or "errorlimitpercent" in opts:
+        method = "error_limit"
+        col = opts.get("errorlimitcolumn")
+        if not col:
+            raise fe.SQLFrontendError(
+                "errorLimitPercent needs errorLimitColumn")
+        el_kw = dict(
+            error_limit_col=col,
+            # reference range is a 0-100 percentage
+            # (stratifiedSampling.scala:339-340)
+            error_limit_pct=float(opts.get("errorlimitpercent", "10")) / 100.0,
+            error_limit_conf=float(opts.get("errorlimitconfidence", "0.95")),
+            error_limit_max_abs=fe.measure_bound(col))
+    return SampleSpec(base.lower(), keys, qcs, method,
                       float(opts.get("fraction", "0.01")),
                       int(opts.get("stratareservoirsize", "50")),
-                      int(opts.get("seed", "42")))
+                      int(opts.get("seed", "42")),
+                      base_filter=base_filter, **el_kw)
 
 
 def _cols_in_text(table: str, text: str,
@@ -150,8 +186,9 @@ def build_catalog_from_ddl(ddls: list[str]) -> SampleCatalog:
             if fe.parse_create_view(ddl) is not None:
                 continue                     # views: build_views_from_ddl
             raise fe.SQLFrontendError(f"not a CREATE SAMPLE TABLE: {ddl}")
-        name, base, opts = parsed
-        catalog.register(SampleInfo(name, spec_from_ddl(base, opts)))
+        name, base, opts, as_sql = parsed
+        catalog.register(SampleInfo(name, spec_from_ddl(base, opts,
+                                                        as_sql=as_sql)))
     return catalog
 
 
@@ -222,19 +259,27 @@ class AQPSession:
                             strata_reservoir_size: int = 50, seed: int = 42,
                             key_cols: list[str] | None = None,
                             path: str | None = None,
-                            materialize: bool = True) -> DataFrame:
+                            materialize: bool = True,
+                            **spec_kw) -> DataFrame:
         """reference: CREATE SAMPLE TABLE -> CreateSampleTableCommand
-        (execution/command/CreateSampleTableCommand.scala:27-46)."""
+        (execution/command/CreateSampleTableCommand.scala:27-46).
+        ``spec_kw`` passes through the error-limit / base_filter fields."""
         keys = tuple(key_cols or TABLE_KEYS.get(base.lower()) or ())
         if not keys:
             raise ValueError(f"no key columns known for {base}; pass key_cols")
         spec = SampleSpec(base.lower(), keys, tuple(qcs), method, fraction,
-                          strata_reservoir_size, seed)
+                          strata_reservoir_size, seed, **spec_kw)
+        return self.create_sample_table_from_spec(name, spec, path=path,
+                                                  materialize=materialize)
+
+    def create_sample_table_from_spec(self, name: str, spec: SampleSpec,
+                                      path: str | None = None,
+                                      materialize: bool = True) -> DataFrame:
         key = (spec, self._token)
         if key in _SAMPLE_CACHE:
             sample = _SAMPLE_CACHE[key]
         else:
-            base_df = self.tables[base.lower()]
+            base_df = self.tables[spec.base_table]
             sample = stratified_sample(base_df, spec)
             if path:
                 sample.write.mode("overwrite").parquet(path)
@@ -295,16 +340,9 @@ class AQPSession:
             return self.spark.sql(text)
         ddl = fe.parse_create_sample(text)
         if ddl:
-            name, base, opts = ddl
-            qcs = [c.strip() for c in opts.get("qcs", "").split(",") if c.strip()]
-            if not qcs:
-                raise fe.SQLFrontendError("CREATE SAMPLE TABLE needs qcs option")
-            return self.create_sample_table(
-                name, base, qcs,
-                method=opts.get("method", "fraction"),
-                fraction=float(opts.get("fraction", "0.01")),
-                strata_reservoir_size=int(opts.get("stratareservoirsize", "50")),
-                seed=int(opts.get("seed", "42")))
+            name, base, opts, as_sql = ddl
+            return self.create_sample_table_from_spec(
+                name, spec_from_ddl(base, opts, as_sql=as_sql))
         topk_ddl = fe.parse_create_topk(text)
         if topk_ddl:
             name, base, opts = topk_ddl

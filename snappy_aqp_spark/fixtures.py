@@ -208,6 +208,32 @@ SQL_FIXTURES: dict[str, dict] = {
                   "GROUP BY o_orderpriority ORDER BY o_orderpriority "
                   "WITH ERROR 0.5"),
     },
+    # error-limit sampler through the DDL surface (errorLimitColumn /
+    # errorLimitPercent options, snappyAQPParsers.scala:77-103,
+    # stratifiedSampling.scala:330-357; percent is 0-100 as in the reference)
+    "sql_error_limit_ddl": {
+        "ddl": [("CREATE SAMPLE TABLE li_el_sample ON lineitem OPTIONS("
+                 "qcs 'l_returnflag,l_linestatus', "
+                 "errorLimitColumn 'l_extendedprice', errorLimitPercent '5', "
+                 "strataReservoirSize '30', seed '42')")],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, sum(l_extendedprice) AS s, "
+                  "relative_error(s) FROM lineitem GROUP BY l_returnflag "
+                  "ORDER BY l_returnflag WITH ERROR 0.5"),
+    },
+    # AS-select populate form: the sample covers the filtered population
+    # (CreateSampleTableCommand.scala:27-46)
+    "sql_sample_as_select": {
+        "ddl": [("CREATE SAMPLE TABLE li_hi_sample OPTIONS("
+                 "qcs 'l_returnflag', fraction '0.05', method 'hash', "
+                 "seed '42') AS SELECT * FROM lineitem "
+                 "WHERE l_quantity > 10")],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, sum(l_extendedprice) AS s, "
+                  "absolute_error(s), count(*) AS c FROM lineitem "
+                  "WHERE l_quantity > 10 GROUP BY l_returnflag "
+                  "ORDER BY l_returnflag WITH ERROR 0.5"),
+    },
     # error function called DIRECTLY in HAVING (never selected): resolved
     # into a hidden engine column, evaluated, then dropped from the output
     # (reference GetErrorBounds / ErrorEstimateAttribute,

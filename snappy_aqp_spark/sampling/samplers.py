@@ -176,6 +176,8 @@ def stratified_sample(df: DataFrame, spec: SampleSpec) -> DataFrame:
     Analog of the reference's ad-hoc ``convertToStratifiedSample``
     (execution/SnappyContextAQPFunctions.scala:375-382).
     """
+    if spec.base_filter:
+        df = df.where(F.expr(spec.base_filter))
     if spec.method == "hash":
         return _hash_sample(df, spec)
     if spec.method == "error_limit":

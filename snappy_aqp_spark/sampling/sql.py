@@ -34,7 +34,9 @@ def sample_cte_stages(spec: SampleSpec, out_name: str = "__sample",
                 for n, s in plain]
     cols = base_cols or TABLE_COLUMNS[spec.base_table]
     col_list = ", ".join(cols)
-    base = base_sql or f"SELECT {col_list} FROM {spec.base_table}"
+    base = base_sql or (
+        f"SELECT {col_list} FROM {spec.base_table}"
+        + (f" WHERE {spec.base_filter}" if spec.base_filter else ""))
     h = hash_sql(list(spec.key_cols), spec.seed)
     qcs = ", ".join(spec.qcs)
     keys = ", ".join(cols)  # full-column tiebreak (see samplers._ranked_sample)

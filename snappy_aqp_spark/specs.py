@@ -45,6 +45,10 @@ class SampleSpec:
     error_limit_pct: float = 0.1
     error_limit_conf: float = 0.95
     error_limit_max_abs: float = 2.0 ** 20
+    # ``CREATE SAMPLE TABLE ... AS SELECT * FROM base WHERE ...`` populate
+    # form (snappyAQPParsers.scala:77-103, CreateSampleTableCommand.scala:
+    # 27-46): the sample is built over the filtered base population
+    base_filter: str | None = None
 
     def __post_init__(self):
         assert self.method in ("hash", "reservoir", "fraction",

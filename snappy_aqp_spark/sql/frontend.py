@@ -676,21 +676,28 @@ def _parse_time_us(val: str) -> int:
     return int(dt.timestamp() * 1_000_000)
 
 
+# full reference grammar (snappyAQPParsers.scala:77-103): ON <base> is
+# optional when an AS-select populate form names the base relation; the
+# options list never nests parens, so [^)]* keeps the AS tail out of it
 _CREATE_SAMPLE_RE = re.compile(
-    r"^\s*CREATE\s+SAMPLE\s+TABLE\s+(?P<name>\w+)\s+ON\s+(?P<base>\w+)\s+"
-    r"OPTIONS\s*\((?P<opts>.*)\)\s*;?\s*$",
+    r"^\s*CREATE\s+SAMPLE\s+TABLE\s+(?P<name>\w+)"
+    r"(?:\s+ON\s+(?P<base>\w+))?\s+"
+    r"OPTIONS\s*\((?P<opts>[^)]*)\)"
+    r"(?:\s+AS\s+(?P<as_sql>SELECT\b.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 _DROP_SAMPLE_RE = re.compile(r"^\s*DROP\s+SAMPLE\s+TABLE\s+(?P<name>\w+)\s*;?\s*$",
                              re.IGNORECASE)
 _OPT_RE = re.compile(r"(\w+)\s+'([^']*)'")
 
 
-def parse_create_sample(sql: str) -> tuple[str, str, dict[str, str]] | None:
+def parse_create_sample(sql: str) -> tuple[str, str | None, dict[str, str],
+                                           str | None] | None:
     m = _CREATE_SAMPLE_RE.match(sql)
     if not m:
         return None
     opts = dict(_OPT_RE.findall(m.group("opts")))
-    return m.group("name"), m.group("base"), {k.lower(): v for k, v in opts.items()}
+    return (m.group("name"), m.group("base"),
+            {k.lower(): v for k, v in opts.items()}, m.group("as_sql"))
 
 
 def parse_drop_sample(sql: str) -> str | None:

@@ -558,3 +558,49 @@ def test_direct_error_fn_also_selected_stays_visible(aqp):
     assert analyzed.spec.hidden_cols == ()          # selected -> visible
     df = aqp.sql(text)
     assert df.columns == ["l_returnflag", "s", "r"]
+
+
+# --- round-3: DDL parity (error-limit options, AS-select populate) -----------
+
+def test_create_sample_ddl_parses_error_limit_and_as_select():
+    from snappy_aqp_spark.api import spec_from_ddl
+    p = fe.parse_create_sample(
+        "CREATE SAMPLE TABLE s1 ON lineitem OPTIONS(qcs 'l_returnflag', "
+        "errorLimitColumn 'l_extendedprice', errorLimitPercent '5')")
+    name, base, opts, as_sql = p
+    spec = spec_from_ddl(base, opts, as_sql=as_sql)
+    assert spec.method == "error_limit"
+    assert spec.error_limit_col == "l_extendedprice"
+    assert spec.error_limit_pct == 0.05           # reference percent is 0-100
+    p2 = fe.parse_create_sample(
+        "CREATE SAMPLE TABLE s2 OPTIONS(qcs 'l_returnflag', fraction '0.1') "
+        "AS SELECT * FROM lineitem WHERE l_quantity > 10")
+    name2, base2, opts2, as_sql2 = p2
+    assert base2 is None and as_sql2.startswith("SELECT")
+    spec2 = spec_from_ddl(base2, opts2, as_sql=as_sql2)
+    assert spec2.base_table == "lineitem"
+    assert spec2.base_filter == "l_quantity > 10"
+    # ON/AS base mismatch is an error
+    with pytest.raises(fe.SQLFrontendError, match="ON names"):
+        spec_from_ddl("orders", opts2, as_sql=as_sql2)
+    # unsupported AS shapes are rejected
+    with pytest.raises(fe.SQLFrontendError, match="filter-populate"):
+        spec_from_ddl(None, opts2,
+                      as_sql="SELECT l_returnflag FROM lineitem")
+
+
+def test_as_select_sample_matches_filtered_population(spark):
+    """the AS-select sample is bit-equal to sampling the filtered base."""
+    import dataclasses
+    from snappy_aqp_spark.fixtures import LI_HASH
+    from snappy_aqp_spark.sampling.samplers import stratified_sample
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    spec = dataclasses.replace(LI_HASH, base_filter="l_quantity > 10")
+    via_spec = stratified_sample(li, spec).toPandas()
+    plain = dataclasses.replace(LI_HASH)
+    via_filter = stratified_sample(li.where("l_quantity > 10"),
+                                   plain).toPandas()
+    cols = sorted(via_spec.columns)
+    a = via_spec.sort_values(cols).reset_index(drop=True)[cols]
+    b = via_filter.sort_values(cols).reset_index(drop=True)[cols]
+    assert a.equals(b)
