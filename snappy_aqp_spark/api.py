@@ -77,11 +77,28 @@ def spec_from_ddl(base: str | None, opts: dict[str, str],
             error_limit_pct=float(opts.get("errorlimitpercent", "10")) / 100.0,
             error_limit_conf=float(opts.get("errorlimitconfidence", "0.95")),
             error_limit_max_abs=fe.measure_bound(col))
+    ts_kw: dict = {}
+    if "timeseriescolumn" in opts or "timeinterval" in opts:
+        ts_kw = dict(
+            time_series_col=opts.get("timeseriescolumn"),
+            time_interval_us=_interval_us(opts["timeinterval"])
+            if "timeinterval" in opts else 0)
     return SampleSpec(base.lower(), keys, qcs, method,
                       float(opts.get("fraction", "0.01")),
                       int(opts.get("stratareservoirsize", "50")),
                       int(opts.get("seed", "42")),
-                      base_filter=base_filter, **el_kw)
+                      base_filter=base_filter, **el_kw, **ts_kw)
+
+
+def _interval_us(text: str) -> int:
+    """'500ms' / '60s' / bare number (milliseconds, the reference's
+    parseLong convention — stratifiedSampling.scala:344-346) -> microseconds."""
+    t = text.strip().lower()
+    if t.endswith("ms"):
+        return int(t[:-2]) * 1_000
+    if t.endswith("s"):
+        return int(t[:-1]) * 1_000_000
+    return int(t) * 1_000
 
 
 def _cols_in_text(table: str, text: str,

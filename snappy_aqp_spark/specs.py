@@ -49,6 +49,13 @@ class SampleSpec:
     # form (snappyAQPParsers.scala:77-103, CreateSampleTableCommand.scala:
     # 27-46): the sample is built over the filtered base population
     base_filter: str | None = None
+    # time-aging options (SampleOptions timeSeriesColumn/timeInterval,
+    # stratifiedSampling.scala:270,342-357): streaming maintenance
+    # stratifies additionally by the time slot floor(t/interval) and ages
+    # old slots out of the maintained sample (StratifiedSamplerCached
+    # per-slot reservoir reset)
+    time_series_col: str | None = None
+    time_interval_us: int = 0
 
     def __post_init__(self):
         assert self.method in ("hash", "reservoir", "fraction",
@@ -56,6 +63,11 @@ class SampleSpec:
         assert self.key_cols and self.qcs
         if self.method == "error_limit":
             assert self.error_limit_col
+        if self.time_series_col and self.time_interval_us <= 0:
+            # reference parity: stratifiedSampling.scala:422-424
+            raise ValueError(
+                f"StratifiedSampler: no timeInterval for "
+                f"timeSeriesColumn={self.time_series_col}")
 
 
 @dataclass(frozen=True)

@@ -40,13 +40,30 @@ from ..topk.api import TopKRegistry, TopKSpec, create_approx_ts_topk, insert_int
 
 
 class StreamingSampleMaintainer:
-    def __init__(self, spark: SparkSession, spec: SampleSpec, state_dir: str):
+    """``retain_slots``: with the spec's timeSeriesColumn/timeInterval set,
+    keep only the newest N time slots — older slots AGE OUT of both the
+    kept rows and the stats, exactly the reference's per-slot reservoir
+    reset (StratifiedSamplerCached timeSlot handling,
+    stratifiedSampling.scala:270,342-357). None -> no aging (slots still
+    stratify, nothing is dropped). The maintained sample stays bit-equal
+    to a batch re-sample of the retained window."""
+
+    def __init__(self, spark: SparkSession, spec: SampleSpec, state_dir: str,
+                 retain_slots: int | None = None):
         if spec.method not in ("hash", "reservoir"):
             raise ValueError("streaming maintenance supports hash/reservoir")
+        if retain_slots is not None and not spec.time_series_col:
+            raise ValueError("retain_slots needs the spec's "
+                             "timeSeriesColumn/timeInterval options")
         self.spark, self.spec = spark, spec
+        self.retain_slots = retain_slots
         self.rows_dir = os.path.join(state_dir, "rows")
         self.stats_dir = os.path.join(state_dir, "stats")
         self._qcs = [f"__q{i}" for i in range(len(spec.qcs))]
+        if spec.time_series_col:
+            # the time slot is an extra stratification dimension: weights,
+            # reservoirs and aging all act per (QCS x slot)
+            self._qcs.append("__slot")
 
     # -- helpers ------------------------------------------------------------
 
@@ -55,6 +72,12 @@ class StreamingSampleMaintainer:
                                                    self.spec.seed)))
         for i, q in enumerate(self.spec.qcs):
             out = out.withColumn(f"__q{i}", F.expr(q))
+        if self.spec.time_series_col:
+            from ..topk.api import _time_us
+            out = out.withColumn(
+                "__slot",
+                F.floor(_time_us(df, self.spec.time_series_col)
+                        / F.lit(self.spec.time_interval_us)).cast("long"))
         return out
 
     def _read(self, path: str) -> DataFrame | None:
@@ -85,25 +108,53 @@ class StreamingSampleMaintainer:
             batch_stats = (batch_stats.unionByName(old)
                            .groupBy(*self._qcs)
                            .agg(F.sum("__seen").alias("__seen")))
+
+        # aging cutoff: only the newest retain_slots slots survive, in the
+        # stats AND the kept rows (late rows behind the cutoff are dropped,
+        # which is the point of aging)
+        cutoff = None
+        if self.retain_slots is not None:
+            mx = batch_stats.agg(F.max("__slot").alias("m")).collect()[0]["m"]
+            if mx is not None:
+                cutoff = int(mx) - self.retain_slots + 1
+                batch_stats = batch_stats.where(F.col("__slot") >= cutoff)
         self._swap_write(batch_stats, self.stats_dir)
 
         # 2. maintain kept rows
         if spec.method == "hash":
-            # membership is key-determined -> append-only (no rewrite at scale)
+            # membership is key-determined -> append-only; with aging the
+            # rows land slot-partitioned so expiry is a directory drop
+            # (at scale: a partition-drop on a partitioned table)
             thr = threshold_for_fraction(spec.fraction)
             kept = tagged.where(F.col("__h") < F.lit(thr))
-            kept.write.mode("append").parquet(self.rows_dir)
+            if cutoff is not None:
+                kept = kept.where(F.col("__slot") >= cutoff)
+                (kept.write.mode("append").partitionBy("__slot")
+                 .parquet(self.rows_dir))
+                self._drop_slot_partitions(cutoff)
+            else:
+                kept.write.mode("append").parquet(self.rows_dir)
         else:
             merged = tagged
             old_rows = self._read(self.rows_dir)
             if old_rows is not None:
-                merged = old_rows.unionByName(merged)
+                merged = old_rows.select(*merged.columns).unionByName(merged)
+            if cutoff is not None:
+                merged = merged.where(F.col("__slot") >= cutoff)
             order = ([F.col("__h").asc()] +
                      [F.col(c).asc() for c in batch_df.columns])
             w = Window.partitionBy(*self._qcs).orderBy(*order)
             kept = (merged.withColumn("__rn", F.row_number().over(w))
                     .where(F.col("__rn") <= spec.reservoir_size).drop("__rn"))
             self._swap_write(kept, self.rows_dir)
+
+    def _drop_slot_partitions(self, cutoff: int) -> None:
+        if not os.path.isdir(self.rows_dir):
+            return
+        for d in os.listdir(self.rows_dir):
+            if d.startswith("__slot=") and int(d.split("=", 1)[1]) < cutoff:
+                shutil.rmtree(os.path.join(self.rows_dir, d),
+                              ignore_errors=True)
 
     # -- read side ----------------------------------------------------------
 

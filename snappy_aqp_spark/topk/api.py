@@ -86,6 +86,8 @@ def _time_us(df: DataFrame, time_col: str):
     dt = dict(df.dtypes).get(time_col)
     if dt == "bigint":
         return F.expr(f"({time_col}) DIV 1000")
+    if dt == "date":
+        return F.unix_micros(F.col(time_col).cast("timestamp"))
     if dt == "timestamp_ntz":
         return F.expr(f"timestampdiff(MICROSECOND, "
                       f"TIMESTAMP_NTZ'1970-01-01 00:00:00', ({time_col}))")
@@ -179,10 +181,9 @@ def _with_levels(state0: DataFrame, spec: TopKSpec) -> tuple[DataFrame, int]:
     """Attach Hokusai dyadic time-aggregation levels on top of the level-0
     buckets (Hokusai.scala:394-432 taAggregates): level l+1 merges sketch
     PAIRS of level l, so the whole pyramid costs O(buckets) tiny sketch-row
-    merges and range queries touch O(log n) rows. Production note: an
-    append touching bucket b only invalidates b's O(log n) dyadic ancestors;
-    the full rebuild here is create/insert-time simplicity, not a query-path
-    cost."""
+    merges and range queries touch O(log n) rows. Used at CREATE time only;
+    insert/decay maintain the pyramid incrementally via
+    ``_incremental_levels`` (only touched buckets' ancestors rebuild)."""
     if (spec.stream_summary or not spec.dyadic or spec.time_col is None):
         return state0, 0
     mx = state0.select(F.max("bucket").alias("m")).collect()[0]["m"]
@@ -204,6 +205,57 @@ def _with_levels(state0: DataFrame, spec: TopKSpec) -> tuple[DataFrame, int]:
     out = levels[0]
     for ly in levels[1:]:
         out = out.unionByName(ly)
+    return out, max_level
+
+
+def _incremental_levels(spec: TopKSpec, old_state: DataFrame,
+                        old_max_level: int, level0: DataFrame,
+                        touched: DataFrame) -> tuple[DataFrame, int]:
+    """Rebuild ONLY the dyadic ancestors of touched level-0 buckets
+    (reference incremental shape: Hokusai.scala:172-196 — an append to
+    bucket b invalidates its O(log n) ancestors, nothing else).
+
+    ``level0``: the complete new level-0 relation. ``touched``: distinct
+    (pid, bucket) level-0 keys whose rows changed. Untouched rows at every
+    level are reused from ``old_state`` byte-identical (JVM anti-join, no
+    Python round-trip); each rebuilt parent merges its (possibly reused)
+    children, so the result equals a full pyramid rebuild by induction."""
+    if spec.stream_summary or not spec.dyadic or spec.time_col is None:
+        return level0, 0
+    mx = level0.select(F.max("bucket").alias("m")).collect()[0]["m"]
+    max_level = int(mx).bit_length() if mx else 0
+    if max_level == 0:
+        return level0, 0
+
+    def merge_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        lvl = int(pdf["level"].iloc[0]) + 1
+        return _merge_rows(spec, pdf, lvl, int(pdf["bucket"].iloc[0]) // 2)
+
+    out = level0
+    cur_level = level0                  # complete rows at level l-1
+    cur_touched = touched               # changed (pid, bucket) at level l-1
+    for lvl in range(1, max_level + 1):
+        t_l = (cur_touched
+               .select("pid", F.expr("bucket DIV 2").alias("bucket"))
+               .distinct())
+        # children feeding a touched parent (touched child + its sibling)
+        par = cur_level.withColumn("__pb", F.expr("bucket DIV 2"))
+        children = par.join(
+            F.broadcast(t_l.withColumnRenamed("bucket", "__pb")),
+            on=["pid", "__pb"], how="leftsemi").drop("__pb")
+        rebuilt = (children
+                   .groupBy("pid", F.expr("bucket DIV 2").alias("__pb"))
+                   .applyInPandas(lambda pdf: merge_pairs(pdf),
+                                  schema=_STATE_SCHEMA))
+        if lvl <= old_max_level:
+            untouched = old_state.where(F.col("level") == lvl).join(
+                F.broadcast(t_l), on=["pid", "bucket"], how="leftanti")
+            level_l = untouched.unionByName(rebuilt)
+        else:
+            level_l = rebuilt
+        out = out.unionByName(level_l)
+        cur_level = level_l
+        cur_touched = t_l
     return out, max_level
 
 
@@ -245,8 +297,16 @@ def insert_into_topk(spark: SparkSession, registry: TopKRegistry,
               .groupBy("pid", "bucket", "__key")
               .agg(F.sum("__freq").alias("__freq")))
     new_state = (preagg.groupBy("pid")
-                 .applyInPandas(_build_state(spec), schema=_STATE_SCHEMA))
-    both = table.state.where(F.col("level") == 0).unionByName(new_state)
+                 .applyInPandas(_build_state(spec), schema=_STATE_SCHEMA)
+                 .persist())
+    touched = new_state.select("pid", "bucket").distinct()
+    old0 = table.state.where(F.col("level") == 0)
+    # untouched buckets pass through JVM-side (no Python, byte-identical);
+    # only buckets the append actually hits re-enter the merge
+    untouched0 = old0.join(F.broadcast(touched),
+                           on=["pid", "bucket"], how="leftanti")
+    both = old0.join(F.broadcast(touched), on=["pid", "bucket"],
+                     how="leftsemi").unionByName(new_state)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 1:
@@ -267,14 +327,17 @@ def insert_into_topk(spark: SparkSession, registry: TopKRegistry,
                                 columns=_STATE_COLS)
         return _merge_rows(spec, pdf, 0, int(pdf["bucket"].iloc[0]))
 
-    merged0 = (both.groupBy("pid", "bucket")
-               .applyInPandas(merge, schema=_STATE_SCHEMA).persist())
+    merged0 = (untouched0.unionByName(
+        both.groupBy("pid", "bucket")
+        .applyInPandas(merge, schema=_STATE_SCHEMA)).persist())
     merged0.count()
-    merged, max_level = _with_levels(merged0, spec)
+    merged, max_level = _incremental_levels(spec, table.state,
+                                            table.max_level, merged0, touched)
     if max_level > 0:
         merged = merged.persist()
         merged.count()
         merged0.unpersist()
+    new_state.unpersist()
     table.state.unpersist()
     table.state = merged
     table.max_level = max_level
@@ -305,10 +368,17 @@ def decay_topk(spark: SparkSession, registry: TopKRegistry, name: str,
                 out.at[idx, "sketch"] = s.to_bytes()
         return out
 
-    decayed0 = (table.state.where(F.col("level") == 0).groupBy("pid")
-                .applyInPandas(decay, schema=_STATE_SCHEMA).persist())
+    old0 = table.state.where(F.col("level") == 0)
+    untouched0 = old0.where(F.col("bucket") >= older_than_bucket)
+    decayed = (old0.where(F.col("bucket") < older_than_bucket).groupBy("pid")
+               .applyInPandas(decay, schema=_STATE_SCHEMA))
+    touched = (old0.where(F.col("bucket") < older_than_bucket)
+               .select("pid", "bucket").distinct())
+    decayed0 = untouched0.unionByName(decayed).persist()
     decayed0.count()
-    new_state, max_level = _with_levels(decayed0, spec)
+    new_state, max_level = _incremental_levels(spec, table.state,
+                                               table.max_level, decayed0,
+                                               touched)
     if max_level > 0:
         new_state = new_state.persist()
         new_state.count()

@@ -185,3 +185,109 @@ def test_windowed_counts_drop_late_rows(spark, tmpdir):
     # cumulative file-sink contents unchanged: late row dropped, nothing
     # re-emitted for [0,5), [10,15) still open
     assert run_once() == [(0, 5, 3)]
+
+
+# --- round-3: sample time-aging (timeSeriesColumn/timeInterval) --------------
+
+
+def _slot_sql(df, iv):
+    """SQL twin of the maintainer's slot expression for any ts dtype."""
+    dt = dict(df.dtypes)["ts"]
+    if dt == "bigint":
+        t = "(ts DIV 1000)"
+    elif dt == "timestamp_ntz":
+        t = ("timestampdiff(MICROSECOND, "
+             "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    else:
+        t = "unix_micros(ts)"
+    return (f"CAST(FLOOR(CAST({t} AS DOUBLE) / CAST({iv} AS DOUBLE)) "
+            f"AS BIGINT)")
+
+def test_stream_sample_time_aging_equals_batch_window(spark, tmpdir):
+    """old slots age out; the maintained sample is bit-equal to a batch
+    re-sample of the retained window (per-slot stratification), the
+    reference's per-slot reservoir reset (stratifiedSampling.scala:342-357)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    iv = 3 * 24 * 3600 * 1_000_000
+    spec = SampleSpec("events", ("event_id",), ("event_type",), "hash",
+                      fraction=0.1, seed=42,
+                      time_series_col="ts", time_interval_us=iv)
+    stream, full = _chunked_stream(spark, f"{SF_SMALL}/events.parquet",
+                                   tmpdir, chunks=3, order_col="event_id")
+    m = StreamingSampleMaintainer(spark, spec, f"{tmpdir}/state",
+                                  retain_slots=2)
+    q = (m.attach(stream, checkpointLocation=f"{tmpdir}/ckpt")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not finish in 120s"
+    streamed = m.sample_df().toPandas()
+
+    slot_sql = _slot_sql(full, iv)
+    max_slot = full.selectExpr(f"max({slot_sql}) AS m").first()["m"]
+    cutoff = int(max_slot) - 1                      # retain_slots=2
+    # only the retained slots survive in the maintained sample
+    slots_kept = set(full.where(F.expr(f"{slot_sql} >= {cutoff}"))
+                     .select("event_id").toPandas()["event_id"])
+    assert set(streamed["event_id"]).issubset(slots_kept)
+
+    batch_spec = SampleSpec("events", ("event_id",),
+                            ("event_type", slot_sql), "hash",
+                            fraction=0.1, seed=42)
+    window_df = full.where(F.expr(f"{slot_sql} >= {cutoff}"))
+    batch = stratified_sample(window_df, batch_spec).toPandas()
+    cols = sorted(batch.columns)
+    a = streamed[cols].sort_values("event_id").reset_index(drop=True)
+    b = batch[cols].sort_values("event_id").reset_index(drop=True)
+    assert a.equals(b), f"{len(a)} streamed vs {len(b)} batch rows"
+
+
+def test_stream_reservoir_time_aging(spark, tmpdir):
+    """reservoir method: per-(stratum x slot) reservoirs; aged state equals
+    a batch per-slot reservoir over the retained window."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    iv = 3 * 24 * 3600 * 1_000_000
+    spec = SampleSpec("events", ("event_id",), ("event_type",), "reservoir",
+                      reservoir_size=40, seed=42,
+                      time_series_col="ts", time_interval_us=iv)
+    stream, full = _chunked_stream(spark, f"{SF_SMALL}/events.parquet",
+                                   tmpdir, chunks=3, order_col="event_id")
+    m = StreamingSampleMaintainer(spark, spec, f"{tmpdir}/state_r",
+                                  retain_slots=2)
+    q = (m.attach(stream, checkpointLocation=f"{tmpdir}/ckpt_r")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not finish in 120s"
+    streamed = m.sample_df().toPandas()
+
+    slot_sql = _slot_sql(full, iv)
+    max_slot = full.selectExpr(f"max({slot_sql}) AS m").first()["m"]
+    window_df = full.where(F.expr(f"{slot_sql} >= {int(max_slot) - 1}"))
+    batch_spec = SampleSpec("events", ("event_id",),
+                            ("event_type", slot_sql), "reservoir",
+                            reservoir_size=40, seed=42)
+    batch = stratified_sample(window_df, batch_spec).toPandas()
+    cols = sorted(batch.columns)
+    a = streamed[cols].sort_values("event_id").reset_index(drop=True)
+    b = batch[cols].sort_values("event_id").reset_index(drop=True)
+    assert a.equals(b), f"{len(a)} streamed vs {len(b)} batch rows"
+
+
+def test_time_aging_ddl_round_trip():
+    from snappy_aqp_spark.api import spec_from_ddl
+    from snappy_aqp_spark.sql import frontend as fe
+    name, base, opts, as_sql = fe.parse_create_sample(
+        "CREATE SAMPLE TABLE ev_s ON events OPTIONS(qcs 'event_type', "
+        "fraction '0.1', method 'hash', timeSeriesColumn 'ts', "
+        "timeInterval '259200s')")
+    spec = spec_from_ddl(base, opts, key_cols=["event_id"], as_sql=as_sql)
+    assert spec.time_series_col == "ts"
+    assert spec.time_interval_us == 259_200 * 1_000_000
+    # bare number = milliseconds (reference parseLong convention)
+    _, _, opts2, _ = fe.parse_create_sample(
+        "CREATE SAMPLE TABLE ev_s2 ON events OPTIONS(qcs 'event_type', "
+        "timeSeriesColumn 'ts', timeInterval '5000')")
+    spec2 = spec_from_ddl("events", opts2, key_cols=["event_id"])
+    assert spec2.time_interval_us == 5_000_000
+    # reference parity: timeSeriesColumn without timeInterval raises
+    with pytest.raises(ValueError, match="no timeInterval"):
+        spec_from_ddl("events", {"qcs": "event_type",
+                                 "timeseriescolumn": "ts"},
+                      key_cols=["event_id"])

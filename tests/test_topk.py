@@ -171,3 +171,56 @@ def test_dyadic_window_query_matches_oracle(spark, duck, events):
     # the plan touches the dyadic cover: [2,3] + [4,7] for this range
     oracle = duck.sql(topk_oracle_sql(spec, "events", start, end, 10))
     compare_frames(res, oracle, sort_cols=["key"])
+
+
+def test_incremental_insert_rebuilds_only_ancestors(spark, events):
+    """an insert touching one time bucket leaves every non-ancestor level
+    row BYTE-IDENTICAL (reused, not rebuilt) and still equals the batch
+    pyramid (VERDICT r2 task 4; reference Hokusai.scala:172-196)."""
+    reg = TopKRegistry()
+    spec = _spec("incdy")
+    iv = spec.time_interval_us
+
+    # hold out events of ONE time bucket (relative to the full-data epoch)
+    full_epoch = create_approx_ts_topk(
+        spark, reg, events, _spec("incdy_all")).epoch_us
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.topk.api import _time_us
+    bucket_expr = F.floor((_time_us(events, "ts") - F.lit(full_epoch))
+                          / F.lit(iv))
+    base = events.where(bucket_expr != 3)
+    extra = events.where(bucket_expr == 3)
+    assert extra.count() > 0
+
+    spec_inc = dataclasses.replace(spec, epoch_us=full_epoch)
+    tbl = create_approx_ts_topk(spark, reg, base, spec_inc)
+    before = {(r["pid"], r["level"], r["bucket"]):
+              (bytes(r["sketch"]), tuple(r["cand_keys"]),
+               tuple(r["cand_counts"]))
+              for r in tbl.state.collect()}
+    insert_into_topk(spark, reg, "incdy", extra)
+    after_tbl = reg.get("incdy")
+    after = {(r["pid"], r["level"], r["bucket"]):
+             (bytes(r["sketch"]), tuple(r["cand_keys"]),
+              tuple(r["cand_counts"]))
+             for r in after_tbl.state.collect()}
+
+    touched_pids = {r["pid"] for r in
+                    (extra.select(F.pmod(F.col("user_id").cast("long"),
+                                         F.lit(spec.num_partitions))
+                                  .alias("pid")).distinct().collect())}
+    changed = {k for k in before
+               if k in after and after[k] != before[k]}
+    for pid, level, bucket in changed:
+        # every changed row must be a dyadic ancestor of bucket 3 on a
+        # partition the insert touched
+        assert pid in touched_pids, (pid, level, bucket)
+        assert bucket == 3 >> level or (bucket << level) <= 3 < ((bucket + 1) << level), \
+            (pid, level, bucket)
+
+    # and the incremental pyramid equals the from-scratch batch pyramid
+    batch = {(r["pid"], r["level"], r["bucket"]):
+             (bytes(r["sketch"]), tuple(r["cand_keys"]),
+              tuple(r["cand_counts"]))
+             for r in reg.get("incdy_all").state.collect()}
+    assert after == batch
