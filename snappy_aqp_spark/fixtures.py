@@ -208,6 +208,18 @@ SQL_FIXTURES: dict[str, dict] = {
                   "GROUP BY o_orderpriority ORDER BY o_orderpriority "
                   "WITH ERROR 0.5"),
     },
+    # derived table in FROM: inlined like a projection view, so the query
+    # routes through the base table's sample (SubQueryRoutingTestSuite
+    # "subquery in from clause" protocols)
+    "sql_from_subquery": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, sum(li.l_extendedprice) AS s, "
+                  "absolute_error(s), count(*) AS c "
+                  "FROM (SELECT * FROM lineitem WHERE l_quantity > 5) li "
+                  "GROUP BY l_returnflag ORDER BY l_returnflag "
+                  "WITH ERROR 0.5"),
+    },
     # error-limit sampler through the DDL surface (errorLimitColumn /
     # errorLimitPercent options, snappyAQPParsers.scala:77-103,
     # stratifiedSampling.scala:330-357; percent is 0-100 as in the reference)

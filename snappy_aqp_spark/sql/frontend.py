@@ -169,6 +169,22 @@ _JOIN_RE = re.compile(
     r"\s+(?P<how>INNER\s+|LEFT\s+(?:OUTER\s+)?|RIGHT\s+(?:OUTER\s+)?)?JOIN\s+"
     r"(?P<table>\w+)\s+ON\s+", re.IGNORECASE)
 
+# derived table in FROM: ``(SELECT ...) [AS] alias`` — inlined like a
+# projection view (the reference routes FROM-clause subqueries through the
+# sample after analysis; SubQueryRoutingTestSuite.scala "subquery in from
+# clause" protocols)
+_DERIVED_RE = re.compile(
+    r"^\(\s*(?P<sub>SELECT\b.*)\)\s*(?:AS\s+)?(?P<alias>\w+)?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _strip_alias_prefix(text: str | None, alias: str) -> str | None:
+    """drop ``alias.`` qualifiers after a derived table is inlined."""
+    if not text:
+        return text
+    return re.sub(rf"(?<![\w.]){re.escape(alias)}\.(?=\w)", "", text,
+                  flags=re.IGNORECASE)
+
 
 def parse_select(sql: str) -> ParsedSelect:
     clauses = _find_clauses(sql)
@@ -193,8 +209,12 @@ def parse_select(sql: str) -> ParsedSelect:
                 break
     else:
         base = frm.strip()
+    derived = None
     if not re.fullmatch(r"\w+", base):
-        raise SQLFrontendError(f"unsupported FROM: {base!r} (subqueries route exact)")
+        derived = _DERIVED_RE.match(base)
+        if derived is None:
+            raise SQLFrontendError(
+                f"unsupported FROM: {base!r} (subqueries route exact)")
 
     items = []
     for part in _split_top(clauses["SELECT"]):
@@ -207,13 +227,33 @@ def parse_select(sql: str) -> ParsedSelect:
     limit = None
     if "LIMIT" in clauses:
         limit = int(clauses["LIMIT"].strip())
-    return ParsedSelect(
-        select_items=items, from_table=base, joins=joins,
+    out = ParsedSelect(
+        select_items=items, from_table="__derived__" if derived else base,
+        joins=joins,
         where=clauses.get("WHERE"),
         group_by=_split_top(clauses.get("GROUP BY", "")),
         having=clauses.get("HAVING"),
         order_by=_split_top(clauses.get("ORDER BY", "")),
         limit=limit)
+    if derived is None:
+        return out
+    inner = parse_select(derived.group("sub"))
+    if not is_projection_view(inner):
+        raise SQLFrontendError(
+            "non-projection derived table routes exact")
+    alias = derived.group("alias")
+    if alias:
+        import dataclasses
+        sa = lambda t: _strip_alias_prefix(t, alias)     # noqa: E731
+        out = dataclasses.replace(
+            out,
+            select_items=[(sa(e), a) for e, a in out.select_items],
+            joins=[dataclasses.replace(j, on=sa(j.on)) for j in out.joins],
+            where=sa(out.where),
+            group_by=[sa(g) for g in out.group_by],
+            having=sa(out.having),
+            order_by=[sa(o) for o in out.order_by])
+    return expand_view(out, {"__derived__": inner})
 
 
 _AGG_RE = re.compile(r"^(SUM|AVG|COUNT|MIN|MAX)\s*\((.*)\)$",
@@ -725,9 +765,18 @@ def parse_mutation_target(sql: str) -> str | None:
     return m.group("u") or m.group("d") or m.group("i") or m.group("m")
 
 
-def fold_error_functions(sql: str, parsed: ParsedSelect) -> str:
+def fold_error_functions(sql: str, parsed: ParsedSelect | None) -> str:
     """Constant-fold error functions for exact routes: absolute/relative -> 0,
-    lower/upper -> the target's expression (QueryRoutingRules.scala:370-404)."""
+    lower/upper -> the target's expression (QueryRoutingRules.scala:370-404).
+
+    ``parsed`` may be None for queries the mini-parser rejected; a best-
+    effort re-parse recovers the alias map, else the text passes through
+    unchanged (Spark then reports the unknown function clearly)."""
+    if parsed is None:
+        try:
+            parsed = parse_select(sql)
+        except SQLFrontendError:
+            return sql
     expr_by_alias = {a.lower(): e for e, a in parsed.select_items if a}
 
     def repl(m: re.Match) -> str:

@@ -604,3 +604,53 @@ def test_as_select_sample_matches_filtered_population(spark):
     a = via_spec.sort_values(cols).reset_index(drop=True)[cols]
     b = via_filter.sort_values(cols).reset_index(drop=True)[cols]
     assert a.equals(b)
+
+
+# --- round-3: derived tables in FROM -----------------------------------------
+
+def test_from_subquery_inlines_as_view():
+    p = fe.parse_select(
+        "SELECT l_returnflag, sum(li.l_extendedprice) AS s "
+        "FROM (SELECT * FROM lineitem WHERE l_quantity > 5) li "
+        "GROUP BY l_returnflag")
+    assert p.from_table == "lineitem"
+    assert p.where == "(l_quantity > 5)"
+    assert p.select_items[1][0] == "sum(l_extendedprice)"
+    # projected+aliased derived table substitutes its aliases
+    p2 = fe.parse_select(
+        "SELECT rf, count(*) AS c FROM (SELECT l_returnflag AS rf "
+        "FROM lineitem) t GROUP BY rf")
+    assert p2.from_table == "lineitem"
+    assert p2.group_by == ["(l_returnflag)"]
+    # non-projection derived tables route exact
+    with pytest.raises(fe.SQLFrontendError, match="non-projection"):
+        fe.parse_select("SELECT a FROM (SELECT a, count(*) c FROM t "
+                        "GROUP BY a) x")
+
+
+def test_from_subquery_routes_through_sample(aqp, duck):
+    text = ("SELECT l_returnflag, sum(li.l_extendedprice) AS s, "
+            "absolute_error(s) "
+            "FROM (SELECT * FROM lineitem WHERE l_quantity > 5) li "
+            "GROUP BY l_returnflag ORDER BY l_returnflag WITH ERROR 0.5")
+    analyzed = aqp.analyze_sql(text)
+    assert analyzed.spec is not None
+    assert analyzed.spec.sample.base_table == "lineitem"
+    assert "l_quantity > 5" in analyzed.spec.where
+    df = aqp.sql(text)
+    oracle = duck.sql(oracle_sql_for(analyzed.spec)).df()
+    compare_frames(df, oracle)
+
+
+def test_unparseable_exact_route_with_error_fns(aqp):
+    """fold_error_functions survives queries the mini-parser rejects
+    (derived non-projection shapes): exact route, no crash."""
+    text = ("SELECT x, absolute_error(x) AS e FROM (SELECT l_returnflag, "
+            "sum(l_quantity) AS x FROM lineitem GROUP BY l_returnflag) t "
+            "WITH ERROR 0.5")
+    analyzed = aqp.analyze_sql(text)
+    assert analyzed.spec is None
+    # the engine must not crash; Spark raises its own clear error for the
+    # unknown function left in the text
+    with pytest.raises(Exception):
+        aqp.sql(text).collect()
