@@ -163,34 +163,62 @@ def _attach_subquery_samples(analyzed, catalog: SampleCatalog,
     error model doesn't cover; scalar subqueries stay exact (their value
     inlines as a literal)."""
     import dataclasses
+    outer = analyzed.spec
     new_subs, changed = [], False
-    for sp in analyzed.spec.where_subs:
-        sub_sample = None
-        if (sp.kind == "in" and len(sp.tables) == 1 and sp.sub_select
-                and re.fullmatch(r"\w+", sp.sub_select.strip())):
+    for sp in outer.where_subs:
+        repl = None
+        sub_parsed = None
+        if len(sp.tables) == 1:
             try:
                 sub_parsed = fe.parse_select(sp.sub_sql)
             except fe.SQLFrontendError:
                 sub_parsed = None
-            if (sub_parsed is not None and not sub_parsed.joins
+        eligible = (sub_parsed is not None and not sub_parsed.joins
                     and not sub_parsed.group_by and not sub_parsed.having
-                    and sub_parsed.limit is None):
-                sub_base = sub_parsed.from_table.lower()
-                if catalog.for_base(sub_base):
-                    sinfo = catalog.select_sample(
-                        sub_base, set(),
-                        _cols_in_text(sub_base, sub_parsed.where or "",
-                                      extra_cols))
-                    sub_sample = sinfo.spec if sinfo else None
-        if sub_sample is not None:
-            new_subs.append(dataclasses.replace(sp, sample=sub_sample))
-            changed = True
-        else:
-            new_subs.append(sp)
+                    and sub_parsed.limit is None
+                    and catalog.for_base(sub_parsed.from_table.lower()))
+        if eligible:
+            sub_base = sub_parsed.from_table.lower()
+            sinfo = catalog.select_sample(
+                sub_base, set(),
+                _cols_in_text(sub_base, sub_parsed.where or "", extra_cols))
+            if (sinfo is not None and sp.kind == "in" and sp.sub_select
+                    and re.fullmatch(r"\w+", sp.sub_select.strip())):
+                repl = dataclasses.replace(sp, sample=sinfo.spec)
+            elif sinfo is not None and sp.kind == "scalar":
+                sub_spec = _scalar_sub_spec(sub_parsed, sinfo.spec, outer)
+                if sub_spec is not None:
+                    repl = dataclasses.replace(sp, sub_spec=sub_spec)
+        new_subs.append(repl if repl is not None else sp)
+        changed = changed or repl is not None
     if changed:
         analyzed.spec = dataclasses.replace(analyzed.spec,
                                             where_subs=tuple(new_subs))
     return analyzed
+
+
+def _scalar_sub_spec(sub_parsed, sample_spec, outer):
+    """ApproxQuerySpec for a scalar subquery tree: single SUM/AVG/COUNT over
+    the sampled relation, inheriting the outer query's error/confidence
+    (the reference applies the outer AQP clause to the subquery child)."""
+    if len(sub_parsed.select_items) != 1:
+        return None
+    expr = sub_parsed.select_items[0][0]
+    m = fe._AGG_RE.match(expr)
+    if not m:
+        return None
+    fn, arg = m.group(1).lower(), m.group(2).strip()
+    if (fn not in ("sum", "avg", "count") or fe._COND_COUNT_RE.search(arg)
+            or fe._UNSUPPORTED_RE.search(arg)):
+        return None
+    if fn == "count" and arg == "*":
+        agg = ApproxAgg("count_star", None, "__sv")
+    else:
+        agg = ApproxAgg(fn, arg, "__sv", fe.measure_bound(arg))
+    return ApproxQuerySpec(
+        sample=sample_spec, aggs=(agg,), where=sub_parsed.where,
+        error=outer.error, confidence=outer.confidence,
+        behavior="do_nothing", estimator="closed_form", trials=outer.trials)
 
 
 def build_catalog_from_ddl(ddls: list[str]) -> SampleCatalog:

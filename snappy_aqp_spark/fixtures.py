@@ -208,6 +208,22 @@ SQL_FIXTURES: dict[str, dict] = {
                   "GROUP BY o_orderpriority ORDER BY o_orderpriority "
                   "WITH ERROR 0.5"),
     },
+    # scalar subquery routed through ITS OWN sample: the subquery tree runs
+    # as an approx query inheriting the outer error/confidence, and the
+    # weighted estimate inlines as the comparison literal
+    # (subqueryChildHandler applies the outer AQP clause to the child,
+    # QueryProcessingRules.scala:119-148)
+    "sql_scalar_subquery_sampled": {
+        "ddl": [("CREATE SAMPLE TABLE ord_sc_sample ON orders OPTIONS("
+                 "qcs 'o_orderpriority', fraction '0.1', "
+                 "method 'hash', seed '42')")],
+        "tables": ("orders",),
+        "query": ("SELECT o_orderpriority, sum(o_totalprice) AS st, "
+                  "relative_error(st) FROM orders "
+                  "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) "
+                  "GROUP BY o_orderpriority ORDER BY o_orderpriority "
+                  "WITH ERROR 0.5"),
+    },
     # derived table in FROM: inlined like a projection view, so the query
     # routes through the base table's sample (SubQueryRoutingTestSuite
     # "subquery in from clause" protocols)

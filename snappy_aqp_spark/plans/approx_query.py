@@ -25,6 +25,8 @@ HAC behaviors (reference common/AQPRules.scala:288-502):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..dialect import DUCKDB, SPARK
@@ -270,6 +272,12 @@ def _apply_subqueries(df: DataFrame, spec: ApproxQuerySpec,
             df = df.join(F.broadcast(sub),
                          on=F.expr(sp.expr) == sub["__subv"], how="leftsemi")
             continue
+        if sp.sub_spec is not None:        # scalar subquery on its own sample
+            sub = run_approx_query(df.sparkSession, sp.sub_spec, tables,
+                                   cache_token=cache_token)
+            val = sub.collect()[0]["__sv"]
+            df = df.where(F.expr(sp.expr.replace("__SUBQ__", _sql_literal(val))))
+            continue
         for t in sp.tables:
             tables[t].createOrReplaceTempView(t)
         if sp.kind == "scalar":
@@ -291,7 +299,16 @@ def full_where_sql(spec: ApproxQuerySpec) -> str | None:
     parts = [f"({spec.where})"] if spec.where else []
     for i, sp in enumerate(spec.where_subs):
         if sp.kind == "scalar":
-            parts.append("(" + sp.expr.replace("__SUBQ__", f"({sp.sub_sql})") + ")")
+            if sp.sub_spec is not None:
+                # replay the subquery's own approx plan inline; every
+                # internal identifier is re-prefixed so the nested WITH
+                # chain cannot collide with (or shadow) the outer one
+                inner = re.sub(r"\b__(?=\w)", f"__ssq{i}_",
+                               oracle_sql_for(sp.sub_spec))
+                rep = (f"(SELECT __ssq{i}_sv FROM ({inner}) __ssq{i})")
+            else:
+                rep = f"({sp.sub_sql})"
+            parts.append("(" + sp.expr.replace("__SUBQ__", rep) + ")")
         elif sp.sample is not None:
             w = f" WHERE {sp.sub_where}" if sp.sub_where else ""
             parts.append(f"({sp.expr} IN (SELECT {sp.sub_select} "

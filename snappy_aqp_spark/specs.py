@@ -142,6 +142,11 @@ class SubqueryPred:
     # rows, exactly the reference's relation replacement; weights don't
     # apply to a key-membership scan)
     sample: "SampleSpec | None" = None
+    # scalar subqueries with an approximable aggregate run as their own
+    # approx query (the reference wraps the subquery child with the outer
+    # AQP clause — subqueryChildHandler, QueryProcessingRules.scala:119-148);
+    # the weighted estimate inlines as the comparison literal
+    sub_spec: "ApproxQuerySpec | None" = None
 
     def __post_init__(self):
         assert self.kind in ("in", "not_in", "scalar"), self.kind
@@ -149,6 +154,8 @@ class SubqueryPred:
             assert "__SUBQ__" in self.expr
         if self.sample is not None:
             assert self.kind == "in" and self.sub_select is not None
+        if self.sub_spec is not None:
+            assert self.kind == "scalar"
 
 
 @dataclass(frozen=True)

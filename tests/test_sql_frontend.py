@@ -654,3 +654,26 @@ def test_unparseable_exact_route_with_error_fns(aqp):
     # unknown function left in the text
     with pytest.raises(Exception):
         aqp.sql(text).collect()
+
+
+def test_scalar_subquery_gets_own_sample_spec():
+    from snappy_aqp_spark.api import analyze_text
+    defaults = {"error": 0.2, "confidence": 0.95, "behavior": "do_nothing"}
+    q = ("SELECT o_orderpriority, sum(o_totalprice) AS st FROM orders "
+         "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) "
+         "GROUP BY o_orderpriority WITH ERROR 0.4 CONFIDENCE 0.9")
+    out = analyze_text(q, _mk_catalog(_ORD_DDL), defaults)
+    assert out.spec is not None
+    (sub,) = out.spec.where_subs
+    assert sub.sub_spec is not None
+    assert sub.sub_spec.sample.base_table == "orders"
+    # the subquery inherits the OUTER query's error/confidence
+    assert sub.sub_spec.error == 0.4
+    assert sub.sub_spec.confidence == 0.9
+    # MAX / DISTINCT / conditional shapes stay exact
+    for inner in ("max(o_totalprice)", "count(DISTINCT o_custkey)",
+                  "sum(IF(o_custkey > 5, o_totalprice, 0))"):
+        q2 = q.replace("avg(o_totalprice)", inner)
+        out2 = analyze_text(q2, _mk_catalog(_ORD_DDL), defaults)
+        (sub2,) = out2.spec.where_subs
+        assert sub2.sub_spec is None, inner
