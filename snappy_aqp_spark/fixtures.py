@@ -10,6 +10,7 @@ perfJoinQueries.sql) re-targeted at the driver's TPC-H-ish tables.
 from __future__ import annotations
 
 from .pipeline import dedup as _dd
+from .pipeline import distinct as _dc
 from .pipeline import similarity as _sim
 from .specs import ApproxAgg, ApproxQuerySpec, JoinSpec, SampleSpec
 from .topk.api import TopKSpec
@@ -47,6 +48,12 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "ann_ivf_topk": {
         "builder": _sim.ivf_topk_stages, "kw": {},
         "tables": ("embeddings",)},
+    # deterministic SQL HyperLogLog (p=6 -> 64 registers; documents has
+    # 500 distinct doc_ids, safely above the 2.5m linear-counting branch
+    # so the libm-free raw path is active — see pipeline/distinct.py)
+    "approx_distinct_hll": {
+        "builder": _dc.hll_distinct_stages, "kw": {"p": 6},
+        "tables": ("documents",)},
 }
 
 ALL_ERRORS = ("absolute_error", "relative_error", "lower_bound", "upper_bound")

@@ -1,0 +1,100 @@
+"""Approximate distinct counting: a deterministic, SQL-replayable
+HyperLogLog.
+
+The reference routes ``COUNT(DISTINCT ...)`` to the exact path
+(common/QueryRoutingRules.scala:55-92); at 100 TB corpus scale an exact
+distinct is a full shuffle of every key, so this module adds the sketch
+path a training-data pipeline actually needs (distinct urls / domains /
+doc ids per shard) as a first-class dual-dialect operator.
+
+Design for bit-exact Spark/DuckDB replay (the driver's hash-match gate):
+
+  * the 60-bit row hash comes from ``md5`` (identical in both engines)
+    via ``dual.hex15_to_long`` — no engine RNG anywhere;
+  * register rank rho = trailing zeros of the hash suffix + 1. Trailing
+    zeros are extracted with ``w & -w`` (exact power of two), and
+    ``log2`` of an exact power of two is exact in IEEE — no correctly-
+    rounded-libm dependence;
+  * the harmonic sum is computed in INTEGER arithmetic: register r
+    contributes ``2^(52 - r)`` (BIGINT); the only floating-point step is
+    one final division of exact integers, which IEEE defines exactly.
+    A double ``SUM(POW(2,-r))`` would be order-dependent (Spark
+    aggregation order is nondeterministic) and could not hash-match.
+
+Linear counting (the standard small-range correction) IS applied when
+``E <= 2.5 m`` and empty registers exist; its ``ln`` is libm-dependent, so
+oracle fixtures should use cardinalities safely above ``2.5 m`` (the
+branch choice itself is deterministic — ``E`` and ``zeros`` are exact).
+
+Scale: one scan, one ``GROUP BY bucket`` over at most ``m`` groups, one
+scalar row out. Partial aggregation makes the shuffle m-bounded regardless
+of input size; for sharded corpora the per-bucket MAX merges associatively
+across shards (HLL's union property).
+"""
+
+from __future__ import annotations
+
+import math
+
+from . import dual
+from ..dialect import DUCKDB, SPARK, dlit
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct_stages(dialect: str, col: str = "doc_id",
+                        table: str = "documents", p: int = 6,
+                        group_by: str | None = None
+                        ) -> tuple[list[tuple[str, str]], str]:
+    """``(stages, final)`` estimating ``COUNT(DISTINCT col)`` [per
+    ``group_by``] with m = 2**p registers (rel. error ~ 1.04/sqrt(m))."""
+    m = 1 << p
+    maxbits = 52                       # hash suffix width after bucket split
+    h = dual.hex15_to_long(f"md5(CAST({col} AS VARCHAR))"
+                           if dialect == DUCKDB
+                           else f"md5(CAST({col} AS STRING))")
+    w = dual.idiv(dialect, "__hh", str(m))
+    lowbit = dual.band(dialect, "__hw", "-__hw")
+    g = [group_by] if group_by else []
+    g_sql = ", ".join(g)
+    g_pre = (g_sql + ", ") if g else ""
+    stages = [
+        ("__hll_h",
+         f"SELECT {g_pre}{h} AS __hh FROM {table} WHERE {col} IS NOT NULL"),
+        ("__hll_w",
+         f"SELECT {g_pre}__hh % {m} AS __bucket, {w} AS __hw FROM __hll_h"),
+        # rho = trailing zeros + 1; log2 of (w & -w) is exact (power of two)
+        ("__hll_rho",
+         f"SELECT {g_pre}__bucket, CASE WHEN __hw = 0 THEN {maxbits + 1} "
+         f"ELSE CAST(log2({lowbit}) AS BIGINT) + 1 END AS __rho "
+         f"FROM __hll_w"),
+        ("__hll_reg",
+         f"SELECT {g_pre}__bucket, MAX(__rho) AS __r FROM __hll_rho "
+         f"GROUP BY {g_pre}__bucket"),
+        # integer harmonic sum: register r contributes 2^(52-r) exactly
+        ("__hll_z",
+         f"SELECT {g_pre}"
+         f"CAST(SUM({dual.shiftleft(dialect, 'CAST(1 AS BIGINT)', f'{maxbits} - __r')}) AS BIGINT) AS __zp, "
+         f"CAST(COUNT(*) AS BIGINT) AS __present FROM __hll_reg"
+         + (f" GROUP BY {g_sql}" if g else "")),
+    ]
+    zeros = f"({m} - __present)"
+    z_int = (f"(__zp + {zeros} * "
+             f"{dual.shiftleft(dialect, 'CAST(1 AS BIGINT)', str(maxbits))})")
+    num = _alpha(m) * m * m * float(1 << maxbits)
+    e_raw = f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
+    lc = (f"({dlit(float(m))} * ln({dlit(float(m))} "
+          f"/ CAST({zeros} AS DOUBLE)))")
+    est = (f"CASE WHEN {e_raw} <= {dlit(2.5 * m)} AND {zeros} > 0 "
+           f"THEN {lc} ELSE {e_raw} END")
+    final = (f"SELECT {g_pre}{est} AS approx_distinct FROM __hll_z"
+             + (f" ORDER BY {g_sql}" if g else ""))
+    return stages, final

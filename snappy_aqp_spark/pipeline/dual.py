@@ -176,6 +176,21 @@ def hex15_to_long(hex_sql: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def idiv(dialect: str, a: str, b: str) -> str:
+    """integer division (both operands BIGINT)."""
+    return f"(({a}) DIV ({b}))" if dialect == SPARK else f"(({a}) // ({b}))"
+
+
+def shiftleft(dialect: str, a: str, n: str) -> str:
+    return (f"shiftleft({a}, CAST({n} AS INT))" if dialect == SPARK
+            else f"(({a}) << ({n}))")
+
+
+def band(dialect: str, a: str, b: str) -> str:
+    """bitwise AND (same operator, kept as a shim for symmetry)."""
+    return f"(({a}) & ({b}))"
+
+
 def raise_err(dialect: str, msg: str) -> str:
     """BIGINT-typed expression that raises ``msg`` when evaluated (guard
     rails inside CASE branches; both engines evaluate CASE lazily)."""

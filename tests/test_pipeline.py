@@ -270,3 +270,43 @@ def test_ngram_jaccard_guard_rail(views, duck):
     stages_d, final_d = ngram_jaccard_stages(DUCKDB, threshold=0.5, max_docs=10)
     with pytest.raises(Exception, match="quadratic small-N baseline"):
         duck.sql(stages_sql(stages_d, final_d)).df()
+
+
+# --- round-3: deterministic HyperLogLog --------------------------------------
+
+def test_hll_distinct_accuracy_and_oracle(views, duck):
+    from snappy_aqp_spark.pipeline.distinct import hll_distinct_stages
+    stages, final = hll_distinct_stages(SPARK, p=6)
+    est = run_stages(views, stages, final).first()["approx_distinct"]
+    # documents has exactly 500 distinct doc_ids; m=64 -> ~13% rel error
+    assert abs(est - 500) / 500 < 0.4, est
+    # bit-exact DuckDB replay (integer-register design)
+    stages_d, final_d = hll_distinct_stages(DUCKDB, p=6)
+    dk = duck.sql(stages_sql(stages_d, final_d)).df()
+    assert dk["approx_distinct"][0] == est
+
+
+def test_hll_linear_counting_small_range(views):
+    """tiny cardinality triggers the linear-counting branch (Spark-side
+    accuracy check only — ln is libm-dependent, so no oracle here)."""
+    from snappy_aqp_spark.pipeline.distinct import hll_distinct_stages
+    spark = views
+    spark.sql("SELECT doc_id % 7 AS small_key FROM documents") \
+        .createOrReplaceTempView("small_card")
+    stages, final = hll_distinct_stages(SPARK, col="small_key",
+                                        table="small_card", p=8)
+    est = run_stages(spark, stages, final).first()["approx_distinct"]
+    assert abs(est - 7) < 1.0, est            # LC is near-exact here
+
+
+def test_hll_grouped(views, duck):
+    from snappy_aqp_spark.pipeline.distinct import hll_distinct_stages
+    stages, final = hll_distinct_stages(SPARK, p=6, group_by="lang")
+    sp = run_stages(views, stages, final).toPandas()
+    assert len(sp) >= 2                       # one row per language
+    exact = views.sql("SELECT lang, count(DISTINCT doc_id) AS n "
+                      "FROM documents GROUP BY lang").toPandas()
+    truth = dict(zip(exact["lang"], exact["n"]))
+    for _, r in sp.iterrows():
+        t = truth[r["lang"]]
+        assert abs(r["approx_distinct"] - t) / max(t, 1) < 0.5
