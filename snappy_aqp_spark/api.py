@@ -176,6 +176,10 @@ def _attach_subquery_samples(analyzed, catalog: SampleCatalog,
         eligible = (sub_parsed is not None and not sub_parsed.joins
                     and not sub_parsed.group_by and not sub_parsed.having
                     and sub_parsed.limit is None
+                    # a nested subquery inside the tree's own WHERE cannot
+                    # be rebuilt as a plain filter over the sample
+                    and not (sub_parsed.where
+                             and fe._SUBQ_OPEN_RE.search(sub_parsed.where))
                     and catalog.for_base(sub_parsed.from_table.lower()))
         if eligible:
             sub_base = sub_parsed.from_table.lower()

@@ -677,3 +677,18 @@ def test_scalar_subquery_gets_own_sample_spec():
         out2 = analyze_text(q2, _mk_catalog(_ORD_DDL), defaults)
         (sub2,) = out2.spec.where_subs
         assert sub2.sub_spec is None, inner
+
+
+def test_nested_subquery_tree_stays_exact():
+    """a subquery whose own WHERE nests another subquery cannot rebuild
+    over a sample — it must keep the exact path, not crash at runtime."""
+    from snappy_aqp_spark.api import analyze_text
+    defaults = {"error": 0.2, "confidence": 0.95, "behavior": "do_nothing"}
+    q = ("SELECT o_orderpriority, sum(o_totalprice) AS st FROM orders "
+         "WHERE o_custkey IN (SELECT o_custkey FROM orders "
+         "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)) "
+         "GROUP BY o_orderpriority WITH ERROR 0.5")
+    out = analyze_text(q, _mk_catalog(_ORD_DDL), defaults)
+    if out.spec is not None and out.spec.where_subs:
+        for sub in out.spec.where_subs:
+            assert sub.sample is None and sub.sub_spec is None
