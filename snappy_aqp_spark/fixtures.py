@@ -48,6 +48,13 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "ann_ivf_topk": {
         "builder": _sim.ivf_topk_stages, "kw": {},
         "tables": ("embeddings",)},
+    # product-quantization ANN: 4-dim subspaces x 16 codewords (one SQL
+    # Lloyd step), ADC codes-only scan + exact re-rank of a 20x shortlist;
+    # recall@3 ~ 0.92 vs brute force on the (worst-case random) corpus,
+    # pinned by pytest
+    "ann_pq_topk": {
+        "builder": _sim.pq_topk_stages, "kw": {"n_sub": 16, "refine": 20},
+        "tables": ("embeddings",)},
     # deterministic SQL HyperLogLog (p=6 -> 64 registers; documents has
     # 500 distinct doc_ids, safely above the 2.5m linear-counting branch
     # so the libm-free raw path is active — see pipeline/distinct.py)

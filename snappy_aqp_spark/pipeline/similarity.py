@@ -351,6 +351,152 @@ def ivf_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
     return stages, final
 
 
+def pq_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
+                   dim: int = 64, n_sub: int = 8, ks: int = 16,
+                   seed_stride: int = 17, refine: int = 4,
+                   table: str = "embeddings"
+                   ) -> tuple[list[tuple[str, str]], str]:
+    """Product-quantization ANN top-k — the memory-compressed scale path.
+
+    Classic PQ/ADC (Jegou et al., "Product Quantization for Nearest
+    Neighbor Search", IEEE TPAMI 2011; FAISS PQ shape) as pure relational
+    algebra: the vector splits into ``n_sub`` subspaces, each quantized to
+    one of ``ks`` codewords, so a 64-dim vector becomes ``n_sub`` one-byte
+    codes. Asymmetric distance: a query builds a ``n_sub x ks`` lookup
+    table of exact partial dot products; scanning the corpus then reads
+    CODES ONLY (8 bytes/vector instead of 256+) and sums LUT entries.
+
+      1. codebooks: seed = every ``seed_stride``-th vector's subvectors,
+         one SQL Lloyd step (nearest-codeword assignment via a packed
+         in-row argmax fold — the corpus is never shuffled — then integer
+         floor-means per (subspace, code, component));
+      2. encode: per (vector, subspace) the argmax fold again; the
+         PQ-approximate squared norm is the sum of assigned codeword norms;
+      3. ADC scan: LUT join on (subspace, code) + one (qid, vid) sum of
+         exact BIGINT partials — associative, so the score is bit-exact on
+         any engine/partitioning; approximate cosine ranks candidates;
+      4. the top ``refine * k`` per query re-rank with the EXACT integer
+         cosine over the full vectors (the standard PQ re-rank).
+
+    At 100 TB the codebook/LUT relations are tiny (broadcast); the ADC
+    scan touches only the code table (n_sub BIGINTs per row — in a real
+    deployment a byte-packed column), and the only wide op is the
+    (qid, vid) partial-sum aggregation, bounded by candidates x n_sub.
+    """
+    d_sub = dim // n_sub
+    assert d_sub * n_sub == dim
+
+    def sub_slice(vec: str) -> str:
+        """subvector of ``vec`` for the in-scope ``sub`` column (1-based)."""
+        return dual.transform(
+            dialect, dual.sequence(dialect, "1", str(d_sub)),
+            f"i -> {dual.elem(dialect, vec, f'sub * {d_sub} + i')}")
+
+    def assign_code(sv: str) -> str:
+        """nearest codeword id for one subvector against the packed
+        codebook ``p.cbs``: minimize ||sv - c||^2 = maximize
+        2<sv,c> - ||c||^2 (||sv||^2 is constant per row); struct-max gives
+        score DESC, code ASC — identical in both engines, no shuffle."""
+        score = (f"(2 * {_dot(dialect, sv, 'c.cv', d_sub)} - c.cn2)")
+        scored = dual.transform(
+            dialect, "p.cbs",
+            f"c -> {dual.mk_struct(dialect, [('score', score), ('ncode', '-c.code')])}")
+        return f"(-(({dual.arr_max(dialect, scored)}).ncode))"
+
+    def with_norms(src: str, out: str) -> tuple[str, str]:
+        return (out, f"SELECT sub, code, cv, {_norm2(dialect, 'cv', d_sub)} "
+                     f"AS cn2 FROM {src}")
+
+    def packed(src: str, out: str) -> tuple[str, str]:
+        cbs = dual.collect(dialect, dual.mk_struct(
+            dialect, [("code", "code"), ("cv", "cv"), ("cn2", "cn2")]))
+        return (out, f"SELECT sub, {cbs} AS cbs FROM {src} GROUP BY sub")
+
+    stages = [
+        _vec_stage(dialect, table, dim),
+        ("__sq_subs",
+         f"SELECT {dual.explode(dialect, dual.sequence(dialect, '0', str(n_sub - 1)), 'sub')}"),
+        # seed codebook: subvectors of a deterministic corpus subsample
+        ("__sq_seed",
+         f"SELECT vec_id, v, {dual.idiv(dialect, 'vec_id', str(seed_stride))} "
+         f"AS code FROM __vec WHERE vec_id % {seed_stride} = 0 "
+         f"AND vec_id < {seed_stride * ks}"),
+        ("__sq_cb0",
+         f"SELECT s.sub, r.code, {sub_slice('r.v')} AS cv "
+         f"FROM __sq_seed r CROSS JOIN __sq_subs s"),
+        with_norms("__sq_cb0", "__sq_cb0n"),
+        packed("__sq_cb0n", "__sq_cbp0"),
+        # corpus subvectors (one row per vector x subspace)
+        ("__sq_cvec",
+         f"SELECT a.vec_id, s.sub, {sub_slice('a.v')} AS sv "
+         f"FROM __vec a CROSS JOIN __sq_subs s"),
+        # one Lloyd step: assign -> integer floor-mean per (sub, code, i)
+        ("__sq_asg0",
+         f"SELECT a.vec_id, a.sub, a.sv, {assign_code('a.sv')} AS code "
+         f"FROM __sq_cvec a JOIN __sq_cbp0 p ON p.sub = a.sub"),
+        ("__sq_pos",
+         f"SELECT {dual.explode(dialect, dual.sequence(dialect, '1', str(d_sub)), 'i')}"),
+        ("__sq_cm",
+         f"SELECT g.sub, g.code, p.i, CAST(FLOOR(CAST(SUM("
+         f"{dual.elem(dialect, 'g.sv', 'p.i')}) AS DOUBLE) "
+         f"/ CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS s "
+         f"FROM __sq_asg0 g CROSS JOIN __sq_pos p GROUP BY g.sub, g.code, p.i"),
+        ("__sq_cb1",
+         f"SELECT sub, code, {dual.ordered_list(dialect, 's', 'i')} AS cv "
+         f"FROM __sq_cm GROUP BY sub, code"),
+        with_norms("__sq_cb1", "__sq_cb1n"),
+        packed("__sq_cb1n", "__sq_cbp1"),
+        # final encoding: n_sub small codes per vector + PQ-approx norm
+        ("__sq_enc",
+         f"SELECT a.vec_id, a.sub, {assign_code('a.sv')} AS code "
+         f"FROM __sq_cvec a JOIN __sq_cbp1 p ON p.sub = a.sub"),
+        ("__sq_vn2",
+         "SELECT e.vec_id, CAST(SUM(b.cn2) AS BIGINT) AS vn2a "
+         "FROM __sq_enc e JOIN __sq_cb1n b "
+         "ON b.sub = e.sub AND b.code = e.code GROUP BY e.vec_id"),
+        # query LUTs: exact partial dot per (query, subspace, code)
+        ("__sq_qs",
+         f"SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM __vec "
+         f"WHERE vec_id < {n_queries}"),
+        ("__sq_qsub",
+         f"SELECT q.qid, s.sub, {sub_slice('q.qv')} AS qsv "
+         f"FROM __sq_qs q CROSS JOIN __sq_subs s"),
+        ("__sq_lut",
+         f"SELECT u.qid, b.sub, b.code, "
+         f"{_dot(dialect, 'u.qsv', 'b.cv', d_sub)} AS pd "
+         f"FROM __sq_qsub u JOIN __sq_cb1n b ON b.sub = u.sub"),
+        # ADC scan: codes-only corpus x LUT, exact BIGINT partial sums
+        ("__sq_adc",
+         "SELECT l.qid, e.vec_id AS vid, CAST(SUM(l.pd) AS BIGINT) AS adot "
+         "FROM __sq_enc e JOIN __sq_lut l "
+         "ON l.sub = e.sub AND l.code = e.code "
+         "GROUP BY l.qid, e.vec_id"),
+        ("__sq_approx",
+         f"SELECT a.qid, a.vid, "
+         f"{_cos('a.adot', 'q.qn2', 'n.vn2a')} AS acos "
+         f"FROM __sq_adc a JOIN __sq_qs q ON q.qid = a.qid "
+         f"JOIN __sq_vn2 n ON n.vec_id = a.vid "
+         f"WHERE a.vid <> a.qid"),
+        ("__sq_short",
+         f"SELECT qid, vid FROM ("
+         f"SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid "
+         f"ORDER BY acos DESC, vid ASC) AS arnk FROM __sq_approx) t "
+         f"WHERE arnk <= {refine * k}"),
+        # exact re-rank of the shortlist
+        ("__sq_sim",
+         f"SELECT s.qid, s.vid, "
+         f"{_cos(_dot(dialect, 'q.qv', 'a.v', dim), 'q.qn2', 'a.n2')} AS cos "
+         f"FROM __sq_short s JOIN __sq_qs q ON q.qid = s.qid "
+         f"JOIN __vec a ON a.vec_id = s.vid"),
+        ("__sq_rk",
+         "SELECT qid, vid, cos, ROW_NUMBER() OVER "
+         "(PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank FROM __sq_sim"),
+    ]
+    final = (f"SELECT qid, vid, CAST(rank AS BIGINT) AS rank, cos "
+             f"FROM __sq_rk WHERE rank <= {k} ORDER BY qid, rank")
+    return stages, final
+
+
 def lsh_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
                     dim: int = 64, planes: int = 6,
                     table: str = "embeddings"

@@ -310,3 +310,20 @@ def test_hll_grouped(views, duck):
     for _, r in sp.iterrows():
         t = truth[r["lang"]]
         assert abs(r["approx_distinct"] - t) / max(t, 1) < 0.5
+
+
+def test_pq_recall_vs_exact(views):
+    """PQ shortlist + exact re-rank recalls most true neighbors even on the
+    worst-case (clusterless random) corpus; deterministic — no luck."""
+    import numpy as np
+    from snappy_aqp_spark.pipeline.similarity import (brute_force_topk_stages,
+                                                      pq_topk_stages)
+    st_e, fin_e = brute_force_topk_stages(SPARK, k=3)
+    exact = (run_stages(views, st_e, fin_e).toPandas()
+             .groupby("qid")["vid"].apply(set))
+    st, fin = pq_topk_stages(SPARK, n_sub=16, refine=20)
+    got = (run_stages(views, st, fin).toPandas()
+           .groupby("qid")["vid"].apply(set))
+    rec = np.mean([len(exact[q] & got.get(q, set())) / 3
+                   for q in exact.index])
+    assert rec >= 0.85, rec
