@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from .pipeline import dedup as _dd
 from .pipeline import distinct as _dc
+from .pipeline import quantiles as _qt
 from .pipeline import similarity as _sim
 from .specs import ApproxAgg, ApproxQuerySpec, JoinSpec, SampleSpec
 from .topk.api import TopKSpec
@@ -60,6 +61,11 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     # so the libm-free raw path is active — see pipeline/distinct.py)
     "approx_distinct_hll": {
         "builder": _dc.hll_distinct_stages, "kw": {"p": 6},
+        "tables": ("documents",)},
+    # doc-length percentiles from a uniform hash-sample with
+    # distribution-free binomial order-statistic CIs (all-integer ranking)
+    "approx_quantiles": {
+        "builder": _qt.uniform_quantile_stages, "kw": {},
         "tables": ("documents",)},
 }
 

@@ -327,3 +327,22 @@ def test_pq_recall_vs_exact(views):
     rec = np.mean([len(exact[q] & got.get(q, set())) / 3
                    for q in exact.index])
     assert rec >= 0.85, rec
+
+
+def test_uniform_quantile_ci_covers_truth(views, duck):
+    """the binomial order-statistic interval must cover the TRUE quantile
+    (computed exactly on the full table) for the mid quantiles, and the
+    Spark/DuckDB results must be bit-identical."""
+    from snappy_aqp_spark.pipeline.quantiles import uniform_quantile_stages
+    stages, final = uniform_quantile_stages(SPARK, qs=(0.25, 0.5, 0.75, 0.9))
+    sp = run_stages(views, stages, final).toPandas()
+    stages_d, final_d = uniform_quantile_stages(DUCKDB,
+                                                qs=(0.25, 0.5, 0.75, 0.9))
+    compare_frames(run_stages(views, stages, final),
+                   duck.sql(stages_sql(stages_d, final_d)))
+    truth = views.sql(
+        "SELECT percentile_cont(array(0.25, 0.5, 0.75, 0.9)) "
+        "WITHIN GROUP (ORDER BY length(text)) AS t FROM documents"
+    ).first()["t"]
+    for (_, r), t in zip(sp.iterrows(), truth):
+        assert r["lower_bound"] <= t <= r["upper_bound"], (r["q"], t, dict(r))
