@@ -86,7 +86,8 @@ def main() -> None:
     qs = entry.queries()
     for name in ("topk_cms_full", "topk_streamsummary", "dedup_minhash_lsh",
                  "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk",
-                 "ann_pq_topk", "approx_distinct_hll", "text_analysis"):
+                 "ann_pq_topk", "approx_distinct_hll", "approx_quantiles",
+                 "text_analysis"):
         def once():
             qs[name](spark, SF_DIR).collect()
         for _ in range(max(1, WARMUP - 1)):
