@@ -61,3 +61,28 @@ def make_ts(dialect: str, micros_sql: str) -> str:
     if dialect == SPARK:
         return f"timestamp_micros(CAST({micros_sql} AS BIGINT))"
     return f"make_timestamp(CAST({micros_sql} AS BIGINT))"
+
+
+def epoch_us_ntz(dialect: str, ts_sql: str) -> str:
+    """Naive (NTZ) timestamp column -> microseconds since the naive epoch.
+
+    Parquet timestamps written without isAdjustedToUTC read as
+    TIMESTAMP_NTZ in Spark 4 (inferTimestampNTZ default); ``unix_micros``
+    rejects NTZ, so Spark diffs from the NTZ epoch instead —
+    timezone-independent and identical to DuckDB's ``epoch_us`` on its
+    naive timestamps. The cast is a no-op when the column is already NTZ.
+    """
+    if dialect == SPARK:
+        return (f"timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+                f"CAST({ts_sql} AS TIMESTAMP_NTZ))")
+    return f"epoch_us({ts_sql})"
+
+
+def last_value_ignore_nulls(dialect: str, expr_sql: str, window_sql: str) -> str:
+    """``last_value(expr) IGNORE NULLS OVER window`` — Spark spells the
+    ignore-nulls flag as a second function argument, DuckDB as an inline
+    keyword."""
+    if dialect == SPARK:
+        return f"last_value({expr_sql}, true) OVER {window_sql}"
+    return f"last_value({expr_sql} IGNORE NULLS) OVER {window_sql}"

@@ -12,7 +12,9 @@ from __future__ import annotations
 from .pipeline import dedup as _dd
 from .pipeline import distinct as _dc
 from .pipeline import quantiles as _qt
+from .pipeline import sessions as _ss
 from .pipeline import similarity as _sim
+from .pipeline import temporal as _tp
 from .specs import ApproxAgg, ApproxQuerySpec, JoinSpec, SampleSpec
 from .topk.api import TopKSpec
 
@@ -67,6 +69,21 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "approx_quantiles": {
         "builder": _qt.uniform_quantile_stages, "kw": {},
         "tables": ("documents",)},
+    # gap-based sessionization: one shuffle on user_id, window + rollup
+    # reuse the exchange (12h silence splits sessions on this corpus)
+    "sessionize_events": {
+        "builder": _ss.sessionize_stages, "kw": {},
+        "tables": ("events",)},
+    # distributed merge-join as-of: most recent click at or before each
+    # purchase, one shuffle + one window (no BroadcastNestedLoopJoin)
+    "asof_join_clicks": {
+        "builder": _tp.asof_join_stages, "kw": {},
+        "tables": ("events",)},
+    # bucketed interval join: activity inside the 1-day window after each
+    # error event; equi-join on (user, time-bucket) + residual range filter
+    "range_join_activity": {
+        "builder": _tp.range_join_stages, "kw": {},
+        "tables": ("events",)},
 }
 
 ALL_ERRORS = ("absolute_error", "relative_error", "lower_bound", "upper_bound")

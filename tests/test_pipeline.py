@@ -14,7 +14,7 @@ from tests.conftest import SF_SMALL, compare_frames
 
 @pytest.fixture(scope="module")
 def views(spark):
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events"):
         spark.read.parquet(f"{SF_SMALL}/{t}.parquet").createOrReplaceTempView(t)
     return spark
 
@@ -346,3 +346,70 @@ def test_uniform_quantile_ci_covers_truth(views, duck):
     ).first()["t"]
     for (_, r), t in zip(sp.iterrows(), truth):
         assert r["lower_bound"] <= t <= r["upper_bound"], (r["q"], t, dict(r))
+
+
+def test_asof_join_equals_correlated_truth(views):
+    """the union+window merge-join formulation must reproduce the
+    correlated-subquery definition of as-of exactly (incl. the pinned
+    largest-event_id tiebreak)."""
+    from snappy_aqp_spark.pipeline.temporal import asof_join_stages
+    st, fin = asof_join_stages(SPARK)
+    got = {r.event_id: r.matched_event_id
+           for r in run_stages(views, st, fin).collect()}
+    truth = {r.event_id: r.m for r in views.sql(
+        "SELECT p.event_id, "
+        "(SELECT b.event_id FROM events b WHERE b.event_type = 'click' "
+        " AND b.user_id = p.user_id AND b.ts <= p.ts "
+        " ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS m "
+        "FROM events p WHERE p.event_type = 'purchase'").collect()}
+    assert got == truth
+    assert sum(v is not None for v in got.values()) > len(got) // 2
+
+
+def test_range_join_equals_inequality_truth(views):
+    """bucketed interval join == brute-force inequality join (candidate
+    completeness: one bucket per event, all covered buckets per interval)."""
+    from snappy_aqp_spark.pipeline.temporal import range_join_stages
+    st, fin = range_join_stages(SPARK)
+    got = {r.event_id: (r.n_follow, r.value_cents)
+           for r in run_stages(views, st, fin).collect()}
+    truth = {r.event_id: (r.n, r.cents) for r in views.sql(
+        "SELECT a.event_id, COUNT(e.event_id) AS n, "
+        "COALESCE(SUM(CAST(ROUND(e.value * 100) AS BIGINT)), 0) AS cents "
+        "FROM (SELECT * FROM events WHERE event_type = 'error') a "
+        "LEFT JOIN events e ON e.user_id = a.user_id AND e.ts >= a.ts "
+        " AND timestampdiff(MICROSECOND, a.ts, e.ts) < 86400000000 "
+        "GROUP BY a.event_id").collect()}
+    assert got == truth
+    assert sum(n for n, _ in got.values()) > len(got)    # non-degenerate
+
+
+def test_sessionize_invariants(views):
+    """sessions partition each user's events; inside a session consecutive
+    gaps are <= G, across session boundaries > G."""
+    from snappy_aqp_spark.pipeline.sessions import sessionize_stages
+    st, fin = sessionize_stages(SPARK, gap_minutes=720)
+    sp = run_stages(views, st, fin).toPandas()
+    gap_us = 720 * 60 * 1_000_000
+    n_events = views.sql("SELECT COUNT(*) AS n FROM events").first()["n"]
+    assert sp["n_events"].sum() == n_events
+    assert (sp["duration_us"] >= 0).all()
+    for _, g in sp.groupby("user_id"):
+        g = g.sort_values("session_seq")
+        assert list(g["session_seq"]) == list(range(1, len(g) + 1))
+        # consecutive sessions of one user are separated by > gap
+        nxt = g["start_us"].shift(-1).dropna()
+        assert ((nxt.values - g["end_us"].values[:-1]) > gap_us).all()
+
+
+def test_sessionize_single_shuffle_plan(views):
+    """the window and the rollup must reuse ONE exchange on user_id —
+    hashpartitioning(user_id) satisfies every downstream clustering that
+    contains user_id, so sessionization is one-shuffle at any scale."""
+    from snappy_aqp_spark.pipeline.sessions import sessionize_stages
+    st, fin = sessionize_stages(SPARK)
+    plan = run_stages(views, st, fin)._jdf.queryExecution().executedPlan().toString()
+    import re
+    # ignore the final presentation ORDER BY (rangepartitioning exchange)
+    n_hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash_exchanges == 1, plan
