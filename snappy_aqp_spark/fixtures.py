@@ -9,12 +9,15 @@ perfJoinQueries.sql) re-targeted at the driver's TPC-H-ish tables.
 
 from __future__ import annotations
 
+from .pipeline import bloom as _bl
 from .pipeline import dedup as _dd
 from .pipeline import distinct as _dc
 from .pipeline import quantiles as _qt
 from .pipeline import sessions as _ss
 from .pipeline import similarity as _sim
+from .pipeline import split as _sp
 from .pipeline import temporal as _tp
+from .pipeline import terms as _tm
 from .specs import ApproxAgg, ApproxQuerySpec, JoinSpec, SampleSpec
 from .topk.api import TopKSpec
 
@@ -84,6 +87,21 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "range_join_activity": {
         "builder": _tp.range_join_stages, "kw": {},
         "tables": ("events",)},
+    # bloom-filter semi-join pruning (explicit runtime-filter): the packed
+    # dim-side bit-set prunes the fact scan before the shuffle; result is
+    # exactly the plain join's (FPs removed by the join itself)
+    "bloom_semi_join": {
+        "builder": _bl.bloom_semi_join_stages, "kw": {},
+        "tables": ("lineitem", "orders")},
+    # reproducible per-stratum train/val/test split (exact quotas here;
+    # the zero-shuffle hash-threshold variant is pytest-covered)
+    "stratified_split": {
+        "builder": _sp.split_assign_stages, "kw": {},
+        "tables": ("documents",)},
+    # per-doc top terms with corpus df (integer-ranked tf-idf skeleton)
+    "text_top_terms": {
+        "builder": _tm.top_terms_stages, "kw": {},
+        "tables": ("documents",)},
 }
 
 ALL_ERRORS = ("absolute_error", "relative_error", "lower_bound", "upper_bound")

@@ -14,7 +14,7 @@ from tests.conftest import SF_SMALL, compare_frames
 
 @pytest.fixture(scope="module")
 def views(spark):
-    for t in ("documents", "embeddings", "events"):
+    for t in ("documents", "embeddings", "events", "lineitem", "orders"):
         spark.read.parquet(f"{SF_SMALL}/{t}.parquet").createOrReplaceTempView(t)
     return spark
 
@@ -413,3 +413,79 @@ def test_sessionize_single_shuffle_plan(views):
     # ignore the final presentation ORDER BY (rangepartitioning exchange)
     n_hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_hash_exchanges == 1, plan
+
+
+def test_bloom_semi_join_is_exact(views):
+    """bloom pruning + exact join == plain join (no false negatives by
+    construction; FPs removed by the join)."""
+    from snappy_aqp_spark.pipeline.bloom import bloom_semi_join_stages
+    st, fin = bloom_semi_join_stages(SPARK)
+    got = run_stages(views, st, fin).toPandas()
+    truth = views.sql(
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+        "  AS revenue_cents "
+        "FROM lineitem JOIN (SELECT o_orderkey FROM orders "
+        "  WHERE o_orderpriority LIKE '1%') d ON l_orderkey = o_orderkey "
+        "GROUP BY l_returnflag ORDER BY l_returnflag").toPandas()
+    assert got.reset_index(drop=True).equals(truth.reset_index(drop=True))
+
+
+def test_bloom_filter_prunes_with_low_fp_rate(views):
+    """the filter must actually prune: survivors ~= true matches + a small
+    false-positive tail (theory: (1-e^(-kn/m))^k ~ 7% at this load)."""
+    from snappy_aqp_spark.pipeline.bloom import bloom_prune_count_stages
+    st, fin = bloom_prune_count_stages(SPARK)
+    surv = run_stages(views, st, fin).first()["survivors"]
+    total = views.sql("SELECT COUNT(*) AS n FROM lineitem").first()["n"]
+    true = views.sql(
+        "SELECT COUNT(*) AS n FROM lineitem WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE o_orderpriority LIKE '1%')"
+    ).first()["n"]
+    assert true <= surv            # no false negatives
+    fp = (surv - true) / max(total - true, 1)
+    assert fp < 0.15, fp
+
+
+def test_stratified_split_exact_quotas_and_determinism(views):
+    from snappy_aqp_spark.pipeline.split import split_assign_stages
+    st, fin = split_assign_stages(SPARK)
+    sp = run_stages(views, st, fin).toPandas()
+    assert len(sp) == 500 and sp["doc_id"].is_unique
+    for _, g in sp.groupby("stratum"):
+        n = len(g)
+        counts = g["split"].value_counts()
+        assert counts.get("train", 0) == int(n * 0.8)
+        assert counts.get("val", 0) == int(n * 0.9) - int(n * 0.8)
+    # rerun is bit-identical (seeded hash, no engine randomness)
+    sp2 = run_stages(views, st, fin).toPandas()
+    assert sp.equals(sp2)
+    # different seed reassigns some rows but keeps quotas
+    st3, fin3 = split_assign_stages(SPARK, seed=7)
+    sp3 = run_stages(views, st3, fin3).toPandas()
+    assert not sp3["split"].equals(sp["split"])
+
+
+def test_hash_threshold_split_is_projection_only(views):
+    """the zero-shuffle variant must contain no Exchange before the
+    presentation sort — the assignment happens inside the scan stage."""
+    from snappy_aqp_spark.pipeline.split import split_assign_stages
+    st, fin = split_assign_stages(SPARK, exact_quotas=False)
+    df = run_stages(views, st, fin)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    sp = df.toPandas()
+    frac = (sp["split"] == "train").mean()
+    assert 0.7 < frac < 0.9        # binomial, not exact
+
+
+def test_top_terms_ranking_contract(views):
+    from snappy_aqp_spark.pipeline.terms import top_terms_stages
+    st, fin = top_terms_stages(SPARK, k=3)
+    sp = run_stages(views, st, fin).toPandas()
+    assert set(sp["rank"]) == {1, 2, 3}
+    for _, g in sp.groupby("doc_id"):
+        g = g.sort_values("rank")
+        keys = list(zip(-g["tf"], g["df"], g["term"]))
+        assert keys == sorted(keys)          # (tf desc, df asc, term asc)
+    assert (sp["df"] >= 1).all() and (sp["tf"] >= 1).all()
