@@ -156,6 +156,42 @@ def _streaming_topk_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final_topk(spark.table(sink), k=20)
 
 
+def _incremental_append_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem split into 3 micro-batches through the streaming sample
+    maintainer (§2.2 insert/append), then the closed-form query runs over
+    the MAINTAINED sample state; the oracle replays the batch sample —
+    maintenance is bit-equal to batch by design, and this fixture holds
+    the contract under the driver's value-hash check."""
+    import tempfile
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.fixtures import INCR_APPEND_SPEC, LI_HASH
+    from snappy_aqp_spark.plans.approx_query import _SAMPLE_CACHE
+    from snappy_aqp_spark.streaming.maintenance import StreamingSampleMaintainer
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    tmp = tempfile.mkdtemp(prefix="aqp-incr-")
+    m = StreamingSampleMaintainer(spark, LI_HASH, tmp)
+    for i in range(3):
+        m.process_batch(li.where(F.pmod(F.col("l_orderkey"), F.lit(3)) == i))
+    token = f"incr@{tmp}"
+    s = m.sample_df().persist()
+    s.count()
+    _SAMPLE_CACHE[(LI_HASH, token)] = s
+    return run_approx_query(spark, INCR_APPEND_SPEC, {"lineitem": li},
+                            cache_token=token)
+
+
+def _sql_create_topk_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TOPK TABLE DDL surface end-to-end: DDL -> auto-populate from
+    the base table -> StartTime/EndTime scan through AQPSession.sql."""
+    from snappy_aqp_spark.fixtures import TOPK_DDL_TEXT, TOPK_DDL_WINDOW
+    aqp = AQPSession(spark, data_token=sf_dir, **_SQL_DEFAULTS)
+    aqp.load_tables(sf_dir, ("events",))
+    aqp.sql(TOPK_DDL_TEXT)
+    start, end, k = TOPK_DDL_WINDOW
+    return aqp.sql(f"SELECT * FROM topk_ddl WHERE StartTime = '{start}' "
+                   f"AND EndTime = '{end}' LIMIT {k}")
+
+
 def _multimodal_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = mm.synthesize_media(docs, n_frames=4, width=16, height=16)
@@ -198,6 +234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_analysis"] = _text_runner
     out["sample_error_stats"] = _error_stats_runner
     out["sample_error_estimate_avg"] = _error_estimate_avg_runner
+    out["cf_incremental_append"] = _incremental_append_runner
+    out["sql_create_topk"] = _sql_create_topk_runner
     out = {name: _memoized(name, fn) for name, fn in out.items()}
     for name, fx in PIPELINE_FIXTURES.items():
         out[name] = _make_pipeline_runner(fx)
@@ -257,6 +295,11 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY EstimatedValue DESC, key ASC LIMIT 20) __t")
     out["multimodal_features"] = mm.multimodal_oracle_sql(
         _DK, n_frames=4, sample_every=2, width=16, height=16, factor=2)
+    from snappy_aqp_spark.fixtures import (INCR_APPEND_SPEC, TOPK_DDL_SPEC,
+                                           TOPK_DDL_WINDOW)
+    out["cf_incremental_append"] = oracle_sql_for(INCR_APPEND_SPEC)
+    out["sql_create_topk"] = topk_oracle_sql(
+        TOPK_DDL_SPEC, "events", *TOPK_DDL_WINDOW)
     from snappy_aqp_spark.fixtures import LI_HASH, _PRICE
     from snappy_aqp_spark.operators.sample_stats import (
         error_estimate_average_oracle, error_stats_oracle)

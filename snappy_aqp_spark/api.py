@@ -398,6 +398,16 @@ class AQPSession:
             interval = opts.get("timeinterval", "5000ms")
             iv_us = (int(interval[:-2]) * 1000 if interval.endswith("ms")
                      else int(interval.rstrip("s")) * 1_000_000)
+            kw = {}
+            # reference TopKWrapper options epoch / basetable concurrency
+            # analogs (TopKWrapper.scala:31-155): epoch pins the bucket
+            # origin (else min(time) is scanned at create time)
+            if "epoch" in opts:
+                kw["epoch_us"] = int(opts["epoch"])
+            if "numpartitions" in opts:
+                kw["num_partitions"] = int(opts["numpartitions"])
+            if "capacity" in opts:
+                kw["capacity"] = int(opts["capacity"])
             self.create_approx_ts_topk(
                 name, base, key=opts["key"],
                 time_series_column=opts.get("timeseriescolumn"),
@@ -407,7 +417,7 @@ class AQPSession:
                 width=int(opts.get("width", "4096")),
                 frequency_col=opts.get("frequencycol"),
                 stream_summary=opts.get("streamsummary", "").lower() == "true",
-                int_key=opts.get("intkey", "").lower() == "true")
+                int_key=opts.get("intkey", "").lower() == "true", **kw)
             return self.spark.range(0)
         drop = fe.parse_drop_sample(text)
         if drop:

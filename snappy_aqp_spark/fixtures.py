@@ -72,6 +72,11 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "approx_quantiles": {
         "builder": _qt.uniform_quantile_stages, "kw": {},
         "tables": ("documents",)},
+    # per-language doc-length percentiles: same order-statistic estimator,
+    # windows and joins keyed per group (one shared group-key shuffle)
+    "approx_quantiles_grouped": {
+        "builder": _qt.grouped_quantile_stages, "kw": {},
+        "tables": ("documents",)},
     # gap-based sessionization: one shuffle on user_id, window + rollup
     # reuse the exchange (12h silence splits sessions on this corpus)
     "sessionize_events": {
@@ -372,6 +377,29 @@ SQL_FIXTURES: dict[str, dict] = {
                   "ORDER BY l_returnflag WITH ERROR 0.1"),
     },
 }
+
+# closed-form query over a sample maintained by 3 incremental appends
+# through StreamingSampleMaintainer (§2.2 insert/append): the maintained
+# state is bit-equal to the batch sample, so the batch-replay oracle holds
+INCR_APPEND_SPEC = ApproxQuerySpec(
+    sample=LI_HASH,
+    aggs=(ApproxAgg("sum", "l_extendedprice", "sum_price", _PRICE, ALL_ERRORS),
+          ApproxAgg("count_star", None, "cnt", errors=("relative_error",))),
+    group_by=("l_returnflag",), group_aliases=("rf",), order_by=("rf",),
+)
+
+# CREATE TOPK TABLE DDL path (snappyAQPParsers.scala:77-103): same spec the
+# DDL string in __spark_entry__ builds, reused for the replay oracle
+TOPK_DDL_SPEC = TopKSpec("topk_ddl", key="user_id", time_col="ts",
+                         time_interval_us=_3D_US, epoch_us=_T_EPOCH,
+                         size=100, depth=7, width=4096, num_partitions=8,
+                         int_key=True)
+TOPK_DDL_TEXT = ("CREATE TOPK TABLE topk_ddl ON events OPTIONS("
+                 "key 'user_id', timeSeriesColumn 'ts', "
+                 "timeInterval '259200s', epoch '1704067200000000', "
+                 "size '100', depth '7', width '4096', "
+                 "numPartitions '8', intKey 'true')")
+TOPK_DDL_WINDOW = (_T_2024_01_08, _T_2024_01_22, 15)
 
 APPROX_SPECS: dict[str, ApproxQuerySpec] = {
     # global aggregate, all error functions (perfQueries.sql:1 shape)

@@ -67,3 +67,55 @@ def uniform_quantile_stages(dialect: str, col: str = "length(text)",
              "JOIN __uqr l ON l.rn = i.li "
              "JOIN __uqr h ON h.rn = i.hi ORDER BY i.q")
     return stages, final
+
+
+def grouped_quantile_stages(dialect: str, col: str = "length(text)",
+                            group_by: str = "lang",
+                            key_cols: tuple[str, ...] = ("doc_id",),
+                            table: str = "documents",
+                            qs: tuple[float, ...] = (0.5, 0.9),
+                            fraction: float = 0.3, seed: int = 42,
+                            confidence: float = 0.95
+                            ) -> tuple[list[tuple[str, str]], str]:
+    """Per-group variant: one row per (group, q) with the same
+    order-statistic estimate + binomial CI, ranks windowed PER GROUP.
+
+    Scale: one hash-filtered scan, one shuffle on the group key shared by
+    the count, the rank window, and the joins (hashpartitioning(g)
+    satisfies every clustering containing g). Degenerate strata are
+    handled by the GREATEST/LEAST clamps: a 1-row group returns that row
+    for estimate and both bounds."""
+    thr = threshold_for_fraction(fraction)
+    h = hash_sql(list(key_cols), seed)
+    keys = ", ".join(key_cols)
+    z = normal_ppf(0.5 + confidence / 2.0)
+    stages = [
+        ("__gqs",
+         f"SELECT {group_by} AS g, {keys}, CAST({col} AS DOUBLE) AS val "
+         f"FROM {table} WHERE {h} < {thr}"),
+        ("__gqn",
+         "SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM __gqs GROUP BY g"),
+        ("__gqr",
+         f"SELECT g, val, ROW_NUMBER() OVER "
+         f"(PARTITION BY g ORDER BY val, {keys}) AS rn FROM __gqs"),
+    ]
+    parts = []
+    for q in qs:
+        ql = dlit(q)
+        hw = (f"{dlit(z)} * SQRT(CAST(n AS DOUBLE) * {ql} * "
+              f"{dlit(1.0 - q)})")
+        mid = f"CAST(n AS DOUBLE) * {ql}"
+        parts.append(
+            f"SELECT g, {ql} AS q, "
+            f"GREATEST(CAST(1 AS BIGINT), CAST(CEIL({mid}) AS BIGINT)) AS ei, "
+            f"GREATEST(CAST(1 AS BIGINT), CAST(FLOOR({mid} - {hw}) AS BIGINT)) AS li, "
+            f"LEAST(n, CAST(CEIL({mid} + {hw}) AS BIGINT)) AS hi, n "
+            f"FROM __gqn")
+    stages.append(("__gqi", " UNION ALL ".join(parts)))
+    final = ("SELECT i.g AS stratum, i.q, e.val AS estimate, "
+             "l.val AS lower_bound, h.val AS upper_bound, i.n AS n_sample "
+             "FROM __gqi i JOIN __gqr e ON e.g = i.g AND e.rn = i.ei "
+             "JOIN __gqr l ON l.g = i.g AND l.rn = i.li "
+             "JOIN __gqr h ON h.g = i.g AND h.rn = i.hi "
+             "ORDER BY stratum, i.q")
+    return stages, final

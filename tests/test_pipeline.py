@@ -489,3 +489,23 @@ def test_top_terms_ranking_contract(views):
         keys = list(zip(-g["tf"], g["df"], g["term"]))
         assert keys == sorted(keys)          # (tf desc, df asc, term asc)
     assert (sp["df"] >= 1).all() and (sp["tf"] >= 1).all()
+
+
+def test_grouped_quantile_ci_covers_truth(views, duck):
+    """per-group CIs must cover the group's true quantile, and Spark and
+    DuckDB must agree bit-for-bit."""
+    from snappy_aqp_spark.pipeline.quantiles import grouped_quantile_stages
+    st, fin = grouped_quantile_stages(SPARK)
+    sp = run_stages(views, st, fin).toPandas()
+    st2, fin2 = grouped_quantile_stages(DUCKDB)
+    compare_frames(run_stages(views, st, fin),
+                   duck.sql(stages_sql(st2, fin2)))
+    truth = {(r.lang, q): t for r in views.sql(
+        "SELECT lang, percentile_cont(array(0.5, 0.9)) "
+        "WITHIN GROUP (ORDER BY length(text)) AS t "
+        "FROM documents GROUP BY lang").collect()
+        for q, t in zip((0.5, 0.9), r.t)}
+    covered = sum(
+        r["lower_bound"] <= truth[(r["stratum"], r["q"])] <= r["upper_bound"]
+        for _, r in sp.iterrows())
+    assert covered >= len(sp) - 1, (covered, len(sp))
