@@ -87,7 +87,10 @@ def main() -> None:
     for name in ("topk_cms_full", "topk_streamsummary", "dedup_minhash_lsh",
                  "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk",
                  "ann_pq_topk", "approx_distinct_hll", "approx_quantiles",
-                 "text_analysis"):
+                 "approx_quantiles_grouped", "text_analysis",
+                 "sessionize_events", "asof_join_clicks",
+                 "range_join_activity", "bloom_semi_join",
+                 "stratified_split", "text_top_terms"):
         def once():
             qs[name](spark, SF_DIR).collect()
         for _ in range(max(1, WARMUP - 1)):

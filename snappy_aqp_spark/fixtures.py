@@ -18,6 +18,7 @@ from .pipeline import similarity as _sim
 from .pipeline import split as _sp
 from .pipeline import temporal as _tp
 from .pipeline import terms as _tm
+from .pipeline import weighted as _wt
 from .specs import ApproxAgg, ApproxQuerySpec, JoinSpec, SampleSpec
 from .topk.api import TopKSpec
 
@@ -106,6 +107,11 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     # per-doc top terms with corpus df (integer-ranked tf-idf skeleton)
     "text_top_terms": {
         "builder": _tm.top_terms_stages, "kw": {},
+        "tables": ("documents",)},
+    # weighted (PPS) corpus sampling by systematic stride over a hash
+    # order: all-integer, heavy rows always kept, exact HT rationals
+    "pps_weighted_sample": {
+        "builder": _wt.pps_sample_stages, "kw": {},
         "tables": ("documents",)},
 }
 

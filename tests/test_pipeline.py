@@ -509,3 +509,24 @@ def test_grouped_quantile_ci_covers_truth(views, duck):
         r["lower_bound"] <= truth[(r["stratum"], r["q"])] <= r["upper_bound"]
         for _, r in sp.iterrows())
     assert covered >= len(sp) - 1, (covered, len(sp))
+
+
+def test_pps_sample_contract(views):
+    """systematic PPS: heavy rows always kept, expected mass ~ total/stride,
+    and the Horvitz-Thompson total estimate lands within the systematic-
+    sampling boundary error (one stride)."""
+    from snappy_aqp_spark.pipeline.weighted import pps_sample_stages
+    stride = 2500
+    st, fin = pps_sample_stages(SPARK, stride=stride)
+    sp = run_stages(views, st, fin).toPandas()
+    tot = views.sql(
+        "SELECT SUM(GREATEST(n_chars, 1)) AS t FROM documents").first()["t"]
+    assert abs(len(sp) - tot / stride) <= 2
+    est = (sp["ht_weight"] * sp["w"]).sum()
+    assert abs(est - tot) <= stride
+    assert (sp["ht_num"] == stride).all()
+    assert (sp["ht_den"] == sp[["w"]].clip(upper=stride)["w"]).all()
+    heavy = {r.doc_id for r in views.sql(
+        "SELECT doc_id FROM documents "
+        f"WHERE GREATEST(n_chars, 1) >= {stride}").collect()}
+    assert heavy <= set(sp["doc_id"])
