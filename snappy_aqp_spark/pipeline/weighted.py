@@ -13,46 +13,60 @@ window — row i is kept iff a stride boundary falls inside its segment
 w >= stride is always kept (the heavy-item guarantee); others are kept
 with probability w/stride.
 
-Scale: ONE shuffle (the window prefix-sum over the hash order — at 100 TB
-you'd range-partition by the same hash and prefix-sum per partition +
-partition offsets; the semantics here are partitioning-independent either
-way because the hash order is a total order on rows, not on partitions).
-The estimator contract matches the engine's sample tables: each kept row
-carries ``weight = min(stride/w, 1)^-1``-free HT ratio ``stride/w`` capped
-at 1, as integer-exact rationals (numerator/denominator columns) plus the
-double ratio for convenience.
+Scale design — the prefix sum is BUCKETED, not global: a naive
+``SUM() OVER (ORDER BY ...)`` collapses the table into one partition (a
+100 TB sort on a single task). Instead the hash order is split into
+``n_buckets`` contiguous ranges (the bucket is the hash's top bits, so
+(bucket, hash, key) is the same total order as (hash, key)):
+
+  1. per-bucket prefix sums — window PARTITIONED by bucket, fully parallel;
+  2. an ``n_buckets``-row bucket-total relation, running-summed into
+     offsets (the only single-partition step, over hundreds of rows);
+  3. global cum = bucket offset + in-bucket cum, broadcast-joined back.
+
+Identical output to the single-sort formulation, with the big table never
+leaving hash-partitioned parallelism. The estimator contract matches the
+engine's sample tables: each kept row carries the exact inverse inclusion
+probability ``stride / min(w, stride)`` as a rational (ht_num/ht_den)
+plus its double value.
 """
 
 from __future__ import annotations
 
-from ..detrng import hash_sql
+from ..detrng import MODULUS, hash_sql
 
 
 def pps_sample_stages(dialect: str, weight_col: str = "n_chars",
                       stride: int = 2500,
                       key_cols: tuple[str, ...] = ("doc_id",),
-                      table: str = "documents", seed: int = 42
+                      table: str = "documents", seed: int = 42,
+                      n_buckets: int = 256
                       ) -> tuple[list[tuple[str, str]], str]:
     """``(stages, final)`` -> kept rows: (key cols..., w, ht_num, ht_den,
-    ht_weight) where ht_num/ht_den = stride/w (capped at 1 below) is the
-    exact inverse inclusion probability as a rational; ht_weight is its
-    double value. ``stride`` sets the expected sample mass: E[kept] ~
+    ht_weight). ``stride`` sets the expected sample mass: E[kept] ~
     total_weight / stride."""
     h = hash_sql(list(key_cols), seed)
     keys = ", ".join(key_cols)
+    span = MODULUS // n_buckets + 1          # bucket = hash's leading range
+    div = "DIV" if dialect == "spark" else "//"
     stages = [
         ("__ppw",
          f"SELECT {keys}, CAST(GREATEST({weight_col}, 1) AS BIGINT) AS w, "
-         f"{h} AS hh FROM {table}"),
+         f"{h} AS hh, ({h}) {div} {span} AS b FROM {table}"),
+        # parallel per-bucket prefix sums
         ("__ppc",
-         f"SELECT {keys}, w, "
-         f"SUM(w) OVER (ORDER BY hh, {keys} "
-         f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+         f"SELECT {keys}, w, b, "
+         f"SUM(w) OVER (PARTITION BY b ORDER BY hh, {keys} "
+         f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bcum "
          f"FROM __ppw"),
+        # tiny bucket-offset relation (n_buckets rows)
+        ("__ppo",
+         f"SELECT b, "
+         f"SUM(t) OVER (ORDER BY b "
+         f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS off "
+         f"FROM (SELECT b, SUM(w) AS t FROM __ppw GROUP BY b) __bt"),
     ]
-    keep = (f"(cum DIV {stride}) > ((cum - w) DIV {stride})"
-            if dialect == "spark"
-            else f"(cum // {stride}) > ((cum - w) // {stride})")
+    keep = (f"(cum {div} {stride}) > ((cum - w) {div} {stride})")
     # inclusion prob p = min(w, stride)/stride  ->  HT weight 1/p =
     # stride / min(w, stride), emitted as an exact rational + its double
     final = (f"SELECT {keys}, w, "
@@ -60,5 +74,7 @@ def pps_sample_stages(dialect: str, weight_col: str = "n_chars",
              f"CAST(LEAST(CAST({stride} AS BIGINT), w) AS BIGINT) AS ht_den, "
              f"CAST({stride} AS DOUBLE) / "
              f"CAST(LEAST(CAST({stride} AS BIGINT), w) AS DOUBLE) AS ht_weight "
-             f"FROM __ppc WHERE {keep} ORDER BY {keys}")
+             f"FROM (SELECT c.*, c.bcum + o.off AS cum "
+             f"      FROM __ppc c JOIN __ppo o ON c.b = o.b) __g "
+             f"WHERE {keep} ORDER BY {keys}")
     return stages, final
