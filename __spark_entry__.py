@@ -192,6 +192,29 @@ def _sql_create_topk_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
                    f"AND EndTime = '{end}' LIMIT {k}")
 
 
+def _streaming_topk_ingest_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream->TopK ingestion fan-out (reference aqpTablePopulator,
+    SnappyContextAQPFunctions.scala:390-442): events arrive as 3
+    micro-batches through StreamingTopKMaintainer.process_batch
+    (create-on-first, incremental insert after), then the full-range
+    query must equal the batch-built oracle — incremental dyadic
+    maintenance is count-commutative, so the maintained sketch state
+    matches the one-shot build."""
+    import dataclasses as dc
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.fixtures import TOPK_FIXTURES
+    from snappy_aqp_spark.streaming.maintenance import StreamingTopKMaintainer
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spec = dc.replace(TOPK_FIXTURES["topk_cms_full"]["spec"],
+                      name=f"topk_ingest@{sf_dir}")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = StreamingTopKMaintainer(spark, _TOPK_REGISTRY, spec)
+    for i in range(3):
+        m.process_batch(df.where(F.pmod(F.col("event_id"), F.lit(3)) == i))
+    return query_approx_ts_topk(spark, _TOPK_REGISTRY, spec.name,
+                                None, None, 20)
+
+
 def _multimodal_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = mm.synthesize_media(docs, n_frames=4, width=16, height=16)
@@ -236,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sample_error_estimate_avg"] = _error_estimate_avg_runner
     out["cf_incremental_append"] = _incremental_append_runner
     out["sql_create_topk"] = _sql_create_topk_runner
+    out["streaming_topk_ingest"] = _streaming_topk_ingest_runner
     out = {name: _memoized(name, fn) for name, fn in out.items()}
     for name, fx in PIPELINE_FIXTURES.items():
         out[name] = _make_pipeline_runner(fx)
@@ -300,6 +324,8 @@ def oracle_sql() -> dict[str, str]:
     out["cf_incremental_append"] = oracle_sql_for(INCR_APPEND_SPEC)
     out["sql_create_topk"] = topk_oracle_sql(
         TOPK_DDL_SPEC, "events", *TOPK_DDL_WINDOW)
+    out["streaming_topk_ingest"] = topk_oracle_sql(
+        TOPK_FIXTURES["topk_cms_full"]["spec"], "events", None, None, 20)
     from snappy_aqp_spark.fixtures import LI_HASH, _PRICE
     from snappy_aqp_spark.operators.sample_stats import (
         error_estimate_average_oracle, error_stats_oracle)

@@ -90,7 +90,8 @@ def main() -> None:
                  "approx_quantiles_grouped", "text_analysis",
                  "sessionize_events", "asof_join_clicks",
                  "range_join_activity", "bloom_semi_join",
-                 "stratified_split", "text_top_terms"):
+                 "stratified_split", "text_top_terms",
+                 "pps_weighted_sample", "source_quota_cap"):
         def once():
             qs[name](spark, SF_DIR).collect()
         for _ in range(max(1, WARMUP - 1)):

@@ -12,6 +12,7 @@ from __future__ import annotations
 from .pipeline import bloom as _bl
 from .pipeline import dedup as _dd
 from .pipeline import distinct as _dc
+from .pipeline import histogram as _hg
 from .pipeline import quantiles as _qt
 from .pipeline import sessions as _ss
 from .pipeline import similarity as _sim
@@ -112,6 +113,14 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     # order: all-integer, heavy rows always kept, exact HT rationals
     "pps_weighted_sample": {
         "builder": _wt.pps_sample_stages, "kw": {},
+        "tables": ("documents",)},
+    # dense fixed-width doc-length histogram (integer binning)
+    "corpus_histogram": {
+        "builder": _hg.histogram_stages, "kw": {},
+        "tables": ("documents",)},
+    # per-source quota cap: deterministic uniform pick of <= cap per group
+    "source_quota_cap": {
+        "builder": _hg.quota_cap_stages, "kw": {},
         "tables": ("documents",)},
 }
 

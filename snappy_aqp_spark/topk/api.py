@@ -334,8 +334,13 @@ def insert_into_topk(spark: SparkSession, registry: TopKRegistry,
     merged, max_level = _incremental_levels(spec, table.state,
                                             table.max_level, merged0, touched)
     if max_level > 0:
-        merged = merged.persist()
-        merged.count()
+        # localCheckpoint (eager) rather than persist: the per-level
+        # anti-join/union lattice references the PREVIOUS state's plan, so
+        # repeated micro-batch inserts would chain logical plans without
+        # bound (driver OOM after a few dozen batches even though each
+        # state is materialized) — checkpointing truncates the lineage to
+        # the materialized blocks
+        merged = merged.localCheckpoint(eager=True)
         merged0.unpersist()
     new_state.unpersist()
     table.state.unpersist()
@@ -380,8 +385,8 @@ def decay_topk(spark: SparkSession, registry: TopKRegistry, name: str,
                                                table.max_level, decayed0,
                                                touched)
     if max_level > 0:
-        new_state = new_state.persist()
-        new_state.count()
+        # lineage truncation — same rationale as insert_into_topk
+        new_state = new_state.localCheckpoint(eager=True)
         decayed0.unpersist()
     table.state.unpersist()
     table.state = new_state

@@ -530,3 +530,28 @@ def test_pps_sample_contract(views):
         "SELECT doc_id FROM documents "
         f"WHERE GREATEST(n_chars, 1) >= {stride}").collect()}
     assert heavy <= set(sp["doc_id"])
+
+
+def test_histogram_dense_and_total(views):
+    from snappy_aqp_spark.pipeline.histogram import histogram_stages
+    st, fin = histogram_stages(SPARK, width=200)
+    sp = run_stages(views, st, fin).toPandas()
+    # dense spine: consecutive bins, no holes
+    assert list(sp["bin"]) == list(range(sp["bin"].min(), sp["bin"].max() + 1))
+    assert sp["n"].sum() == 500
+    assert ((sp["hi"] - sp["lo"]) == 200).all()
+
+
+def test_quota_cap_contract(views):
+    from snappy_aqp_spark.pipeline.histogram import quota_cap_stages
+    st, fin = quota_cap_stages(SPARK, cap=60)
+    sp = run_stages(views, st, fin).toPandas()
+    sizes = views.sql("SELECT source, COUNT(*) AS n FROM documents "
+                      "GROUP BY source").toPandas()
+    truth = dict(zip(sizes["source"], sizes["n"]))
+    got = sp.groupby("grp").size().to_dict()
+    for g, n in truth.items():
+        assert got.get(g, 0) == min(n, 60), (g, n, got.get(g))
+    # deterministic pick
+    sp2 = run_stages(views, st, fin).toPandas()
+    assert sp.equals(sp2)
