@@ -230,6 +230,10 @@ def build_catalog_from_ddl(ddls: list[str]) -> SampleCatalog:
     used to derive replay-oracle SQL for SQL-front-end queries."""
     catalog = SampleCatalog()
     for ddl in ddls:
+        dropped = fe.parse_drop_sample(ddl)
+        if dropped is not None:
+            catalog.drop(dropped)
+            continue
         parsed = fe.parse_create_sample(ddl)
         if parsed is None:
             if fe.parse_create_view(ddl) is not None:

@@ -10,6 +10,8 @@ perfJoinQueries.sql) re-targeted at the driver's TPC-H-ish tables.
 from __future__ import annotations
 
 from .pipeline import bloom as _bl
+from .pipeline import chunking as _ck
+from .pipeline import contamination as _cn
 from .pipeline import dedup as _dd
 from .pipeline import distinct as _dc
 from .pipeline import histogram as _hg
@@ -121,6 +123,15 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     # per-source quota cap: deterministic uniform pick of <= cap per group
     "source_quota_cap": {
         "builder": _hg.quota_cap_stages, "kw": {},
+        "tables": ("documents",)},
+    # benchmark decontamination: train docs sharing >= 100 distinct
+    # 7-grams with the (doc_id % 17) "eval set" — one gram-code equi-join
+    "decontamination": {
+        "builder": _cn.contamination_stages, "kw": {},
+        "tables": ("documents",)},
+    # fixed-size overlapping chunk windows (shuffle-free until consumed)
+    "chunk_documents": {
+        "builder": _ck.chunk_documents_stages, "kw": {},
         "tables": ("documents",)},
 }
 
@@ -379,6 +390,23 @@ SQL_FIXTURES: dict[str, dict] = {
                   "absolute_error(s) FROM lineitem "
                   "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
                   "WHERE o_orderpriority LIKE '1%') "
+                  "GROUP BY l_returnflag ORDER BY l_returnflag "
+                  "WITH ERROR 0.5"),
+    },
+    # DROP SAMPLE TABLE then recreate with a different fraction: the query
+    # must route through the RECREATED sample (truncate/drop surface,
+    # ColumnFormatSamplingRelation truncate :397; catalog drop semantics)
+    "sql_drop_recreate": {
+        "ddl": [("CREATE SAMPLE TABLE li_dr_sample ON lineitem OPTIONS("
+                 "qcs 'l_returnflag', fraction '0.02', method 'hash', "
+                 "seed '42')"),
+                "DROP SAMPLE TABLE li_dr_sample",
+                ("CREATE SAMPLE TABLE li_dr_sample ON lineitem OPTIONS("
+                 "qcs 'l_returnflag', fraction '0.08', method 'hash', "
+                 "seed '11')")],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, sum(l_extendedprice) AS s, "
+                  "relative_error(s), count(*) AS c FROM lineitem "
                   "GROUP BY l_returnflag ORDER BY l_returnflag "
                   "WITH ERROR 0.5"),
     },

@@ -1,0 +1,76 @@
+"""Benchmark-decontamination overlap detection: which training documents
+share suspicious amounts of verbatim text with an evaluation set.
+
+Before training on a scraped corpus you must find (and usually drop) the
+documents that contain eval-benchmark material — the standard method is
+char/token n-gram overlap (as used for the public web-corpus
+decontamination pipelines): a training doc is CONTAMINATED if it shares
+at least ``min_shared`` distinct k-grams with any eval doc.
+
+Plan shape at 100 TB: shingle both sides into integer k-gram codes
+(`dual.gram_int_array` — exact ints, no string shuffles), frequency-cap
+the gram join key on the EVAL side only (the eval set is small; common
+grams like whitespace runs would otherwise fan out), then one equi-join
+on the gram code + a (train_doc, eval_doc) count aggregate. The train
+corpus is scanned once and shuffled only by gram code; the eval shingle
+set is usually broadcast-sized.
+
+The fixture marks documents ``doc_id % 17 == 0`` as the "eval set" and
+scans the rest — with the corpus's planted near-duplicates, overlaps
+exist by construction. Output is fully deterministic (integer counts).
+"""
+
+from __future__ import annotations
+
+from . import dual
+from .dual import idiv
+
+
+def contamination_stages(dialect: str, k: int = 7, min_shared: int = 100,
+                         eval_pred: str = "doc_id % 17 = 0",
+                         table: str = "documents", col: str = "text",
+                         max_gram_df: int = 1000
+                         ) -> tuple[list[tuple[str, str]], str]:
+    """``(stages, final)`` -> one row per contaminated (train, eval) pair:
+    (train_id, eval_id, shared_grams, train_grams, eval_grams,
+    overlap_pct_x100). ``max_gram_df``: eval-side grams appearing in more
+    than this many eval docs are dropped from the join key (skew guard —
+    boilerplate grams)."""
+    grams = dual.gram_int_array(dialect, col, k)
+    stages = [
+        ("__cge",
+         f"SELECT doc_id, {dual.arr_distinct(dialect, grams)} AS gs "
+         f"FROM {table} WHERE {eval_pred}"),
+        ("__cgt",
+         f"SELECT doc_id, {dual.arr_distinct(dialect, grams)} AS gs "
+         f"FROM {table} WHERE NOT ({eval_pred})"),
+        ("__cse",
+         f"SELECT doc_id, {dual.explode(dialect, 'gs', 'sh')} FROM __cge"),
+        ("__cst",
+         f"SELECT doc_id, {dual.explode(dialect, 'gs', 'sh')} FROM __cgt"),
+        # eval-side gram document frequency -> drop boilerplate grams
+        ("__cdf",
+         f"SELECT sh FROM __cse GROUP BY sh "
+         f"HAVING COUNT(*) <= {max_gram_df}"),
+        ("__cne",
+         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM __cse GROUP BY doc_id"),
+        ("__cnt",
+         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM __cst GROUP BY doc_id"),
+        ("__cov",
+         "SELECT t.doc_id AS train_id, e.doc_id AS eval_id, "
+         "CAST(COUNT(*) AS BIGINT) AS shared_grams "
+         "FROM __cst t JOIN __cdf d ON t.sh = d.sh "
+         "JOIN __cse e ON t.sh = e.sh "
+         f"GROUP BY t.doc_id, e.doc_id HAVING COUNT(*) >= {min_shared}"),
+    ]
+    final = ("SELECT o.train_id, o.eval_id, o.shared_grams, "
+             "t.n AS train_grams, e.n AS eval_grams, "
+             # integer percentage of the eval doc covered (x100 for 2dp);
+             # explicit integer division — CAST(double) truncates in Spark
+             # but rounds in DuckDB
+             f"{idiv(dialect, 'o.shared_grams * 10000', 'e.n')} "
+             "AS overlap_pct_x100 "
+             "FROM __cov o JOIN __cnt t ON o.train_id = t.doc_id "
+             "JOIN __cne e ON o.eval_id = e.doc_id "
+             "ORDER BY o.train_id, o.eval_id")
+    return stages, final

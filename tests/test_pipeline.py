@@ -555,3 +555,36 @@ def test_quota_cap_contract(views):
     # deterministic pick
     sp2 = run_stages(views, st, fin).toPandas()
     assert sp.equals(sp2)
+
+
+def test_chunking_reconstructs_documents(views):
+    """chunks cover every char: stripping the overlap from chunk i>0 and
+    concatenating reconstructs the original text exactly."""
+    from snappy_aqp_spark.pipeline.chunking import chunk_documents_stages
+    st, fin = chunk_documents_stages(SPARK, window=400, overlap=50)
+    sp = run_stages(views, st, fin).toPandas()
+    docs = {r.doc_id: r.text for r in views.sql(
+        "SELECT doc_id, text FROM documents").collect()}
+    assert set(sp["doc_id"]) == set(docs)
+    for doc_id, g in sp.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        rebuilt = "".join(
+            t if i == 0 else t[50:]
+            for i, t in enumerate(g["chunk_text"]))
+        assert rebuilt == docs[doc_id], doc_id
+        assert (g["chunk_len"] == g["chunk_text"].str.len()).all()
+
+
+def test_contamination_finds_planted_near_dups(views):
+    """the corpus's planted near-duplicates straddle the train/eval split
+    for some pairs; those must surface with high overlap, and every
+    reported pair keeps train and eval disjoint."""
+    from snappy_aqp_spark.pipeline.contamination import contamination_stages
+    st, fin = contamination_stages(SPARK)
+    sp = run_stages(views, st, fin).toPandas()
+    assert len(sp) > 0
+    assert (sp["eval_id"] % 17 == 0).all()
+    assert (sp["train_id"] % 17 != 0).all()
+    assert (sp["shared_grams"] >= 100).all()
+    assert (sp["shared_grams"] <= sp[["train_grams", "eval_grams"]]
+            .min(axis=1)).all()
