@@ -13,6 +13,7 @@ from .pipeline import bloom as _bl
 from .pipeline import chunking as _ck
 from .pipeline import contamination as _cn
 from .pipeline import dedup as _dd
+from .pipeline import diagnostics as _dg
 from .pipeline import distinct as _dc
 from .pipeline import histogram as _hg
 from .pipeline import quantiles as _qt
@@ -133,6 +134,14 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "chunk_documents": {
         "builder": _ck.chunk_documents_stages, "kw": {},
         "tables": ("documents",)},
+    # key-skew pre-flight report (top keys + basis-point shares)
+    "skew_report": {
+        "builder": _dg.skew_report_stages, "kw": {},
+        "tables": ("events",)},
+    # exact join-output cardinality + biggest key cell, without the join
+    "join_cardinality": {
+        "builder": _dg.join_cardinality_stages, "kw": {},
+        "tables": ("lineitem", "orders")},
 }
 
 ALL_ERRORS = ("absolute_error", "relative_error", "lower_bound", "upper_bound")

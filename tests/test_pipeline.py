@@ -588,3 +588,25 @@ def test_contamination_finds_planted_near_dups(views):
     assert (sp["shared_grams"] >= 100).all()
     assert (sp["shared_grams"] <= sp[["train_grams", "eval_grams"]]
             .min(axis=1)).all()
+
+
+def test_join_cardinality_matches_actual_join(views):
+    from snappy_aqp_spark.pipeline.diagnostics import join_cardinality_stages
+    st, fin = join_cardinality_stages(SPARK)
+    r = run_stages(views, st, fin).first()
+    actual = views.sql(
+        "SELECT COUNT(*) AS n FROM lineitem JOIN orders "
+        "ON l_orderkey = o_orderkey").first()["n"]
+    assert r["join_rows"] == actual
+    assert r["max_key_output"] <= r["join_rows"]
+    assert r["left_rows"] == views.table("lineitem").count()
+
+
+def test_skew_report_shares(views):
+    from snappy_aqp_spark.pipeline.diagnostics import skew_report_stages
+    st, fin = skew_report_stages(SPARK, top=5)
+    sp = run_stages(views, st, fin).toPandas()
+    assert len(sp) == 5
+    assert (sp["n"].diff().dropna() <= 0).all()      # descending
+    total = views.table("events").count()
+    assert (sp["share_bp"] == sp["n"] * 10000 // total).all()
