@@ -91,7 +91,8 @@ def main() -> None:
                  "sessionize_events", "asof_join_clicks",
                  "range_join_activity", "bloom_semi_join",
                  "stratified_split", "text_top_terms",
-                 "pps_weighted_sample", "source_quota_cap"):
+                 "pps_weighted_sample", "source_quota_cap",
+                 "decontamination", "chunk_documents", "join_cardinality"):
         def once():
             qs[name](spark, SF_DIR).collect()
         for _ in range(max(1, WARMUP - 1)):
