@@ -524,6 +524,7 @@ class AQPDataFrame:
     def __init__(self, session: "AQPSession", base: str):
         self._s = session
         self._base = base
+        self._joins: list[tuple[str, str, str]] = []
         self._where: str | None = None
         self._group: list[str] = []
         self._aggs: list[str] = []
@@ -541,6 +542,16 @@ class AQPDataFrame:
         return out
 
     filter = where
+
+    def join(self, table: str, on: str, how: str = "inner") -> "AQPDataFrame":
+        """equi-join another relation (reference DataFrame-API join tests,
+        JoinQueryTest protocols: the sampled relation may sit on either
+        side — selection happens in the shared analysis path)."""
+        if how.lower() not in ("inner", "left", "right"):
+            raise ValueError(f"unsupported join type {how!r}")
+        out = self._copy()
+        out._joins = [*self._joins, (table, on, how.lower())]
+        return out
 
     def groupBy(self, *cols: str) -> "AQPDataFrame":
         out = self._copy()
@@ -577,6 +588,9 @@ class AQPDataFrame:
         """the accumulated chain as plain SQL (no WITH clause)."""
         items = self._group + (self._aggs or ["count(*) AS count_1"])
         sql = f"SELECT {', '.join(items)} FROM {self._base}"
+        for table, on, how in self._joins:
+            kw = "JOIN" if how == "inner" else f"{how.upper()} JOIN"
+            sql += f" {kw} {table} ON {on}"
         if self._where:
             sql += f" WHERE {self._where}"
         if self._group:

@@ -692,3 +692,26 @@ def test_nested_subquery_tree_stays_exact():
     if out.spec is not None and out.spec.where_subs:
         for sub in out.spec.where_subs:
             assert sub.sample is None and sub.sub_spec is None
+
+
+def test_fluent_join_api(aqp):
+    """fluent .join() == the SQL join form, routed through the lineitem
+    sample with the orders dimension exact (DataFrame-API join protocols,
+    JoinQueryTest)."""
+    fluent = (aqp.table("lineitem")
+              .join("orders", "l_orderkey = o_orderkey")
+              .where("o_orderpriority LIKE '1%'")
+              .groupBy("o_orderstatus")
+              .agg("sum(l_extendedprice) AS rev", "absolute_error(rev)")
+              .orderBy("o_orderstatus")
+              .withError(0.5, 0.95)).toPandas()
+    via_sql = aqp.sql(
+        "SELECT o_orderstatus, sum(l_extendedprice) AS rev, "
+        "absolute_error(rev) FROM lineitem JOIN orders "
+        "ON l_orderkey = o_orderkey WHERE o_orderpriority LIKE '1%' "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus "
+        "WITH ERROR 0.5 CONFIDENCE 0.95").toPandas()
+    assert fluent.equals(via_sql)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        aqp.table("lineitem").join("orders", "a = b", how="full")
