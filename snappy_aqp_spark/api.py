@@ -26,7 +26,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import SampleCatalog, SampleInfo
-from .plans.approx_query import _SAMPLE_CACHE, run_approx_query
+from .plans.approx_query import (_SAMPLE_CACHE, invalidate_base_table,
+                                 run_approx_query)
 from .sampling.samplers import stratified_sample
 from .specs import ApproxAgg, ApproxQuerySpec, SampleSpec
 from .sql import frontend as fe
@@ -390,6 +391,10 @@ class AQPSession:
                 raise fe.SQLFrontendError(
                     f"mutations must target base tables, not the AQP-managed "
                     f"structure '{target}' (drop and recreate it instead)")
+            # stale-cache guard: cached samples/plans over the mutated base
+            # are dropped BEFORE the mutation runs, so the next approx
+            # query re-samples the post-mutation data
+            invalidate_base_table(t)
             return self.spark.sql(text)
         ddl = fe.parse_create_sample(text)
         if ddl:
@@ -399,9 +404,9 @@ class AQPSession:
         topk_ddl = fe.parse_create_topk(text)
         if topk_ddl:
             name, base, opts = topk_ddl
-            interval = opts.get("timeinterval", "5000ms")
-            iv_us = (int(interval[:-2]) * 1000 if interval.endswith("ms")
-                     else int(interval.rstrip("s")) * 1_000_000)
+            # same '500ms'/'60s'/bare-ms convention as the sample DDL
+            # (_interval_us; TopKWrapper.scala parses with parseTimeInterval)
+            iv_us = _interval_us(opts.get("timeinterval", "5000ms"))
             kw = {}
             # reference TopKWrapper options epoch / basetable concurrency
             # analogs (TopKWrapper.scala:31-155): epoch pins the bucket

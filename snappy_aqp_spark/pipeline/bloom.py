@@ -27,7 +27,7 @@ sign bit — identical in Spark and DuckDB.
 from __future__ import annotations
 
 from ..detrng import hash_sql
-from .dual import band, elem, ordered_list, sequence, shiftleft
+from .dual import band, elem, explode, idiv, ordered_list, sequence, shiftleft
 
 _LANE = 63                      # bits per word; keeps 1<<bit positive
 
@@ -52,20 +52,14 @@ def bloom_semi_join_stages(dialect: str, n_words: int = 260,
     one = shiftleft(dialect, "CAST(1 AS BIGINT)", f"p % {_LANE}")
     # dense word vector 0..n_words-1 (missing words -> 0), packed into one
     # ordered array row for the broadcast
-    if dialect == "spark":
-        seq_rows = (f"SELECT explode({sequence(dialect, '0', str(n_words - 1))}) "
-                    f"AS word")
-    else:
-        seq_rows = (f"SELECT unnest({sequence(dialect, '0', str(n_words - 1))}) "
-                    f"AS word")
+    seq_rows = (f"SELECT "
+                f"{explode(dialect, sequence(dialect, '0', str(n_words - 1)), 'word')}")
+    word_of_p = idiv(dialect, "p", str(_LANE))
     stages = [
         ("__bfd", dim),
         ("__bfm",
-         f"SELECT p DIV {_LANE} AS word, bit_or({one}) AS mask "
-         f"FROM ({pos_rows}) __p GROUP BY p DIV {_LANE}"
-         if dialect == "spark" else
-         f"SELECT p // {_LANE} AS word, bit_or({one}) AS mask "
-         f"FROM ({pos_rows}) __p GROUP BY p // {_LANE}"),
+         f"SELECT {word_of_p} AS word, bit_or({one}) AS mask "
+         f"FROM ({pos_rows}) __p GROUP BY {word_of_p}"),
         ("__bfp",
          f"SELECT {ordered_list(dialect, 'm', 'word')} AS words FROM ("
          f"SELECT s.word, COALESCE(b.mask, CAST(0 AS BIGINT)) AS m "
@@ -75,8 +69,7 @@ def bloom_semi_join_stages(dialect: str, n_words: int = 260,
     checks = []
     for i in range(k_hashes):
         p = pos("l_orderkey", i)
-        word_idx = (f"(({p}) DIV {_LANE}) + 1" if dialect == "spark"
-                    else f"(({p}) // {_LANE}) + 1")
+        word_idx = f"{idiv(dialect, p, str(_LANE))} + 1"
         bit = shiftleft(dialect, "CAST(1 AS BIGINT)", f"({p}) % {_LANE}")
         checks.append(
             f"{band(dialect, elem(dialect, 'f.words', word_idx), bit)} != 0")

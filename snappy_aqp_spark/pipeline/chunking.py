@@ -15,7 +15,7 @@ chunk text itself is part of the bit-exact oracle contract.
 
 from __future__ import annotations
 
-from .dual import sequence
+from .dual import explode, idiv, sequence
 
 
 def chunk_documents_stages(dialect: str, window: int = 400,
@@ -30,22 +30,18 @@ def chunk_documents_stages(dialect: str, window: int = 400,
     if not 0 <= overlap < window:
         raise ValueError(f"need 0 <= overlap < window, got {overlap}/{window}")
     stride = window - overlap
-    div = "DIV" if dialect == "spark" else "//"
     # number of stride steps whose window still adds new content:
     # ceil(max(len - overlap, 1) / stride) via integer arithmetic
-    n_chunks = (f"GREATEST(CAST(1 AS BIGINT), "
-                f"CAST((GREATEST(length({col}) - {overlap}, 1) + {stride} - 1) "
-                f"{div} {stride} AS BIGINT))")
+    n_chunks = (f"GREATEST(CAST(1 AS BIGINT), CAST("
+                + idiv(dialect,
+                       f"GREATEST(length({col}) - {overlap}, 1) + {stride} - 1",
+                       str(stride))
+                + " AS BIGINT))")
     idxs = sequence(dialect, "CAST(0 AS BIGINT)", "nc - 1")
-    if dialect == "spark":
-        expl = (f"SELECT doc_id, {col} AS t, "
-                f"explode({idxs}) AS chunk_idx FROM __chn")
-    else:
-        expl = (f"SELECT doc_id, {col} AS t, "
-                f"unnest({idxs}) AS chunk_idx FROM __chn")
     stages = [
         ("__chn", f"SELECT doc_id, {col}, {n_chunks} AS nc FROM {table}"),
-        ("__che", expl),
+        ("__che", f"SELECT doc_id, {col} AS t, "
+                  f"{explode(dialect, idxs, 'chunk_idx')} FROM __chn"),
     ]
     final = (f"SELECT doc_id, chunk_idx, "
              f"chunk_idx * {stride} + 1 AS chunk_start, "

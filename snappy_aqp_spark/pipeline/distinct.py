@@ -57,7 +57,13 @@ def hll_distinct_stages(dialect: str, col: str = "doc_id",
     """``(stages, final)`` estimating ``COUNT(DISTINCT col)`` [per
     ``group_by``] with m = 2**p registers (rel. error ~ 1.04/sqrt(m))."""
     m = 1 << p
-    maxbits = 52                       # hash suffix width after bucket split
+    # hash suffix width after the bucket split: hex15_to_long yields a
+    # 60-bit hash, the low p bits pick the bucket, so rho ranges over
+    # [1, 60-p] with the all-zero sentinel at 61-p. Contributions scale by
+    # 2^(maxbits+1) so the smallest shift (sentinel) is exactly 0 — a
+    # fixed 52 went NEGATIVE for rho > 52 (reachable at p < 8: DuckDB
+    # raises on negative shifts, Spark wraps mod 64)
+    maxbits = 60 - p
     h = dual.hex15_to_long(f"md5(CAST({col} AS VARCHAR))"
                            if dialect == DUCKDB
                            else f"md5(CAST({col} AS STRING))")
@@ -79,17 +85,20 @@ def hll_distinct_stages(dialect: str, col: str = "doc_id",
         ("__hll_reg",
          f"SELECT {g_pre}__bucket, MAX(__rho) AS __r FROM __hll_rho "
          f"GROUP BY {g_pre}__bucket"),
-        # integer harmonic sum: register r contributes 2^(52-r) exactly
+        # integer harmonic sum scaled by 2^(maxbits+1): register r
+        # contributes 2^(maxbits+1-r) exactly; the all-zero sentinel
+        # (r = maxbits+1) contributes exactly 1, so shifts stay >= 0.
+        # Overflow-safe: sum <= m * 2^(maxbits+1) = 2^61 < 2^63
         ("__hll_z",
          f"SELECT {g_pre}"
-         f"CAST(SUM({dual.shiftleft(dialect, 'CAST(1 AS BIGINT)', f'{maxbits} - __r')}) AS BIGINT) AS __zp, "
+         f"CAST(SUM({dual.shiftleft(dialect, 'CAST(1 AS BIGINT)', f'{maxbits + 1} - __r')}) AS BIGINT) AS __zp, "
          f"CAST(COUNT(*) AS BIGINT) AS __present FROM __hll_reg"
          + (f" GROUP BY {g_sql}" if g else "")),
     ]
     zeros = f"({m} - __present)"
     z_int = (f"(__zp + {zeros} * "
-             f"{dual.shiftleft(dialect, 'CAST(1 AS BIGINT)', str(maxbits))})")
-    num = _alpha(m) * m * m * float(1 << maxbits)
+             f"{dual.shiftleft(dialect, 'CAST(1 AS BIGINT)', str(maxbits + 1))})")
+    num = _alpha(m) * m * m * float(1 << (maxbits + 1))
     e_raw = f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
     lc = (f"({dlit(float(m))} * ln({dlit(float(m))} "
           f"/ CAST({zeros} AS DOUBLE)))")

@@ -181,6 +181,14 @@ def idiv(dialect: str, a: str, b: str) -> str:
     return f"(({a}) DIV ({b}))" if dialect == SPARK else f"(({a}) // ({b}))"
 
 
+def fdiv(dialect: str, a: str, b: str) -> str:
+    """FLOOR integer division for a positive divisor: idiv truncates
+    toward zero in both engines, which mis-bins negative dividends
+    (-150 DIV 200 = 0, not -1). All-integer, no double round-trip."""
+    q = idiv(dialect, a, b)
+    return f"({q} - (CASE WHEN (({a}) % ({b})) < 0 THEN 1 ELSE 0 END))"
+
+
 def shiftleft(dialect: str, a: str, n: str) -> str:
     return (f"shiftleft({a}, CAST({n} AS INT))" if dialect == SPARK
             else f"(({a}) << ({n}))")

@@ -17,24 +17,21 @@ Both are single-purpose, all-integer, one-to-two-shuffle plans:
 from __future__ import annotations
 
 from ..detrng import hash_sql
-from .dual import sequence
+from .dual import explode, fdiv, sequence
 
 
 def histogram_stages(dialect: str, col: str = "n_chars",
                      width: int = 200, table: str = "documents"
                      ) -> tuple[list[tuple[str, str]], str]:
     """``(stages, final)`` -> one row per bin between the observed min and
-    max (dense): (bin, lo, hi, n)."""
-    div = "DIV" if dialect == "spark" else "//"
-    if dialect == "spark":
-        spine = (f"SELECT explode({sequence(dialect, 'b0', 'b1')}) AS bin "
-                 f"FROM __hbr")
-    else:
-        spine = (f"SELECT unnest({sequence(dialect, 'b0', 'b1')}) AS bin "
-                 f"FROM __hbr")
+    max (dense): (bin, lo, hi, n). FLOOR binning, so negative values land
+    in the bin whose [lo, hi) range actually contains them."""
+    spine = (f"SELECT {explode(dialect, sequence(dialect, 'b0', 'b1'), 'bin')} "
+             f"FROM __hbr")
     stages = [
         ("__hbv",
-         f"SELECT CAST({col} AS BIGINT) {div} {width} AS bin FROM {table}"),
+         f"SELECT {fdiv(dialect, f'CAST({col} AS BIGINT)', str(width))} "
+         f"AS bin FROM {table}"),
         ("__hbc",
          "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM __hbv GROUP BY bin"),
         ("__hbr",

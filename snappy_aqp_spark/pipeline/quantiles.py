@@ -18,6 +18,11 @@ INTEGER arithmetic — deterministic on any engine/partitioning. The few
 double expressions (index bounds) are scalar formulas on exact integers,
 identical text in both dialects. At scale: one hash-filtered scan, one
 sort of fraction*N rows (the whole point), three small rank joins.
+
+Both the global and the per-group form come from ONE builder (the group
+key threads through count, rank window, and index joins), so the CI
+formula cannot drift between them. Grouped scale note: the count, rank
+window, and joins all hash on the group key — one shared shuffle.
 """
 
 from __future__ import annotations
@@ -25,6 +30,61 @@ from __future__ import annotations
 from ..detrng import hash_sql, threshold_for_fraction
 from ..dialect import dlit
 from ..stats import normal_ppf
+
+
+def _quantile_stages(dialect: str, col: str, key_cols: tuple[str, ...],
+                     table: str, qs: tuple[float, ...], fraction: float,
+                     seed: int, confidence: float, group_by: str | None
+                     ) -> tuple[list[tuple[str, str]], str]:
+    """shared core: ``group_by=None`` -> one row per q; else one row per
+    (group, q) with the identical order-statistic + binomial-CI math."""
+    thr = threshold_for_fraction(fraction)
+    h = hash_sql(list(key_cols), seed)
+    keys = ", ".join(key_cols)
+    z = normal_ppf(0.5 + confidence / 2.0)
+    g_sel = f"{group_by} AS g, " if group_by else ""
+    g_col = "g, " if group_by else ""
+    part = "PARTITION BY g " if group_by else ""
+    stages = [
+        ("__uqs",
+         f"SELECT {g_sel}{keys}, CAST({col} AS DOUBLE) AS val FROM {table} "
+         f"WHERE {h} < {thr}"),
+        ("__uqn",
+         f"SELECT {g_col}CAST(COUNT(*) AS BIGINT) AS n FROM __uqs"
+         + (" GROUP BY g" if group_by else "")),
+        ("__uqr",
+         f"SELECT {g_col}val, ROW_NUMBER() OVER ({part}ORDER BY val, {keys}) "
+         f"AS rn FROM __uqs"),
+    ]
+    # per-q order-statistic indices (scalar double formulas on the exact n)
+    parts = []
+    for q in qs:
+        ql = dlit(q)
+        hw = f"{dlit(z)} * SQRT(CAST(n AS DOUBLE) * {ql} * {dlit(1.0 - q)})"
+        mid = f"CAST(n AS DOUBLE) * {ql}"
+        parts.append(
+            f"SELECT {g_col}{ql} AS q, "
+            f"GREATEST(CAST(1 AS BIGINT), CAST(CEIL({mid}) AS BIGINT)) AS ei, "
+            f"GREATEST(CAST(1 AS BIGINT), CAST(FLOOR({mid} - {hw}) AS BIGINT)) AS li, "
+            f"LEAST(n, CAST(CEIL({mid} + {hw}) AS BIGINT)) AS hi, n "
+            f"FROM __uqn")
+    stages.append(("__uqi", " UNION ALL ".join(parts)))
+    if group_by:
+        on_g = "AND {0}.g = i.g "
+        final = ("SELECT i.g AS stratum, i.q, e.val AS estimate, "
+                 "l.val AS lower_bound, h.val AS upper_bound, i.n AS n_sample "
+                 "FROM __uqi i "
+                 f"JOIN __uqr e ON e.rn = i.ei {on_g.format('e')}"
+                 f"JOIN __uqr l ON l.rn = i.li {on_g.format('l')}"
+                 f"JOIN __uqr h ON h.rn = i.hi {on_g.format('h')}"
+                 "ORDER BY stratum, i.q")
+    else:
+        final = ("SELECT i.q, e.val AS estimate, l.val AS lower_bound, "
+                 "h.val AS upper_bound, i.n AS n_sample "
+                 "FROM __uqi i JOIN __uqr e ON e.rn = i.ei "
+                 "JOIN __uqr l ON l.rn = i.li "
+                 "JOIN __uqr h ON h.rn = i.hi ORDER BY i.q")
+    return stages, final
 
 
 def uniform_quantile_stages(dialect: str, col: str = "length(text)",
@@ -36,37 +96,8 @@ def uniform_quantile_stages(dialect: str, col: str = "length(text)",
                             ) -> tuple[list[tuple[str, str]], str]:
     """``(stages, final)`` -> one row per q: (q, estimate, lower_bound,
     upper_bound, n_sample)."""
-    thr = threshold_for_fraction(fraction)
-    h = hash_sql(list(key_cols), seed)
-    keys = ", ".join(key_cols)
-    z = normal_ppf(0.5 + confidence / 2.0)
-    stages = [
-        ("__uqs",
-         f"SELECT {keys}, CAST({col} AS DOUBLE) AS val FROM {table} "
-         f"WHERE {h} < {thr}"),
-        ("__uqn", "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM __uqs"),
-        ("__uqr",
-         f"SELECT val, ROW_NUMBER() OVER (ORDER BY val, {keys}) AS rn "
-         f"FROM __uqs"),
-    ]
-    # per-q order-statistic indices (scalar double formulas on the exact n)
-    parts = []
-    for q in qs:
-        ql, hw = dlit(q), f"{dlit(z)} * SQRT(CAST(n AS DOUBLE) * {dlit(q)} * {dlit(1.0 - q)})"
-        mid = f"CAST(n AS DOUBLE) * {ql}"
-        parts.append(
-            f"SELECT {ql} AS q, "
-            f"GREATEST(CAST(1 AS BIGINT), CAST(CEIL({mid}) AS BIGINT)) AS ei, "
-            f"GREATEST(CAST(1 AS BIGINT), CAST(FLOOR({mid} - {hw}) AS BIGINT)) AS li, "
-            f"LEAST(n, CAST(CEIL({mid} + {hw}) AS BIGINT)) AS hi, n "
-            f"FROM __uqn")
-    stages.append(("__uqi", " UNION ALL ".join(parts)))
-    final = ("SELECT i.q, e.val AS estimate, l.val AS lower_bound, "
-             "h.val AS upper_bound, i.n AS n_sample "
-             "FROM __uqi i JOIN __uqr e ON e.rn = i.ei "
-             "JOIN __uqr l ON l.rn = i.li "
-             "JOIN __uqr h ON h.rn = i.hi ORDER BY i.q")
-    return stages, final
+    return _quantile_stages(dialect, col, key_cols, table, qs, fraction,
+                            seed, confidence, group_by=None)
 
 
 def grouped_quantile_stages(dialect: str, col: str = "length(text)",
@@ -77,45 +108,9 @@ def grouped_quantile_stages(dialect: str, col: str = "length(text)",
                             fraction: float = 0.3, seed: int = 42,
                             confidence: float = 0.95
                             ) -> tuple[list[tuple[str, str]], str]:
-    """Per-group variant: one row per (group, q) with the same
-    order-statistic estimate + binomial CI, ranks windowed PER GROUP.
-
-    Scale: one hash-filtered scan, one shuffle on the group key shared by
-    the count, the rank window, and the joins (hashpartitioning(g)
-    satisfies every clustering containing g). Degenerate strata are
-    handled by the GREATEST/LEAST clamps: a 1-row group returns that row
-    for estimate and both bounds."""
-    thr = threshold_for_fraction(fraction)
-    h = hash_sql(list(key_cols), seed)
-    keys = ", ".join(key_cols)
-    z = normal_ppf(0.5 + confidence / 2.0)
-    stages = [
-        ("__gqs",
-         f"SELECT {group_by} AS g, {keys}, CAST({col} AS DOUBLE) AS val "
-         f"FROM {table} WHERE {h} < {thr}"),
-        ("__gqn",
-         "SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM __gqs GROUP BY g"),
-        ("__gqr",
-         f"SELECT g, val, ROW_NUMBER() OVER "
-         f"(PARTITION BY g ORDER BY val, {keys}) AS rn FROM __gqs"),
-    ]
-    parts = []
-    for q in qs:
-        ql = dlit(q)
-        hw = (f"{dlit(z)} * SQRT(CAST(n AS DOUBLE) * {ql} * "
-              f"{dlit(1.0 - q)})")
-        mid = f"CAST(n AS DOUBLE) * {ql}"
-        parts.append(
-            f"SELECT g, {ql} AS q, "
-            f"GREATEST(CAST(1 AS BIGINT), CAST(CEIL({mid}) AS BIGINT)) AS ei, "
-            f"GREATEST(CAST(1 AS BIGINT), CAST(FLOOR({mid} - {hw}) AS BIGINT)) AS li, "
-            f"LEAST(n, CAST(CEIL({mid} + {hw}) AS BIGINT)) AS hi, n "
-            f"FROM __gqn")
-    stages.append(("__gqi", " UNION ALL ".join(parts)))
-    final = ("SELECT i.g AS stratum, i.q, e.val AS estimate, "
-             "l.val AS lower_bound, h.val AS upper_bound, i.n AS n_sample "
-             "FROM __gqi i JOIN __gqr e ON e.g = i.g AND e.rn = i.ei "
-             "JOIN __gqr l ON l.g = i.g AND l.rn = i.li "
-             "JOIN __gqr h ON h.g = i.g AND h.rn = i.hi "
-             "ORDER BY stratum, i.q")
-    return stages, final
+    """per-group variant: one row per (group, q) — identical math, ranks
+    windowed per group. Degenerate strata are handled by the
+    GREATEST/LEAST clamps: a 1-row group returns that row for estimate
+    and both bounds."""
+    return _quantile_stages(dialect, col, key_cols, table, qs, fraction,
+                            seed, confidence, group_by=group_by)

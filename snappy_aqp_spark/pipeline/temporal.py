@@ -28,7 +28,7 @@ cents — bit-identical across engines and partitionings.
 from __future__ import annotations
 
 from ..dialect import epoch_us_ntz, last_value_ignore_nulls
-from .dual import idiv, sequence
+from .dual import explode, idiv, sequence
 
 _DAY_US = 24 * 3600 * 1_000_000
 
@@ -90,13 +90,8 @@ def range_join_stages(dialect: str, anchor_type: str = "error",
                        idiv(dialect, f"t0 + {win_us} - 1", str(grain_us)))
     anchors = (f"SELECT event_id AS akey, user_id AS k, {et} AS t0 "
                f"FROM events WHERE event_type = '{anchor_type}'")
-    if dialect == "spark":
-        expl = (f"SELECT akey, k, t0, t0 + {win_us} AS t1, bucket "
-                f"FROM ({anchors}) __a "
-                f"LATERAL VIEW explode({buckets}) __b AS bucket")
-    else:
-        expl = (f"SELECT akey, k, t0, t0 + {win_us} AS t1, "
-                f"unnest({buckets}) AS bucket FROM ({anchors}) __a")
+    expl = (f"SELECT akey, k, t0, t0 + {win_us} AS t1, "
+            f"{explode(dialect, buckets, 'bucket')} FROM ({anchors}) __a")
     stages = [
         ("__rje",
          f"SELECT user_id AS k, event_id, {et} AS t, "

@@ -17,7 +17,7 @@ term-statistics pipeline.
 
 from __future__ import annotations
 
-from .dual import arr_filter
+from .dual import arr_filter, explode
 
 
 def _tokens(dialect: str, col: str) -> str:
@@ -34,11 +34,7 @@ def top_terms_stages(dialect: str, k: int = 3, min_len: int = 3,
     (doc_id, term, tf, df, rank). Terms shorter than ``min_len`` are
     dropped (they are almost always stopwords/noise)."""
     toks = _tokens(dialect, "text")
-    if dialect == "spark":
-        expl = (f"SELECT doc_id, term FROM {table} "
-                f"LATERAL VIEW explode({toks}) __t AS term")
-    else:
-        expl = f"SELECT doc_id, unnest({toks}) AS term FROM {table}"
+    expl = f"SELECT doc_id, {explode(dialect, toks, 'term')} FROM {table}"
     stages = [
         ("__tte", f"SELECT doc_id, term FROM ({expl}) __x "
                   f"WHERE length(term) >= {min_len}"),

@@ -34,6 +34,7 @@ plus its double value.
 from __future__ import annotations
 
 from ..detrng import MODULUS, hash_sql
+from .dual import idiv
 
 
 def pps_sample_stages(dialect: str, weight_col: str = "n_chars",
@@ -48,11 +49,10 @@ def pps_sample_stages(dialect: str, weight_col: str = "n_chars",
     h = hash_sql(list(key_cols), seed)
     keys = ", ".join(key_cols)
     span = MODULUS // n_buckets + 1          # bucket = hash's leading range
-    div = "DIV" if dialect == "spark" else "//"
     stages = [
         ("__ppw",
          f"SELECT {keys}, CAST(GREATEST({weight_col}, 1) AS BIGINT) AS w, "
-         f"{h} AS hh, ({h}) {div} {span} AS b FROM {table}"),
+         f"{h} AS hh, {idiv(dialect, h, str(span))} AS b FROM {table}"),
         # parallel per-bucket prefix sums
         ("__ppc",
          f"SELECT {keys}, w, b, "
@@ -66,7 +66,8 @@ def pps_sample_stages(dialect: str, weight_col: str = "n_chars",
          f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS off "
          f"FROM (SELECT b, SUM(w) AS t FROM __ppw GROUP BY b) __bt"),
     ]
-    keep = (f"(cum {div} {stride}) > ((cum - w) {div} {stride})")
+    keep = (f"{idiv(dialect, 'cum', str(stride))} > "
+            f"{idiv(dialect, 'cum - w', str(stride))}")
     # inclusion prob p = min(w, stride)/stride  ->  HT weight 1/p =
     # stride / min(w, stride), emitted as an exact rational + its double
     final = (f"SELECT {keys}, w, "

@@ -217,6 +217,33 @@ def _evict_hac_persisted() -> None:
         _HAC_PERSISTED.pop().unpersist()
 
 
+def invalidate_base_table(name: str) -> None:
+    """Drop every cached sample / prepared plan built over a base table.
+
+    Called on mutation pass-through (INSERT/UPDATE/DELETE/MERGE on a base
+    table, AQPSession.sql): without this the next approx query would serve
+    estimates from the persisted PRE-mutation sample while HAC exact
+    reroutes see the new rows — silent divergence beyond the error bound.
+    The reference rebuilds samples through the mutation path itself
+    (AnalyzeMutableOperations); the batch-parquet analog is re-sampling on
+    next use."""
+    n = name.lower()
+    for key in [k for k in _SAMPLE_CACHE
+                if k[0].base_table.lower() == n]:
+        _SAMPLE_CACHE.pop(key).unpersist()
+
+    def touches(spec) -> bool:
+        if spec.sample.base_table.lower() == n:
+            return True
+        if any(j.table.lower() == n for j in spec.joins):
+            return True
+        return any(n in (t.lower() for t in sp.tables)
+                   for sp in spec.where_subs)
+
+    for key in [k for k in _PLAN_CACHE if touches(k[0])]:
+        _PLAN_CACHE.pop(key)
+
+
 def get_sample(base: DataFrame, sample, cache_token: str | None) -> DataFrame:
     """materialized stratified sample for a SampleSpec (session-cached)."""
     if cache_token is None:

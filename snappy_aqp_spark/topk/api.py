@@ -87,7 +87,12 @@ def _time_us(df: DataFrame, time_col: str):
     if dt == "bigint":
         return F.expr(f"({time_col}) DIV 1000")
     if dt == "date":
-        return F.unix_micros(F.col(time_col).cast("timestamp"))
+        # via NTZ, NOT cast-to-timestamp: the latter interprets midnight in
+        # the session timezone, shifting buckets vs DuckDB's naive
+        # epoch_us(date) and breaking the TZ-independent replay contract
+        return F.expr(f"timestampdiff(MICROSECOND, "
+                      f"TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+                      f"CAST({time_col} AS TIMESTAMP_NTZ))")
     if dt == "timestamp_ntz":
         return F.expr(f"timestampdiff(MICROSECOND, "
                       f"TIMESTAMP_NTZ'1970-01-01 00:00:00', ({time_col}))")

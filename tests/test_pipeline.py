@@ -610,3 +610,23 @@ def test_skew_report_shares(views):
     assert (sp["n"].diff().dropna() <= 0).all()      # descending
     total = views.table("events").count()
     assert (sp["share_bp"] == sp["n"] * 10000 // total).all()
+
+
+def test_histogram_floor_bins_negative_values(spark, duck):
+    """negative values must land in the bin whose [lo, hi) contains them
+    (floor division, not truncation) — identically in both engines."""
+    from snappy_aqp_spark.pipeline.histogram import histogram_stages
+    spark.sql("SELECT * FROM VALUES (-250), (-150), (-1), (0), (150), (250) "
+              "AS t(v)").createOrReplaceTempView("neg_vals")
+    duck.sql("CREATE OR REPLACE VIEW neg_vals AS "
+             "SELECT * FROM (VALUES (-250), (-150), (-1), (0), (150), (250)) "
+             "t(v)")
+    st, fin = histogram_stages(SPARK, col="v", width=200, table="neg_vals")
+    sp = run_stages(spark, st, fin).toPandas()
+    st2, fin2 = histogram_stages(DUCKDB, col="v", width=200, table="neg_vals")
+    compare_frames(run_stages(spark, st, fin), duck.sql(stages_sql(st2, fin2)))
+    by_bin = dict(zip(sp["bin"], sp["n"]))
+    assert by_bin[-2] == 1            # -250 in [-400, -200)
+    assert by_bin[-1] == 2            # -150, -1 in [-200, 0)
+    assert by_bin[0] == 2             # 0, 150 in [0, 200)
+    assert by_bin[1] == 1             # 250 in [200, 400)

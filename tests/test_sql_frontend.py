@@ -715,3 +715,43 @@ def test_fluent_join_api(aqp):
     import pytest as _pt
     with _pt.raises(ValueError):
         aqp.table("lineitem").join("orders", "a = b", how="full")
+
+
+def test_topk_ddl_bare_interval_is_milliseconds(aqp):
+    """bare timeInterval numbers are milliseconds, matching the sample-DDL
+    convention (and stratifiedSampling.scala's parseLong fallback)."""
+    aqp.load_tables(SF_SMALL, ("lineitem",))
+    import snappy_aqp_spark.api as api_mod
+    assert api_mod._interval_us("5000") == 5_000_000
+    assert api_mod._interval_us("5000ms") == 5_000_000
+    assert api_mod._interval_us("5s") == 5_000_000
+
+
+def test_mutation_invalidates_sample_and_plan_caches(spark):
+    """an INSERT through the session must drop cached samples/plans over
+    the mutated base so the next approx query sees the new rows."""
+    import pyspark.sql.utils  # noqa: F401
+    from snappy_aqp_spark.api import AQPSession
+    from snappy_aqp_spark.plans.approx_query import (_PLAN_CACHE,
+                                                     _SAMPLE_CACHE)
+    aqp = AQPSession(spark, data_token="mut-test", error=0.5,
+                     confidence=0.95, behavior="do_nothing")
+    aqp.load_tables(SF_SMALL, ("lineitem",))
+    aqp.sql("CREATE SAMPLE TABLE li_mut_sample ON lineitem OPTIONS("
+            "qcs 'l_returnflag', fraction '0.05', method 'hash', seed '42')")
+    aqp.sql("SELECT sum(l_extendedprice) AS s FROM lineitem "
+            "WITH ERROR 0.5").collect()
+    assert any(k[0].base_table == "lineitem" and k[1] == "mut-test"
+               for k in _SAMPLE_CACHE)
+    assert any(k[0].sample.base_table == "lineitem" and k[1] == "mut-test"
+               for k in _PLAN_CACHE)
+    # the temp view is not insertable -> Spark raises, but invalidation
+    # must happen BEFORE the engine attempt (mutation-first semantics)
+    try:
+        aqp.sql("INSERT INTO lineitem VALUES (1)")
+    except Exception:
+        pass
+    assert not any(k[0].base_table == "lineitem" and k[1] == "mut-test"
+                   for k in _SAMPLE_CACHE)
+    assert not any(k[0].sample.base_table == "lineitem" and k[1] == "mut-test"
+                   for k in _PLAN_CACHE)

@@ -224,3 +224,20 @@ def test_incremental_insert_rebuilds_only_ancestors(spark, events):
               tuple(r["cand_counts"]))
              for r in reg.get("incdy_all").state.collect()}
     assert after == batch
+
+
+def test_time_us_date_column_is_timezone_independent(spark):
+    """DATE time columns must convert via the NTZ epoch, not a session-
+    timezone cast — buckets would otherwise shift vs the DuckDB oracle."""
+    from snappy_aqp_spark.topk.api import _time_us
+    from pyspark.sql import functions as F
+    df = spark.sql("SELECT DATE'2024-01-02' AS d")
+    naive_epoch_us = 1_704_153_600_000_000      # duckdb epoch_us(DATE'2024-01-02')
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            us = df.select(_time_us(df, "d").alias("u")).first()["u"]
+            assert us == naive_epoch_us, (tz, us)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
