@@ -89,3 +89,25 @@ def test_higher_fraction_tightens_bounds(spark):
         return r["s_upper_bound"] - r["s_lower_bound"]
 
     assert width(0.2) < width(0.05)
+
+
+def test_quantile_ci_coverage_across_seeds(spark, duck):
+    """binomial order-statistic intervals must cover the TRUE median at
+    roughly the confidence level across independent sampler seeds (the
+    reference's multi-run CI protocol applied to the quantile operator)."""
+    from snappy_aqp_spark.dialect import SPARK as _SP
+    from snappy_aqp_spark.pipeline.dual import run_stages
+    from snappy_aqp_spark.pipeline.quantiles import uniform_quantile_stages
+    spark.read.parquet(f"{SF_SMALL}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    truth = float(duck.sql(
+        "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY length(text)) "
+        "FROM documents").fetchone()[0])
+    covered = 0
+    for seed in range(N_SEEDS):
+        st, fin = uniform_quantile_stages(_SP, qs=(0.5,), fraction=0.2,
+                                          seed=seed, confidence=CONFIDENCE)
+        r = run_stages(spark, st, fin).collect()[0]
+        covered += r["lower_bound"] <= truth <= r["upper_bound"]
+    # binomial(30, 0.95): P(covered < 24) < 1e-4
+    assert covered >= 24, f"coverage {covered}/{N_SEEDS}"
