@@ -630,3 +630,27 @@ def test_histogram_floor_bins_negative_values(spark, duck):
     assert by_bin[-1] == 2            # -150, -1 in [-200, 0)
     assert by_bin[0] == 2             # 0, 150 in [0, 200)
     assert by_bin[1] == 1             # 250 in [200, 400)
+
+
+def test_temporal_plan_shapes(views):
+    """lock the scale-critical plan properties: as-of = ONE hash exchange
+    (union+window merge-join), range join contains NO nested-loop join,
+    bloom's only nested-loop join is the 1-row packed-filter broadcast."""
+    import re
+    from snappy_aqp_spark.pipeline.bloom import bloom_semi_join_stages
+    from snappy_aqp_spark.pipeline.temporal import (asof_join_stages,
+                                                    range_join_stages)
+
+    def plan_of(st, fin):
+        return run_stages(views, st, fin)._jdf.queryExecution() \
+            .executedPlan().toString()
+
+    p = plan_of(*asof_join_stages(SPARK))
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    p = plan_of(*range_join_stages(SPARK))
+    assert "BroadcastNestedLoopJoin" not in p
+
+    p = plan_of(*bloom_semi_join_stages(SPARK))
+    assert p.count("BroadcastNestedLoopJoin") <= 1   # the 1-row constant
