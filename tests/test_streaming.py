@@ -291,3 +291,57 @@ def test_time_aging_ddl_round_trip():
         spec_from_ddl("events", {"qcs": "event_type",
                                  "timeseriescolumn": "ts"},
                       key_cols=["event_id"])
+
+
+def test_session_window_batch_equals_sql_sessionize(spark):
+    """the built-in session_window formulation and the LAG/running-sum SQL
+    formulation implement the same gap semantics: identical (user, start,
+    n_events, cents) rollups on the events table."""
+    from snappy_aqp_spark.dialect import SPARK as _SP
+    from snappy_aqp_spark.pipeline.dual import run_stages
+    from snappy_aqp_spark.pipeline.sessions import sessionize_stages
+    from snappy_aqp_spark.streaming.sessions import session_rollup
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    events.createOrReplaceTempView("events")
+    st, fin = sessionize_stages(_SP, gap_minutes=720)
+    sql_rows = {(r.user_id, r.start_us, r.n_events, r.value_cents)
+                for r in run_stages(spark, st, fin).collect()}
+    sw_rows = {(r.user_id, r.start_us, r.n_events, r.value_cents)
+               for r in session_rollup(events, gap_minutes=720).collect()}
+    assert sql_rows == sw_rows
+
+
+def test_session_window_streaming_equals_batch(spark, tmpdir):
+    """append-mode streaming session_window over a real multi-trigger
+    stream emits exactly the batch sessions (a far-future flush row per
+    user pushes the watermark past every real session's end)."""
+    from snappy_aqp_spark.streaming.sessions import session_rollup
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    flush = (events.groupBy("user_id")
+             .agg(F.max("ts").alias("m"))
+             .select(F.lit(-1).alias("event_id"),
+                     F.expr("m + INTERVAL 30 DAYS").alias("ts"),
+                     "user_id", F.lit("flush").alias("event_type"),
+                     F.lit(0.0).alias("value"),
+                     F.lit("{}").alias("props")))
+    allrows = events.select(*flush.columns).unionByName(flush)
+    data_dir = f"{tmpdir}/in"
+    for i in range(3):
+        (allrows.where(F.pmod(F.col("event_id") + 3, F.lit(3)) == i)
+         .write.mode("append").parquet(data_dir))
+    stream = (spark.readStream.schema(allrows.schema)
+              .option("maxFilesPerTrigger", "2").parquet(data_dir))
+    out = session_rollup(stream, gap_minutes=720, watermark="0 seconds")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("sess_sink")
+         .option("checkpointLocation", f"{tmpdir}/ckpt")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180), "session stream did not finish"
+    flush_cut = {r.user_id: r.m for r in
+                 events.groupBy("user_id").agg(F.max("ts").alias("m")).collect()}
+    got = {(r.user_id, r.start_us, r.n_events, r.value_cents)
+           for r in spark.table("sess_sink").collect()
+           if r.n_events != 1 or r.value_cents != 0}       # drop flush rows
+    batch = {(r.user_id, r.start_us, r.n_events, r.value_cents)
+             for r in session_rollup(events, gap_minutes=720).collect()}
+    assert got == batch
