@@ -393,8 +393,9 @@ class AQPSession:
                     f"structure '{target}' (drop and recreate it instead)")
             # stale-cache guard: cached samples/plans over the mutated base
             # are dropped BEFORE the mutation runs, so the next approx
-            # query re-samples the post-mutation data
-            invalidate_base_table(t)
+            # query re-samples the post-mutation data (scoped to this
+            # session's data token)
+            invalidate_base_table(t, token=self._token)
             return self.spark.sql(text)
         ddl = fe.parse_create_sample(text)
         if ddl:

@@ -45,10 +45,17 @@ def _quantile_stages(dialect: str, col: str, key_cols: tuple[str, ...],
     g_sel = f"{group_by} AS g, " if group_by else ""
     g_col = "g, " if group_by else ""
     part = "PARTITION BY g " if group_by else ""
+    # NULL measures are excluded (they would rank NULLS FIRST on Spark but
+    # NULLS LAST on DuckDB, corrupting every order statistic); NULL groups
+    # are likewise excluded explicitly — the rank joins could never match
+    # them, so keeping them would silently burn sample budget
+    null_guard = f" AND ({col}) IS NOT NULL"
+    if group_by:
+        null_guard += f" AND ({group_by}) IS NOT NULL"
     stages = [
         ("__uqs",
          f"SELECT {g_sel}{keys}, CAST({col} AS DOUBLE) AS val FROM {table} "
-         f"WHERE {h} < {thr}"),
+         f"WHERE {h} < {thr}{null_guard}"),
         ("__uqn",
          f"SELECT {g_col}CAST(COUNT(*) AS BIGINT) AS n FROM __uqs"
          + (" GROUP BY g" if group_by else "")),

@@ -217,7 +217,7 @@ def _evict_hac_persisted() -> None:
         _HAC_PERSISTED.pop().unpersist()
 
 
-def invalidate_base_table(name: str) -> None:
+def invalidate_base_table(name: str, token: str | None = None) -> None:
     """Drop every cached sample / prepared plan built over a base table.
 
     Called on mutation pass-through (INSERT/UPDATE/DELETE/MERGE on a base
@@ -226,21 +226,29 @@ def invalidate_base_table(name: str) -> None:
     reroutes see the new rows — silent divergence beyond the error bound.
     The reference rebuilds samples through the mutation path itself
     (AnalyzeMutableOperations); the batch-parquet analog is re-sampling on
-    next use."""
+    next use. ``token``: scope the eviction to one session's data token
+    (None evicts across all tokens — two sessions sharing a table name
+    over different data would otherwise cross-invalidate)."""
     n = name.lower()
+
+    def tok_ok(k) -> bool:
+        return token is None or k[1] == token
+
     for key in [k for k in _SAMPLE_CACHE
-                if k[0].base_table.lower() == n]:
+                if tok_ok(k) and k[0].base_table.lower() == n]:
         _SAMPLE_CACHE.pop(key).unpersist()
 
     def touches(spec) -> bool:
         if spec.sample.base_table.lower() == n:
+            return True
+        if (spec.from_relation or "").lower() == n:
             return True
         if any(j.table.lower() == n for j in spec.joins):
             return True
         return any(n in (t.lower() for t in sp.tables)
                    for sp in spec.where_subs)
 
-    for key in [k for k in _PLAN_CACHE if touches(k[0])]:
+    for key in [k for k in _PLAN_CACHE if tok_ok(k) and touches(k[0])]:
         _PLAN_CACHE.pop(key)
 
 

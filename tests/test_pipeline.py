@@ -654,3 +654,29 @@ def test_temporal_plan_shapes(views):
 
     p = plan_of(*bloom_semi_join_stages(SPARK))
     assert p.count("BroadcastNestedLoopJoin") <= 1   # the 1-row constant
+
+
+def test_quantiles_exclude_null_measures_and_groups(spark, duck):
+    """NULL measures rank NULLS FIRST on Spark but NULLS LAST on DuckDB —
+    the sampler must exclude them (and NULL groups) up front; both
+    engines then agree and bounds are never NULL."""
+    from snappy_aqp_spark.pipeline.quantiles import (grouped_quantile_stages,
+                                                     uniform_quantile_stages)
+    spark.sql("SELECT * FROM VALUES (1, 10.0, 'a'), (2, 2.0, 'a'), "
+              "(3, CAST(NULL AS DOUBLE), 'a'), (4, 7.0, NULL) "
+              "AS t(k, v, g)").createOrReplaceTempView("nullq")
+    duck.sql("CREATE OR REPLACE VIEW nullq AS SELECT * FROM (VALUES "
+             "(1, 10.0, 'a'), (2, 2.0, 'a'), (3, CAST(NULL AS DOUBLE), 'a'), "
+             "(4, 7.0, NULL)) t(k, v, g)")
+    kw = dict(col="v", key_cols=("k",), table="nullq", qs=(0.5,),
+              fraction=1.0)
+    st, fin = uniform_quantile_stages(SPARK, **kw)
+    sp = run_stages(spark, st, fin).toPandas()
+    assert sp["n_sample"].iloc[0] == 3          # NULL measure excluded
+    assert sp.notna().all().all()
+    st2, fin2 = uniform_quantile_stages(DUCKDB, **kw)
+    compare_frames(run_stages(spark, st, fin), duck.sql(stages_sql(st2, fin2)))
+    st, fin = grouped_quantile_stages(SPARK, group_by="g", **kw)
+    gp = run_stages(spark, st, fin).toPandas()
+    assert list(gp["stratum"]) == ["a"]          # NULL group excluded
+    assert gp["n_sample"].iloc[0] == 2

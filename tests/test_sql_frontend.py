@@ -719,12 +719,20 @@ def test_fluent_join_api(aqp):
 
 def test_topk_ddl_bare_interval_is_milliseconds(aqp):
     """bare timeInterval numbers are milliseconds, matching the sample-DDL
-    convention (and stratifiedSampling.scala's parseLong fallback)."""
-    aqp.load_tables(SF_SMALL, ("lineitem",))
+    convention (and stratifiedSampling.scala's parseLong fallback) —
+    checked END-TO-END through the CREATE TOPK TABLE branch, not just the
+    parser helper."""
     import snappy_aqp_spark.api as api_mod
     assert api_mod._interval_us("5000") == 5_000_000
     assert api_mod._interval_us("5000ms") == 5_000_000
     assert api_mod._interval_us("5s") == 5_000_000
+    aqp.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    aqp.load_tables(SF_SMALL, ("events",))
+    aqp.sql("CREATE TOPK TABLE tk_bare_iv ON events OPTIONS("
+            "key 'user_id', timeSeriesColumn 'ts', "
+            "timeInterval '259200000', intKey 'true')")
+    spec = aqp.topk.get("tk_bare_iv").spec
+    assert spec.time_interval_us == 259_200_000 * 1_000     # ms -> us
 
 
 def test_mutation_invalidates_sample_and_plan_caches(spark):
@@ -755,3 +763,29 @@ def test_mutation_invalidates_sample_and_plan_caches(spark):
                    for k in _SAMPLE_CACHE)
     assert not any(k[0].sample.base_table == "lineitem" and k[1] == "mut-test"
                    for k in _PLAN_CACHE)
+
+
+def test_mutation_invalidation_scope(spark):
+    """eviction covers the FROM relation of join-sampled plans and stays
+    scoped to the mutating session's data token."""
+    from snappy_aqp_spark.plans.approx_query import (_PLAN_CACHE,
+                                                     invalidate_base_table)
+    from snappy_aqp_spark.specs import ApproxAgg, ApproxQuerySpec, SampleSpec
+
+    class FakeDF:
+        def unpersist(self):
+            pass
+
+    spec = ApproxQuerySpec(
+        sample=SampleSpec("orders", ("o_orderkey",), ("o_orderpriority",),
+                          "hash", fraction=0.1, seed=1),
+        from_relation="lineitem",
+        aggs=(ApproxAgg("sum", "o_totalprice", "s", 2.0 ** 19),))
+    _PLAN_CACHE[(spec, "tokA")] = FakeDF()
+    _PLAN_CACHE[(spec, "tokB")] = FakeDF()
+    # from_relation counts as a touched table; token scopes the eviction
+    invalidate_base_table("lineitem", token="tokA")
+    assert (spec, "tokA") not in _PLAN_CACHE
+    assert (spec, "tokB") in _PLAN_CACHE
+    invalidate_base_table("lineitem")            # token=None -> all tokens
+    assert (spec, "tokB") not in _PLAN_CACHE

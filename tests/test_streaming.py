@@ -337,11 +337,15 @@ def test_session_window_streaming_equals_batch(spark, tmpdir):
          .option("checkpointLocation", f"{tmpdir}/ckpt")
          .trigger(availableNow=True).start())
     assert q.awaitTermination(180), "session stream did not finish"
-    flush_cut = {r.user_id: r.m for r in
-                 events.groupBy("user_id").agg(F.max("ts").alias("m")).collect()}
+    # flush-sentinel sessions start strictly after every real event of
+    # their user (max ts + 30 days) — exclude by time, not value pattern
+    import pandas as pd
+    flush_cut = {r.user_id: int(pd.Timestamp(r.m).value // 1000)
+                 for r in events.groupBy("user_id")
+                 .agg(F.max("ts").alias("m")).collect()}
     got = {(r.user_id, r.start_us, r.n_events, r.value_cents)
            for r in spark.table("sess_sink").collect()
-           if r.n_events != 1 or r.value_cents != 0}       # drop flush rows
+           if r.start_us <= flush_cut[r.user_id]}
     batch = {(r.user_id, r.start_us, r.n_events, r.value_cents)
              for r in session_rollup(events, gap_minutes=720).collect()}
     assert got == batch
