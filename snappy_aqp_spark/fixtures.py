@@ -14,6 +14,7 @@ from .pipeline import chunking as _ck
 from .pipeline import contamination as _cn
 from .pipeline import dedup as _dd
 from .pipeline import diagnostics as _dg
+from .pipeline import funnel as _fn
 from .pipeline import distinct as _dc
 from .pipeline import histogram as _hg
 from .pipeline import quantiles as _qt
@@ -142,6 +143,17 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "join_cardinality": {
         "builder": _dg.join_cardinality_stages, "kw": {},
         "tables": ("lineitem", "orders")},
+    # ordered conversion funnel (signup -> click -> purchase within 2
+    # days), conditional-MIN cascade — no k-way self-join
+    "event_funnel": {
+        "builder": _fn.funnel_stages, "kw": {"within_days": 2},
+        "tables": ("events",)},
+    # weekly cohort retention triangle (saturated on this synthetic
+    # corpus — every user is active every week; the computation and its
+    # oracle are general)
+    "cohort_retention": {
+        "builder": _fn.cohort_retention_stages, "kw": {},
+        "tables": ("events",)},
 }
 
 ALL_ERRORS = ("absolute_error", "relative_error", "lower_bound", "upper_bound")

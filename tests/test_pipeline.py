@@ -680,3 +680,36 @@ def test_quantiles_exclude_null_measures_and_groups(spark, duck):
     gp = run_stages(spark, st, fin).toPandas()
     assert list(gp["stratum"]) == ["a"]          # NULL group excluded
     assert gp["n_sample"].iloc[0] == 2
+
+
+def test_funnel_matches_brute_force(views):
+    """the conditional-MIN cascade equals the brute-force ordered-triple
+    definition, and stage counts are monotone non-increasing."""
+    from snappy_aqp_spark.pipeline.funnel import funnel_stages
+    st, fin = funnel_stages(SPARK, within_days=2)
+    got = {r.stage: r.n_users for r in run_stages(views, st, fin).collect()}
+    assert got[1] >= got[2] >= got[3]
+    assert got[2] > got[3] > 0           # discriminating on this corpus
+    brute = views.sql("""
+        WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                   WHERE event_type = 'signup' GROUP BY user_id)
+        SELECT COUNT(DISTINCT s.user_id) AS n FROM s
+        JOIN events c ON c.user_id = s.user_id AND c.event_type = 'click'
+          AND c.ts >= s.t1
+          AND timestampdiff(MICROSECOND, s.t1, c.ts) < 172800000000
+        JOIN events p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+          AND p.ts >= c.ts
+          AND timestampdiff(MICROSECOND, s.t1, p.ts) < 172800000000
+    """).first()["n"]
+    assert got[3] == brute
+
+
+def test_cohort_retention_invariants(views):
+    from snappy_aqp_spark.pipeline.funnel import cohort_retention_stages
+    st, fin = cohort_retention_stages(SPARK)
+    sp = run_stages(views, st, fin).toPandas()
+    for _, g in sp.groupby("cohort_period"):
+        g = g.sort_values("period_offset")
+        assert g["period_offset"].iloc[0] == 0
+        assert g["n_active"].iloc[0] == g["cohort_size"].iloc[0]
+        assert (g["n_active"] <= g["cohort_size"]).all()
