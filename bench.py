@@ -92,7 +92,8 @@ def main() -> None:
                  "range_join_activity", "bloom_semi_join",
                  "stratified_split", "text_top_terms",
                  "pps_weighted_sample", "source_quota_cap",
-                 "decontamination", "chunk_documents", "join_cardinality"):
+                 "decontamination", "chunk_documents", "join_cardinality",
+                 "event_funnel", "cohort_retention"):
         def once():
             qs[name](spark, SF_DIR).collect()
         for _ in range(max(1, WARMUP - 1)):

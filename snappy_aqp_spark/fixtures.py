@@ -154,6 +154,11 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "cohort_retention": {
         "builder": _fn.cohort_retention_stages, "kw": {},
         "tables": ("events",)},
+    # exact per-column data profile (nulls / distincts); the approximate
+    # scale path is hll_distinct_stages
+    "table_profile": {
+        "builder": _dg.profile_stages, "kw": {},
+        "tables": ("documents",)},
 }
 
 ALL_ERRORS = ("absolute_error", "relative_error", "lower_bound", "upper_bound")

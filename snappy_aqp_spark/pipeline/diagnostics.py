@@ -42,6 +42,27 @@ def skew_report_stages(dialect: str, key: str = "user_id",
     return stages, final
 
 
+def profile_stages(dialect: str,
+                   cols: tuple[str, ...] = ("doc_id", "text", "lang",
+                                            "source", "n_chars"),
+                   table: str = "documents"
+                   ) -> tuple[list[tuple[str, str]], str]:
+    """``(stages, final)`` -> one row per column: (col_name, n_rows,
+    n_nulls, n_distinct) — the basic data-profile sweep. One aggregate
+    pass per column over a shared scan; at 100 TB you'd run the
+    approximate variant (``distinct.hll_distinct_stages``) for the
+    distinct counts — this exact form is the small/medium-table tool and
+    the oracle for it."""
+    parts = [
+        (f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+         f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+         f"AS n_nulls, "
+         f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM {table}")
+        for c in cols]
+    return [], ("SELECT * FROM (" + " UNION ALL ".join(parts) +
+                ") __p ORDER BY col_name")
+
+
 def join_cardinality_stages(dialect: str,
                             left: str = "lineitem",
                             left_key: str = "l_orderkey",

@@ -208,6 +208,8 @@ def raise_err(dialect: str, msg: str) -> str:
 
 
 def stages_sql(stages: list[tuple[str, str]], final: str) -> str:
+    if not stages:
+        return final
     ctes = ",\n".join(f"{n} AS (\n{s}\n)" for n, s in stages)
     return f"WITH {ctes}\n{final}"
 
