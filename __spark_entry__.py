@@ -114,6 +114,13 @@ def _dedup_clusters_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(spark)
 
 
+def _leakage_safe_split_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from snappy_aqp_spark.pipeline.clusters import leakage_safe_split
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    return leakage_safe_split(spark)
+
+
 def _embedding_clusters_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snappy_aqp_spark.pipeline.clusters import embedding_clusters
     spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
@@ -268,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_clean"] = _clean_corpus_runner
     out["streaming_topk_state"] = _streaming_topk_runner
     out["dedup_embedding_clusters"] = _embedding_clusters_runner
+    out["leakage_safe_split"] = _leakage_safe_split_runner
     return out
 
 
@@ -310,6 +318,8 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_clusters"] = dedup_clusters_oracle_sql()
     out["corpus_clean"] = clean_corpus_oracle_sql()
     out["dedup_embedding_clusters"] = embedding_clusters_oracle_sql()
+    from snappy_aqp_spark.pipeline.clusters import leakage_safe_split_oracle_sql
+    out["leakage_safe_split"] = leakage_safe_split_oracle_sql()
     out["streaming_topk_state"] = (
         "SELECT key, EstimatedValue, DeltaError FROM ("
         "SELECT CAST(user_id AS VARCHAR) AS key, "

@@ -236,3 +236,33 @@ def embedding_clusters_oracle_sql(threshold: float = 0.9) -> str:
            "FROM __ecomp c JOIN __esz s ON c.cluster_id = s.cluster_id "
            "ORDER BY c.vec_id")
     return dual.stages_sql(stages, out)
+
+
+def leakage_safe_split(spark: SparkSession,
+                       fractions: tuple[float, ...] = (0.8, 0.1, 0.1),
+                       names: tuple[str, ...] = ("train", "val", "test"),
+                       seed: int = 42, **cluster_kw) -> DataFrame:
+    """Train/val/test assignment keyed by the NEAR-DUP CLUSTER id, not the
+    document id: every member of a duplicate cluster lands in the same
+    split — the standard guard against train/test contamination through
+    near-duplicates (a doc-keyed split leaks whenever a near-dup pair
+    straddles the cut). Composition of ``dedup_clusters`` (LSH pairs ->
+    connected components) with the zero-shuffle hash-threshold assignment
+    (``split.hash_split_case`` on cluster_id). -> one row per doc:
+    (doc_id, cluster_id, split)."""
+    from .split import hash_split_case
+    lab = dedup_clusters(spark, **cluster_kw)
+    case = hash_split_case(("cluster_id",), fractions, names, seed)
+    return (lab.select("doc_id", "cluster_id", F.expr(case).alias("split"))
+            .orderBy("doc_id"))
+
+
+def leakage_safe_split_oracle_sql(fractions: tuple[float, ...] = (0.8, 0.1, 0.1),
+                                  names: tuple[str, ...] = ("train", "val",
+                                                            "test"),
+                                  seed: int = 42, **cluster_kw) -> str:
+    from .split import hash_split_case
+    case = hash_split_case(("cluster_id",), fractions, names, seed)
+    inner = dedup_clusters_oracle_sql(**cluster_kw)
+    return (f"SELECT doc_id, cluster_id, {case} AS split "
+            f"FROM ({inner}) __lss ORDER BY doc_id")

@@ -27,6 +27,25 @@ from __future__ import annotations
 from ..detrng import MODULUS, hash_sql
 
 
+def hash_split_case(key_cols: tuple[str, ...],
+                    fractions: tuple[float, ...],
+                    names: tuple[str, ...], seed: int) -> str:
+    """the zero-shuffle split assignment as one CASE expression (portable
+    SQL): integer cut points on the key-hash range."""
+    if len(fractions) != len(names):
+        raise ValueError("fractions and names must align")
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {sum(fractions)}")
+    h = hash_sql(list(key_cols), seed)
+    cuts, acc = [], 0.0
+    for f in fractions[:-1]:
+        acc += f
+        cuts.append(int(acc * MODULUS))
+    branches = "".join(f"WHEN {h} < {c} THEN '{n}' "
+                       for c, n in zip(cuts, names[:-1]))
+    return f"CASE {branches}ELSE '{names[-1]}' END"
+
+
 def split_assign_stages(dialect: str,
                         key_cols: tuple[str, ...] = ("doc_id",),
                         strata: str = "lang", table: str = "documents",
@@ -45,14 +64,7 @@ def split_assign_stages(dialect: str,
 
     if not exact_quotas:
         # hash-threshold: integer cut points on the hash range, no shuffle
-        cuts, acc = [], 0.0
-        for f in fractions[:-1]:
-            acc += f
-            cuts.append(int(acc * MODULUS))
-        branches = "".join(
-            f"WHEN {h} < {c} THEN '{n}' "
-            for c, n in zip(cuts, names[:-1]))
-        case = f"CASE {branches}ELSE '{names[-1]}' END"
+        case = hash_split_case(key_cols, fractions, names, seed)
         stages = [("__spl",
                    f"SELECT {keys}, {strata} AS stratum, {case} AS split "
                    f"FROM {table}")]

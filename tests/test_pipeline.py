@@ -713,3 +713,20 @@ def test_cohort_retention_invariants(views):
         assert g["period_offset"].iloc[0] == 0
         assert g["n_active"].iloc[0] == g["cohort_size"].iloc[0]
         assert (g["n_active"] <= g["cohort_size"]).all()
+
+
+def test_leakage_safe_split_keeps_clusters_together(views, duck):
+    """every near-dup pair shares a split (no train/test contamination),
+    and the result matches the recursive-CTE + hash-case oracle."""
+    from snappy_aqp_spark.pipeline import dedup
+    from snappy_aqp_spark.pipeline.clusters import (
+        leakage_safe_split, leakage_safe_split_oracle_sql)
+    sp = leakage_safe_split(views)
+    compare_frames(sp, duck.sql(leakage_safe_split_oracle_sql()))
+    split_of = {r.doc_id: r.split for r in sp.collect()}
+    st, fin = dedup.minhash_lsh_stages(SPARK, threshold=0.5, k=7)
+    pairs = [(r.ida, r.idb) for r in run_stages(views, st, fin).collect()]
+    assert pairs
+    for a, b in pairs:
+        assert split_of[a] == split_of[b], (a, b)
+    assert len(set(split_of.values())) == 3      # all three splits used
