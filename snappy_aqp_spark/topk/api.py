@@ -182,13 +182,35 @@ def _merge_rows(spec: TopKSpec, pdf: pd.DataFrame, level: int,
                         columns=_STATE_COLS)
 
 
+def _pyramid_rows(spec: TopKSpec, level0_rows: pd.DataFrame,
+                  max_level: int) -> list[pd.DataFrame]:
+    """Build the complete dyadic pyramid (levels 1..max_level) for ONE pid's
+    level-0 rows, bottom-up in plain pandas. Returns one merged row per
+    (level, parent bucket)."""
+    outs: list[pd.DataFrame] = []
+    cur = level0_rows
+    for lvl in range(1, max_level + 1):
+        if len(cur) == 0:
+            break
+        rows = [_merge_rows(spec, grp, lvl, int(pb))
+                for pb, grp in cur.groupby(cur["bucket"] // 2)]
+        cur = pd.concat(rows, ignore_index=True)
+        outs.append(cur)
+    return outs
+
+
 def _with_levels(state0: DataFrame, spec: TopKSpec) -> tuple[DataFrame, int]:
     """Attach Hokusai dyadic time-aggregation levels on top of the level-0
     buckets (Hokusai.scala:394-432 taAggregates): level l+1 merges sketch
     PAIRS of level l, so the whole pyramid costs O(buckets) tiny sketch-row
     merges and range queries touch O(log n) rows. Used at CREATE time only;
     insert/decay maintain the pyramid incrementally via
-    ``_incremental_levels`` (only touched buckets' ancestors rebuild)."""
+    ``_incremental_levels`` (only touched buckets' ancestors rebuild).
+
+    The whole pyramid for one pid is built in ONE Arrow round-trip (pids
+    hold disjoint key sets, so per-pid build is embarrassingly parallel);
+    a per-level shuffle cascade would cost max_level stage barriers for the
+    same sketch merges."""
     if (spec.stream_summary or not spec.dyadic or spec.time_col is None):
         return state0, 0
     mx = state0.select(F.max("bucket").alias("m")).collect()[0]["m"]
@@ -196,41 +218,167 @@ def _with_levels(state0: DataFrame, spec: TopKSpec) -> tuple[DataFrame, int]:
     if max_level == 0:
         return state0, 0
 
-    def merge_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        lvl = int(pdf["level"].iloc[0]) + 1
-        return _merge_rows(spec, pdf, lvl, int(pdf["bucket"].iloc[0]) // 2)
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = _pyramid_rows(spec, pdf, max_level)
+        if not outs:
+            return pdf.iloc[0:0]
+        return pd.concat(outs, ignore_index=True)
 
-    levels = [state0]
-    cur = state0
-    for _ in range(max_level):
-        cur = (cur.groupBy("pid", F.expr("bucket DIV 2").alias("__pb"))
-               .applyInPandas(lambda pdf: merge_pairs(pdf),
-                              schema=_STATE_SCHEMA))
-        levels.append(cur)
-    out = levels[0]
-    for ly in levels[1:]:
-        out = out.unionByName(ly)
-    return out, max_level
+    pyramid = state0.groupBy("pid").applyInPandas(build, schema=_STATE_SCHEMA)
+    return state0.unionByName(pyramid), max_level
+
+
+# pack (pid, bucket) into one BIGINT for literal-set filters; buckets stay
+# far below 2^48 for any real epoch/interval combination (asserted below)
+_PACK_SHIFT = 48
+
+
+def _packed(pairs) -> list[int]:
+    out = []
+    for pid, bucket in pairs:
+        assert 0 <= bucket < (1 << _PACK_SHIFT), bucket
+        out.append((int(pid) << _PACK_SHIFT) | int(bucket))
+    return out
+
+
+def _pack_col():
+    return F.shiftleft(F.col("pid"), _PACK_SHIFT).bitwiseOR(F.col("bucket"))
+
+
+# touched sets larger than this fall back to the join-based per-level path
+# (decay over a huge history); micro-batch inserts stay far below it
+_SMALL_TOUCHED = 20_000
 
 
 def _incremental_levels(spec: TopKSpec, old_state: DataFrame,
                         old_max_level: int, level0: DataFrame,
-                        touched: DataFrame) -> tuple[DataFrame, int]:
+                        touched_pairs: list[tuple[int, int]]
+                        ) -> tuple[DataFrame, int]:
     """Rebuild ONLY the dyadic ancestors of touched level-0 buckets
     (reference incremental shape: Hokusai.scala:172-196 — an append to
     bucket b invalidates its O(log n) ancestors, nothing else).
 
-    ``level0``: the complete new level-0 relation. ``touched``: distinct
-    (pid, bucket) level-0 keys whose rows changed. Untouched rows at every
-    level are reused from ``old_state`` byte-identical (JVM anti-join, no
-    Python round-trip); each rebuilt parent merges its (possibly reused)
-    children, so the result equals a full pyramid rebuild by induction."""
+    ``level0``: the complete new level-0 relation. ``touched_pairs``:
+    distinct (pid, bucket) level-0 keys whose rows changed. Untouched rows
+    at every level are reused from ``old_state`` byte-identical (literal-set
+    anti-filter, no Python round-trip). Levels that did not exist before
+    (an insert extended the time range) are rebuilt COMPLETELY from the
+    full previous level — ancestors of untouched old buckets exist there
+    too, so dyadic covers over the old range stay answerable.
+
+    All rebuilt rows are produced in ONE per-pid ``applyInPandas`` pass:
+    the driver knows the touched set, so it ships exactly the needed
+    children (touched rows + their reused siblings + the full previous
+    top level when the pyramid grows) and the Python side walks the
+    ancestor chain locally."""
     if spec.stream_summary or not spec.dyadic or spec.time_col is None:
         return level0, 0
     mx = level0.select(F.max("bucket").alias("m")).collect()[0]["m"]
     max_level = int(mx).bit_length() if mx else 0
     if max_level == 0:
         return level0, 0
+    assert max_level >= old_max_level, (max_level, old_max_level)
+    if len(touched_pairs) > _SMALL_TOUCHED:
+        return _incremental_levels_large(spec, old_state, old_max_level,
+                                         level0, touched_pairs, max_level)
+
+    grows = max_level > old_max_level
+    touched_by_pid: dict[int, set[int]] = {}
+    for pid, b in touched_pairs:
+        touched_by_pid.setdefault(int(pid), set()).add(int(b))
+
+    # driver-side ancestor sets: T[l] = touched (pid, bucket) at level l
+    t_levels: list[set[tuple[int, int]]] = [set(
+        (int(p), int(b)) for p, b in touched_pairs)]
+    for lvl in range(1, max_level + 1):
+        t_levels.append({(p, b >> 1) for p, b in t_levels[lvl - 1]})
+
+    # ship: level-0 children of touched level-1 parents (touched + sibling)
+    need0 = {(p, c) for p, b in t_levels[1] for c in (2 * b, 2 * b + 1)}
+    ship0 = level0.where(_pack_col().isin(_packed(need0))) if need0 \
+        else level0.limit(0)
+    ships = [ship0]
+    if old_max_level >= 1:
+        # untouched siblings at levels 1..old_max_level feeding a rebuilt
+        # parent, plus (when the pyramid grows) the FULL old top level
+        cond = None
+        for lvl in range(1, old_max_level + 1):
+            # siblings at level lvl feed rebuilt parents at lvl+1 (none
+            # when lvl is already the top level)
+            sib = set() if lvl + 1 > max_level else \
+                {(p, c) for p, b in t_levels[lvl + 1]
+                 for c in (2 * b, 2 * b + 1)} - t_levels[lvl]
+            c_l = (F.col("level") == lvl) & _pack_col().isin(_packed(sib)) \
+                if sib else None
+            if grows and lvl == old_max_level:
+                full = F.col("level") == lvl
+                c_l = full if c_l is None else (c_l | full)
+            if c_l is not None:
+                cond = c_l if cond is None else (cond | c_l)
+        if cond is not None:
+            ships.append(old_state.where(cond))
+    elif grows:
+        ships = [level0]        # no old levels: whole level 0 feeds level 1
+
+    inp = ships[0]
+    for s in ships[1:]:
+        inp = inp.unionByName(s)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["pid"].iloc[0])
+        by_level: dict[int, dict[int, pd.DataFrame]] = {}
+        for lvl, grp in pdf.groupby("level"):
+            by_level[int(lvl)] = {int(b): g for b, g in grp.groupby("bucket")}
+        outs: list[pd.DataFrame] = []
+        prev_touched = touched_by_pid.get(pid, set())
+        for lvl in range(1, max_level + 1):
+            children = by_level.get(lvl - 1, {})
+            if lvl <= old_max_level:
+                parents = {b >> 1 for b in prev_touched}
+            else:                       # new level: build it completely
+                parents = {b >> 1 for b in children}
+            built: dict[int, pd.DataFrame] = {}
+            for p in sorted(parents):
+                kids = [children[c] for c in (2 * p, 2 * p + 1)
+                        if c in children]
+                if not kids:
+                    continue
+                built[p] = _merge_rows(spec, pd.concat(kids,
+                                                       ignore_index=True),
+                                       lvl, p)
+            lvl_map = by_level.setdefault(lvl, {})
+            lvl_map.update(built)
+            outs.extend(built.values())
+            prev_touched = set(built)
+        if not outs:
+            return pdf.iloc[0:0]
+        return pd.concat(outs, ignore_index=True)
+
+    rebuilt = inp.groupBy("pid").applyInPandas(build, schema=_STATE_SCHEMA)
+    out = level0.unionByName(rebuilt)
+    # reuse untouched old rows at the levels that already existed
+    reuse_cond = None
+    for lvl in range(1, old_max_level + 1):
+        c_l = F.col("level") == lvl
+        t_l = t_levels[lvl]
+        if t_l:
+            c_l = c_l & ~_pack_col().isin(_packed(t_l))
+        reuse_cond = c_l if reuse_cond is None else (reuse_cond | c_l)
+    if reuse_cond is not None:
+        out = out.unionByName(old_state.where(reuse_cond))
+    return out, max_level
+
+
+def _incremental_levels_large(spec: TopKSpec, old_state: DataFrame,
+                              old_max_level: int, level0: DataFrame,
+                              touched_pairs: list[tuple[int, int]],
+                              max_level: int) -> tuple[DataFrame, int]:
+    """Join-based per-level fallback for very large touched sets (e.g. a
+    decay sweep over deep history): same induction, one shuffle round per
+    level, no driver-side sets."""
+    spark = level0.sparkSession
+    touched = spark.createDataFrame(
+        [(int(p), int(b)) for p, b in touched_pairs], "pid long, bucket long")
 
     def merge_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         lvl = int(pdf["level"].iloc[0]) + 1
@@ -240,14 +388,19 @@ def _incremental_levels(spec: TopKSpec, old_state: DataFrame,
     cur_level = level0                  # complete rows at level l-1
     cur_touched = touched               # changed (pid, bucket) at level l-1
     for lvl in range(1, max_level + 1):
-        t_l = (cur_touched
-               .select("pid", F.expr("bucket DIV 2").alias("bucket"))
-               .distinct())
-        # children feeding a touched parent (touched child + its sibling)
         par = cur_level.withColumn("__pb", F.expr("bucket DIV 2"))
-        children = par.join(
-            F.broadcast(t_l.withColumnRenamed("bucket", "__pb")),
-            on=["pid", "__pb"], how="leftsemi").drop("__pb")
+        if lvl <= old_max_level:
+            t_l = (cur_touched
+                   .select("pid", F.expr("bucket DIV 2").alias("bucket"))
+                   .distinct())
+            # children feeding a touched parent (touched child + sibling)
+            children = par.join(
+                F.broadcast(t_l.withColumnRenamed("bucket", "__pb")),
+                on=["pid", "__pb"], how="leftsemi").drop("__pb")
+        else:
+            # the level did not exist before: rebuild it COMPLETELY
+            t_l = par.select("pid", F.col("__pb").alias("bucket")).distinct()
+            children = par.drop("__pb")
         rebuilt = (children
                    .groupBy("pid", F.expr("bucket DIV 2").alias("__pb"))
                    .applyInPandas(lambda pdf: merge_pairs(pdf),
@@ -304,14 +457,21 @@ def insert_into_topk(spark: SparkSession, registry: TopKRegistry,
     new_state = (preagg.groupBy("pid")
                  .applyInPandas(_build_state(spec), schema=_STATE_SCHEMA)
                  .persist())
-    touched = new_state.select("pid", "bucket").distinct()
+    touched_pairs = [(int(r["pid"]), int(r["bucket"])) for r in
+                     new_state.select("pid", "bucket").distinct().collect()]
     old0 = table.state.where(F.col("level") == 0)
     # untouched buckets pass through JVM-side (no Python, byte-identical);
     # only buckets the append actually hits re-enter the merge
-    untouched0 = old0.join(F.broadcast(touched),
-                           on=["pid", "bucket"], how="leftanti")
-    both = old0.join(F.broadcast(touched), on=["pid", "bucket"],
-                     how="leftsemi").unionByName(new_state)
+    if touched_pairs and len(touched_pairs) <= _SMALL_TOUCHED:
+        hit = _pack_col().isin(_packed(touched_pairs))
+        untouched0 = old0.where(~hit)
+        both = old0.where(hit).unionByName(new_state)
+    else:
+        touched = new_state.select("pid", "bucket").distinct()
+        untouched0 = old0.join(F.broadcast(touched),
+                               on=["pid", "bucket"], how="leftanti")
+        both = old0.join(F.broadcast(touched), on=["pid", "bucket"],
+                         how="leftsemi").unionByName(new_state)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 1:
@@ -337,15 +497,19 @@ def insert_into_topk(spark: SparkSession, registry: TopKRegistry,
         .applyInPandas(merge, schema=_STATE_SCHEMA)).persist())
     merged0.count()
     merged, max_level = _incremental_levels(spec, table.state,
-                                            table.max_level, merged0, touched)
+                                            table.max_level, merged0,
+                                            touched_pairs)
     if max_level > 0:
         # localCheckpoint (eager) rather than persist: the per-level
         # anti-join/union lattice references the PREVIOUS state's plan, so
         # repeated micro-batch inserts would chain logical plans without
         # bound (driver OOM after a few dozen batches even though each
         # state is materialized) — checkpointing truncates the lineage to
-        # the materialized blocks
-        merged = merged.localCheckpoint(eager=True)
+        # the materialized blocks. The repartition bounds the state's
+        # partition count: each batch unions reused blocks with new shuffle
+        # output, and without it task counts grow linearly with batches.
+        merged = merged.repartition(spec.num_partitions, "pid") \
+            .localCheckpoint(eager=True)
         merged0.unpersist()
     new_state.unpersist()
     table.state.unpersist()
@@ -382,13 +546,14 @@ def decay_topk(spark: SparkSession, registry: TopKRegistry, name: str,
     untouched0 = old0.where(F.col("bucket") >= older_than_bucket)
     decayed = (old0.where(F.col("bucket") < older_than_bucket).groupBy("pid")
                .applyInPandas(decay, schema=_STATE_SCHEMA))
-    touched = (old0.where(F.col("bucket") < older_than_bucket)
-               .select("pid", "bucket").distinct())
+    touched_pairs = [(int(r["pid"]), int(r["bucket"])) for r in
+                     (old0.where(F.col("bucket") < older_than_bucket)
+                      .select("pid", "bucket").distinct().collect())]
     decayed0 = untouched0.unionByName(decayed).persist()
     decayed0.count()
     new_state, max_level = _incremental_levels(spec, table.state,
                                                table.max_level, decayed0,
-                                               touched)
+                                               touched_pairs)
     if max_level > 0:
         # lineage truncation — same rationale as insert_into_topk
         new_state = new_state.localCheckpoint(eager=True)

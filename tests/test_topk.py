@@ -226,6 +226,44 @@ def test_incremental_insert_rebuilds_only_ancestors(spark, events):
     assert after == batch
 
 
+def test_insert_extending_pyramid_builds_all_new_level_rows(spark):
+    """an insert whose bucket extends max_level must materialize the NEW
+    levels completely — including ancestors of untouched old buckets —
+    or dyadic covers over the old range silently lose counts (regression:
+    buckets 0-3 + insert at 12 previously dropped level-3 bucket 0)."""
+    import dataclasses as dc
+    from pyspark.sql import functions as F
+    rows = [(u, b * 1_000_000 + u) for b in range(4) for u in range(10)]
+    late = [(u, 12_000_000 + u) for u in range(5)]
+    df = (spark.createDataFrame(rows, "user_id long, ts long")
+          .withColumn("ts", F.col("ts") * 1000))
+    extra = (spark.createDataFrame(late, "user_id long, ts long")
+             .withColumn("ts", F.col("ts") * 1000))
+    spec = TopKSpec("grow_inc", key="user_id", time_col="ts",
+                    time_interval_us=1_000_000, num_partitions=2,
+                    int_key=True, epoch_us=0)
+    reg = TopKRegistry()
+    create_approx_ts_topk(spark, reg, df, spec)
+    insert_into_topk(spark, reg, "grow_inc", extra)
+    inc = {(r["pid"], r["level"], r["bucket"]):
+           (bytes(r["sketch"]), tuple(r["cand_keys"]),
+            tuple(r["cand_counts"]))
+           for r in reg.get("grow_inc").state.collect()}
+    create_approx_ts_topk(spark, reg, df.unionByName(extra),
+                          dc.replace(spec, name="grow_batch"))
+    batch = {(r["pid"], r["level"], r["bucket"]):
+             (bytes(r["sketch"]), tuple(r["cand_keys"]),
+              tuple(r["cand_counts"]))
+             for r in reg.get("grow_batch").state.collect()}
+    assert inc == batch
+    # the range query that walks the (3, 0) cover sees every old count
+    q_inc = {r["key"]: r["EstimatedValue"] for r in query_approx_ts_topk(
+        spark, reg, "grow_inc", 0, 12_000_000, 20).collect()}
+    q_b = {r["key"]: r["EstimatedValue"] for r in query_approx_ts_topk(
+        spark, reg, "grow_batch", 0, 12_000_000, 20).collect()}
+    assert q_inc == q_b
+
+
 def test_time_us_date_column_is_timezone_independent(spark):
     """DATE time columns must convert via the NTZ epoch, not a session-
     timezone cast — buckets would otherwise shift vs the DuckDB oracle."""
