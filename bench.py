@@ -93,7 +93,8 @@ def main() -> None:
                  "stratified_split", "text_top_terms",
                  "pps_weighted_sample", "source_quota_cap",
                  "decontamination", "chunk_documents", "join_cardinality",
-                 "event_funnel", "cohort_retention"):
+                 "event_funnel", "cohort_retention", "sequence_pack",
+                 "mixture_resample", "repetition_signals"):
         def once():
             qs[name](spark, SF_DIR).collect()
         for _ in range(max(1, WARMUP - 1)):

@@ -21,6 +21,8 @@ from .pipeline import quantiles as _qt
 from .pipeline import sessions as _ss
 from .pipeline import similarity as _sim
 from .pipeline import split as _sp
+from .pipeline import packing as _pk
+from .pipeline import repetition as _rp
 from .pipeline import temporal as _tp
 from .pipeline import terms as _tm
 from .pipeline import weighted as _wt
@@ -158,6 +160,23 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     # scale path is hll_distinct_stages
     "table_profile": {
         "builder": _dg.profile_stages, "kw": {},
+        "tables": ("documents",)},
+    # concat-and-chunk sequence packing: (sequence, document) segment map
+    # over a bucketed-prefix-sum token stream (seq_len=128 so multi-doc
+    # sequences AND multi-sequence docs both occur on this corpus)
+    "sequence_pack": {
+        "builder": _pk.sequence_pack_stages, "kw": {"seq_len": 128},
+        "tables": ("documents",)},
+    # domain-mixture resampling to target shares (basis points) with exact
+    # per-source quotas and upweight rationals; no source is upsampled
+    "mixture_resample": {
+        "builder": _pk.mixture_resample_stages,
+        "kw": {"targets": {"src0": 3000, "src1": 3000, "src2": 2000,
+                           "src3": 1000, "src4": 1000}},
+        "tables": ("documents",)},
+    # Gopher-style within-document repetition quality signals
+    "repetition_signals": {
+        "builder": _rp.repetition_signals_stages, "kw": {},
         "tables": ("documents",)},
 }
 

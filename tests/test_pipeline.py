@@ -730,3 +730,90 @@ def test_leakage_safe_split_keeps_clusters_together(views, duck):
     for a, b in pairs:
         assert split_of[a] == split_of[b], (a, b)
     assert len(set(split_of.values())) == 3      # all three splits used
+
+
+def test_sequence_pack_invariants(views):
+    """segments partition every document's token span; every sequence
+    except the stream's last is exactly seq_len tokens; a document's
+    segments are contiguous across consecutive sequences."""
+    from snappy_aqp_spark.pipeline.packing import sequence_pack_stages
+    L = 128
+    st, fin = sequence_pack_stages(SPARK, seq_len=L)
+    rows = run_stages(views, st, fin).toPandas()
+    ntok = {r.doc_id: r.n for r in views.sql(
+        "SELECT doc_id, CAST(length(text) - length(replace(text, ' ', '')) "
+        "+ 1 AS BIGINT) AS n FROM documents").collect()}
+    # per document: segment doc_tok_start ranges tile [0, doc_ntok)
+    for doc_id, g in rows.groupby("doc_id"):
+        g = g.sort_values("seq_id")
+        assert g["doc_ntok"].iloc[0] == ntok[doc_id]
+        assert g["doc_tok_start"].iloc[0] == 0
+        assert (g["doc_tok_start"] + g["n_tok"]).iloc[-1] == ntok[doc_id]
+        assert ((g["doc_tok_start"] + g["n_tok"]).iloc[:-1].values
+                == g["doc_tok_start"].iloc[1:].values).all()
+        # doc spans CONSECUTIVE sequences
+        assert (g["seq_id"].diff().dropna() == 1).all()
+    # per sequence: full except the last
+    per_seq = rows.groupby("seq_id")["n_tok"].sum()
+    assert (per_seq.iloc[:-1] == L).all()
+    assert 0 < per_seq.iloc[-1] <= L
+    # multi-doc sequences and multi-sequence docs both exercised
+    assert (rows.groupby("seq_id").size() > 1).any()
+    assert (rows.groupby("doc_id").size() > 1).any()
+
+
+def test_mixture_resample_hits_target_shares(views):
+    """quotas realize the requested mixture exactly (up to the integer
+    floor), never upsample, and the pick is deterministic."""
+    from snappy_aqp_spark.pipeline.packing import mixture_resample_stages
+    targets = {"src0": 3000, "src1": 3000, "src2": 2000,
+               "src3": 1000, "src4": 1000}
+    st, fin = mixture_resample_stages(SPARK, targets=targets)
+    rows = run_stages(views, st, fin).toPandas()
+    counts = {r.source: r.n for r in views.sql(
+        "SELECT source, COUNT(*) AS n FROM documents "
+        "GROUP BY source").collect()}
+    t = min(counts[s] * 10000 // bp for s, bp in targets.items())
+    got = rows.groupby("source").size().to_dict()
+    for s, bp in targets.items():
+        assert got.get(s, 0) == bp * t // 10000, s
+        assert got.get(s, 0) <= counts[s]            # never upsampled
+    assert set(got) <= set(targets)                  # others dropped
+    # upweight rational is exact: n_source / quota
+    for _, r in rows.iterrows():
+        assert r.up_num == counts[r.source] and r.up_den == got[r.source]
+    again = run_stages(views, st, fin).toPandas()
+    assert rows.equals(again)
+
+
+def test_repetition_signals_on_crafted_docs(spark):
+    """hand-computable documents pin the three signals."""
+    from snappy_aqp_spark.pipeline.packing import default_ntok_sql  # noqa: F401
+    from snappy_aqp_spark.pipeline.repetition import repetition_signals_stages
+    docs = [
+        (1, "spam spam spam spam"),           # all dup words, one bigram
+        (2, "a b c d"),                       # no repetition at all
+        (3, "x y x y x y"),                   # alternating pair
+        (4, "one"),                           # shorter than any gram
+        (5, ""),                              # empty
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .createOrReplaceTempView("__rep_docs")
+    st, fin = repetition_signals_stages(SPARK, table="__rep_docs")
+    got = {r.doc_id: r for r in run_stages(spark, st, fin).collect()}
+    r1 = got[1]       # 4 words, all dup; top bigram 'spam spam' x3 of 3
+    assert (r1.n_words, r1.n_distinct_words) == (4, 1)
+    assert r1.dup_word_bp == 10000
+    assert r1.top_bigram_bp == 3 * 2 * 10000 // 4
+    assert r1.dup_trigram_bp == 10000         # 'spam spam spam' x2 of 2
+    r2 = got[2]
+    assert (r2.dup_word_bp, r2.top_bigram_bp, r2.dup_trigram_bp) == \
+        (0, 1 * 2 * 10000 // 4, 0)            # unique bigrams: top count 1
+    r3 = got[3]       # 6 words: x*3 y*3; 'x y' x3, 'y x' x2 of 5 bigrams
+    assert r3.dup_word_bp == 10000
+    assert r3.top_bigram_bp == 3 * 2 * 10000 // 6
+    assert r3.dup_trigram_bp == 10000         # both trigrams repeat
+    r4 = got[4]
+    assert (r4.n_words, r4.top_bigram_bp, r4.dup_trigram_bp) == (1, 0, 0)
+    r5 = got[5]
+    assert (r5.n_words, r5.n_distinct_words, r5.dup_word_bp) == (0, 0, 0)
