@@ -94,7 +94,8 @@ def main() -> None:
                  "pps_weighted_sample", "source_quota_cap",
                  "decontamination", "chunk_documents", "join_cardinality",
                  "event_funnel", "cohort_retention", "sequence_pack",
-                 "mixture_resample", "repetition_signals"):
+                 "mixture_resample", "repetition_signals",
+                 "duplicate_spans"):
         def once():
             qs[name](spark, SF_DIR).collect()
         for _ in range(max(1, WARMUP - 1)):

@@ -23,6 +23,7 @@ from .pipeline import similarity as _sim
 from .pipeline import split as _sp
 from .pipeline import packing as _pk
 from .pipeline import repetition as _rp
+from .pipeline import spans as _dsp
 from .pipeline import temporal as _tp
 from .pipeline import terms as _tm
 from .pipeline import weighted as _wt
@@ -177,6 +178,11 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     # Gopher-style within-document repetition quality signals
     "repetition_signals": {
         "builder": _rp.repetition_signals_stages, "kw": {},
+        "tables": ("documents",)},
+    # maximal duplicated token spans (suffix-array dedup semantics in
+    # relational form: dup k-grams -> gaps-and-islands runs)
+    "duplicate_spans": {
+        "builder": _dsp.duplicate_spans_stages, "kw": {"k": 5},
         "tables": ("documents",)},
 }
 

@@ -817,3 +817,53 @@ def test_repetition_signals_on_crafted_docs(spark):
     assert (r4.n_words, r4.top_bigram_bp, r4.dup_trigram_bp) == (1, 0, 0)
     r5 = got[5]
     assert (r5.n_words, r5.n_distinct_words, r5.dup_word_bp) == (0, 0, 0)
+
+
+def test_duplicate_spans_on_crafted_docs(spark):
+    """a planted shared passage is found as one maximal span in both
+    documents; unique text yields no rows; within-doc repetition counts."""
+    from snappy_aqp_spark.pipeline.spans import duplicate_spans_stages
+    passage = "alpha beta gamma delta epsilon zeta eta"      # 7 tokens
+    docs = [
+        (1, f"one two three {passage} four five"),           # span at tok 3
+        (2, f"{passage} six seven eight nine ten"),          # span at tok 0
+        (3, "unique words only here nothing shared at all"),
+        (4, "rep rep rep rep rep rep rep rep"),              # 8x within-doc
+        (5, "tiny doc"),                                     # < k tokens
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .createOrReplaceTempView("__span_docs")
+    st, fin = duplicate_spans_stages(SPARK, k=5, table="__span_docs")
+    rows = run_stages(spark, st, fin).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # the shared passage: 7 tokens -> 3 dup 5-gram positions, one run
+    (s1,) = by_doc[1]
+    assert (s1.tok_start, s1.span_ntok, s1.n_dup_grams) == (3, 7, 3)
+    (s2,) = by_doc[2]
+    assert (s2.tok_start, s2.span_ntok, s2.n_dup_grams) == (0, 7, 3)
+    assert 3 not in by_doc and 5 not in by_doc
+    # within-document repetition: all 4 gram positions duplicated
+    (s4,) = by_doc[4]
+    assert (s4.tok_start, s4.span_ntok, s4.n_dup_grams) == (0, 8, 4)
+
+
+def test_duplicate_spans_invariants(views, duck):
+    """span arithmetic holds and spans are disjoint, maximal runs; the
+    DuckDB replay is bit-identical on the real corpus."""
+    from snappy_aqp_spark.pipeline.spans import duplicate_spans_stages
+    st, fin = duplicate_spans_stages(SPARK, k=5)
+    sp_df = run_stages(views, st, fin)
+    std, find = duplicate_spans_stages(DUCKDB, k=5)
+    dk = duck.sql(stages_sql(std, find)).df()
+    sp = sp_df.toPandas()
+    assert len(sp) > 0
+    compare_frames(sp_df, dk)
+    assert (sp.span_ntok == sp.n_dup_grams + 4).all()
+    for doc_id, g in sp.groupby("doc_id"):
+        g = g.sort_values("tok_start")
+        ends = g.tok_start + g.span_ntok
+        # disjoint AND maximal: next span starts strictly after this span's
+        # last covered gram position (a touching span would have merged)
+        assert (g.tok_start.iloc[1:].values > ends.iloc[:-1].values - 4).all()
