@@ -23,6 +23,7 @@ from .pipeline import similarity as _sim
 from .pipeline import split as _sp
 from .pipeline import packing as _pk
 from .pipeline import repetition as _rp
+from .pipeline import incremental as _ic
 from .pipeline import spans as _dsp
 from .pipeline import temporal as _tp
 from .pipeline import terms as _tm
@@ -183,6 +184,13 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     # relational form: dup k-grams -> gaps-and-islands runs)
     "duplicate_spans": {
         "builder": _dsp.duplicate_spans_stages, "kw": {"k": 5},
+        "tables": ("documents",)},
+    # incremental dedup: screen an incoming batch (2 sources) against the
+    # rest of the corpus — exact tier + asymmetric banded-LSH near tier
+    "cross_corpus_dedup": {
+        "builder": _ic.cross_corpus_dedup_stages,
+        "kw": {"new_pred": "source IN ('src18', 'src19')",
+               "threshold": 0.5},
         "tables": ("documents",)},
 }
 

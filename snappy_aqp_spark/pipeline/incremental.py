@@ -1,0 +1,121 @@
+"""Incremental (cross-corpus) dedup — screen an incoming batch against an
+existing corpus.
+
+Production pipelines rarely dedup from scratch: a new crawl snapshot or
+data drop is screened against the already-curated corpus, and only novel
+documents are admitted. This operator classifies every document of the
+NEW side (``new_pred``) against the CORPUS side (everything else):
+
+  * ``exact``  — byte-identical text exists in the corpus (equi-join on
+    the text; at scale join on md5(text) so the shuffle carries 16-byte
+    keys instead of documents);
+  * ``near``   — a corpus document with shingle-Jaccard >= ``threshold``
+    exists; the reported match is the best one (highest Jaccard, ties to
+    the smallest doc_id), found via the same one-permutation-MinHash
+    banded LSH as ``dedup.minhash_lsh_stages`` but joined ASYMMETRICALLY
+    (new bands x corpus bands only — no corpus self-join, which is the
+    whole point: the corpus side is index-shaped and the work scales with
+    the batch, not the corpus pair count);
+  * ``unique`` — neither.
+
+Within-batch duplicates are deliberately NOT matched here (run the
+symmetric ``dedup.*`` operators on the batch for that) — the two concerns
+compose, and conflating them would make the incremental result depend on
+batch iteration order.
+
+Exact-matched documents are excluded from the LSH candidate join (anti
+join) so each new document carries one unambiguous status.
+"""
+
+from __future__ import annotations
+
+from . import dual
+from ..dialect import dlit
+from .dedup import P31, _minhash_exprs
+
+
+def cross_corpus_dedup_stages(dialect: str, new_pred: str,
+                              threshold: float = 0.5, k: int = 5,
+                              n_hashes: int = 32, bands: int = 8,
+                              table: str = "documents", col: str = "text"
+                              ) -> tuple[list[tuple[str, str]], str]:
+    """``(stages, final)`` -> one row per NEW document:
+    (doc_id, status 'exact'|'near'|'unique', match_id nullable,
+    jaccard nullable — 1.0 for exact, the verified Jaccard for near)."""
+    rows = n_hashes // bands
+    (pa, pb) = _minhash_exprs(1)[0]
+    cpows = [pow(1299721, j, P31) for j in range(rows)]
+    grams = dual.gram_int_array(dialect, "txt", k)
+    stages = [
+        ("__cc0",
+         f"SELECT doc_id, {col} AS txt, "
+         f"CASE WHEN {new_pred} THEN 1 ELSE 0 END AS is_new FROM {table}"),
+        # exact tier: smallest corpus doc with identical text
+        ("__cce",
+         "SELECT n.doc_id AS doc_id, MIN(c.doc_id) AS match_id "
+         "FROM __cc0 n JOIN __cc0 c ON n.txt = c.txt "
+         "WHERE n.is_new = 1 AND c.is_new = 0 GROUP BY n.doc_id"),
+        # distinct shingles as narrow rows, side flag carried
+        ("__ccs",
+         f"SELECT doc_id, is_new, "
+         f"{dual.explode(dialect, dual.arr_distinct(dialect, grams), 'sh')} "
+         f"FROM __cc0 WHERE length(txt) >= {k}"),
+        # one-permutation bins (identical constants to minhash_lsh_stages
+        # so an offline-built corpus band index is directly reusable)
+        ("__ccb",
+         f"SELECT doc_id, is_new, h % {n_hashes} AS bin, MIN(h) AS m FROM "
+         f"(SELECT doc_id, is_new, ((sh % {P31}) * {pa} + {pb}) % {P31} AS h "
+         f"FROM __ccs) __oph GROUP BY doc_id, is_new, h % {n_hashes}"),
+        ("__ccv",
+         f"SELECT doc_id, is_new, "
+         f"CAST((bin - (bin % {rows})) / {rows} AS BIGINT) "
+         f"* {2 ** 31} + SUM((m * (CASE "
+         + " ".join(f"WHEN bin % {rows} = {j} THEN {c}"
+                    for j, c in enumerate(cpows))
+         + f" END)) % {P31}) % {P31} AS bv "
+         f"FROM __ccb "
+         f"GROUP BY doc_id, is_new, "
+         f"CAST((bin - (bin % {rows})) / {rows} AS BIGINT)"),
+        # asymmetric candidate join: new x corpus, exact tier excluded
+        ("__ccand",
+         "SELECT DISTINCT a.doc_id AS idn, b.doc_id AS idc "
+         "FROM __ccv a JOIN __ccv b ON a.bv = b.bv "
+         "AND a.is_new = 1 AND b.is_new = 0 "
+         "LEFT JOIN __cce e ON a.doc_id = e.doc_id "
+         "WHERE e.doc_id IS NULL"),
+        ("__ccdoc", "SELECT idn AS doc_id FROM __ccand "
+                    "UNION SELECT idc AS doc_id FROM __ccand"),
+        ("__ccsh", "SELECT s.doc_id, s.sh FROM __ccs s "
+                   "JOIN __ccdoc d ON s.doc_id = d.doc_id"),
+        ("__ccsz", "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n "
+                   "FROM __ccsh GROUP BY doc_id"),
+        ("__cccm",
+         "SELECT c.idn, c.idc, CAST(COUNT(*) AS BIGINT) AS common "
+         "FROM __ccand c JOIN __ccsh a ON a.doc_id = c.idn "
+         "JOIN __ccsh b ON b.doc_id = c.idc AND a.sh = b.sh "
+         "GROUP BY c.idn, c.idc"),
+        ("__ccj",
+         "SELECT m.idn, m.idc, CAST(m.common AS DOUBLE) / "
+         "CAST(sa.n + sb.n - m.common AS DOUBLE) AS jaccard "
+         "FROM __cccm m JOIN __ccsz sa ON m.idn = sa.doc_id "
+         "JOIN __ccsz sb ON m.idc = sb.doc_id"),
+        # best corpus match per new doc (ties to smallest corpus id)
+        ("__ccbst",
+         f"SELECT idn, idc, jaccard FROM "
+         f"(SELECT idn, idc, jaccard, ROW_NUMBER() OVER "
+         f"(PARTITION BY idn ORDER BY jaccard DESC, idc ASC) AS rk "
+         f"FROM __ccj WHERE jaccard >= {dlit(threshold)}) __r "
+         f"WHERE rk = 1"),
+    ]
+    final = (
+        "SELECT n.doc_id, "
+        "CASE WHEN e.match_id IS NOT NULL THEN 'exact' "
+        "WHEN b.idc IS NOT NULL THEN 'near' ELSE 'unique' END AS status, "
+        "COALESCE(e.match_id, b.idc) AS match_id, "
+        "CASE WHEN e.match_id IS NOT NULL THEN CAST(1 AS DOUBLE) "
+        "ELSE b.jaccard END AS jaccard "
+        "FROM __cc0 n "
+        "LEFT JOIN __cce e ON n.doc_id = e.doc_id "
+        "LEFT JOIN __ccbst b ON n.doc_id = b.idn "
+        "WHERE n.is_new = 1 ORDER BY n.doc_id")
+    return stages, final

@@ -867,3 +867,59 @@ def test_duplicate_spans_invariants(views, duck):
         # disjoint AND maximal: next span starts strictly after this span's
         # last covered gram position (a touching span would have merged)
         assert (g.tok_start.iloc[1:].values > ends.iloc[:-1].values - 4).all()
+
+
+def test_cross_corpus_dedup_statuses(spark):
+    """all three tiers classify correctly; within-batch duplicates stay
+    'unique' (incremental dedup screens against the corpus only)."""
+    from snappy_aqp_spark.pipeline.incremental import cross_corpus_dedup_stages
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    docs = [
+        # corpus side
+        (1, base, "old"),
+        (2, "completely different corpus text about other things entirely "
+            "with many words not shared", "old"),
+        # new side
+        (10, base, "new"),                                   # exact dup of 1
+        (11, base + " extra trailing words appended here", "new"),  # near 1
+        (12, "novel content nothing like anything else in this tiny "
+             "corpus at all whatsoever", "new"),             # unique
+        (13, "novel content nothing like anything else in this tiny "
+             "corpus at all whatsoever", "new"),             # within-batch dup
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, source string") \
+        .createOrReplaceTempView("__inc_docs")
+    st, fin = cross_corpus_dedup_stages(
+        SPARK, new_pred="source = 'new'", threshold=0.3, k=5,
+        table="__inc_docs")
+    got = {r.doc_id: r for r in run_stages(spark, st, fin).collect()}
+    assert set(got) == {10, 11, 12, 13}
+    assert (got[10].status, got[10].match_id, got[10].jaccard) == \
+        ("exact", 1, 1.0)
+    assert (got[11].status, got[11].match_id) == ("near", 1)
+    assert 0.3 <= got[11].jaccard < 1.0
+    assert (got[12].status, got[12].match_id) == ("unique", None)
+    # 12 and 13 are byte-identical but both in the batch -> both unique
+    assert got[13].status == "unique"
+
+
+def test_cross_corpus_dedup_matches_oracle_and_is_asymmetric(views, duck):
+    """DuckDB replay is bit-identical on the real corpus; near matches
+    agree with the symmetric pair detector restricted to cross pairs."""
+    from snappy_aqp_spark.pipeline.dedup import minhash_lsh_stages
+    from snappy_aqp_spark.pipeline.incremental import cross_corpus_dedup_stages
+    pred = "source IN ('src18', 'src19')"
+    st, fin = cross_corpus_dedup_stages(SPARK, new_pred=pred, threshold=0.5)
+    sp_df = run_stages(views, st, fin)
+    std, find = cross_corpus_dedup_stages(DUCKDB, new_pred=pred,
+                                          threshold=0.5)
+    compare_frames(sp_df, duck.sql(stages_sql(std, find)).df())
+    got = {r.doc_id: r for r in sp_df.collect()}
+    # every near match must appear in the symmetric detector's pairs
+    ps, pf = minhash_lsh_stages(SPARK, threshold=0.5)
+    pairs = {(r.ida, r.idb) for r in run_stages(views, ps, pf).collect()}
+    near = {d: r.match_id for d, r in got.items() if r.status == "near"}
+    assert near, "fixture should exercise the near tier"
+    for d, m in near.items():
+        assert (min(d, m), max(d, m)) in pairs, (d, m)
