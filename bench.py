@@ -95,7 +95,8 @@ def main() -> None:
                  "decontamination", "chunk_documents", "join_cardinality",
                  "event_funnel", "cohort_retention", "sequence_pack",
                  "mixture_resample", "repetition_signals",
-                 "duplicate_spans", "cross_corpus_dedup"):
+                 "duplicate_spans", "cross_corpus_dedup",
+                 "bm25_retrieval"):
         def once():
             qs[name](spark, SF_DIR).collect()
         for _ in range(max(1, WARMUP - 1)):

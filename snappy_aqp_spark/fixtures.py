@@ -24,6 +24,7 @@ from .pipeline import split as _sp
 from .pipeline import packing as _pk
 from .pipeline import repetition as _rp
 from .pipeline import incremental as _ic
+from .pipeline import retrieval as _rv
 from .pipeline import spans as _dsp
 from .pipeline import temporal as _tp
 from .pipeline import terms as _tm
@@ -191,6 +192,11 @@ PIPELINE_FIXTURES: dict[str, dict] = {
         "builder": _ic.cross_corpus_dedup_stages,
         "kw": {"new_pred": "source IN ('src18', 'src19')",
                "threshold": 0.5},
+        "tables": ("documents",)},
+    # BM25-shaped lexical retrieval: every 100th doc queries the rest
+    "bm25_retrieval": {
+        "builder": _rv.bm25_topk_stages,
+        "kw": {"query_pred": "doc_id % 100 = 0", "topk": 5},
         "tables": ("documents",)},
 }
 

@@ -923,3 +923,52 @@ def test_cross_corpus_dedup_matches_oracle_and_is_asymmetric(views, duck):
     assert near, "fixture should exercise the near tier"
     for d, m in near.items():
         assert (min(d, m), max(d, m)) in pairs, (d, m)
+
+
+def test_bm25_retrieval_matches_reference_scoring(spark):
+    """a from-scratch Python reimplementation of the integer BM25 formula
+    reproduces every (query, doc, score) row; ranking prefers rare shared
+    terms over common ones."""
+    import re as _re
+    from collections import Counter
+    from snappy_aqp_spark.pipeline.retrieval import bm25_topk_stages, K1_C, B_C
+    docs = [
+        (1, "zephyr quark boson lepton hadron"),            # query doc
+        (10, "zephyr appears here once among other words"), # rare term hit
+        (11, "quark boson quark boson quark boson"),        # multi rare hits
+        (12, "common words only appear here and there"),
+        (13, "other words appear once more and again"),
+        (14, "zephyr quark boson lepton hadron"),           # identical to q
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .createOrReplaceTempView("__bm_docs")
+    st, fin = bm25_topk_stages(SPARK, query_pred="doc_id = 1", topk=10,
+                               table="__bm_docs")
+    got = {(r.qid, r.doc_id): (r.rank, r.score_bp)
+           for r in run_stages(spark, st, fin).collect()}
+
+    corpus = {d: [t for t in _re.split(r"[^a-z0-9]+", txt.lower()) if t]
+              for d, txt in docs if d != 1}
+    qterms = set(t for t in _re.split(
+        r"[^a-z0-9]+", docs[0][1].lower()) if t)
+    tf = {d: Counter(ts) for d, ts in corpus.items()}
+    dl = {d: len(ts) for d, ts in corpus.items()}
+    n_docs, tot = len(corpus), sum(dl.values())
+    df = Counter(t for d in corpus for t in set(corpus[d]))
+    expect = {}
+    for d in corpus:
+        s = 0
+        for t in qterms & set(tf[d]):
+            idf_bp = (n_docs - df[t]) * 10000 // df[t]
+            norm = 10000 - B_C * 100 + (B_C * 100 * dl[d] * n_docs) // tot
+            sat = (tf[d][t] * (100 + K1_C) * 100 * 10000) // \
+                (tf[d][t] * 10000 + (K1_C * norm) // 100)
+            s += idf_bp * sat
+        if s > 0:
+            expect[d] = s
+    assert {d: s for (_, d), (_, s) in got.items()} == expect
+    # the identical doc wins; the multi-rare-term doc beats the single hit
+    ranks = {d: rk for (_, d), (rk, _) in got.items()}
+    assert ranks[14] == 1
+    assert ranks[11] < ranks[10]
+    assert 12 not in ranks            # shares no query term
