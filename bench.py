@@ -96,7 +96,7 @@ def main() -> None:
                  "event_funnel", "cohort_retention", "sequence_pack",
                  "mixture_resample", "repetition_signals",
                  "duplicate_spans", "cross_corpus_dedup",
-                 "bm25_retrieval"):
+                 "bm25_retrieval", "token_stats"):
         def once():
             qs[name](spark, SF_DIR).collect()
         for _ in range(max(1, WARMUP - 1)):

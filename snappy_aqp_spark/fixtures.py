@@ -28,6 +28,7 @@ from .pipeline import retrieval as _rv
 from .pipeline import spans as _dsp
 from .pipeline import temporal as _tp
 from .pipeline import terms as _tm
+from .pipeline import text as _tx
 from .pipeline import weighted as _wt
 from .specs import ApproxAgg, ApproxQuerySpec, JoinSpec, SampleSpec
 from .topk.api import TopKSpec
@@ -197,6 +198,10 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "bm25_retrieval": {
         "builder": _rv.bm25_topk_stages,
         "kw": {"query_pred": "doc_id % 100 = 0", "topk": 5},
+        "tables": ("documents",)},
+    # whitespace / alnum / BPE-ish token accounting per document
+    "token_stats": {
+        "builder": _tx.token_stats_stages, "kw": {},
         "tables": ("documents",)},
 }
 

@@ -201,3 +201,33 @@ def text_features_oracle(dialect: str = DUCKDB, table: str = "documents",
                    + [f"{s} AS {n}" for n, s in quality_frags().items()]
                    + [f"{langid_frag()} AS lang_pred"])
     return f"SELECT {', '.join(outer_parts)} FROM ({inner}) __t"
+
+
+# BPE-ish pre-tokenizer: contraction suffixes, letter runs, digit runs,
+# bare apostrophe, symbol runs — the GPT-2 pre-tokenization shape minus
+# the lookaheads (DuckDB's RE2 has none; alternation order carries the
+# same precedence, and both engines use leftmost-first alternation).
+BPE_PAT = "''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|''|[^a-z0-9'' ]+"
+
+
+def token_stats_stages(dialect: str, table: str = "documents",
+                       col: str = "text"
+                       ) -> tuple[list[tuple[str, str]], str]:
+    """``(stages, final)`` -> per-document token accounting:
+    (doc_id, n_chars_txt, n_ws_tokens, n_alnum_tokens, n_bpe_tokens).
+
+    Three tokenizer granularities side by side — whitespace runs (the
+    cheap proxy), alnum words (the analysis tokenizer), and a BPE-ish
+    pre-tokenizer (closest to what an LM tokenizer's input segmentation
+    produces; real BPE merges only ever SPLIT these pieces further, so
+    ``n_bpe_tokens`` is a lower bound on the LM token count). Pure scalar
+    projection: no shuffle, whole-stage codegen on Spark."""
+    ws = regex_count(dialect, col, "[^ ]+")
+    alnum = regex_count(dialect, f"lower({col})", "[a-z0-9]+")
+    bpe = regex_count(dialect, f"lower({col})", BPE_PAT)
+    final = (f"SELECT doc_id, CAST(length({col}) AS BIGINT) AS n_chars_txt, "
+             f"CAST({ws} AS BIGINT) AS n_ws_tokens, "
+             f"CAST({alnum} AS BIGINT) AS n_alnum_tokens, "
+             f"CAST({bpe} AS BIGINT) AS n_bpe_tokens "
+             f"FROM {table} ORDER BY doc_id")
+    return [], final

@@ -972,3 +972,39 @@ def test_bm25_retrieval_matches_reference_scoring(spark):
     assert ranks[14] == 1
     assert ranks[11] < ranks[10]
     assert 12 not in ranks            # shares no query term
+
+
+def test_token_stats_on_crafted_docs(spark, duck):
+    """punctuation, contractions, and digits separate the three counters;
+    both engines agree on the crafted strings too."""
+    from snappy_aqp_spark.pipeline.text import token_stats_stages
+    docs = [
+        (1, "It's 42 well-known cases, don't you think?"),
+        (2, "hello world"),
+        (3, ""),
+        (4, "a-b-c"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .createOrReplaceTempView("__tok_docs")
+    st, fin = token_stats_stages(SPARK, table="__tok_docs")
+    got = {r.doc_id: r for r in run_stages(spark, st, fin).collect()}
+    # "It's 42 well-known cases, don't you think?"
+    #   ws: 7 space-runs; alnum: it s 42 well known cases don t you think=10
+    #   bpe: it 's 42 well - known cases , don 't you think ? = 13
+    assert (got[1].n_ws_tokens, got[1].n_alnum_tokens,
+            got[1].n_bpe_tokens) == (7, 10, 13)
+    assert (got[2].n_ws_tokens, got[2].n_alnum_tokens,
+            got[2].n_bpe_tokens) == (2, 2, 2)
+    assert (got[3].n_ws_tokens, got[3].n_alnum_tokens,
+            got[3].n_bpe_tokens) == (0, 0, 0)
+    assert (got[4].n_ws_tokens, got[4].n_alnum_tokens,
+            got[4].n_bpe_tokens) == (1, 3, 5)
+    duck.sql("CREATE OR REPLACE TABLE __tok_docs AS SELECT * FROM (VALUES "
+             "(1, 'It''s 42 well-known cases, don''t you think?'), "
+             "(2, 'hello world'), (3, ''), (4, 'a-b-c')) t(doc_id, text)")
+    std, find = token_stats_stages(DUCKDB, table="__tok_docs")
+    dk = {int(r.doc_id): r for _, r in duck.sql(find).df().iterrows()}
+    for d in (1, 2, 3, 4):
+        assert (dk[d].n_ws_tokens, dk[d].n_alnum_tokens,
+                dk[d].n_bpe_tokens) == \
+            (got[d].n_ws_tokens, got[d].n_alnum_tokens, got[d].n_bpe_tokens)
