@@ -130,7 +130,10 @@ def analyze_text(text: str, catalog: SampleCatalog, defaults: dict,
     # only under all-inner joins: replacing one side of an outer join
     # would change its null-extension semantics.
     candidates = [base]
-    if parsed.joins and all(j.how == "inner" for j in parsed.joins):
+    if parsed.joins and all(j.how in ("inner", "cross")
+                            for j in parsed.joins):
+        # cross = comma-style FROM whose equalities live in WHERE: inner
+        # semantics, so any of its relations may carry the sample
         candidates += [j.table.lower() for j in parsed.joins]
     info, from_rel = None, None
     for cand in candidates:

@@ -300,6 +300,36 @@ SQL_FIXTURES: dict[str, dict] = {
                   "GROUP BY c_mktsegment ORDER BY c_mktsegment "
                   "WITH ERROR 0.5 CONFIDENCE 0.95"),
     },
+    # table aliases through FROM/JOIN (every query in the reference's perf
+    # corpus is written this way: perfFunctionalQueries.sql,
+    # perfJoinQueries.sql — `FROM FlightData fd, Flight fl, airlineRef`);
+    # ORDER BY the aggregate alias mirrors `ORDER BY x` there
+    "sql_alias_join": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem", "orders"),
+        "query": ("SELECT o.o_orderstatus, sum(l.l_extendedprice) AS rev, "
+                  "absolute_error(rev), relative_error(rev) "
+                  "FROM lineitem l JOIN orders o "
+                  "ON l.l_orderkey = o.o_orderkey "
+                  "GROUP BY o.o_orderstatus ORDER BY rev DESC "
+                  "WITH ERROR 0.5"),
+    },
+    # comma-style FROM list with join predicates in WHERE, incl. an OR of
+    # substring() filters — the exact shape of perfJoinQueries.sql:1
+    # (`FROM FlightData fd, Flight fl, airlineRef WHERE ... and
+    # (substring(...)='S' or substring(...)='s')`); the cross joins stay
+    # declarative and Catalyst/DuckDB fold the equalities into equi-joins
+    "sql_comma_join": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem", "orders", "customer"),
+        "query": ("SELECT avg(l.l_extendedprice) AS x, absolute_error(x), "
+                  "relative_error(x) FROM lineitem l, orders o, customer c "
+                  "WHERE l.l_orderkey = o.o_orderkey "
+                  "AND o.o_custkey = c.c_custkey "
+                  "AND (substring(c.c_mktsegment, 1, 1) = 'B' "
+                  "OR substring(c.c_mktsegment, 1, 1) = 'A') "
+                  "WITH ERROR 0.5 CONFIDENCE 0.95"),
+    },
     "sql_view": {
         "ddl": [_LI_DDL,
                 "CREATE VIEW li_view AS (SELECT l_returnflag, l_linestatus, "

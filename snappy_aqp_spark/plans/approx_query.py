@@ -366,7 +366,12 @@ def _prepare(spec: ApproxQuerySpec, tables: dict[str, DataFrame],
 
     df = rel(start)
     for j in spec.joins:
-        df = df.join(rel(j.table), on=F.expr(j.on), how=j.how)
+        if j.how == "cross":
+            # comma-style FROM list: predicate stays in spec.where and
+            # Catalyst folds it back into an equi-join after the filter
+            df = df.crossJoin(rel(j.table))
+        else:
+            df = df.join(rel(j.table), on=F.expr(j.on), how=j.how)
     if spec.where:
         df = df.where(F.expr(spec.where))
     df = _apply_subqueries(df, spec, tables, cache_token)
@@ -388,11 +393,34 @@ def _finalize_visible(spec: ApproxQuerySpec, fin_rel: DataFrame,
     return fin_rel.select(*sel)
 
 
+_SORT_DIR_RE = re.compile(
+    r"^(?P<e>.*?)\s+(?P<dir>ASC|DESC)"
+    r"(?:\s+NULLS\s+(?P<nulls>FIRST|LAST))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _sort_col(item: str):
+    """ORDER BY item -> Column: ``expr [ASC|DESC] [NULLS FIRST|LAST]``
+    (F.expr parses expressions only, not sort direction — the reference
+    corpus sorts descending all over, perfFunctionalQueries.sql:8)."""
+    m = _SORT_DIR_RE.match(item)
+    if not m:
+        return F.expr(item)
+    col = F.expr(m.group("e"))
+    desc = m.group("dir").upper() == "DESC"
+    nulls = (m.group("nulls") or "").upper()
+    if nulls == "FIRST":
+        return col.desc_nulls_first() if desc else col.asc_nulls_first()
+    if nulls == "LAST":
+        return col.desc_nulls_last() if desc else col.asc_nulls_last()
+    return col.desc() if desc else col.asc()
+
+
 def _apply_tail(spec: ApproxQuerySpec, df: DataFrame) -> DataFrame:
     if spec.having:
         df = df.where(F.expr(spec.having))
     if spec.order_by:
-        df = df.orderBy(*[F.expr(o) for o in spec.order_by])
+        df = df.orderBy(*[_sort_col(o) for o in spec.order_by])
     if spec.limit is not None:
         df = df.limit(spec.limit)
     return df
@@ -546,7 +574,10 @@ def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
 
         frm = rel(spec.from_relation or sampled_tbl)
         for j in spec.joins:
-            frm += f" {j.how.upper()} JOIN {rel(j.table)} ON {j.on}"
+            if j.how == "cross":
+                frm += f" CROSS JOIN {rel(j.table)}"
+            else:
+                frm += f" {j.how.upper()} JOIN {rel(j.table)} ON {j.on}"
         sql = f"SELECT * FROM {frm}"
         where_full = full_where_sql(spec)
         if where_full:
@@ -657,7 +688,10 @@ def exact_oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
     """Oracle for the exact path (routing fallback / benchmarking)."""
     frm = spec.from_relation or spec.sample.base_table
     for j in spec.joins:
-        frm += f" {j.how.upper()} JOIN {j.table} ON {j.on}"
+        if j.how == "cross":
+            frm += f" CROSS JOIN {j.table}"
+        else:
+            frm += f" {j.how.upper()} JOIN {j.table} ON {j.on}"
     sql = f"SELECT *, {', '.join(f'{g} AS __g{i}' for i, g in enumerate(spec.group_by))} FROM {frm}"
     if not spec.group_by:
         sql = f"SELECT * FROM {frm}"

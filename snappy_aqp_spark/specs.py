@@ -108,7 +108,11 @@ class ApproxAgg:
 @dataclass(frozen=True)
 class JoinSpec:
     table: str
-    on: str                             # portable SQL join condition
+    on: str | None                      # portable SQL join condition;
+                                        # None only for how="cross" (comma-
+                                        # style FROM list: the join predicate
+                                        # stays in WHERE and Catalyst/DuckDB
+                                        # fold it back into an equi-join)
     how: str = "inner"
 
 

@@ -167,7 +167,14 @@ def _find_clauses(sql: str) -> dict[str, str]:
 
 _JOIN_RE = re.compile(
     r"\s+(?P<how>INNER\s+|LEFT\s+(?:OUTER\s+)?|RIGHT\s+(?:OUTER\s+)?)?JOIN\s+"
-    r"(?P<table>\w+)\s+ON\s+", re.IGNORECASE)
+    r"(?P<table>\w+)(?:\s+(?:AS\s+)?(?P<alias>(?!ON\b)\w+))?\s+ON\s+",
+    re.IGNORECASE)
+
+# plain relation with an optional alias: ``table [AS] alias`` (the
+# reference's perf/join corpora qualify everything through aliases, e.g.
+# ``FROM FlightData fd, Flight fl`` — perfJoinQueries.sql:1-4)
+_REL_RE = re.compile(r"^(?P<table>\w+)(?:\s+(?:AS\s+)?(?P<alias>\w+))?$",
+                     re.IGNORECASE)
 
 # derived table in FROM: ``(SELECT ...) [AS] alias`` — inlined like a
 # projection view (the reference routes FROM-clause subqueries through the
@@ -186,16 +193,45 @@ def _strip_alias_prefix(text: str | None, alias: str) -> str | None:
                   flags=re.IGNORECASE)
 
 
+def _strip_qualifiers(text: str | None, quals: set[str]) -> str | None:
+    """Drop ``alias.`` / ``table.`` column qualifiers (string-literal-aware).
+
+    The engine executes fragments against joined DataFrames whose columns
+    carry no relation qualifier, so ``fd.uniquecarrier`` must become
+    ``uniquecarrier``. Sound when column names are unique across the joined
+    relations (true of the TPC-H-ish test schema); a genuinely ambiguous
+    schema would need per-relation renames — out of scope, the reference's
+    own test corpora never alias two same-named measure columns into one
+    approx query."""
+    if not text or not quals:
+        return text
+    alt = "|".join(sorted((re.escape(q) for q in quals), key=len,
+                          reverse=True))
+    pat = re.compile(rf"('(?:[^']|'')*')|(?<![\w.])(?:{alt})\.(?=\w)",
+                     re.IGNORECASE)
+    return pat.sub(lambda m: m.group(1) if m.group(1) is not None else "",
+                   text)
+
+
 def parse_select(sql: str) -> ParsedSelect:
     clauses = _find_clauses(sql)
     if "FROM" not in clauses:
         raise SQLFrontendError("expected FROM")
     frm = clauses["FROM"]
+    # comma-separated FROM list = implicit cross joins whose predicates live
+    # in WHERE (the reference's perf corpus is written in this style,
+    # perfJoinQueries.sql:1-4); Catalyst and DuckDB both fold the WHERE
+    # equalities back into equi-joins, so we keep them there untouched
+    segments = _split_top(frm)
+    if not segments:
+        raise SQLFrontendError("empty FROM")
+    base_seg, cross_segs = segments[0], segments[1:]
     joins: list[JoinSpec] = []
-    m = _JOIN_RE.search(frm)
+    quals: set[str] = set()           # alias/table names to strip as prefixes
+    m = _JOIN_RE.search(base_seg)
     if m:
-        base = frm[:m.start()].strip()
-        rest = frm[m.start():]
+        base = base_seg[:m.start()].strip()
+        rest = base_seg[m.start():]
         while True:
             m = _JOIN_RE.match(rest)
             if not m:
@@ -204,17 +240,36 @@ def parse_select(sql: str) -> ParsedSelect:
             on = rest[m.end():nxt.start() if nxt else len(rest)].strip()
             how = (m.group("how") or "inner").strip().lower().split()[0]
             joins.append(JoinSpec(m.group("table"), on, how))
+            quals.add(m.group("table").lower())
+            if m.group("alias"):
+                quals.add(m.group("alias").lower())
             rest = rest[nxt.start():] if nxt else ""
             if not rest:
                 break
     else:
-        base = frm.strip()
+        base = base_seg.strip()
+    for seg in cross_segs:
+        rm = _REL_RE.match(seg.strip())
+        if rm is None:
+            raise SQLFrontendError(
+                f"unsupported FROM-list relation: {seg!r} (routes exact)")
+        joins.append(JoinSpec(rm.group("table"), None, "cross"))
+        quals.add(rm.group("table").lower())
+        if rm.group("alias"):
+            quals.add(rm.group("alias").lower())
     derived = None
     if not re.fullmatch(r"\w+", base):
-        derived = _DERIVED_RE.match(base)
-        if derived is None:
-            raise SQLFrontendError(
-                f"unsupported FROM: {base!r} (subqueries route exact)")
+        rm = _REL_RE.match(base)
+        if rm is not None and rm.group("alias"):
+            base = rm.group("table")
+            quals.add(rm.group("alias").lower())
+        else:
+            derived = _DERIVED_RE.match(base)
+            if derived is None:
+                raise SQLFrontendError(
+                    f"unsupported FROM: {base!r} (subqueries route exact)")
+    if re.fullmatch(r"\w+", base or ""):
+        quals.add(base.lower())
 
     items = []
     for part in _split_top(clauses["SELECT"]):
@@ -227,13 +282,15 @@ def parse_select(sql: str) -> ParsedSelect:
     limit = None
     if "LIMIT" in clauses:
         limit = int(clauses["LIMIT"].strip())
+    sq = lambda t: _strip_qualifiers(t, quals)      # noqa: E731
     out = ParsedSelect(
-        select_items=items, from_table="__derived__" if derived else base,
-        joins=joins,
-        where=clauses.get("WHERE"),
-        group_by=_split_top(clauses.get("GROUP BY", "")),
-        having=clauses.get("HAVING"),
-        order_by=_split_top(clauses.get("ORDER BY", "")),
+        select_items=[(sq(e), a) for e, a in items],
+        from_table="__derived__" if derived else base,
+        joins=[JoinSpec(j.table, sq(j.on), j.how) for j in joins],
+        where=sq(clauses.get("WHERE")),
+        group_by=[sq(g) for g in _split_top(clauses.get("GROUP BY", ""))],
+        having=sq(clauses.get("HAVING")),
+        order_by=[sq(o) for o in _split_top(clauses.get("ORDER BY", ""))],
         limit=limit)
     if derived is None:
         return out

@@ -789,3 +789,40 @@ def test_mutation_invalidation_scope(spark):
     assert (spec, "tokB") in _PLAN_CACHE
     invalidate_base_table("lineitem")            # token=None -> all tokens
     assert (spec, "tokB") not in _PLAN_CACHE
+
+
+def test_parse_aliases_and_comma_joins():
+    # reference perfJoinQueries.sql style: aliased comma-FROM, predicates in
+    # WHERE; qualifiers are stripped because engine fragments run against
+    # unqualified joined columns
+    p = fe.parse_select(
+        "SELECT AVG(l.l_extendedprice) AS x FROM lineitem l, orders o "
+        "WHERE l.l_orderkey = o.o_orderkey AND o.o_orderpriority = '1-URGENT'")
+    assert p.from_table == "lineitem"
+    assert [(j.table, j.on, j.how) for j in p.joins] == [("orders", None, "cross")]
+    assert "l." not in p.where and "o." not in p.where
+    # aliased explicit JOIN
+    p2 = fe.parse_select(
+        "SELECT sum(l.l_quantity) AS s FROM lineitem AS l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderstatus")
+    assert p2.joins[0].how == "inner"
+    assert p2.joins[0].on == "l_orderkey = o_orderkey"
+    assert p2.group_by == ["o_orderstatus"]
+    # qualifier text inside string literals is never stripped
+    p3 = fe.parse_select(
+        "SELECT count(*) AS c FROM orders o WHERE o_comment = 'o.k.'")
+    assert "'o.k.'" in p3.where
+
+
+def test_comma_join_routes_through_sample(aqp, duck):
+    text = ("SELECT avg(l.l_extendedprice) AS x, absolute_error(x) "
+            "FROM lineitem l, orders o WHERE l.l_orderkey = o.o_orderkey "
+            "AND o.o_orderpriority LIKE '1%' WITH ERROR 0.5")
+    analyzed = aqp.analyze_sql(text)
+    assert analyzed.spec is not None, analyzed.reason
+    assert analyzed.spec.joins[0].how == "cross"
+    df = aqp.sql(text)
+    oracle = duck.sql(oracle_sql_for(analyzed.spec)).df()
+    oracle = oracle.rename(columns=analyzed.rename)
+    compare_frames(df, oracle)
