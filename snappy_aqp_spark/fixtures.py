@@ -330,6 +330,19 @@ SQL_FIXTURES: dict[str, dict] = {
                   "OR substring(c.c_mktsegment, 1, 1) = 'A') "
                   "WITH ERROR 0.5 CONFIDENCE 0.95"),
     },
+    # NYC-corpus shape (sampleTableNYCQueries.sql:2,5): bare select aliases
+    # (no AS), GROUP BY ordinal, BETWEEN filter, ORDER BY repeating the
+    # aggregate's expression text instead of its alias
+    "sql_group_ordinals": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT CAST(FLOOR(l_quantity / 10) AS BIGINT) qbucket, "
+                  "COUNT(*) num_items, absolute_error(num_items), "
+                  "relative_error(num_items) FROM lineitem "
+                  "WHERE l_quantity BETWEEN 5 AND 45 "
+                  "GROUP BY 1 ORDER BY COUNT(*) DESC, qbucket LIMIT 4 "
+                  "WITH ERROR 0.5"),
+    },
     "sql_view": {
         "ddl": [_LI_DDL,
                 "CREATE VIEW li_view AS (SELECT l_returnflag, l_linestatus, "

@@ -213,6 +213,23 @@ def _strip_qualifiers(text: str | None, quals: set[str]) -> str | None:
                    text)
 
 
+def _split_item_alias(part: str) -> tuple[str, str | None]:
+    """Select-list item -> (expr, alias). Accepts ``expr AS alias`` and the
+    bare form ``expr alias`` (reference corpora: ``COUNT(*) sample_``,
+    validationQueries.sql:2; ``ROUND(pickup_latitude, 4) lat``). The bare
+    form is recognized only when the alias follows a closing paren or a
+    single identifier — never inside arithmetic."""
+    part = part.strip()
+    am = re.search(r"\s+AS\s+(\w+)\s*$", part, re.IGNORECASE)
+    if am:
+        return part[:am.start()].strip(), am.group(1)
+    bm = (re.match(r"^(.*\))\s+(\w+)$", part, re.DOTALL)
+          or re.match(r"^([A-Za-z_]\w*(?:\.\w+)?)\s+([A-Za-z_]\w*)$", part))
+    if bm:
+        return bm.group(1).strip(), bm.group(2)
+    return part, None
+
+
 def parse_select(sql: str) -> ParsedSelect:
     clauses = _find_clauses(sql)
     if "FROM" not in clauses:
@@ -273,24 +290,39 @@ def parse_select(sql: str) -> ParsedSelect:
 
     items = []
     for part in _split_top(clauses["SELECT"]):
-        am = re.search(r"\s+AS\s+(\w+)\s*$", part, re.IGNORECASE)
-        if am:
-            items.append((part[:am.start()].strip(), am.group(1)))
-        else:
-            items.append((part.strip(), None))
+        items.append(_split_item_alias(part))
 
     limit = None
     if "LIMIT" in clauses:
         limit = int(clauses["LIMIT"].strip())
+
+    # GROUP BY / ORDER BY ordinals (`GROUP BY 1,2`, `ORDER BY 2 DESC`) —
+    # standard positional references into the select list; the reference's
+    # NYC corpus uses them throughout (sampleTableNYCQueries.sql:1,5).
+    # Resolved here so downstream analysis never sees a bare literal (which
+    # would silently group every row into one bucket).
+    def deref(item: str, keep_alias: bool) -> str:
+        dm = re.match(r"^(\d+)(\s+.*)?$", item.strip(), re.DOTALL)
+        if not dm:
+            return item
+        idx = int(dm.group(1)) - 1
+        if not 0 <= idx < len(items):
+            raise SQLFrontendError(f"ORDER/GROUP BY position {idx + 1} "
+                                   f"out of range")
+        expr, alias = items[idx]
+        ref = (alias if keep_alias and alias else expr)
+        return ref + (dm.group(2) or "")
     sq = lambda t: _strip_qualifiers(t, quals)      # noqa: E731
     out = ParsedSelect(
         select_items=[(sq(e), a) for e, a in items],
         from_table="__derived__" if derived else base,
         joins=[JoinSpec(j.table, sq(j.on), j.how) for j in joins],
         where=sq(clauses.get("WHERE")),
-        group_by=[sq(g) for g in _split_top(clauses.get("GROUP BY", ""))],
+        group_by=[sq(deref(g, keep_alias=False))
+                  for g in _split_top(clauses.get("GROUP BY", ""))],
         having=sq(clauses.get("HAVING")),
-        order_by=[sq(o) for o in _split_top(clauses.get("ORDER BY", ""))],
+        order_by=[sq(deref(o, keep_alias=True))
+                  for o in _split_top(clauses.get("ORDER BY", ""))],
         limit=limit)
     if derived is None:
         return out
@@ -590,9 +622,52 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
     # raw group expressions to their output aliases
     rev = {v: k for k, v in rename.items()}
 
+    # HAVING/ORDER BY may repeat an aggregate's expression text instead of
+    # its alias (`ORDER BY sum(fare_amount) desc`, sampleTableNYCQueries
+    # .sql:1); the finalized relation only carries the alias, so rewrite
+    # matching call spans (whitespace/case-insensitive) to it
+    agg_by_text: dict[str, str] = {}
+    for a in aggs:
+        if a.func == "count_star":
+            agg_by_text["count(*)"] = a.alias
+        elif a.measure is not None:
+            agg_by_text[
+                f"{a.func}({re.sub(chr(92) + 's+', '', a.measure).lower()})"
+            ] = a.alias
+
+    def rewrite_agg_calls(text: str) -> str:
+        out: list[str] = []
+        i = 0
+        for m in re.finditer(r"\b(SUM|AVG|COUNT|MIN|MAX)\s*\(", text,
+                             re.IGNORECASE):
+            if m.start() < i:
+                continue
+            depth, j = 0, m.end() - 1
+            while j < len(text):
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                break
+            inner = text[m.end():j]
+            norm = (f"{m.group(1).lower()}"
+                    f"({re.sub(chr(92) + 's+', '', inner).lower()})")
+            alias = agg_by_text.get(norm)
+            if alias is not None:
+                out.append(text[i:m.start()])
+                out.append(alias)
+                i = j + 1
+        out.append(text[i:])
+        return "".join(out)
+
     def unalias(text: str | None) -> str | None:
         if not text:
             return text
+        text = rewrite_agg_calls(text)
         for user, eng in rev.items():
             text = re.sub(rf"\b{user}\b", eng, text)
         for i, g in enumerate(parsed.group_by):

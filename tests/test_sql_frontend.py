@@ -826,3 +826,34 @@ def test_comma_join_routes_through_sample(aqp, duck):
     oracle = duck.sql(oracle_sql_for(analyzed.spec)).df()
     oracle = oracle.rename(columns=analyzed.rename)
     compare_frames(df, oracle)
+
+
+def test_parse_bare_aliases_and_ordinals():
+    # validationQueries.sql:2 — bare alias, no AS
+    p = fe.parse_select("SELECT COUNT(*) sample_ FROM orders")
+    assert p.select_items == [("COUNT(*)", "sample_")]
+    # sampleTableNYCQueries.sql:5 — GROUP BY 1,2 ordinals resolve to the
+    # select expressions; ORDER BY ordinal resolves to the alias
+    p2 = fe.parse_select(
+        "SELECT ROUND(l_discount, 2) lat, ROUND(l_tax, 2) lon, "
+        "COUNT(*) c FROM lineitem GROUP BY 1, 2 ORDER BY 3 DESC LIMIT 5")
+    assert p2.group_by == ["ROUND(l_discount, 2)", "ROUND(l_tax, 2)"]
+    assert p2.order_by == ["c DESC"]
+    with pytest.raises(fe.SQLFrontendError):
+        fe.parse_select("SELECT COUNT(*) c FROM orders GROUP BY 9")
+
+
+def test_order_by_agg_expression_rewrites_to_alias():
+    # nycQueries.sql:1 — `order by sum(fare_amount) desc` names the
+    # aggregate by its expression, not its alias
+    p = fe.parse_select(
+        "SELECT o_orderstatus, sum(o_totalprice) AS st FROM orders "
+        "GROUP BY o_orderstatus ORDER BY sum( o_totalprice ) desc")
+    from snappy_aqp_spark.specs import SampleSpec
+    ss = SampleSpec("orders", ("o_orderkey",), ("o_orderstatus",))
+    wc = fe.WithClause(0.5, 0.95, None)
+    an = fe.analyze(p, wc, ss,
+                    {"error": 0.5, "confidence": 0.95,
+                     "behavior": "do_nothing"})
+    assert an.spec is not None
+    assert an.spec.order_by == ("st desc",)
