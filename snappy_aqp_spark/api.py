@@ -108,6 +108,17 @@ def _cols_in_text(table: str, text: str,
     return {t for t in re.findall(r"\w+", text.lower()) if t in cols}
 
 
+# direct queries on a sample table run the AQP machinery with an infinite
+# error tolerance and default confidence even WITHOUT a WITH clause
+# (createErrConfForSampleTableQuery, QueryProcessingRules.scala:591-600;
+# ErrorEstimateFunctionTest.scala:175-193 fires `SELECT sum(..),
+# absolute_error(x) FROM <sampleTable>` with no clause at all). The value is
+# the reference's INIFINITE_ERROR_TOLERANCE = Double.MaxValue (:235).
+INFINITE_ERROR_TOLERANCE = 1.7976931348623157e308
+
+_FROM_NAME_RE = re.compile(r"\bFROM\s+(\w+)", re.IGNORECASE)
+
+
 def analyze_text(text: str, catalog: SampleCatalog, defaults: dict,
                  extra_cols: set[str] | None = None,
                  views: dict | None = None):
@@ -116,12 +127,33 @@ def analyze_text(text: str, catalog: SampleCatalog, defaults: dict,
     (plain SQL)."""
     stripped, wc = fe.strip_with_clause(text)
     if wc is None:
-        return None
+        # no WITH clause: only a direct sample-table query still routes
+        # through AQP (aggregates become weighted estimates); anything else
+        # is plain SQL
+        fm = _FROM_NAME_RE.search(stripped)
+        if fm is None or catalog.get(fm.group(1)) is None:
+            return None
+        wc = fe.WithClause(error=INFINITE_ERROR_TOLERANCE, confidence=None,
+                           behavior=None, has_error_kw=False)
     try:
         parsed = fe.parse_select(stripped)
         parsed = fe.expand_view(parsed, views or {})
     except fe.SQLFrontendError:
         return fe.AnalyzedQuery(None, None, {}, "unparseable: routed exact")
+    direct = catalog.get(parsed.from_table)
+    if direct is not None:
+        # FROM names the sample itself: force that sample (no QCS-based
+        # selection) and aggregate over its base-table plan shape — the
+        # engine swaps the base scan for this very sample
+        import dataclasses
+        parsed = dataclasses.replace(parsed,
+                                     from_table=direct.spec.base_table)
+        if wc.error is None:
+            wc = dataclasses.replace(wc, error=INFINITE_ERROR_TOLERANCE)
+        analyzed = fe.analyze(parsed, wc, direct.spec, defaults)
+        if analyzed.spec is not None and analyzed.spec.where_subs:
+            analyzed = _attach_subquery_samples(analyzed, catalog, extra_cols)
+        return analyzed
     base = parsed.from_table.lower()
     # ONE sampled relation anywhere in the query, FROM table first then
     # joined relations in order (the reference's plan-traversal order:
@@ -346,6 +378,11 @@ class AQPSession:
                 sample.count()
             _SAMPLE_CACHE[key] = sample
         self.catalog.register(SampleInfo(name, spec, path))
+        # the sample is a first-class queryable relation: plain SQL scans it
+        # by name (reference `select * from $sampleTable`,
+        # CFEEFunctionWithDatasourceAPITest.scala:29; sample-size probes in
+        # validationQueries.sql), hidden weight columns included
+        sample.createOrReplaceTempView(name)
         return sample
 
     def drop_sample_table(self, name: str) -> None:
@@ -353,6 +390,7 @@ class AQPSession:
         if info:
             _SAMPLE_CACHE.pop((info.spec, self._token), None)
         self.catalog.drop(name)
+        self.spark.catalog.dropTempView(name)
 
     # -- TopK (SnappyContextAQPFunctions.scala:107-356) ---------------------
 

@@ -330,6 +330,19 @@ SQL_FIXTURES: dict[str, dict] = {
                   "OR substring(c.c_mktsegment, 1, 1) = 'A') "
                   "WITH ERROR 0.5 CONFIDENCE 0.95"),
     },
+    # direct query ON the sample table, no WITH clause at all: AQP machinery
+    # with infinite error tolerance and default confidence, weighted
+    # estimates + error functions (createErrConfForSampleTableQuery,
+    # QueryProcessingRules.scala:591-600; ErrorEstimateFunctionTest
+    # .scala:175-193)
+    "sql_direct_sample_query": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, sum(l_quantity) AS x, "
+                  "absolute_error(x), relative_error(x), count(*) AS c "
+                  "FROM li_sample GROUP BY l_returnflag "
+                  "ORDER BY l_returnflag"),
+    },
     # NYC-corpus shape (sampleTableNYCQueries.sql:2,5): bare select aliases
     # (no AS), GROUP BY ordinal, BETWEEN filter, ORDER BY repeating the
     # aggregate's expression text instead of its alias

@@ -857,3 +857,35 @@ def test_order_by_agg_expression_rewrites_to_alias():
                      "behavior": "do_nothing"})
     assert an.spec is not None
     assert an.spec.order_by == ("st desc",)
+
+
+def test_direct_sample_table_query(aqp, duck):
+    # ErrorEstimateFunctionTest.scala:175-193: aggregates + error functions
+    # fired at the sample table itself, with NO WITH clause, route through
+    # AQP with infinite error tolerance and weighted estimates
+    text = ("SELECT sum(l_quantity) AS x, absolute_error(x), "
+            "count(*) AS c FROM li_sample")
+    an = aqp.analyze_sql(text)
+    assert an is not None and an.spec is not None, an and an.reason
+    assert an.spec.sample.base_table == "lineitem"
+    assert an.spec.error > 1e300            # INIFINITE_ERROR_TOLERANCE
+    df = aqp.sql(text)
+    oracle = duck.sql(oracle_sql_for(an.spec)).df()
+    compare_frames(df, oracle.rename(columns=an.rename))
+    # the weighted estimate equals the base-routed one (same sample/HT math)
+    via_base = aqp.sql("SELECT sum(l_quantity) AS x FROM lineitem "
+                       "WITH ERROR 0.5").collect()[0][0]
+    assert df.collect()[0][0] == via_base
+
+
+def test_direct_sample_scan_and_projection(aqp):
+    # CFEEFunctionWithDatasourceAPITest.scala:29 — plain scans return raw
+    # sample rows (hidden weight columns included), never estimates
+    rows = aqp.sql("SELECT * FROM li_sample")
+    from snappy_aqp_spark.specs import WEIGHT_COL
+    assert WEIGHT_COL in rows.columns
+    n_raw = rows.count()
+    assert n_raw == aqp.sql("SELECT l_quantity AS T FROM li_sample").count()
+    # weighted COUNT(*) estimates the BASE table count, not the sample size
+    est = aqp.sql("SELECT count(*) AS c FROM li_sample").collect()[0][0]
+    assert est > n_raw
