@@ -222,6 +222,35 @@ def _streaming_topk_ingest_runner(spark: SparkSession, sf_dir: str) -> DataFrame
                                 None, None, 20)
 
 
+def _streaming_sql_surface_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the reference's streaming session SQL surface end-to-end
+    (AQPStreamingSuite.scala:63-130): STREAMING INIT -> CREATE STREAM TABLE
+    (file_stream over the events rows) -> CREATE TOPK TABLE ON the stream
+    -> STREAMING START -> drain -> SELECT * FROM <topk> -> STREAMING STOP.
+    The stream-maintained sketch must equal the batch-built oracle."""
+    import tempfile
+    from snappy_aqp_spark.api import AQPSession
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    aqp = AQPSession(spark, data_token=f"stream-sql@{sf_dir}", **_SQL_DEFAULTS)
+    src = tempfile.mkdtemp(prefix="aqp_stream_src_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.mode(
+        "overwrite").parquet(src)
+    aqp.sql("STREAMING INIT 1secs")
+    aqp.sql("CREATE STREAM TABLE ev_stream (event_id bigint, "
+            "ts timestamp_ntz, user_id bigint, event_type string, "
+            "value double, props string) "
+            f"USING file_stream OPTIONS (path '{src}', format 'parquet')")
+    aqp.sql("CREATE TOPK TABLE topk_stream_sql ON ev_stream OPTIONS("
+            "key 'user_id', timeSeriesColumn 'ts', timeInterval '259200s', "
+            "epoch '1704067200000000', size '100', depth '7', width '4096', "
+            "numPartitions '8', intKey 'true')")
+    aqp.sql("STREAMING START")
+    aqp.streaming.process_all()
+    out = aqp.sql("SELECT * FROM topk_stream_sql LIMIT 20")
+    aqp.sql("STREAMING STOP")
+    return out
+
+
 def _multimodal_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = mm.synthesize_media(docs, n_frames=4, width=16, height=16)
@@ -274,6 +303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_clusters"] = _dedup_clusters_runner
     out["corpus_clean"] = _clean_corpus_runner
     out["streaming_topk_state"] = _streaming_topk_runner
+    out["streaming_sql_surface"] = _streaming_sql_surface_runner
     out["dedup_embedding_clusters"] = _embedding_clusters_runner
     out["leakage_safe_split"] = _leakage_safe_split_runner
     return out
@@ -335,6 +365,9 @@ def oracle_sql() -> dict[str, str]:
     out["sql_create_topk"] = topk_oracle_sql(
         TOPK_DDL_SPEC, "events", *TOPK_DDL_WINDOW)
     out["streaming_topk_ingest"] = topk_oracle_sql(
+        TOPK_FIXTURES["topk_cms_full"]["spec"], "events", None, None, 20)
+    # same sketch parameters, populated through the streaming SQL surface
+    out["streaming_sql_surface"] = topk_oracle_sql(
         TOPK_FIXTURES["topk_cms_full"]["spec"], "events", None, None, 20)
     from snappy_aqp_spark.fixtures import LI_HASH, _PRICE
     from snappy_aqp_spark.operators.sample_stats import (

@@ -424,7 +424,51 @@ class AQPSession:
 
     # -- SQL ----------------------------------------------------------------
 
+    # -- streaming session surface (AQPStreamingSuite.scala:63-130) ---------
+
+    @property
+    def streaming(self):
+        from .streaming.stream_tables import StreamingManager
+        if not hasattr(self, "_streaming"):
+            self._streaming = StreamingManager(self.spark)
+        return self._streaming
+
     def sql(self, text: str) -> DataFrame:
+        scmd = fe.parse_streaming_cmd(text)
+        if scmd:
+            op, dur = scmd
+            if op == "init":
+                self.streaming.init(dur)
+            elif op == "start":
+                self.streaming.start()
+            else:
+                self.streaming.stop()
+            return self.spark.range(0)
+        stream_ddl = fe.parse_create_stream(text)
+        if stream_ddl:
+            from .streaming.stream_tables import StreamTableDef
+            name, schema, provider, opts = stream_ddl
+            empty = self.streaming.create(
+                StreamTableDef(name, schema, provider, opts))
+            # the stream table doubles as a (initially empty) base relation
+            # so CREATE TOPK TABLE ... ON <stream> works before any data;
+            # a default sink keeps the session's view of it current
+            self.tables[name.lower()] = empty
+            self.streaming.add_sink(
+                name, lambda _bdf, n=name: self.tables.__setitem__(
+                    n.lower(), self.streaming.snapshot(n)))
+            return self.spark.range(0)
+        dropt = fe.parse_drop_table(text)
+        if dropt:
+            n = dropt.lower()
+            if self.streaming.tables.get(n) is not None:
+                self.streaming.drop(dropt)
+                self.tables.pop(n, None)
+                return self.spark.range(0)
+            if n in self.topk.tables:
+                self.topk.drop(n)
+                return self.spark.range(0)
+            return self.spark.sql(text)       # regular Spark table/view
         target = fe.parse_mutation_target(text)
         if target:
             t = target.lower()
@@ -469,6 +513,13 @@ class AQPSession:
                 frequency_col=opts.get("frequencycol"),
                 stream_summary=opts.get("streamsummary", "").lower() == "true",
                 int_key=opts.get("intkey", "").lower() == "true", **kw)
+            # TopK over a stream table: fan every micro-batch into the
+            # sketch (aqpTablePopulator, SnappyContextAQPFunctions
+            # .scala:390-442)
+            if (hasattr(self, "_streaming")
+                    and base.lower() in self.streaming.tables):
+                self.streaming.add_sink(
+                    base, lambda bdf, n=name: self.insert_into_topk(n, bdf))
             return self.spark.range(0)
         drop = fe.parse_drop_sample(text)
         if drop:

@@ -877,6 +877,51 @@ def parse_drop_sample(sql: str) -> str | None:
     return m.group("name") if m else None
 
 
+# --- streaming session commands ---------------------------------------------
+# AQPStreamingSuite.scala:63-130: STREAMING INIT <duration> / START / STOP,
+# CREATE STREAM TABLE name (schema) USING provider OPTIONS (...), and
+# DROP TABLE [IF EXISTS] over stream/TopK tables.
+
+_STREAMING_CMD_RE = re.compile(
+    r"^\s*STREAMING\s+(?:(?P<init>INIT)\s+(?P<dur>[\w ]+?)|(?P<cmd>START|STOP))"
+    r"\s*;?\s*$", re.IGNORECASE)
+
+_CREATE_STREAM_RE = re.compile(
+    r"^\s*CREATE\s+STREAM\s+TABLE\s+(?P<name>\w+)\s*"
+    r"(?:\((?P<schema>[^)]*)\)\s*)?"
+    r"USING\s+(?P<provider>\w+)\s+OPTIONS\s*\((?P<opts>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_DROP_TABLE_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE)
+
+
+def parse_streaming_cmd(sql: str) -> tuple[str, str | None] | None:
+    """('init', '2secs') | ('start', None) | ('stop', None) | None."""
+    m = _STREAMING_CMD_RE.match(sql)
+    if not m:
+        return None
+    if m.group("init"):
+        return "init", m.group("dur").strip()
+    return m.group("cmd").lower(), None
+
+
+def parse_create_stream(sql: str) -> tuple[str, str | None, str,
+                                           dict[str, str]] | None:
+    m = _CREATE_STREAM_RE.match(sql)
+    if not m:
+        return None
+    opts = {k.lower(): v for k, v in _OPT_RE.findall(m.group("opts"))}
+    schema = m.group("schema").strip() if m.group("schema") else None
+    return m.group("name"), schema, m.group("provider"), opts
+
+
+def parse_drop_table(sql: str) -> str | None:
+    m = _DROP_TABLE_RE.match(sql)
+    return m.group("name") if m else None
+
+
 # --- mutations --------------------------------------------------------------
 # The reference analyzes UPDATE/DELETE/INSERT against the mutable base table
 # (AnalyzeMutableOperations, internal/SnappyAQPSessionState.scala:133) and

@@ -349,3 +349,63 @@ def test_session_window_streaming_equals_batch(spark, tmpdir):
     batch = {(r.user_id, r.start_us, r.n_events, r.value_cents)
              for r in session_rollup(events, gap_minutes=720).collect()}
     assert got == batch
+
+
+def test_streaming_sql_surface(spark, tmp_path):
+    """AQPStreamingSuite.scala:63-130 protocol: INIT -> CREATE STREAM TABLE
+    -> CREATE TOPK ON it -> START -> ingest -> query stream + TopK ->
+    STOP -> INIT/START again resumes without re-ingesting -> DROP."""
+    import json
+    from snappy_aqp_spark.api import AQPSession
+    s = AQPSession(spark, data_token="stream-sql-test")
+    src = tmp_path / "src"
+    src.mkdir()
+    s.sql("STREAMING INIT 1secs")
+    s.sql("CREATE STREAM TABLE tagstream (hashtag string, cnt long) "
+          f"USING file_stream OPTIONS (path '{src}', format 'json')")
+    s.sql("CREATE TOPK TABLE tagtopk ON tagstream OPTIONS ("
+          "key 'hashtag', timeInterval '2000ms', size '5')")
+    assert s.sql("select * from tagstream").count() == 0
+    s.sql("STREAMING START")
+    with open(src / "b1.json", "w") as f:
+        for tag, n in [("spark", 5), ("aqp", 3), ("sql", 2)]:
+            for _ in range(n):
+                f.write(json.dumps({"hashtag": tag, "cnt": 1}) + "\n")
+    s.streaming.process_all()
+    assert s.sql("select * from tagstream").count() == 10
+    with open(src / "b2.json", "w") as f:
+        for _ in range(4):
+            f.write(json.dumps({"hashtag": "spark", "cnt": 1}) + "\n")
+    s.streaming.process_all()
+    assert s.sql("select * from tagstream").count() == 14
+    top = s.sql("select * from tagtopk").collect()
+    assert top[0].key == "spark" and top[0].EstimatedValue == 9
+    s.sql("STREAMING STOP")
+    # restart resumes from the checkpoint: nothing re-ingested
+    s.sql("STREAMING INIT 2 SECS")
+    s.sql("STREAMING START")
+    s.streaming.process_all()
+    assert s.sql("select * from tagstream").count() == 14
+    assert s.sql("select * from tagtopk").collect()[0].EstimatedValue == 9
+    s.sql("STREAMING STOP")
+    s.sql("DROP TABLE IF EXISTS tagtopk")
+    s.sql("DROP TABLE IF EXISTS tagstream")
+    assert "tagstream" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_streaming_duration_parse():
+    from snappy_aqp_spark.streaming.stream_tables import (
+        parse_streaming_duration_ms)
+    assert parse_streaming_duration_ms("2secs") == 2000
+    assert parse_streaming_duration_ms("2 SECS") == 2000
+    assert parse_streaming_duration_ms("500ms") == 500
+    assert parse_streaming_duration_ms("3") == 3000
+    from snappy_aqp_spark.sql import frontend as fe
+    assert fe.parse_streaming_cmd("STREAMING INIT 2secs") == ("init", "2secs")
+    assert fe.parse_streaming_cmd("STREAMING START") == ("start", None)
+    assert fe.parse_streaming_cmd("streaming stop ;") == ("stop", None)
+    assert fe.parse_streaming_cmd("SELECT 1") is None
+    assert fe.parse_create_stream(
+        "CREATE STREAM TABLE t (a string) USING file_stream "
+        "OPTIONS (path '/x', format 'json')") == (
+            "t", "a string", "file_stream", {"path": "/x", "format": "json"})
