@@ -96,7 +96,8 @@ def main() -> None:
                  "event_funnel", "cohort_retention", "sequence_pack",
                  "mixture_resample", "repetition_signals",
                  "duplicate_spans", "cross_corpus_dedup",
-                 "bm25_retrieval", "token_stats"):
+                 "bm25_retrieval", "token_stats",
+                 "lm_surprise", "dsir_select"):
         def once():
             qs[name](spark, SF_DIR).collect()
         for _ in range(max(1, WARMUP - 1)):

@@ -24,6 +24,7 @@ from .pipeline import split as _sp
 from .pipeline import packing as _pk
 from .pipeline import repetition as _rp
 from .pipeline import incremental as _ic
+from .pipeline import lm as _lm
 from .pipeline import retrieval as _rv
 from .pipeline import spans as _dsp
 from .pipeline import temporal as _tp
@@ -202,6 +203,17 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     # whitespace / alnum / BPE-ish token accounting per document
     "token_stats": {
         "builder": _tx.token_stats_stages, "kw": {},
+        "tables": ("documents",)},
+    # bigram-LM novelty (integer floor-log2 surprise per transition) —
+    # the no-model stand-in for perplexity quality filtering
+    "lm_surprise": {
+        "builder": _lm.lm_surprise_stages, "kw": {},
+        "tables": ("documents",)},
+    # DSIR-shaped importance selection: top-k out-of-target docs whose
+    # unigram stream best matches the target domain's statistics
+    "dsir_select": {
+        "builder": _lm.dsir_select_stages,
+        "kw": {"target_source": "src0", "k": 50},
         "tables": ("documents",)},
 }
 

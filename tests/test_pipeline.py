@@ -1008,3 +1008,59 @@ def test_token_stats_on_crafted_docs(spark, duck):
         assert (dk[d].n_ws_tokens, dk[d].n_alnum_tokens,
                 dk[d].n_bpe_tokens) == \
             (got[d].n_ws_tokens, got[d].n_alnum_tokens, got[d].n_bpe_tokens)
+
+
+def test_lm_surprise_on_crafted_docs(spark, duck):
+    """formulaic transitions score 0 bits; a one-off transition out of a
+    frequent left word scores blog(c_uni) - blog(1) bits."""
+    from snappy_aqp_spark.pipeline.lm import lm_surprise_stages
+    # corpus: 'a b' appears 8x (docs 1-2), 'a z' once (doc 3)
+    docs = [
+        (1, "a b a b a b a b"),
+        (2, "a b a b a b a b"),
+        (3, "a z"),
+        (4, "q"),                            # < 2 tokens -> zero row
+    ]
+    for eng in ("spark", "duck"):
+        if eng == "spark":
+            spark.createDataFrame(docs, "doc_id long, text string") \
+                .createOrReplaceTempView("documents")
+            st, fin = lm_surprise_stages("spark")
+            rows = {r.doc_id: r for r in run_stages(spark, st, fin).collect()}
+        else:
+            import pandas as pd
+            duck.register("documents",
+                          pd.DataFrame(docs, columns=["doc_id", "text"]))
+            st, fin = lm_surprise_stages("duckdb")
+            out = duck.sql(stages_sql(st, fin)).df()
+            rows = {int(r.doc_id): r for _, r in out.iterrows()}
+        # corpus stats: c(a)=9, c(b)=8, c('a b')=8, c('b a')=6, c('a z')=1
+        # doc1: 4x 'a b' (blog9-blog8=0) + 3x 'b a' (blog8-blog6=1) -> 3
+        assert rows[1].surprise_bits == 3 and rows[1].n_bigrams == 7
+        # doc3: 'a z': blog(9)-blog(1) = 3 - 0 = 3
+        assert rows[3].surprise_bits == 3 and rows[3].n_bigrams == 1
+        # avg: doc3 3 bits/1 pos = 30000bp >> doc1 3/7 = 4285bp
+        assert rows[3].avg_surprise_bp > rows[1].avg_surprise_bp
+        assert rows[4].n_bigrams == 0 and rows[4].surprise_bits == 0
+        duck_done = eng == "duck"
+    assert duck_done
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """a document written in the target domain's vocabulary outranks one
+    written in the background vocabulary."""
+    from snappy_aqp_spark.pipeline.lm import dsir_select_stages
+    target = [(i, "alpha beta gamma alpha beta", "tgt") for i in range(20)]
+    like = [(100, "alpha beta alpha beta", "other")]
+    unlike = [(101, "zeta eta theta zeta", "other")]
+    mid = [(102, "alpha zeta beta eta", "other")]
+    docs = target + like + unlike + mid
+    spark.createDataFrame(docs, "doc_id long, text string, source string") \
+        .createOrReplaceTempView("documents")
+    st, fin = dsir_select_stages("spark", target_source="tgt", k=3)
+    rows = run_stages(spark, st, fin).collect()
+    assert [r.doc_id for r in rows] == [100, 102, 101]
+    assert rows[0].weight_bits > rows[1].weight_bits > rows[2].weight_bits
+    assert rows[0].rank == 1
+    # target docs never selected
+    assert all(r.source == "other" for r in rows)
