@@ -31,7 +31,7 @@ from .plans.approx_query import (_SAMPLE_CACHE, invalidate_base_table,
 from .sampling.samplers import stratified_sample
 from .specs import ApproxAgg, ApproxQuerySpec, SampleSpec
 from .sql import frontend as fe
-from .tables import TABLE_COLUMNS, TABLE_KEYS
+from .tables import DEFAULT_COL_BOUNDS, TABLE_COLUMNS, TABLE_KEYS
 
 
 def spec_from_ddl(base: str | None, opts: dict[str, str],
@@ -57,9 +57,15 @@ def spec_from_ddl(base: str | None, opts: dict[str, str],
     if base is None:
         raise fe.SQLFrontendError(
             "CREATE SAMPLE TABLE needs ON <base> or an AS-select form")
-    keys = tuple(key_cols or TABLE_KEYS.get(base.lower()) or ())
+    # row-identity exprs for the deterministic sampler: the keyColumns
+    # option wins (needed for stream tables and user relations outside the
+    # built-in schema map), else the schema map
+    ddl_keys = tuple(c.strip() for c in opts.get("keycolumns", "").split(",")
+                     if c.strip())
+    keys = tuple(key_cols or ddl_keys or TABLE_KEYS.get(base.lower()) or ())
     if not keys:
-        raise ValueError(f"no key columns known for {base}; pass key_cols")
+        raise ValueError(f"no key columns known for {base}; pass key_cols "
+                         f"or a keyColumns DDL option")
     qcs = tuple(c.strip() for c in opts.get("qcs", "").split(",") if c.strip())
     if not qcs:
         raise fe.SQLFrontendError("CREATE SAMPLE TABLE needs qcs option")
@@ -321,6 +327,12 @@ class AQPSession:
         if behavior not in fe.BEHAVIORS:
             raise ValueError(f"unknown behavior '{behavior}' "
                              f"(from {self.CONF_BEHAVIOR} or constructor)")
+        # session-derived |column| bounds for quantization scales: filled at
+        # sample-build time from the data, overlaying the static schema map
+        # (without them, measures on unknown columns fall to the 2^20
+        # default and small values lose their variance to the lattice).
+        # Live dict — the defaults entry aliases it deliberately.
+        self.col_bounds: dict[str, float] = {}
         self.defaults = {
             "error": (error if error is not None
                       else conf(self.CONF_ERROR, float, 0.2)),
@@ -329,6 +341,7 @@ class AQPSession:
             "behavior": behavior,
             "trials": (num_bootstrap_trials if num_bootstrap_trials is not None
                        else conf(self.CONF_TRIALS, int, 100)),
+            "col_bounds": self.col_bounds,
         }
         self._token = data_token or f"aqp-session-{uuid.uuid4().hex[:8]}"
         self.views: dict = {}          # projection views (approx-routable)
@@ -361,9 +374,40 @@ class AQPSession:
         return self.create_sample_table_from_spec(name, spec, path=path,
                                                   materialize=materialize)
 
+    def _derive_col_bounds(self, base_df: DataFrame, spec: SampleSpec,
+                           force: bool = False) -> None:
+        """Observe max(abs(col)) for numeric non-key columns without a
+        registered bound (one aggregate over a table we are scanning to
+        sample anyway; MAX is order-independent, so the bound — and every
+        quantization scale derived from it — is engine-reproducible). At
+        100 TB the same max piggybacks on the sampling scan or maintains
+        incrementally (max only grows)."""
+        from pyspark.sql import functions as F
+        import pyspark.sql.types as T
+        if spec.base_table in TABLE_COLUMNS:
+            # built-in schema: bounds are static by contract (fixture
+            # oracles derive session-free and must see the same max_abs)
+            return
+        keys = ({k.lower() for k in TABLE_KEYS.get(spec.base_table, ())}
+                | {k.lower() for k in spec.key_cols})
+        cols = [f.name for f in base_df.schema.fields
+                if isinstance(f.dataType, T.NumericType)
+                and f.name.lower() not in keys
+                and f.name.lower() not in DEFAULT_COL_BOUNDS
+                and (force or f.name.lower() not in self.col_bounds)]
+        if not cols:
+            return
+        row = base_df.agg(
+            *[F.max(F.abs(F.col(c))).alias(c) for c in cols]).collect()[0]
+        for c in cols:
+            v = row[c]
+            if v is not None and float(v) > 0:
+                self.col_bounds[c.lower()] = float(v)
+
     def create_sample_table_from_spec(self, name: str, spec: SampleSpec,
                                       path: str | None = None,
                                       materialize: bool = True) -> DataFrame:
+        self._derive_col_bounds(self.tables[spec.base_table], spec)
         key = (spec, self._token)
         if key in _SAMPLE_CACHE:
             sample = _SAMPLE_CACHE[key]
@@ -433,6 +477,30 @@ class AQPSession:
             self._streaming = StreamingManager(self.spark)
         return self._streaming
 
+    def _on_stream_batch(self, name: str) -> None:
+        """per-micro-batch maintenance for a stream table: refresh the
+        session's snapshot, evict every cached sample/plan over it, and
+        re-point dependent sample views at a lazy re-sample of the
+        accumulated rows.
+
+        This is the reference's collectSamples fan-out
+        (SnappyContextAQPFunctions.scala:81-105) in Spark-first form: the
+        stratified sample is a DETERMINISTIC function of the accumulated
+        data (hash membership / smallest-key-hash reservoirs), so
+        re-sampling the snapshot is bit-equal to incremental maintenance —
+        the cache does the incrementality at local scale, and
+        StreamingSampleMaintainer (streaming/maintenance.py) remains the
+        state-carrying scale path."""
+        n = name.lower()
+        self.tables[n] = self.streaming.snapshot(name)
+        invalidate_base_table(n, token=self._token)
+        for info in self.catalog.for_base(n):
+            # bounds grow with the stream: re-derive from the snapshot so
+            # quantization scales track the observed value range
+            self._derive_col_bounds(self.tables[n], info.spec, force=True)
+            stratified_sample(self.tables[n], info.spec) \
+                .createOrReplaceTempView(info.name)
+
     def sql(self, text: str) -> DataFrame:
         scmd = fe.parse_streaming_cmd(text)
         if scmd:
@@ -451,12 +519,11 @@ class AQPSession:
             empty = self.streaming.create(
                 StreamTableDef(name, schema, provider, opts))
             # the stream table doubles as a (initially empty) base relation
-            # so CREATE TOPK TABLE ... ON <stream> works before any data;
-            # a default sink keeps the session's view of it current
+            # so CREATE SAMPLE/TOPK TABLE ... ON <stream> works before any
+            # data; a default sink keeps the session's view of it current
             self.tables[name.lower()] = empty
             self.streaming.add_sink(
-                name, lambda _bdf, n=name: self.tables.__setitem__(
-                    n.lower(), self.streaming.snapshot(n)))
+                name, lambda _bdf, n=name: self._on_stream_batch(n))
             return self.spark.range(0)
         dropt = fe.parse_drop_table(text)
         if dropt:

@@ -461,8 +461,17 @@ def extract_subqueries(where: str) -> tuple[str | None, tuple[SubqueryPred, ...]
     return (" AND ".join(plain) or None), tuple(subs)
 
 
-def measure_bound(measure: str) -> float:
-    bounds = [b for col, b in DEFAULT_COL_BOUNDS.items()
+def measure_bound(measure: str, col_bounds: dict[str, float] | None = None
+                  ) -> float:
+    """|measure| bound -> quantization scale. ``col_bounds`` overlays the
+    static schema map with session-derived bounds (max(abs(col)) observed
+    at sample-build time) — without a real bound the 2^20 fallback makes
+    the variance lattice so coarse that small-valued measures quantize to
+    a zero CI."""
+    table = dict(DEFAULT_COL_BOUNDS)
+    if col_bounds:
+        table.update(col_bounds)
+    bounds = [b for col, b in table.items()
               if re.search(rf"\b{col}\b", measure, re.IGNORECASE)]
     return 2.0 * max(bounds) if bounds else 2.0 ** 20
 
@@ -542,7 +551,9 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
                 agg = ApproxAgg("count_star", None, alias)
             else:
                 dm = _DEC_MEASURE_RE.match(arg) if fn in ("sum", "avg") else None
-                agg = ApproxAgg(fn, arg, alias, measure_bound(arg),
+                agg = ApproxAgg(fn, arg, alias,
+                                measure_bound(arg,
+                                              defaults.get("col_bounds")),
                                 dec_scale=int(dm.group(1)) if dm else None)
             aggs.append(agg)
             agg_by_alias[alias.lower()] = agg

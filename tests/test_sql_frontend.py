@@ -215,7 +215,8 @@ def test_session_conf_property_surface(spark):
             spark.conf.set(k, v)
         s = AQPSession(spark)
         assert s.defaults == {"error": 0.07, "confidence": 0.9,
-                              "behavior": "local_omit", "trials": 37}
+                              "behavior": "local_omit", "trials": 37,
+                              "col_bounds": {}}
         # explicit constructor args override the conf
         s2 = AQPSession(spark, error=0.2, behavior="strict")
         assert s2.defaults["error"] == 0.2
@@ -231,7 +232,8 @@ def test_session_conf_property_surface(spark):
     # without conf keys, built-in defaults apply
     s3 = AQPSession(spark)
     assert s3.defaults == {"error": 0.2, "confidence": 0.95,
-                           "behavior": "do_nothing", "trials": 100}
+                           "behavior": "do_nothing", "trials": 100,
+                           "col_bounds": {}}
 
 
 def test_bare_confidence_and_behavior_clauses(aqp):

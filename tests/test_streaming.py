@@ -409,3 +409,60 @@ def test_streaming_duration_parse():
         "CREATE STREAM TABLE t (a string) USING file_stream "
         "OPTIONS (path '/x', format 'json')") == (
             "t", "a string", "file_stream", {"path": "/x", "format": "json"})
+
+
+def test_stream_sample_maintenance_sql_surface(spark, tmp_path):
+    """CREATE SAMPLE TABLE ON a stream table (collectSamples fan-out,
+    SnappyContextAQPFunctions.scala:81-105): approx queries over the
+    stream stay bit-equal to a batch re-sample of the accumulated rows,
+    and quantization bounds track the observed value range."""
+    import json as _json
+    import random
+    from snappy_aqp_spark.api import AQPSession
+    rnd = random.Random(7)
+    s = AQPSession(spark, data_token="stream-sample-pytest")
+    src = tmp_path / "src"
+    src.mkdir()
+    s.sql("STREAMING INIT 1secs")
+    s.sql("CREATE STREAM TABLE evt (k string, v double, id long) "
+          f"USING file_stream OPTIONS (path '{src}', format 'json')")
+    s.sql("CREATE SAMPLE TABLE evt_sample ON evt OPTIONS("
+          "qcs 'k', fraction '0.5', method 'hash', seed '42', "
+          "keyColumns 'id')")
+    s.sql("STREAMING START")
+    q = ("SELECT k, sum(v) AS sv, absolute_error(sv), count(*) AS c "
+         "FROM evt GROUP BY k ORDER BY k WITH ERROR 0.5")
+    for lo, hi, scale in ((0, 200, 10), (200, 400, 20)):
+        with open(src / f"b{lo}.json", "w") as f:
+            for i in range(lo, hi):
+                f.write(_json.dumps({"k": "ab"[i % 2],
+                                     "v": rnd.uniform(0, scale),
+                                     "id": i}) + "\n")
+        s.streaming.process_all()
+    got = s.sql(q).collect()
+    # a real CI, not the zero-variance artifact of an unknown bound
+    assert all(r.sv_absolute_error > 0 for r in got)
+    assert s.col_bounds["v"] > 10       # grew past the first batch's range
+    # bit-equal to a fresh batch session over the same snapshot
+    s2 = AQPSession(spark, data_token="stream-sample-pytest-replay")
+    s2.tables["evt"] = s.streaming.snapshot("evt")
+    s2.create_sample_table_from_spec("evt_sample",
+                                     s.catalog.get("evt_sample").spec)
+    assert got == s2.sql(q).collect()
+    s.sql("STREAMING STOP")
+
+
+def test_derived_bounds_only_for_unknown_columns(spark):
+    """known schema-map columns keep their static bounds (fixture oracles
+    depend on the spec-level max_abs being session-independent)."""
+    from snappy_aqp_spark.api import AQPSession
+    from tests.conftest import SF_SMALL
+    s = AQPSession(spark, data_token="bounds-static")
+    s.load_tables(SF_SMALL, ["lineitem"])
+    s.sql("CREATE SAMPLE TABLE li_b ON lineitem OPTIONS("
+          "qcs 'l_returnflag', fraction '0.1', method 'hash', seed '42')")
+    # every lineitem numeric non-key column is in DEFAULT_COL_BOUNDS
+    assert s.col_bounds == {}
+    an = s.analyze_sql("SELECT sum(l_quantity) AS q FROM lineitem "
+                       "WITH ERROR 0.5")
+    assert an.spec.aggs[0].max_abs == 2.0 * 2.0 ** 6
