@@ -342,6 +342,20 @@ SQL_FIXTURES: dict[str, dict] = {
                   "OR substring(c.c_mktsegment, 1, 1) = 'A') "
                   "WITH ERROR 0.5 CONFIDENCE 0.95"),
     },
+    # SNAP-806 protocol (CommonBugTest.scala:296-360): null-mixed measure
+    # columns — sum/avg skip NULLs, count(col) weights only non-null rows,
+    # count(*) weights everything; all alongside error functions
+    "sql_null_measures": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, "
+                  "sum(NULLIF(l_discount, 0.04)) AS s_mix, "
+                  "avg(NULLIF(l_discount, 0.04)) AS a_mix, "
+                  "count(NULLIF(l_linestatus, 'F')) AS c_mix, "
+                  "count(*) AS c_star, absolute_error(s_mix) "
+                  "FROM lineitem GROUP BY l_returnflag "
+                  "ORDER BY l_returnflag WITH ERROR 0.5 CONFIDENCE 0.95"),
+    },
     # direct query ON the sample table, no WITH clause at all: AQP machinery
     # with infinite error tolerance and default confidence, weighted
     # estimates + error functions (createErrConfForSampleTableQuery,
