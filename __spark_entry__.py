@@ -251,6 +251,38 @@ def _streaming_sql_surface_runner(spark: SparkSession, sf_dir: str) -> DataFrame
     return out
 
 
+# AQP224/AQP-247 protocol (CommonBugTest.scala:1364-1420): an AGGREGATING
+# derived table over the sampled base, joined by an exact outer query. The
+# subquery routes through its own sample (inheriting the outer WITH clause);
+# the outer aggregate is integer cents so the exact side stays
+# order-independent across engines.
+_DRV_DDL = ("CREATE SAMPLE TABLE li_drv ON lineitem OPTIONS("
+            "qcs 'l_returnflag', fraction '0.1', method 'hash', seed '42')")
+_DRV_INNER = ("SELECT l_orderkey, sum(l_extendedprice) AS rev "
+              "FROM lineitem GROUP BY l_orderkey")
+_DRV_OUTER = ("SELECT o.o_orderpriority, "
+              "sum(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS income_cents "
+              "FROM {sub} big JOIN orders o ON big.l_orderkey = o.o_orderkey "
+              "WHERE big.rev > 50000.0 "
+              "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority")
+
+
+def _derived_agg_join_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aqp = AQPSession(spark, data_token=sf_dir, **_SQL_DEFAULTS)
+    aqp.load_tables(sf_dir, ("lineitem", "orders"))
+    aqp.sql(_DRV_DDL)
+    return aqp.sql(_DRV_OUTER.format(sub=f"({_DRV_INNER})")
+                   + " WITH ERROR 0.5")
+
+
+def _derived_agg_join_oracle() -> str:
+    inner = analyze_text(_DRV_INNER + " WITH ERROR 0.5",
+                         build_catalog_from_ddl([_DRV_DDL]), _SQL_DEFAULTS)
+    assert inner.spec is not None
+    return ("WITH big AS (\n" + oracle_sql_for(inner.spec) + "\n) "
+            + _DRV_OUTER.format(sub="(SELECT * FROM big)"))
+
+
 def _multimodal_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = mm.synthesize_media(docs, n_frames=4, width=16, height=16)
@@ -304,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_clean"] = _clean_corpus_runner
     out["streaming_topk_state"] = _streaming_topk_runner
     out["streaming_sql_surface"] = _streaming_sql_surface_runner
+    out["sql_derived_agg_join"] = _derived_agg_join_runner
     out["dedup_embedding_clusters"] = _embedding_clusters_runner
     out["leakage_safe_split"] = _leakage_safe_split_runner
     return out
@@ -369,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
     # same sketch parameters, populated through the streaming SQL surface
     out["streaming_sql_surface"] = topk_oracle_sql(
         TOPK_FIXTURES["topk_cms_full"]["spec"], "events", None, None, 20)
+    out["sql_derived_agg_join"] = _derived_agg_join_oracle()
     from snappy_aqp_spark.fixtures import LI_HASH, _PRICE
     from snappy_aqp_spark.operators.sample_stats import (
         error_estimate_average_oracle, error_stats_oracle)

@@ -620,6 +620,9 @@ class AQPSession:
         if analyzed is None:
             return self.spark.sql(text)
         if analyzed.spec is None:
+            derived = self._try_approx_derived(text)
+            if derived is not None:
+                return derived
             stripped, _ = fe.strip_with_clause(text)
             return self.spark.sql(fe.fold_error_functions(stripped, analyzed.parsed))
         df = run_approx_query(self.spark, analyzed.spec, self.tables,
@@ -627,6 +630,76 @@ class AQPSession:
         if analyzed.rename:
             df = df.withColumnsRenamed(analyzed.rename)
         return df
+
+    def _try_approx_derived(self, text: str) -> DataFrame | None:
+        """Sample query in a FROM-clause subquery joined by an exact outer
+        query (CommonBugTest AQP-224/AQP-247/AQP-231/AQP-233): when the
+        whole-query analysis could not route (e.g. the derived table
+        aggregates, so it cannot inline as a projection view), try routing
+        the SUBQUERY through its own sample — it inherits the outer WITH
+        clause (subqueryChildHandler semantics) and materializes as a
+        temp view of weighted estimates; the outer query then runs exact
+        over the join, its error functions constant-folded."""
+        stripped, wc = fe.strip_with_clause(text)
+        if wc is None:
+            return None
+        span = fe.find_from_derived(stripped)
+        if span is None:
+            return None
+        start, end, inner_sql, alias = span
+        suffix = " WITH ERROR"
+        if wc.error is not None:
+            suffix += f" {wc.error!r}"
+        if wc.confidence is not None:
+            suffix += f" CONFIDENCE {wc.confidence!r}"
+        if wc.behavior is not None:
+            suffix += f" BEHAVIOR '{wc.behavior}'"
+        # error functions in the OUTER text that target an inner aggregate
+        # alias resolve through the subquery (GetErrorBounds parity): the
+        # inner query computes them, the outer references the materialized
+        # column by its engine name
+        outer_rest = stripped[:start] + stripped[end:]
+        try:
+            inner_parsed = fe.parse_select(inner_sql)
+        except fe.SQLFrontendError:
+            return None
+        inner_aggs = {a.lower() for e, a in inner_parsed.select_items
+                      if a and fe._AGG_RE.match(e.strip())}
+        needed = list(dict.fromkeys(
+            (f.lower(), t) for f, t in fe._ERRFN_CALL_RE.findall(outer_rest)
+            if t.lower() in inner_aggs))
+        inner_exec = inner_sql
+        if needed:
+            calls = ", ".join(f"{f}({t})" for f, t in needed)
+            inner_exec = ("SELECT " + calls + ", "
+                          + inner_sql[len("SELECT"):].lstrip())
+        try:
+            inner = self.analyze_sql(inner_exec + suffix)
+        except fe.SQLFrontendError:
+            return None
+        if inner is None or inner.spec is None:
+            return None
+        inner_df = run_approx_query(self.spark, inner.spec, self.tables,
+                                    cache_token=self._token)
+        if inner.rename:
+            inner_df = inner_df.withColumnsRenamed(inner.rename)
+        view = f"__aqp_derived_{uuid.uuid4().hex[:8]}"
+        inner_df.createOrReplaceTempView(view)
+        outer = (stripped[:start] + view
+                 + (f" {alias}" if alias else "") + stripped[end:])
+
+        def err_repl(m: re.Match) -> str:
+            f, t = m.group(1).lower(), m.group(2)
+            if t.lower() in inner_aggs:
+                return f"{t}_{f}"
+            return m.group(0)
+
+        outer = fe._ERRFN_CALL_RE.sub(err_repl, outer)
+        try:
+            return self.spark.sql(fe.fold_error_functions(outer, None))
+        except Exception:
+            self.spark.catalog.dropTempView(view)
+            raise
 
     def analyze_sql(self, text: str):
         """Routing decision without execution (plan-shape introspection —

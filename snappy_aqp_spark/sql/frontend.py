@@ -888,6 +888,43 @@ def parse_drop_sample(sql: str) -> str | None:
     return m.group("name") if m else None
 
 
+def find_from_derived(sql: str) -> tuple[int, int, str, str | None] | None:
+    """Locate the first FROM-clause derived table: returns
+    (start, end, inner_sql, alias) spanning ``(SELECT ...) [AS] alias``,
+    else None. Used for the reference's sample-query-in-subquery-with-join
+    protocol (CommonBugTest AQP-224/AQP-247/AQP-231): an AGGREGATING
+    subquery over a sampled base runs as its own approx query and the
+    outer query joins its weighted estimates."""
+    m = re.search(r"\bFROM\s*\(", sql, re.IGNORECASE)
+    if not m:
+        return None
+    i = m.end() - 1
+    depth = 0
+    j = i
+    while j < len(sql):
+        if sql[j] == "(":
+            depth += 1
+        elif sql[j] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    if depth != 0:
+        return None
+    inner = sql[i + 1:j].strip()
+    if not inner.upper().startswith("SELECT"):
+        return None
+    am = re.match(r"\s*(?:AS\s+)?(\w+)", sql[j + 1:], re.IGNORECASE)
+    alias = None
+    end = j + 1
+    if am and am.group(1).upper() not in (
+            "JOIN", "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+            "ON", "INNER", "LEFT", "RIGHT", "CROSS", "UNION", "WITH"):
+        alias = am.group(1)
+        end = j + 1 + am.end()
+    return i, end, inner, alias
+
+
 # --- streaming session commands ---------------------------------------------
 # AQPStreamingSuite.scala:63-130: STREAMING INIT <duration> / START / STOP,
 # CREATE STREAM TABLE name (schema) USING provider OPTIONS (...), and

@@ -644,18 +644,25 @@ def test_from_subquery_routes_through_sample(aqp, duck):
     compare_frames(df, oracle)
 
 
-def test_unparseable_exact_route_with_error_fns(aqp):
-    """fold_error_functions survives queries the mini-parser rejects
-    (derived non-projection shapes): exact route, no crash."""
+def test_error_fn_resolves_through_aggregating_subquery(aqp, duck):
+    """error functions targeting an inner aggregate alias resolve through
+    the derived table (GetErrorBounds-through-subquery): the inner query
+    computes them, the outer references the materialized column. This
+    shape previously crash-routed; it is now the AQP-224 family path."""
     text = ("SELECT x, absolute_error(x) AS e FROM (SELECT l_returnflag, "
             "sum(l_quantity) AS x FROM lineitem GROUP BY l_returnflag) t "
-            "WITH ERROR 0.5")
+            "ORDER BY x WITH ERROR 0.5")
     analyzed = aqp.analyze_sql(text)
-    assert analyzed.spec is None
-    # the engine must not crash; Spark raises its own clear error for the
-    # unknown function left in the text
-    with pytest.raises(Exception):
-        aqp.sql(text).collect()
+    assert analyzed.spec is None          # whole-query analysis still exact
+    rows = aqp.sql(text).toPandas()
+    assert len(rows) == 3 and (rows["e"] > 0).all()
+    # equals the inner approx query's own error column
+    inner = aqp.sql("SELECT l_returnflag, sum(l_quantity) AS x, "
+                    "absolute_error(x) AS e FROM lineitem "
+                    "GROUP BY l_returnflag ORDER BY x "
+                    "WITH ERROR 0.5").toPandas()
+    assert list(rows["e"]) == list(inner["e"])
+    assert list(rows["x"]) == list(inner["x"])
 
 
 def test_scalar_subquery_gets_own_sample_spec():
@@ -891,3 +898,45 @@ def test_direct_sample_scan_and_projection(aqp):
     # weighted COUNT(*) estimates the BASE table count, not the sample size
     est = aqp.sql("SELECT count(*) AS c FROM li_sample").collect()[0][0]
     assert est > n_raw
+
+
+def test_approx_derived_aggregating_subquery_join(aqp, duck):
+    """AQP-224/AQP-247 (CommonBugTest.scala:1364-1420): an aggregating
+    FROM-subquery over the sampled base routes through its own sample;
+    the outer join/aggregate runs exact over the weighted estimates."""
+    inner = ("SELECT l_orderkey, sum(l_extendedprice) AS rev "
+             "FROM lineitem GROUP BY l_orderkey")
+    q = ("SELECT o.o_orderstatus, "
+         "sum(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents "
+         f"FROM ({inner}) big JOIN orders o "
+         "ON big.l_orderkey = o.o_orderkey WHERE big.rev > 50000.0 "
+         "GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus "
+         "WITH ERROR 0.5")
+    # whole-query analysis cannot route (aggregating derived table) ...
+    an = aqp.analyze_sql(q)
+    assert an.spec is None
+    # ... but the session runs the subquery approx + outer exact
+    sp = aqp.sql(q).toPandas()
+    inner_an = aqp.analyze_sql(inner + " WITH ERROR 0.5")
+    assert inner_an.spec is not None
+    osql = ("WITH big AS (" + oracle_sql_for(inner_an.spec) + ") "
+            "SELECT o.o_orderstatus, "
+            "sum(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey "
+            "WHERE big.rev > 50000.0 "
+            "GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus")
+    compare_frames(aqp.sql(q), duck.sql(osql).df())
+    assert len(sp) > 0
+
+
+def test_find_from_derived_spans():
+    f = fe.find_from_derived
+    got = f("SELECT a FROM (SELECT b FROM t WHERE x IN (1,2)) s JOIN u ON c = d")
+    assert got is not None
+    start, end, inner, alias = got
+    assert inner == "SELECT b FROM t WHERE x IN (1,2)"
+    assert alias == "s"
+    assert f("SELECT a FROM t") is None
+    # keyword after the paren is not an alias
+    got2 = f("SELECT a FROM (SELECT b FROM t) WHERE b > 1")
+    assert got2 is not None and got2[3] is None
