@@ -643,10 +643,9 @@ class AQPSession:
         stripped, wc = fe.strip_with_clause(text)
         if wc is None:
             return None
-        span = fe.find_from_derived(stripped)
-        if span is None:
+        spans = fe.find_derived_spans(stripped)
+        if not spans:
             return None
-        start, end, inner_sql, alias = span
         suffix = " WITH ERROR"
         if wc.error is not None:
             suffix += f" {wc.error!r}"
@@ -654,43 +653,55 @@ class AQPSession:
             suffix += f" CONFIDENCE {wc.confidence!r}"
         if wc.behavior is not None:
             suffix += f" BEHAVIOR '{wc.behavior}'"
-        # error functions in the OUTER text that target an inner aggregate
-        # alias resolve through the subquery (GetErrorBounds parity): the
-        # inner query computes them, the outer references the materialized
-        # column by its engine name
-        outer_rest = stripped[:start] + stripped[end:]
-        try:
-            inner_parsed = fe.parse_select(inner_sql)
-        except fe.SQLFrontendError:
+        outer_rest = stripped
+        for start, end, _i, _a in reversed(spans):
+            outer_rest = outer_rest[:start] + outer_rest[end:]
+        routed_aggs: set[str] = set()
+        views: list[str] = []
+        outer = stripped
+        # right-to-left so earlier spans' offsets stay valid after splicing
+        for start, end, inner_sql, alias in reversed(spans):
+            try:
+                inner_parsed = fe.parse_select(inner_sql)
+            except fe.SQLFrontendError:
+                continue                   # leave the span inline (exact)
+            inner_aggs = {a.lower() for e, a in inner_parsed.select_items
+                          if a and fe._AGG_RE.match(e.strip())}
+            # error functions in the OUTER text that target an inner
+            # aggregate alias resolve through the subquery (GetErrorBounds
+            # parity): the inner query computes them, the outer references
+            # the materialized column by its engine name
+            needed = list(dict.fromkeys(
+                (f.lower(), t)
+                for f, t in fe._ERRFN_CALL_RE.findall(outer_rest)
+                if t.lower() in inner_aggs))
+            inner_exec = inner_sql
+            if needed:
+                calls = ", ".join(f"{f}({t})" for f, t in needed)
+                inner_exec = ("SELECT " + calls + ", "
+                              + inner_sql[len("SELECT"):].lstrip())
+            try:
+                inner = self.analyze_sql(inner_exec + suffix)
+            except fe.SQLFrontendError:
+                continue
+            if inner is None or inner.spec is None:
+                continue
+            inner_df = run_approx_query(self.spark, inner.spec, self.tables,
+                                        cache_token=self._token)
+            if inner.rename:
+                inner_df = inner_df.withColumnsRenamed(inner.rename)
+            view = f"__aqp_derived_{uuid.uuid4().hex[:8]}"
+            inner_df.createOrReplaceTempView(view)
+            views.append(view)
+            routed_aggs |= inner_aggs
+            outer = (outer[:start] + view
+                     + (f" {alias}" if alias else "") + outer[end:])
+        if not views:
             return None
-        inner_aggs = {a.lower() for e, a in inner_parsed.select_items
-                      if a and fe._AGG_RE.match(e.strip())}
-        needed = list(dict.fromkeys(
-            (f.lower(), t) for f, t in fe._ERRFN_CALL_RE.findall(outer_rest)
-            if t.lower() in inner_aggs))
-        inner_exec = inner_sql
-        if needed:
-            calls = ", ".join(f"{f}({t})" for f, t in needed)
-            inner_exec = ("SELECT " + calls + ", "
-                          + inner_sql[len("SELECT"):].lstrip())
-        try:
-            inner = self.analyze_sql(inner_exec + suffix)
-        except fe.SQLFrontendError:
-            return None
-        if inner is None or inner.spec is None:
-            return None
-        inner_df = run_approx_query(self.spark, inner.spec, self.tables,
-                                    cache_token=self._token)
-        if inner.rename:
-            inner_df = inner_df.withColumnsRenamed(inner.rename)
-        view = f"__aqp_derived_{uuid.uuid4().hex[:8]}"
-        inner_df.createOrReplaceTempView(view)
-        outer = (stripped[:start] + view
-                 + (f" {alias}" if alias else "") + stripped[end:])
 
         def err_repl(m: re.Match) -> str:
             f, t = m.group(1).lower(), m.group(2)
-            if t.lower() in inner_aggs:
+            if t.lower() in routed_aggs:
                 return f"{t}_{f}"
             return m.group(0)
 
@@ -698,7 +709,8 @@ class AQPSession:
         try:
             return self.spark.sql(fe.fold_error_functions(outer, None))
         except Exception:
-            self.spark.catalog.dropTempView(view)
+            for view in views:
+                self.spark.catalog.dropTempView(view)
             raise
 
     def analyze_sql(self, text: str):

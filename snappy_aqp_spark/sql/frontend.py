@@ -888,41 +888,50 @@ def parse_drop_sample(sql: str) -> str | None:
     return m.group("name") if m else None
 
 
+_NOT_ALIAS_KW = ("JOIN", "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+                 "ON", "INNER", "LEFT", "RIGHT", "CROSS", "UNION", "WITH")
+
+
+def find_derived_spans(sql: str) -> list[tuple[int, int, str, str | None]]:
+    """Locate every FROM/JOIN-position derived table: a list of
+    (start, end, inner_sql, alias) spanning ``(SELECT ...) [AS] alias``.
+    Used for the reference's sample-query-in-subquery protocols
+    (CommonBugTest AQP-224/AQP-247/AQP-231; AQP-225 joins TWO such
+    subqueries): each AGGREGATING subquery over a sampled base runs as its
+    own approx query and the outer query joins the weighted estimates."""
+    out: list[tuple[int, int, str, str | None]] = []
+    for m in re.finditer(r"\b(?:FROM|JOIN)\s*\(", sql, re.IGNORECASE):
+        i = m.end() - 1
+        depth = 0
+        j = i
+        while j < len(sql):
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            continue
+        inner = sql[i + 1:j].strip()
+        if not inner.upper().startswith("SELECT"):
+            continue
+        am = re.match(r"\s*(?:AS\s+)?(\w+)", sql[j + 1:], re.IGNORECASE)
+        alias = None
+        end = j + 1
+        if am and am.group(1).upper() not in _NOT_ALIAS_KW:
+            alias = am.group(1)
+            end = j + 1 + am.end()
+        out.append((i, end, inner, alias))
+    return out
+
+
 def find_from_derived(sql: str) -> tuple[int, int, str, str | None] | None:
-    """Locate the first FROM-clause derived table: returns
-    (start, end, inner_sql, alias) spanning ``(SELECT ...) [AS] alias``,
-    else None. Used for the reference's sample-query-in-subquery-with-join
-    protocol (CommonBugTest AQP-224/AQP-247/AQP-231): an AGGREGATING
-    subquery over a sampled base runs as its own approx query and the
-    outer query joins its weighted estimates."""
-    m = re.search(r"\bFROM\s*\(", sql, re.IGNORECASE)
-    if not m:
-        return None
-    i = m.end() - 1
-    depth = 0
-    j = i
-    while j < len(sql):
-        if sql[j] == "(":
-            depth += 1
-        elif sql[j] == ")":
-            depth -= 1
-            if depth == 0:
-                break
-        j += 1
-    if depth != 0:
-        return None
-    inner = sql[i + 1:j].strip()
-    if not inner.upper().startswith("SELECT"):
-        return None
-    am = re.match(r"\s*(?:AS\s+)?(\w+)", sql[j + 1:], re.IGNORECASE)
-    alias = None
-    end = j + 1
-    if am and am.group(1).upper() not in (
-            "JOIN", "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
-            "ON", "INNER", "LEFT", "RIGHT", "CROSS", "UNION", "WITH"):
-        alias = am.group(1)
-        end = j + 1 + am.end()
-    return i, end, inner, alias
+    """first FROM-clause derived table (see find_derived_spans)."""
+    spans = [s for s in find_derived_spans(sql)
+             if re.search(r"\bFROM\s*\($", sql[:s[0] + 1], re.IGNORECASE)]
+    return spans[0] if spans else None
 
 
 # --- streaming session commands ---------------------------------------------

@@ -940,3 +940,24 @@ def test_find_from_derived_spans():
     # keyword after the paren is not an alias
     got2 = f("SELECT a FROM (SELECT b FROM t) WHERE b > 1")
     assert got2 is not None and got2[3] is None
+
+
+def test_join_of_two_approx_subqueries(aqp, duck):
+    """AQP-225 (CommonBugTest.scala:2001): TWO aggregating subqueries, each
+    over a sampled base, joined by an exact outer query."""
+    sub1 = ("SELECT l_returnflag, sum(l_quantity) AS q1 "
+            "FROM lineitem WHERE l_tax > 0.02 GROUP BY l_returnflag")
+    sub2 = ("SELECT l_returnflag, sum(l_quantity) AS q2 "
+            "FROM lineitem WHERE l_tax <= 0.02 GROUP BY l_returnflag")
+    q = (f"SELECT a.l_returnflag, a.q1, b.q2, absolute_error(q1) AS e1 "
+         f"FROM ({sub1}) a JOIN ({sub2}) b "
+         "ON a.l_returnflag = b.l_returnflag "
+         "ORDER BY a.l_returnflag WITH ERROR 0.5")
+    sp = aqp.sql(q).toPandas()
+    assert len(sp) == 3 and (sp["e1"] > 0).all()
+    # equals the two standalone approx queries joined
+    r1 = aqp.sql(sub1 + " WITH ERROR 0.5").toPandas().set_index("l_returnflag")
+    r2 = aqp.sql(sub2 + " WITH ERROR 0.5").toPandas().set_index("l_returnflag")
+    for _, row in sp.iterrows():
+        assert row.q1 == r1.loc[row.l_returnflag, "q1"]
+        assert row.q2 == r2.loc[row.l_returnflag, "q2"]
