@@ -342,6 +342,19 @@ SQL_FIXTURES: dict[str, dict] = {
                   "OR substring(c.c_mktsegment, 1, 1) = 'A') "
                   "WITH ERROR 0.5 CONFIDENCE 0.95"),
     },
+    # AQP-229 protocol (CommonBugTest.scala:1482-1530): a select item that
+    # is an expression OVER the group key (CASE over the grouped column),
+    # computed post-aggregation alongside the weighted estimate
+    "sql_case_over_group": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT sum(l_quantity) AS sq, relative_error(sq), "
+                  "CASE WHEN l_returnflag = 'A' THEN 'Accepted' "
+                  "WHEN l_returnflag = 'N' THEN 'New' "
+                  "ELSE 'Returned' END AS flag "
+                  "FROM lineitem GROUP BY l_returnflag "
+                  "ORDER BY l_returnflag WITH ERROR 0.9"),
+    },
     # SNAP-806 protocol (CommonBugTest.scala:296-360): null-mixed measure
     # columns — sum/avg skip NULLs, count(col) weights only non-null rows,
     # count(*) weights everything; all alongside error functions

@@ -164,7 +164,24 @@ def output_columns(spec: ApproxQuerySpec) -> list[str]:
     for a in spec.aggs:
         cols.append(a.alias)
         cols.extend(f"{a.alias}_{fn}" for fn in a.errors)
+    cols.extend(n for _, n in spec.derived_items)
     return cols
+
+
+def _derive_sql(spec: ApproxQuerySpec, inner_sql: str, alias: str) -> str:
+    """wrap a relation SQL with the post-aggregation derived select items
+    (exprs over the output aliases — AQP-229 shape)."""
+    if not spec.derived_items:
+        return inner_sql
+    parts = ", ".join(f"{e} AS {n}" for e, n in spec.derived_items)
+    return f"SELECT {alias}.*, {parts} FROM ({inner_sql}) {alias}"
+
+
+def _derive_df(spec: ApproxQuerySpec, df: DataFrame) -> DataFrame:
+    if not spec.derived_items:
+        return df
+    return df.select("*", *[F.expr(e).alias(n)
+                            for e, n in spec.derived_items])
 
 
 def visible_columns(spec: ApproxQuerySpec) -> list[str]:
@@ -390,7 +407,7 @@ def _finalize_visible(spec: ApproxQuerySpec, fin_rel: DataFrame,
     sel += [F.expr(sql).alias(name) for name, sql in out_frags.items()]
     if extra:
         sel += [F.expr(sql).alias(name) for name, sql in extra.items()]
-    return fin_rel.select(*sel)
+    return _derive_df(spec, fin_rel.select(*sel))
 
 
 _SORT_DIR_RE = re.compile(
@@ -440,7 +457,7 @@ def _exact_query(spec: ApproxQuerySpec, tables: dict[str, DataFrame],
     # exact error functions may reference the estimate alias (lower/upper = est)
     order = output_columns(spec)
     agged = agged.select(*sel, *[c for c in agged.columns if c not in _gcols(spec)])
-    return agged.select(*order)
+    return _derive_df(spec, agged).select(*order)
 
 
 def _agg_frags(df: DataFrame, by: list[str], frags: dict[str, str]) -> DataFrame:
@@ -633,7 +650,8 @@ def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
     out_frags = _output_frags(spec)
     vis_parts = [f"__g{i} AS {name}" for i, name in enumerate(spec.group_out)]
     vis_parts += [f"{sql} AS {name}" for name, sql in out_frags.items()]
-    vis_sql = f"SELECT {', '.join(vis_parts)} FROM __fin_rel"
+    vis_sql = _derive_sql(
+        spec, f"SELECT {', '.join(vis_parts)} FROM __fin_rel", "__dv")
 
     behavior = spec.behavior
     if behavior in ("partial_run_on_base_table", "run_on_full_table"):
@@ -648,8 +666,13 @@ def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
                        f"SELECT {', '.join(exact_parts)} FROM __pre_exact" +
                        (f" GROUP BY {exact_group}" if exact_group else "")))
         exact_vis_parts = [f"__eg{i} AS {name}" for i, name in enumerate(spec.group_out)]
-        exact_vis_parts += [a for a in output_columns(spec) if a not in spec.group_out]
-        exact_vis = f"SELECT {', '.join(exact_vis_parts)} FROM __exact_agg"
+        derived_names = {n for _, n in spec.derived_items}
+        exact_vis_parts += [a for a in output_columns(spec)
+                            if a not in spec.group_out
+                            and a not in derived_names]
+        exact_vis = _derive_sql(
+            spec, f"SELECT {', '.join(exact_vis_parts)} FROM __exact_agg",
+            "__edv")
         if behavior == "run_on_full_table":
             stages.append(("__has_viol",
                            f"SELECT CASE WHEN EXISTS (SELECT 1 FROM __fin_rel WHERE {viol}) "
@@ -705,6 +728,7 @@ def exact_oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
     out = f"SELECT {', '.join(parts)} FROM ({sql}) __b"
     if group:
         out += f" GROUP BY {group}"
+    out = _derive_sql(spec, out, "__v0")
     final = f"SELECT {', '.join(visible_columns(spec))} FROM ({out}) __v"
     if spec.having:
         final += f" WHERE {spec.having}"

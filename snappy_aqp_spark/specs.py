@@ -180,6 +180,11 @@ class ApproxQuerySpec:
     having: str | None = None               # over output aliases (post-finalize)
     order_by: tuple[str, ...] = ()          # over output aliases
     limit: int | None = None
+    # select items that are EXPRESSIONS OVER the group keys rather than the
+    # group text itself (reference AQP-229 protocol: SELECT CASE WHEN
+    # month(t)=1 THEN 'Jan' ... END AS mnt ... GROUP BY month(t)):
+    # (expr_over_output_aliases, output_name), computed post-aggregation
+    derived_items: tuple = ()
     # error columns computed ONLY because HAVING/ORDER BY calls an error
     # function directly (reference GetErrorBounds/ErrorEstimateAttribute
     # resolution, QueryProcessingRules.scala:1525-1566): evaluated through

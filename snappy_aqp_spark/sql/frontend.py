@@ -690,12 +690,23 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
                               ga, text)
         return text
 
+    # select items that are expressions OVER the group keys, not the group
+    # text itself (AQP-229 shape: CASE WHEN month(t)=1 THEN 'Jan' ... END
+    # grouped by month(t)): computed post-aggregation over the output
+    # aliases, in select-list order
+    gb_norm = {g.strip().lower() for g in parsed.group_by}
+    derived = tuple(
+        (unalias(expr.strip()), alias or f"d_{i}")
+        for i, (expr, alias) in enumerate(group_items)
+        if expr.strip().lower() not in gb_norm)
+
     spec = ApproxQuerySpec(
         sample=sample_spec,
         from_relation=from_relation,
         aggs=tuple(aggs),
         group_by=tuple(parsed.group_by),
         group_aliases=group_aliases,
+        derived_items=derived,
         joins=tuple(parsed.joins),
         where=where_plain,
         where_subs=where_subs,

@@ -961,3 +961,31 @@ def test_join_of_two_approx_subqueries(aqp, duck):
     for _, row in sp.iterrows():
         assert row.q1 == r1.loc[row.l_returnflag, "q1"]
         assert row.q2 == r2.loc[row.l_returnflag, "q2"]
+
+
+def test_case_over_group_key_select_item(aqp, duck):
+    """AQP-229 (CommonBugTest.scala:1482-1530): a select item that is an
+    expression over the group key survives into the output, computed
+    post-aggregation — previously it was silently dropped."""
+    q = ("SELECT sum(l_quantity) AS sq, relative_error(sq), "
+         "CASE WHEN l_returnflag = 'A' THEN 'Accepted' "
+         "WHEN l_returnflag = 'N' THEN 'New' ELSE 'Returned' END AS flag "
+         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag "
+         "WITH ERROR 0.9")
+    an = aqp.analyze_sql(q)
+    assert an.spec is not None
+    assert an.spec.derived_items and an.spec.derived_items[0][1] == "flag"
+    df = aqp.sql(q)
+    assert "flag" in df.columns
+    compare_frames(df, duck.sql(oracle_sql_for(an.spec)).df()
+                   .rename(columns=an.rename))
+    # derived expr over a FUNCTION group key goes through the g_i alias
+    q2 = ("SELECT sum(l_quantity) AS sq, "
+          "CASE WHEN FLOOR(l_quantity / 10) = 0 THEN 'low' ELSE 'hi' END "
+          "AS b FROM lineitem GROUP BY FLOOR(l_quantity / 10) "
+          "ORDER BY sq WITH ERROR 0.9 BEHAVIOR 'run_on_full_table'")
+    an2 = aqp.analyze_sql(q2)
+    assert an2.spec is not None
+    by_name = {n: e for e, n in an2.spec.derived_items}
+    assert by_name["b"].startswith("CASE WHEN g_0")
+    assert set(aqp.sql(q2).columns) == {"g_0", "sq", "b"}
