@@ -133,11 +133,16 @@ def analyze_text(text: str, catalog: SampleCatalog, defaults: dict,
     (plain SQL)."""
     stripped, wc = fe.strip_with_clause(text)
     if wc is None:
-        # no WITH clause: only a direct sample-table query still routes
-        # through AQP (aggregates become weighted estimates); anything else
-        # is plain SQL
+        # no WITH clause: only a direct sample-table query that CALLS an
+        # error function routes through AQP (weighted estimates). Without
+        # error functions the reference returns the plain aggregate over
+        # the raw sample rows — `SELECT count(*) as sample_ FROM <sample>`
+        # is its own sample-size probe (CommonBugTest.scala:1012-1045
+        # AQP-154: raw count vs count+absolute_error ~ base count;
+        # validationQueries.sql:2-4)
         fm = _FROM_NAME_RE.search(stripped)
-        if fm is None or catalog.get(fm.group(1)) is None:
+        if (fm is None or catalog.get(fm.group(1)) is None
+                or not fe._ERRFN_CALL_RE.search(stripped)):
             return None
         wc = fe.WithClause(error=INFINITE_ERROR_TOLERANCE, confidence=None,
                            behavior=None, has_error_kw=False)

@@ -895,8 +895,13 @@ def test_direct_sample_scan_and_projection(aqp):
     assert WEIGHT_COL in rows.columns
     n_raw = rows.count()
     assert n_raw == aqp.sql("SELECT l_quantity AS T FROM li_sample").count()
-    # weighted COUNT(*) estimates the BASE table count, not the sample size
-    est = aqp.sql("SELECT count(*) AS c FROM li_sample").collect()[0][0]
+    # AQP-154 (CommonBugTest.scala:1012-1045): count(*) WITHOUT error
+    # functions is the raw sample-size probe; WITH an error function it is
+    # the weighted estimate of the BASE count
+    raw = aqp.sql("SELECT count(*) AS sample_ FROM li_sample").collect()[0][0]
+    assert raw == n_raw
+    est = aqp.sql("SELECT count(*) AS c, absolute_error(c) FROM li_sample"
+                  ).collect()[0][0]
     assert est > n_raw
 
 
