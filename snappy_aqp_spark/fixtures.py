@@ -342,6 +342,18 @@ SQL_FIXTURES: dict[str, dict] = {
                   "OR substring(c.c_mktsegment, 1, 1) = 'A') "
                   "WITH ERROR 0.5 CONFIDENCE 0.95"),
     },
+    # AQP-210/AQP-227 protocol (CommonBugTest.scala:1204-1260): arithmetic
+    # OVER error functions as select items and in HAVING; components are
+    # computed hidden when not selected separately
+    "sql_errfn_arithmetic": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, sum(l_quantity) AS x, "
+                  "lower_bound(x) + upper_bound(x) AS lbub FROM lineitem "
+                  "GROUP BY l_returnflag "
+                  "HAVING lower_bound(x) + upper_bound(x) > 0 "
+                  "ORDER BY l_returnflag WITH ERROR 0.5"),
+    },
     # AQP-229 protocol (CommonBugTest.scala:1482-1530): a select item that
     # is an expression OVER the group key (CASE over the grouped column),
     # computed post-aggregation alongside the weighted estimate

@@ -603,6 +603,16 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
     having_rw = rewrite_direct(parsed.having)
     order_rw = [rewrite_direct(o) for o in parsed.order_by]
 
+    # select items that are expressions OVER the group keys or error
+    # functions, not the group text itself — AQP-229 (CASE over the grouped
+    # column) and AQP-210/227 (`lower_bound(x) + upper_bound(x)` arithmetic,
+    # CommonBugTest.scala:1204-1260). Error-fn calls inside them rewrite to
+    # the engine columns now so their hidden columns get computed.
+    gb_norm = {g.strip().lower() for g in parsed.group_by}
+    derived_rw = [(rewrite_direct(expr.strip()), alias or f"d_{i}")
+                  for i, (expr, alias) in enumerate(group_items)
+                  if expr.strip().lower() not in gb_norm]
+
     if by_alias:
         aggs = [ApproxAgg(a.func, a.measure, a.alias, a.max_abs,
                           tuple(dict.fromkeys(by_alias.get(a.alias, ()))),
@@ -622,9 +632,15 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
 
     group_aliases = tuple(group_alias(i, g) for i, g in enumerate(parsed.group_by))
 
+    # reference decision (QueryProcessingRules.scala:1414-1447): with the
+    # closed-form default, AVG alongside ANY filter — WHERE below the
+    # aggregate or HAVING above it — routes to bootstrap
+    # (AvgQueryWithWhereClauseUsesBootstrapAnalysis protocol); pure AVG and
+    # the SUM/COUNT family stay closed-form
     estimator = "closed_form"
-    if parsed.having and any(a.func == "avg" for a in aggs):
-        estimator = "bootstrap"   # QueryProcessingRules.scala:1421-1447
+    if (any(a.func == "avg" for a in aggs)
+            and (parsed.having or parsed.where)):
+        estimator = "bootstrap"
     if wc.error is None and wc.confidence is None and wc.behavior is None:
         # bare WITH ERROR -> session defaults (ErrorDefaults node)
         pass
@@ -690,15 +706,7 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
                               ga, text)
         return text
 
-    # select items that are expressions OVER the group keys, not the group
-    # text itself (AQP-229 shape: CASE WHEN month(t)=1 THEN 'Jan' ... END
-    # grouped by month(t)): computed post-aggregation over the output
-    # aliases, in select-list order
-    gb_norm = {g.strip().lower() for g in parsed.group_by}
-    derived = tuple(
-        (unalias(expr.strip()), alias or f"d_{i}")
-        for i, (expr, alias) in enumerate(group_items)
-        if expr.strip().lower() not in gb_norm)
+    derived = tuple((unalias(e), n) for e, n in derived_rw)
 
     spec = ApproxQuerySpec(
         sample=sample_spec,

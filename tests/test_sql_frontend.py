@@ -994,3 +994,44 @@ def test_case_over_group_key_select_item(aqp, duck):
     by_name = {n: e for e, n in an2.spec.derived_items}
     assert by_name["b"].startswith("CASE WHEN g_0")
     assert set(aqp.sql(q2).columns) == {"g_0", "sq", "b"}
+
+
+def test_errfn_arithmetic_select_items(aqp, duck):
+    """AQP-210/227 (CommonBugTest.scala:1204-1260): lower_bound(x) +
+    upper_bound(x) as a select item and in HAVING; components hidden when
+    not selected separately."""
+    q = ("SELECT l_returnflag, sum(l_quantity) AS x, "
+         "lower_bound(x) + upper_bound(x) AS lbub FROM lineitem "
+         "GROUP BY l_returnflag ORDER BY l_returnflag WITH ERROR 0.5")
+    an = aqp.analyze_sql(q)
+    assert an.spec is not None
+    assert dict((n, e) for e, n in an.spec.derived_items)["lbub"] \
+        == "x_lower_bound + x_upper_bound"
+    df = aqp.sql(q)
+    assert set(df.columns) == {"l_returnflag", "x", "lbub"}  # comps hidden
+    compare_frames(df, duck.sql(oracle_sql_for(an.spec)).df()
+                   .rename(columns=an.rename))
+    # identity when components ARE selected
+    q2 = ("SELECT l_returnflag, sum(l_quantity) AS x, lower_bound(x), "
+          "upper_bound(x), lower_bound(x) + upper_bound(x) AS lbub "
+          "FROM lineitem GROUP BY l_returnflag "
+          "HAVING lower_bound(x) + upper_bound(x) > 0 "
+          "ORDER BY l_returnflag WITH ERROR 0.5")
+    sp = aqp.sql(q2).toPandas()
+    assert ((sp["x_lower_bound"] + sp["x_upper_bound"]) == sp["lbub"]).all()
+    assert (sp["lbub"] > 0).all()
+
+
+def test_avg_with_where_picks_bootstrap(aqp):
+    """AvgQueryWithWhereClauseUsesBootstrapAnalysis (CommonBugTest
+    .scala:917): AVG + any filter routes bootstrap; pure AVG stays
+    closed-form."""
+    a = aqp.analyze_sql("SELECT avg(l_quantity) AS a FROM lineitem "
+                        "WHERE l_tax > 0.02 WITH ERROR 0.5")
+    assert a.spec.estimator == "bootstrap"
+    b = aqp.analyze_sql("SELECT avg(l_quantity) AS a FROM lineitem "
+                        "WITH ERROR 0.5")
+    assert b.spec.estimator == "closed_form"
+    c = aqp.analyze_sql("SELECT sum(l_quantity) AS s FROM lineitem "
+                        "WHERE l_tax > 0.02 WITH ERROR 0.5")
+    assert c.spec.estimator == "closed_form"   # no AVG -> closed-form
