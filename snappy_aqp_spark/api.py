@@ -55,8 +55,13 @@ def spec_from_ddl(base: str | None, opts: dict[str, str],
         base = p.from_table
         base_filter = p.where
     if base is None:
+        # the reference also names the base via a baseTable OPTION
+        # (CommonBugTest.scala:955: OPTIONS(qcs ..., baseTable 'order_line'))
+        base = opts.get("basetable")
+    if base is None:
         raise fe.SQLFrontendError(
-            "CREATE SAMPLE TABLE needs ON <base> or an AS-select form")
+            "CREATE SAMPLE TABLE needs ON <base>, a baseTable option, "
+            "or an AS-select form")
     # row-identity exprs for the deterministic sampler: the keyColumns
     # option wins (needed for stream tables and user relations outside the
     # built-in schema map), else the schema map

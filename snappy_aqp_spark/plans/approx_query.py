@@ -689,11 +689,13 @@ def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
             stages.append(("__exact_bad",
                            f"SELECT * FROM __exact_agg "
                            f"WHERE {ekey_tuple} IN (SELECT {key_tuple} FROM __bad)"))
-            good_vis = (f"SELECT {', '.join(vis_parts)} FROM __fin_rel "
-                        f"WHERE NOT {viol}")
-            stages.append(("__vis",
-                           f"{good_vis} UNION ALL "
-                           f"SELECT {', '.join(exact_vis_parts)} FROM __exact_bad"))
+            good_vis = _derive_sql(
+                spec, f"SELECT {', '.join(vis_parts)} FROM __fin_rel "
+                      f"WHERE NOT {viol}", "__gdv")
+            bad_vis = _derive_sql(
+                spec, f"SELECT {', '.join(exact_vis_parts)} "
+                      f"FROM __exact_bad", "__bdv")
+            stages.append(("__vis", f"{good_vis} UNION ALL {bad_vis}"))
     else:
         stages.append(("__vis", vis_sql))
 

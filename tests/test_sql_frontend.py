@@ -1035,3 +1035,22 @@ def test_avg_with_where_picks_bootstrap(aqp):
     c = aqp.analyze_sql("SELECT sum(l_quantity) AS s FROM lineitem "
                         "WHERE l_tax > 0.02 WITH ERROR 0.5")
     assert c.spec.estimator == "closed_form"   # no AVG -> closed-form
+
+
+def test_basetable_option_and_case_partial_route(aqp, duck):
+    """baseTable DDL option (CommonBugTest.scala:955) + AQP-223: CASE over
+    the group key through partial_run_on_base_table HAC."""
+    aqp.sql("CREATE SAMPLE TABLE li_bt OPTIONS(qcs 'l_returnflag', "
+            "fraction '0.1', method 'hash', seed '42', "
+            "baseTable 'lineitem')")
+    assert aqp.catalog.get("li_bt").spec.base_table == "lineitem"
+    q = ("SELECT count(*) AS numRides, "
+         "CASE WHEN l_returnflag = 'A' THEN 'Acc' "
+         "WHEN l_returnflag = 'N' THEN 'New' ELSE 'Ret' END AS flag "
+         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag "
+         "WITH ERROR 0.001 BEHAVIOR 'partial_run_on_base_table'")
+    an = aqp.analyze_sql(q)
+    assert an.spec is not None and an.spec.derived_items
+    compare_frames(aqp.sql(q), duck.sql(oracle_sql_for(an.spec)).df()
+                   .rename(columns=an.rename))
+    aqp.sql("DROP SAMPLE TABLE li_bt")
