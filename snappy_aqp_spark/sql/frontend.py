@@ -517,6 +517,15 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
         except SQLFrontendError as exc:
             return AnalyzedQuery(None, parsed, {}, str(exc))
 
+    # a GROUP BY entry that is itself an aggregate (e.g. an ordinal
+    # resolving to an agg select item) is invalid SQL — reject here so the
+    # engine never builds a broken plan; the exact route then surfaces
+    # Spark's own clear error
+    for g in parsed.group_by:
+        if _AGG_RE.match(g.strip()):
+            return AnalyzedQuery(None, parsed, {},
+                                 "GROUP BY references an aggregate")
+
     aggs: list[ApproxAgg] = []
     agg_by_alias: dict[str, ApproxAgg] = {}
     group_items: list[tuple[str, str | None]] = []

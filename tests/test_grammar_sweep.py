@@ -1,0 +1,83 @@
+"""Deterministic grammar sweep of the WITH-ERROR SQL surface.
+
+Enumerates a bounded cross-product of the dialect's axes — aggregate mix,
+filter, grouping (incl. ordinals and function keys), tail clauses, error
+functions (selected, derived arithmetic, direct in HAVING), behaviors,
+alias styles — and checks EVERY routed query bit-exactly against the
+DuckDB replay of its analyzed spec. The reference spreads these shapes
+over QuerySyntaxTestSuite / QueryRoutingTestSuite / CommonBugTest; the
+sweep packs the combinational coverage into one deterministic pass (no
+randomness: failures reproduce by name).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from snappy_aqp_spark.api import AQPSession
+from snappy_aqp_spark.plans.approx_query import oracle_sql_for
+from tests.conftest import SF_SMALL, compare_frames
+
+AGGS = [
+    "sum(l_quantity) AS m",
+    "avg(l_extendedprice) AS m",
+    "count(*) AS m",
+    "sum(l_extendedprice * (1.0 - l_discount)) AS m",
+]
+ERRS = [
+    "",
+    ", absolute_error(m), relative_error(m)",
+    ", lower_bound(m) + upper_bound(m) AS span",
+]
+WHERES = ["", " WHERE l_quantity BETWEEN 5 AND 45"]
+GROUPS = [
+    ("", ""),
+    (" GROUP BY l_returnflag", "l_returnflag, "),
+    (" GROUP BY 1", "CAST(FLOOR(l_quantity / 25) AS BIGINT) qb, "),
+]
+TAILS = ["", " ORDER BY m DESC LIMIT 3"]
+BEHAVIORS = ["", " BEHAVIOR 'do_nothing'", " BEHAVIOR 'local_omit'",
+             " BEHAVIOR 'partial_run_on_base_table'"]
+
+
+def _cases():
+    for i, (agg, err, where, (group, gsel), tail, beh) in enumerate(
+            itertools.product(AGGS, ERRS, WHERES, GROUPS, TAILS, BEHAVIORS)):
+        # trim the cross-product: behaviors beyond do_nothing only vary
+        # meaningfully with groups + errors present
+        if beh in ("", " BEHAVIOR 'do_nothing'") or (group and err):
+            yield (f"case{i}",
+                   f"SELECT {gsel}{agg}{err} FROM lineitem{where}{group}"
+                   f"{tail} WITH ERROR 0.7 CONFIDENCE 0.95{beh}")
+
+
+CASES = list(_cases())
+
+
+@pytest.fixture(scope="module")
+def sweep_aqp(spark):
+    s = AQPSession(spark, data_token="grammar-sweep")
+    s.load_tables(SF_SMALL, ["lineitem"])
+    s.sql("CREATE SAMPLE TABLE li_sweep ON lineitem OPTIONS("
+          "qcs 'l_returnflag', fraction '0.1', method 'hash', seed '42')")
+    return s
+
+
+def test_grammar_sweep_counts():
+    # keep the sweep meaningful but bounded; adjust deliberately, not by
+    # accident
+    assert 150 <= len(CASES) <= 500, len(CASES)
+
+
+@pytest.mark.parametrize("name,query", CASES,
+                         ids=[n for n, _ in CASES])
+def test_grammar_sweep(sweep_aqp, duck, name, query):
+    an = sweep_aqp.analyze_sql(query)
+    assert an is not None
+    if an.spec is None:
+        pytest.skip(f"exact route: {an.reason}")
+    df = sweep_aqp.sql(query)
+    oracle = duck.sql(oracle_sql_for(an.spec)).df().rename(columns=an.rename)
+    compare_frames(df, oracle)
