@@ -166,6 +166,11 @@ def analyze_text(text: str, catalog: SampleCatalog, defaults: dict,
                                      from_table=direct.spec.base_table)
         if wc.error is None:
             wc = dataclasses.replace(wc, error=INFINITE_ERROR_TOLERANCE)
+        if wc.behavior in ("run_on_full_table", "partial_run_on_base_table"):
+            # queries fired AT the sample table never reroute to the base
+            # (QueryRoutingTestSuite "no routing with HAC error constraint
+            # on sample table", :732-938)
+            wc = dataclasses.replace(wc, behavior="do_nothing")
         analyzed = fe.analyze(parsed, wc, direct.spec, defaults)
         if analyzed.spec is not None and analyzed.spec.where_subs:
             analyzed = _attach_subquery_samples(analyzed, catalog, extra_cols)

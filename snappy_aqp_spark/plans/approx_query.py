@@ -543,7 +543,17 @@ def run_approx_query(spark: SparkSession, spec: ApproxQuerySpec,
         return _project_visible(spec,
                                 _apply_tail(spec, _finalize_visible(spec, fin_rel)))
 
-    # partial_run_on_base_table: violating groups -> exact, others -> approx
+    # partial_run_on_base_table: violating groups -> exact, others -> approx.
+    # With no GROUP BY there is a single global group, so partial reroute
+    # degenerates to full reroute (also the empty-input case: no group keys
+    # to join on).
+    if not gcols:
+        if fin_rel.where(F.expr(viol)).limit(1).count() > 0:
+            fin_rel.unpersist()
+            return _project_visible(spec, _apply_tail(
+                spec, _exact_query(spec, tables)))
+        return _project_visible(spec, _apply_tail(
+            spec, _finalize_visible(spec, fin_rel)))
     bad_keys = fin_rel.where(F.expr(viol)).select(*gcols).distinct()
     good = _finalize_visible(spec, fin_rel.where(~F.expr(viol)))
     exact_bad = _exact_query(spec, tables, restrict_to=bad_keys)
@@ -673,7 +683,9 @@ def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
         exact_vis = _derive_sql(
             spec, f"SELECT {', '.join(exact_vis_parts)} FROM __exact_agg",
             "__edv")
-        if behavior == "run_on_full_table":
+        if behavior == "run_on_full_table" or not gcols:
+            # partial reroute degenerates to full reroute for the single
+            # global group (and avoids an empty join-key tuple)
             stages.append(("__has_viol",
                            f"SELECT CASE WHEN EXISTS (SELECT 1 FROM __fin_rel WHERE {viol}) "
                            f"THEN 1 ELSE 0 END AS v"))

@@ -1054,3 +1054,40 @@ def test_basetable_option_and_case_partial_route(aqp, duck):
     compare_frames(aqp.sql(q), duck.sql(oracle_sql_for(an.spec)).df()
                    .rename(columns=an.rename))
     aqp.sql("DROP SAMPLE TABLE li_bt")
+
+
+def test_empty_table_all_behaviors(aqp, spark):
+    """QueryRoutingTestSuite 'empty table with behaviour involving routing'
+    (:1078-1194): every behavior returns the NULL global-aggregate row on
+    an empty base, never crashing — incl. partial reroute, which
+    degenerates to full reroute when there is no GROUP BY."""
+    empty = spark.createDataFrame([], "ol_number int, ol_amount double, "
+                                      "ol_id long")
+    aqp.tables["order_line_e"] = empty
+    aqp.sql("CREATE SAMPLE TABLE ol_e_sample ON order_line_e OPTIONS("
+            "qcs 'ol_number', fraction '0.01', method 'hash', seed '42', "
+            "keyColumns 'ol_id')")
+    for beh in ("", " BEHAVIOR 'run_on_full_table'",
+                " BEHAVIOR 'partial_run_on_base_table'",
+                " BEHAVIOR 'local_omit'", " BEHAVIOR 'strict'"):
+        rows = aqp.sql("SELECT sum(ol_number) AS s, absolute_error(s) "
+                       "FROM order_line_e WITH ERROR .95" + beh).collect()
+        assert len(rows) == 1 and rows[0].s is None
+    aqp.sql("DROP SAMPLE TABLE ol_e_sample")
+
+
+def test_global_partial_reroute_degenerates_to_full(aqp, duck):
+    q = ("SELECT sum(l_quantity) AS sq, relative_error(sq) FROM lineitem "
+         "WITH ERROR 0.000001 BEHAVIOR 'partial_run_on_base_table'")
+    an = aqp.analyze_sql(q)
+    compare_frames(aqp.sql(q), duck.sql(oracle_sql_for(an.spec)).df()
+                   .rename(columns=an.rename))
+
+
+def test_direct_sample_query_never_reroutes(aqp):
+    """QueryRoutingTestSuite :732-938: HAC reroute behaviors are inert for
+    queries fired AT the sample table."""
+    an = aqp.analyze_sql("SELECT sum(l_quantity) AS x, absolute_error(x) "
+                         "FROM li_sample WITH ERROR 0.000001 "
+                         "BEHAVIOR 'run_on_full_table'")
+    assert an.spec is not None and an.spec.behavior == "do_nothing"
