@@ -20,6 +20,7 @@ reference's query-routing semantics.
 
 from __future__ import annotations
 
+import os
 import re
 import uuid
 
@@ -421,11 +422,24 @@ class AQPSession:
 
     def create_sample_table_from_spec(self, name: str, spec: SampleSpec,
                                       path: str | None = None,
-                                      materialize: bool = True) -> DataFrame:
+                                      materialize: bool = True,
+                                      rebuild: bool = False) -> DataFrame:
         self._derive_col_bounds(self.tables[spec.base_table], spec)
         key = (spec, self._token)
         if key in _SAMPLE_CACHE:
             sample = _SAMPLE_CACHE[key]
+        elif (path and not rebuild and os.path.isdir(path)
+                and any(f.endswith(".parquet") for f in os.listdir(path))):
+            # ATTACH instead of rebuild: the sample content is a
+            # deterministic function of (spec, base data), so a previously
+            # persisted sample IS the sample — reusing it skips the full
+            # base scan, which is the whole point of persisted samples at
+            # 100 TB (reference: sample tables live in the store and are
+            # scanned, not re-sampled, per query/session —
+            # ColumnFormatSamplingRelation). ``rebuild=True`` forces a
+            # re-sample after base-table mutation.
+            sample = self.spark.read.parquet(path)
+            _SAMPLE_CACHE[key] = sample
         else:
             base_df = self.tables[spec.base_table]
             sample = stratified_sample(base_df, spec)
@@ -567,8 +581,13 @@ class AQPSession:
         ddl = fe.parse_create_sample(text)
         if ddl:
             name, base, opts, as_sql = ddl
+            # path: persist to / attach from parquet (skip the base rescan
+            # when the directory already holds the deterministic sample);
+            # rebuild 'true' forces a re-sample
             return self.create_sample_table_from_spec(
-                name, spec_from_ddl(base, opts, as_sql=as_sql))
+                name, spec_from_ddl(base, opts, as_sql=as_sql),
+                path=opts.get("path"),
+                rebuild=opts.get("rebuild", "").lower() == "true")
         topk_ddl = fe.parse_create_topk(text)
         if topk_ddl:
             name, base, opts = topk_ddl

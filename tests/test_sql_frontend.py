@@ -1091,3 +1091,45 @@ def test_direct_sample_query_never_reroutes(aqp):
                          "FROM li_sample WITH ERROR 0.000001 "
                          "BEHAVIOR 'run_on_full_table'")
     assert an.spec is not None and an.spec.behavior == "do_nothing"
+
+
+def test_sample_persist_and_attach(spark, tmp_path, duck):
+    """CREATE SAMPLE TABLE ... OPTIONS(path ...) persists the sample; a
+    fresh session with the same DDL ATTACHES the parquet instead of
+    re-scanning the base (sample content is a deterministic function of
+    the spec, so attach == rebuild bit-for-bit), and queries through it
+    still match the oracle."""
+    import os
+    from snappy_aqp_spark.api import AQPSession
+    from snappy_aqp_spark.plans.approx_query import _SAMPLE_CACHE
+    p = str(tmp_path / "li_persist")
+    ddl = ("CREATE SAMPLE TABLE li_persist ON lineitem OPTIONS("
+           "qcs 'l_returnflag', fraction '0.1', method 'hash', seed '42', "
+           f"path '{p}')")
+    s1 = AQPSession(spark, data_token="persist-a")
+    s1.load_tables(SF_SMALL, ["lineitem"])
+    s1.sql(ddl)
+    q = ("SELECT l_returnflag, sum(l_quantity) AS sq, absolute_error(sq) "
+         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag "
+         "WITH ERROR 0.5")
+    r1 = s1.sql(q).collect()
+    mtimes = {f: os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)}
+    # fresh session, different token -> cache cold; same DDL attaches
+    s2 = AQPSession(spark, data_token="persist-b")
+    s2.load_tables(SF_SMALL, ["lineitem"])
+    s2.sql(ddl)
+    r2 = s2.sql(q).collect()
+    assert r1 == r2
+    # the parquet was NOT rewritten (attach, not rebuild)
+    assert mtimes == {f: os.path.getmtime(os.path.join(p, f))
+                      for f in os.listdir(p)}
+    an = s2.analyze_sql(q)
+    compare_frames(s2.sql(q), duck.sql(oracle_sql_for(an.spec)).df()
+                   .rename(columns=an.rename))
+    # rebuild 'true' forces a rewrite
+    s3 = AQPSession(spark, data_token="persist-c")
+    s3.load_tables(SF_SMALL, ["lineitem"])
+    s3.sql(ddl.replace("path", "rebuild 'true', path"))
+    assert mtimes != {f: os.path.getmtime(os.path.join(p, f))
+                      for f in os.listdir(p)}
+    assert s3.sql(q).collect() == r1
