@@ -13,10 +13,14 @@ import __spark_entry__ as entrymod
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
+import os
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "16")
          .config("spark.ui.enabled", "false")
          .config("spark.ui.showConsoleProgress", "false")
+         # sf0.1 runs need real heap (the default 1g dies mid-suite)
+         .config("spark.driver.memory",
+                 os.environ.get("VERIFY_DRIVER_MEM", "8g"))
          .appName("verify").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
