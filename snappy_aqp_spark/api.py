@@ -27,8 +27,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import SampleCatalog, SampleInfo
-from .plans.approx_query import (_SAMPLE_CACHE, invalidate_base_table,
-                                 run_approx_query)
+from .plans.approx_query import (_SAMPLE_CACHE, get_sample,
+                                 invalidate_base_table, run_approx_query)
 from .sampling.samplers import stratified_sample
 from .specs import ApproxAgg, ApproxQuerySpec, SampleSpec
 from .sql import frontend as fe
@@ -483,6 +483,46 @@ class AQPSession:
                         time_interval_us=time_interval_us, size=size, **kw)
         return create_approx_ts_topk(self.spark, self.topk,
                                      self.tables[base.lower()], spec)
+
+    def drop_topk(self, name: str) -> None:
+        """dropTopK analog (SnappyContextAQPFunctions.scala:126)."""
+        self.topk.drop(name)
+
+    def convert_to_stratified_sample(self, df: DataFrame, qcs: list[str],
+                                     key_cols: list[str],
+                                     **kw) -> DataFrame:
+        """Sample an arbitrary DataFrame without registering anything
+        (convertToStratifiedSample, SnappyContextAQPFunctions.scala:375):
+        returns the stratified rows with the hidden weight columns."""
+        spec = SampleSpec("__adhoc__", tuple(key_cols), tuple(qcs), **kw)
+        return stratified_sample(df, spec)
+
+    def error_stats(self, sample_name: str, measure: str) -> DataFrame:
+        """per-stratum StatCounter rows for a registered sample
+        (SampleDataFrameContract.errorStats analog)."""
+        from .operators.sample_stats import error_stats
+        info = self.catalog.get(sample_name)
+        if info is None:
+            raise KeyError(f"unknown sample table {sample_name}")
+        sample = get_sample(self.tables[info.spec.base_table], info.spec,
+                            self._token)
+        return error_stats(sample, measure, list(info.spec.qcs),
+                           max_abs=fe.measure_bound(
+                               measure, self.col_bounds))
+
+    def error_estimate_average(self, sample_name: str, measure: str,
+                               confidence: float = 0.95) -> DataFrame:
+        """single-row weighted average with CI
+        (SampleDataFrameContract.errorEstimateAverage analog)."""
+        from .operators.sample_stats import error_estimate_average
+        info = self.catalog.get(sample_name)
+        if info is None:
+            raise KeyError(f"unknown sample table {sample_name}")
+        sample = get_sample(self.tables[info.spec.base_table], info.spec,
+                            self._token)
+        return error_estimate_average(
+            sample, measure, list(info.spec.qcs), confidence=confidence,
+            max_abs=fe.measure_bound(measure, self.col_bounds))
 
     def insert_into_topk(self, name: str, df: DataFrame):
         from .topk.api import insert_into_topk

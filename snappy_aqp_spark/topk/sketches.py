@@ -29,6 +29,17 @@ _ROW_A = (1103515245, 1299709, 15485863, 32452843, 49979687, 67867967,
 _ROW_B = (12345, 67891, 24680, 13579, 97531, 86420, 11235, 81321, 34553,
           89151, 43349, 77711)
 
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer: full-avalanche 64-bit mix (public-domain
+    constant set; deterministic, pure integer)."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return (x ^ (x >> 31)) & _M64
+
 
 def key_hash(key) -> int:
     """Deterministic 61-bit hash of a (string or int) key."""
@@ -71,9 +82,20 @@ class CountMinSketch:
         self.confidence = 1.0 - float(np.exp(-depth))
 
     # -- hashing -----------------------------------------------------------
+    #
+    # Row buckets need INDEPENDENT low bits: the width is a power of two,
+    # and with small key hashes the textbook ((a*h+b) mod P) mod w never
+    # wraps mod P, so every row's bucket collapses to a bijection of
+    # h mod w — any two keys congruent mod w then collide in ALL rows and
+    # the min-estimate inflates by the colliding key's full count (seen as
+    # a systematic ~2x overcount once key cardinality approaches the
+    # width). A 64-bit avalanche finalizer (splitmix64) over per-row-salted
+    # h restores independent rows; bucket consistency under width-halving
+    # (compress) is preserved because mix % (w/2) == (mix % w) % (w/2)
+    # for power-of-two widths.
 
     def _buckets(self, h: int) -> list[int]:
-        return [((_ROW_A[i] * h + _ROW_B[i]) % _P) % self.width
+        return [_mix64(h ^ (_ROW_A[i] << 1) ^ _ROW_B[i]) % self.width
                 for i in range(self.depth)]
 
     # -- updates -----------------------------------------------------------

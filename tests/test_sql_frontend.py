@@ -1133,3 +1133,24 @@ def test_sample_persist_and_attach(spark, tmp_path, duck):
     assert mtimes != {f: os.path.getmtime(os.path.join(p, f))
                       for f in os.listdir(p)}
     assert s3.sql(q).collect() == r1
+
+
+def test_session_api_parity_methods(aqp, spark):
+    """thin session analogs of SnappyContextAQPFunctions: errorStats,
+    errorEstimateAverage, convertToStratifiedSample, dropTopK."""
+    from snappy_aqp_spark.specs import WEIGHT_COL
+    es = aqp.error_stats("li_sample", "l_extendedprice").toPandas()
+    assert len(es) > 0 and "weighted_count" in "".join(es.columns).lower() \
+        or len(es.columns) >= 3
+    ea = aqp.error_estimate_average("li_sample", "l_quantity").collect()
+    assert len(ea) == 1
+    adhoc = aqp.convert_to_stratified_sample(
+        aqp.tables["lineitem"], qcs=["l_returnflag"],
+        key_cols=["l_orderkey", "l_linenumber"], fraction=0.1,
+        method="hash", seed=7)
+    assert WEIGHT_COL in adhoc.columns and 0 < adhoc.count() < 6000
+    aqp.create_approx_ts_topk("tk_parity", "lineitem", key="l_returnflag",
+                              int_key=False)
+    assert "tk_parity" in aqp.topk.tables
+    aqp.drop_topk("tk_parity")
+    assert "tk_parity" not in aqp.topk.tables

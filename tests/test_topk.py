@@ -279,3 +279,29 @@ def test_time_us_date_column_is_timezone_independent(spark):
             assert us == naive_epoch_us, (tz, us)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_cms_row_hashes_are_independent():
+    """Regression: with power-of-two widths and small key hashes, the
+    textbook ((a*h+b) mod P) mod w family never wrapped mod P, collapsing
+    every row to a bijection of h mod w — keys congruent mod w collided in
+    ALL rows and estimates inflated ~2x at realistic cardinality. The
+    avalanche-mixed rows must behave independently: no key pair among
+    thousands shares more than a couple of rows."""
+    from snappy_aqp_spark.topk.sketches import CountMinSketch, key_hash
+    cms = CountMinSketch(7, 4096)
+    buckets = {k: cms._buckets(key_hash(str(k))) for k in range(2000)}
+    worst = 0
+    items = list(buckets.items())
+    for i in range(0, len(items), 7):     # ~300 probes against all others
+        ka, ba = items[i]
+        for kb, bb in items:
+            if ka == kb:
+                continue
+            worst = max(worst, sum(1 for r in range(7) if ba[r] == bb[r]))
+    assert worst <= 3, worst
+    # and the sketch stays exact at fixture-scale cardinality
+    cms2 = CountMinSketch(7, 4096)
+    for k in range(1500):
+        cms2.add(str(k), k % 7 + 1)
+    assert all(cms2.estimate(str(k)) == k % 7 + 1 for k in range(0, 1500, 11))
