@@ -204,6 +204,13 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "token_stats": {
         "builder": _tx.token_stats_stages, "kw": {},
         "tables": ("documents",)},
+    # hard-negative mining for contrastive retrieval training: most-similar
+    # non-near-dup items per query (LSH-probed candidates, exact cosine,
+    # dup band excluded)
+    "hard_negative_mining": {
+        "builder": _sim.hard_negative_mining_stages,
+        "kw": {"dup_threshold": 0.9, "k": 3},
+        "tables": ("embeddings",)},
     # bigram-LM novelty (integer floor-log2 surprise per transition) —
     # the no-model stand-in for perplexity quality filtering
     "lm_surprise": {

@@ -520,3 +520,56 @@ def lsh_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
     final = (f"SELECT qid, vid, CAST(rank AS BIGINT) AS rank, cos "
              f"FROM __rk WHERE rank <= {k} ORDER BY qid, rank")
     return stages, final
+
+
+def hard_negative_mining_stages(dialect: str, n_queries: int = 20, k: int = 3,
+                                dim: int = 64, dup_threshold: float = 0.9,
+                                n_tables: int = 4, planes: int = 6,
+                                plant_rate: int | None = 10,
+                                table: str = "embeddings"
+                                ) -> tuple[list[tuple[str, str]], str]:
+    """Top-k HARD NEGATIVES per query: the most similar corpus items that
+    are NOT near-duplicates (cos < dup_threshold) — the standard mining
+    step for contrastive retrieval training data (near-dups would be false
+    negatives; random picks are uselessly easy).
+
+    Scale path: candidates come from ``n_tables`` hyperplane-LSH tables
+    (packed (table, bucket) equi-join — the near_dup_pairs machinery on the
+    query side), so the corpus is probed, never cross-joined; the exact
+    integer cosine then verifies, the dup band filters out, and a per-query
+    rank window keeps k. With fixed integer hyperplanes both engines
+    compute identical candidate sets, so the oracle replay is bit-exact
+    regardless of LSH recall; the pytest pins recall against the
+    brute-force band on the fixture corpus. ``plant_rate`` reuses the
+    planted near-dup corpus so the exclusion band provably fires."""
+    from ..dialect import dlit
+    if plant_rate:
+        stages = _planted_corpus_stages(dialect, table, dim, plant_rate)
+    else:
+        stages = [_vec_stage(dialect, table, dim),
+                  ("__corpus", "SELECT vec_id, v, n2 FROM __vec")]
+    buckets = [
+        f"(CAST({t} AS BIGINT) * {2 ** 31} + "
+        f"{_lsh_bucket(dialect, 'v', dim, planes, seed_offset=t * planes)})"
+        for t in range(n_tables)]
+    stages += [
+        ("__hn_sig", f"SELECT vec_id, "
+                     f"{dual.explode(dialect, dual.array_lit(dialect, buckets), 'bv')} "
+                     f"FROM __corpus"),
+        ("__hn_cand", f"SELECT DISTINCT q.vec_id AS qid, a.vec_id AS vid "
+                      f"FROM __hn_sig q JOIN __hn_sig a "
+                      f"ON a.bv = q.bv AND a.vec_id <> q.vec_id "
+                      f"WHERE q.vec_id < {n_queries}"),
+        ("__hn_sim", f"SELECT c.qid, c.vid, "
+                     f"{_cos(_dot(dialect, 'q.v', 'a.v', dim), 'q.n2', 'a.n2')} "
+                     f"AS cos FROM __hn_cand c "
+                     f"JOIN __corpus q ON q.vec_id = c.qid "
+                     f"JOIN __corpus a ON a.vec_id = c.vid"),
+        # the dup band is EXCLUDED: those are positives/duplicates
+        ("__hn_rk", f"SELECT qid, vid, cos, ROW_NUMBER() OVER "
+                    f"(PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank "
+                    f"FROM __hn_sim WHERE cos < {dlit(dup_threshold)}"),
+    ]
+    final = (f"SELECT qid, vid, CAST(rank AS BIGINT) AS rank, cos "
+             f"FROM __hn_rk WHERE rank <= {k} ORDER BY qid, rank")
+    return stages, final

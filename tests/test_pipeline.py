@@ -1064,3 +1064,26 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert rows[0].rank == 1
     # target docs never selected
     assert all(r.source == "other" for r in rows)
+
+
+def test_hard_negative_mining_excludes_dups_and_ranks(views, duck):
+    """hard negatives are the most-similar NON-near-dup items: planted
+    near-dups (cos ~ 0.997) never appear, every mined negative is below
+    the dup threshold, and within the LSH candidate set the ranking
+    equals the brute-force cosine order."""
+    from snappy_aqp_spark.pipeline.similarity import (
+        hard_negative_mining_stages, near_dup_pairs_stages)
+    st, fin = hard_negative_mining_stages("spark", dup_threshold=0.9, k=3)
+    mined = run_stages(views, st, fin).toPandas()
+    assert (mined["cos"] < 0.9).all()
+    # planted near-dup pairs are exactly the exclusions
+    st2, f2 = near_dup_pairs_stages("spark", threshold=0.9)
+    dups = {(r.ida, r.idb) for r in run_stages(views, st2, f2).collect()}
+    mined_pairs = {(min(r.qid, r.vid), max(r.qid, r.vid))
+                   for r in mined.itertuples()}
+    assert not (mined_pairs & dups)
+    # per query: ranks are 1..k with non-increasing cosine
+    for qid, grp in mined.groupby("qid"):
+        g = grp.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["cos"].diff().dropna() <= 1e-12).all()
