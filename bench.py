@@ -97,7 +97,7 @@ def main() -> None:
                  "mixture_resample", "repetition_signals",
                  "duplicate_spans", "cross_corpus_dedup",
                  "bm25_retrieval", "token_stats",
-                 "lm_surprise", "dsir_select"):
+                 "lm_surprise", "dsir_select", "hard_negative_mining"):
         def once():
             qs[name](spark, SF_DIR).collect()
         for _ in range(max(1, WARMUP - 1)):
