@@ -641,6 +641,18 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
 
     group_aliases = tuple(group_alias(i, g) for i, g in enumerate(parsed.group_by))
 
+    # grouping by a column that is NOT selected (AQP-201 shape:
+    # `SELECT sum(x) ... GROUP BY w ORDER BY w`): the key participates in
+    # grouping and tail clauses but stays out of the visible output, per
+    # SQL semantics — computed as a hidden column
+    sel_texts = {e.strip().lower() for e, _ in parsed.select_items}
+    sel_aliases = {a.lower() for _, a in parsed.select_items if a}
+    for i, g in enumerate(parsed.group_by):
+        ga = group_aliases[i]
+        if (g.strip().lower() not in sel_texts
+                and ga.lower() not in sel_aliases and ga not in hidden):
+            hidden.append(ga)
+
     # reference decision (QueryProcessingRules.scala:1414-1447): with the
     # closed-form default, AVG alongside ANY filter — WHERE below the
     # aggregate or HAVING above it — routes to bootstrap

@@ -993,7 +993,9 @@ def test_case_over_group_key_select_item(aqp, duck):
     assert an2.spec is not None
     by_name = {n: e for e, n in an2.spec.derived_items}
     assert by_name["b"].startswith("CASE WHEN g_0")
-    assert set(aqp.sql(q2).columns) == {"g_0", "sq", "b"}
+    # the unselected group key is computed hidden (AQP-201 semantics) —
+    # only the selected items appear, exactly the reference's output shape
+    assert set(aqp.sql(q2).columns) == {"sq", "b"}
 
 
 def test_errfn_arithmetic_select_items(aqp, duck):
@@ -1154,3 +1156,18 @@ def test_session_api_parity_methods(aqp, spark):
     assert "tk_parity" in aqp.topk.tables
     aqp.drop_topk("tk_parity")
     assert "tk_parity" not in aqp.topk.tables
+
+
+def test_unselected_group_key_is_hidden(aqp, duck):
+    """AQP-201 (PartialQueryRoutingTestSuite:1221): GROUP BY/ORDER BY a
+    column that is not selected — it groups and sorts but stays out of
+    the visible output."""
+    q = ("SELECT sum(l_extendedprice) AS s, absolute_error(s) "
+         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag "
+         "WITH ERROR 0.3 BEHAVIOR 'partial_run_on_base_table'")
+    an = aqp.analyze_sql(q)
+    assert "l_returnflag" in an.spec.hidden_cols
+    df = aqp.sql(q)
+    assert "l_returnflag" not in df.columns
+    compare_frames(df, duck.sql(oracle_sql_for(an.spec)).df()
+                   .rename(columns=an.rename))
