@@ -1,6 +1,14 @@
 """Tiny dialect shims for the handful of constructs where Spark SQL and
 DuckDB spell things differently. Everything else in the generated fragments
 is shared ANSI text.
+
+Known portability limit (documented, not shimmed): ``CAST(double AS
+DECIMAL(p,s))`` rounds HALF_UP in Spark but half-even in DuckDB, so a
+decimal cast of an ambiguous double used as a GROUP BY key can bucket
+boundary rows differently across engines. Decimal MEASURES are unaffected
+(the engine's decimal-widening path sums exact DECIMAL(38,s) in both
+engines); avoid decimal casts in group keys of oracle-compared queries or
+group on the pre-cast value.
 """
 
 from __future__ import annotations
