@@ -111,3 +111,31 @@ def test_quantile_ci_coverage_across_seeds(spark, duck):
         covered += r["lower_bound"] <= truth <= r["upper_bound"]
     # binomial(30, 0.95): P(covered < 24) < 1e-4
     assert covered >= 24, f"coverage {covered}/{N_SEEDS}"
+
+
+@pytest.fixture(scope="module")
+def bs_runs(spark):
+    """bootstrap estimator across independent sample seeds
+    (BootStrapAccuracySuite protocol, scaled down: the reference averages
+    bounds over ~150 runs, :307-460)."""
+    tables = load_tables(spark, SF_SMALL, ("lineitem",))
+    out = []
+    for seed in range(15):
+        row = run_approx_query(spark, _spec(seed, "bootstrap"),
+                               tables).collect()[0]
+        out.append((row["s"], row["s_lower_bound"], row["s_upper_bound"]))
+    return out
+
+
+def test_bootstrap_ci_coverage(bs_runs, exact_sum):
+    covered = sum(1 for est, lo, hi in bs_runs if lo <= exact_sum <= hi)
+    # binomial(15, 0.95): P(covered < 11) < 1e-4
+    assert covered >= 11, f"coverage {covered}/15 at {CONFIDENCE}"
+
+
+def test_bootstrap_point_estimates_converge(bs_runs, exact_sum):
+    mean_est = sum(e for e, _, _ in bs_runs) / len(bs_runs)
+    assert abs(mean_est - exact_sum) / exact_sum < 0.03
+    # bootstrap quantile bounds are finite and ordered
+    for est, lo, hi in bs_runs:
+        assert lo <= est <= hi
