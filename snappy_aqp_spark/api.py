@@ -424,12 +424,15 @@ class AQPSession:
                                       path: str | None = None,
                                       materialize: bool = True,
                                       rebuild: bool = False) -> DataFrame:
-        self._derive_col_bounds(self.tables[spec.base_table], spec)
+        attaching = (path and not rebuild and os.path.isdir(path)
+                     and any(f.endswith(".parquet")
+                             for f in os.listdir(path)))
+        if not attaching:
+            self._derive_col_bounds(self.tables[spec.base_table], spec)
         key = (spec, self._token)
         if key in _SAMPLE_CACHE:
             sample = _SAMPLE_CACHE[key]
-        elif (path and not rebuild and os.path.isdir(path)
-                and any(f.endswith(".parquet") for f in os.listdir(path))):
+        elif attaching:
             # ATTACH instead of rebuild: the sample content is a
             # deterministic function of (spec, base data), so a previously
             # persisted sample IS the sample — reusing it skips the full
@@ -440,6 +443,10 @@ class AQPSession:
             # re-sample after base-table mutation.
             sample = self.spark.read.parquet(path)
             _SAMPLE_CACHE[key] = sample
+            # bounds from the ATTACHED rows, not the base (the base scan is
+            # exactly what attach avoids); the 2x headroom in measure_bound
+            # absorbs sample-vs-population max gaps
+            self._derive_col_bounds(sample, spec)
         else:
             base_df = self.tables[spec.base_table]
             sample = stratified_sample(base_df, spec)
@@ -781,11 +788,14 @@ class AQPSession:
 
         outer = fe._ERRFN_CALL_RE.sub(err_repl, outer)
         try:
-            return self.spark.sql(fe.fold_error_functions(outer, None))
-        except Exception:
+            out = self.spark.sql(fe.fold_error_functions(outer, None))
+        finally:
+            # spark.sql resolves the views into the returned plan eagerly;
+            # dropping them immediately avoids leaking one temp view per
+            # derived query over a long session
             for view in views:
                 self.spark.catalog.dropTempView(view)
-            raise
+        return out
 
     def analyze_sql(self, text: str):
         """Routing decision without execution (plan-shape introspection —
