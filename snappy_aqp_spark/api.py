@@ -504,6 +504,24 @@ class AQPSession:
         spec = SampleSpec("__adhoc__", tuple(key_cols), tuple(qcs), **kw)
         return stratified_sample(df, spec)
 
+    def attach_sample_data(self, name: str, df: DataFrame,
+                           spec: SampleSpec) -> None:
+        """Register pre-built sample ROWS as the sample for ``spec`` —
+        no base scan ever happens (AQP-211 spirit: a relation carrying the
+        sampler's hidden columns IS a sample; here the caller states which
+        spec produced it, which keeps the replay oracle derivable). The
+        rows must carry the hidden weight/strata columns the estimators
+        read."""
+        from .specs import HIDDEN_COLS
+        missing = [c for c in HIDDEN_COLS if c not in df.columns]
+        if missing:
+            raise ValueError(f"not a sample relation: missing hidden "
+                             f"column(s) {missing}")
+        _SAMPLE_CACHE[(spec, self._token)] = df
+        self.catalog.register(SampleInfo(name, spec, None))
+        df.createOrReplaceTempView(name)
+        self._derive_col_bounds(df, spec)
+
     def error_stats(self, sample_name: str, measure: str) -> DataFrame:
         """per-stratum StatCounter rows for a registered sample
         (SampleDataFrameContract.errorStats analog)."""

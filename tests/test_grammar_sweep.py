@@ -55,11 +55,38 @@ def _cases():
 
 CASES = list(_cases())
 
+# join-form block: every FROM spelling the reference corpora use, crossed
+# with the aggregate/error axes (comma-style, aliased explicit JOIN,
+# sampled-dim selection through the join)
+JOIN_FROMS = [
+    ("FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey", ""),
+    ("FROM lineitem l, orders o", " AND l.l_orderkey = o.o_orderkey"),
+    ("FROM lineitem, orders", " AND l_orderkey = o_orderkey"),
+]
+
+
+def _join_cases():
+    i = 0
+    for frm, jpred in JOIN_FROMS:
+        for agg in AGGS[:2] + ["sum(o_totalprice) AS m"]:
+            for err in ERRS:
+                for group, gsel in (("", ""),
+                                    (" GROUP BY o_orderpriority",
+                                     "o_orderpriority, ")):
+                    where = " WHERE o_orderpriority LIKE '1%'" + jpred
+                    i += 1
+                    yield (f"join{i}",
+                           f"SELECT {gsel}{agg}{err} {frm}{where}{group}"
+                           f" WITH ERROR 0.7")
+
+
+CASES += list(_join_cases())
+
 
 @pytest.fixture(scope="module")
 def sweep_aqp(spark):
     s = AQPSession(spark, data_token="grammar-sweep")
-    s.load_tables(SF_SMALL, ["lineitem"])
+    s.load_tables(SF_SMALL, ["lineitem", "orders"])
     s.sql("CREATE SAMPLE TABLE li_sweep ON lineitem OPTIONS("
           "qcs 'l_returnflag', fraction '0.1', method 'hash', seed '42')")
     return s

@@ -1171,3 +1171,38 @@ def test_unselected_group_key_is_hidden(aqp, duck):
     assert "l_returnflag" not in df.columns
     compare_frames(df, duck.sql(oracle_sql_for(an.spec)).df()
                    .rename(columns=an.rename))
+
+
+def test_attach_sample_data(spark, tmp_path, duck):
+    """AQP-211 spirit: a relation carrying the sampler's hidden columns is
+    attached as THE sample for its spec — no base scan; queries through it
+    equal the normally-created sample bit-for-bit and match the oracle."""
+    from snappy_aqp_spark.api import AQPSession
+    from snappy_aqp_spark.specs import SampleSpec
+    spec = SampleSpec("lineitem", ("l_orderkey", "l_linenumber"),
+                      ("l_returnflag",), method="hash", fraction=0.1,
+                      seed=42)
+    # provenance simulation: sample built elsewhere, shipped as parquet
+    s0 = AQPSession(spark, data_token="attach-src")
+    s0.load_tables(SF_SMALL, ["lineitem"])
+    rows = s0.convert_to_stratified_sample(
+        s0.tables["lineitem"], qcs=["l_returnflag"],
+        key_cols=["l_orderkey", "l_linenumber"], method="hash",
+        fraction=0.1, seed=42)
+    p = str(tmp_path / "shipped_sample")
+    rows.write.parquet(p)
+    # consumer session attaches the rows; base never scanned for sampling
+    s1 = AQPSession(spark, data_token="attach-dst")
+    s1.load_tables(SF_SMALL, ["lineitem"])
+    s1.attach_sample_data("li_shipped", spark.read.parquet(p), spec)
+    q = ("SELECT l_returnflag, sum(l_quantity) AS sq, absolute_error(sq) "
+         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag "
+         "WITH ERROR 0.5")
+    an = s1.analyze_sql(q)
+    assert an.spec is not None and an.spec.sample == spec
+    compare_frames(s1.sql(q), duck.sql(oracle_sql_for(an.spec)).df()
+                   .rename(columns=an.rename))
+    # scans by name work; non-sample relations are rejected
+    assert s1.sql("SELECT * FROM li_shipped").count() == rows.count()
+    with pytest.raises(ValueError, match="missing hidden"):
+        s1.attach_sample_data("bogus", s1.tables["lineitem"], spec)
