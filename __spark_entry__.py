@@ -251,6 +251,29 @@ def _streaming_sql_surface_runner(spark: SparkSession, sf_dir: str) -> DataFrame
     return out
 
 
+def _topk_decay_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hokusai width-halving decay (Hokusai.scala:68-1017): buckets older
+    than the cutoff compress 4096 -> 2048, then the full-range query runs
+    over the mixed-width state. Decay is conservative (columns i and
+    i + w/2 merge), and at fixture cardinality the halved width is still
+    collision-free, so the result equals the exact-count oracle — the
+    decay path itself is what's exercised (merge across widths, estimate
+    over compressed sketches)."""
+    import dataclasses as dc
+    from snappy_aqp_spark.fixtures import TOPK_FIXTURES
+    from snappy_aqp_spark.topk.api import (create_approx_ts_topk, decay_topk,
+                                           query_approx_ts_topk)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spec = dc.replace(TOPK_FIXTURES["topk_cms_full"]["spec"],
+                      name=f"topk_decay@{sf_dir}")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    reg = _TOPK_REGISTRY
+    if spec.name.lower() not in reg.tables:
+        create_approx_ts_topk(spark, reg, df, spec)
+        decay_topk(spark, reg, spec.name, older_than_bucket=5, levels=1)
+    return query_approx_ts_topk(spark, reg, spec.name, None, None, 20)
+
+
 # AQP224/AQP-247 protocol (CommonBugTest.scala:1364-1420): an AGGREGATING
 # derived table over the sampled base, joined by an exact outer query. The
 # subquery routes through its own sample (inheriting the outer WITH clause);
@@ -337,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["streaming_topk_state"] = _streaming_topk_runner
     out["streaming_sql_surface"] = _streaming_sql_surface_runner
     out["sql_derived_agg_join"] = _derived_agg_join_runner
+    out["topk_decay"] = _topk_decay_runner
     out["dedup_embedding_clusters"] = _embedding_clusters_runner
     out["leakage_safe_split"] = _leakage_safe_split_runner
     return out
@@ -403,6 +427,12 @@ def oracle_sql() -> dict[str, str]:
     out["streaming_sql_surface"] = topk_oracle_sql(
         TOPK_FIXTURES["topk_cms_full"]["spec"], "events", None, None, 20)
     out["sql_derived_agg_join"] = _derived_agg_join_oracle()
+    # decay is conservative and collision-free at fixture widths: the
+    # post-decay full-range query still equals the exact-count replay,
+    # with the decayed buckets' slack computed at the halved width
+    out["topk_decay"] = topk_oracle_sql(
+        TOPK_FIXTURES["topk_cms_full"]["spec"], "events", None, None, 20,
+        decayed_before=5, decay_levels=1)
     from snappy_aqp_spark.fixtures import LI_HASH, _PRICE
     from snappy_aqp_spark.operators.sample_stats import (
         error_estimate_average_oracle, error_stats_oracle)

@@ -28,7 +28,13 @@ from .sketches import IntervalTracker
 
 
 def topk_oracle_sql(spec: TopKSpec, table: str, start_us: int | None,
-                    end_us: int | None, k: int) -> str:
+                    end_us: int | None, k: int,
+                    decayed_before: int | None = None,
+                    decay_levels: int = 1) -> str:
+    """``decayed_before``/``decay_levels``: replay the slack of a decayed
+    table — buckets below the cutoff carry the HALVED width's eps (the
+    engine's decay compresses those sketches, Hokusai item aggregation),
+    everything else the original width's."""
     iv = spec.time_interval_us
     eps = float(np.e) / spec.width
     prob = 1.0 - float(np.exp(-spec.depth))
@@ -72,12 +78,20 @@ def topk_oracle_sql(spec: TopKSpec, table: str, start_us: int | None,
     else:
         grain = "bucket AS grain"
 
+    if decayed_before is not None:
+        dec_eps = float(np.e) / max(2, spec.width >> decay_levels)
+        # grain == level-0 bucket on the open-range path decay applies to
+        eps_sql = (f"(CASE WHEN grain < {int(decayed_before)} "
+                   f"THEN {dlit(dec_eps)} ELSE {dlit(eps)} END)")
+    else:
+        eps_sql = dlit(eps)
+
     return (
         f"WITH __rng AS ({base}), __inb AS (SELECT *, {grain} FROM __rng {where}), "
         f"__sizes AS (SELECT pid, grain, CAST(SUM(freq) AS BIGINT) AS n "
         f"FROM __inb GROUP BY pid, grain), "
         f"__slack AS (SELECT pid, CAST(SUM(CAST(FLOOR(CAST(n AS DOUBLE) * "
-        f"{dlit(eps)}) AS BIGINT)) AS BIGINT) AS s FROM __sizes GROUP BY pid), "
+        f"{eps_sql}) AS BIGINT)) AS BIGINT) AS s FROM __sizes GROUP BY pid), "
         f"__cnt AS (SELECT key, pid, CAST(SUM(freq) AS BIGINT) AS est "
         f"FROM __inb GROUP BY key, pid) "
         f"SELECT c.key AS key, c.est AS EstimatedValue, "
