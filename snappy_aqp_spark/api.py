@@ -418,7 +418,10 @@ class AQPSession:
         for c in cols:
             v = row[c]
             if v is not None and float(v) > 0:
-                self.col_bounds[c.lower()] = float(v)
+                # never shrink: a bound observed on a subset (stream batch,
+                # attached sample) only ever raises the recorded max
+                self.col_bounds[c.lower()] = max(
+                    self.col_bounds.get(c.lower(), 0.0), float(v))
 
     def create_sample_table_from_spec(self, name: str, spec: SampleSpec,
                                       path: str | None = None,
@@ -571,7 +574,7 @@ class AQPSession:
             self._streaming = StreamingManager(self.spark)
         return self._streaming
 
-    def _on_stream_batch(self, name: str) -> None:
+    def _on_stream_batch(self, name: str, batch_df: DataFrame) -> None:
         """per-micro-batch maintenance for a stream table: refresh the
         session's snapshot, evict every cached sample/plan over it, and
         re-point dependent sample views at a lazy re-sample of the
@@ -589,9 +592,10 @@ class AQPSession:
         self.tables[n] = self.streaming.snapshot(name)
         invalidate_base_table(n, token=self._token)
         for info in self.catalog.for_base(n):
-            # bounds grow with the stream: re-derive from the snapshot so
-            # quantization scales track the observed value range
-            self._derive_col_bounds(self.tables[n], info.spec, force=True)
+            # bounds grow with the stream: max-merge the BATCH's maxima
+            # (incremental — never a rescan of the accumulated snapshot,
+            # which would cost O(history) per trigger)
+            self._derive_col_bounds(batch_df, info.spec, force=True)
             stratified_sample(self.tables[n], info.spec) \
                 .createOrReplaceTempView(info.name)
 
@@ -617,7 +621,7 @@ class AQPSession:
             # data; a default sink keeps the session's view of it current
             self.tables[name.lower()] = empty
             self.streaming.add_sink(
-                name, lambda _bdf, n=name: self._on_stream_batch(n))
+                name, lambda bdf, n=name: self._on_stream_batch(n, bdf))
             return self.spark.range(0)
         dropt = fe.parse_drop_table(text)
         if dropt:
