@@ -285,6 +285,16 @@ TOPK_FIXTURES: dict[str, dict] = {
                          num_partitions=8, int_key=True),
         "start": _T_2024_01_08, "end": None, "k": 20,
     },
+    # two-sided time window over a Space-Saving table
+    # (queryTopkStreamSummary with start+end,
+    # SnappyContextAQPFunctions.scala:293-323)
+    "topk_streamsummary_window": {
+        "spec": TopKSpec("topk_streamsummary_window", key="user_id",
+                         time_col="ts", time_interval_us=_3D_US,
+                         epoch_us=_T_EPOCH, size=100, stream_summary=True,
+                         capacity=4096, num_partitions=8, int_key=True),
+        "start": _T_2024_01_08, "end": _T_2024_01_22, "k": 15,
+    },
 }
 
 # --- SQL-surface fixtures (snappyAQPParsers.scala:39-106 parity) ------------

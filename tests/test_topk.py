@@ -125,6 +125,19 @@ def test_topk_incremental_insert_equals_batch(spark, events):
     assert full.equals(inc)
 
 
+def test_streamsummary_two_sided_window_matches_oracle(spark, duck, events):
+    """Two-sided [start, end) window over a Space-Saving table: merged
+    per-bucket summaries equal the exact replay at fixture capacity
+    (queryTopkStreamSummary, SnappyContextAQPFunctions.scala:293-323)."""
+    reg = TopKRegistry()
+    spec = _spec("ssw", stream_summary=True, capacity=4096)
+    create_approx_ts_topk(spark, reg, events, spec)
+    start, end = 1_704_672_000_000_000, 1_705_881_600_000_000
+    res = query_approx_ts_topk(spark, reg, "ssw", start, end, 15)
+    oracle = duck.sql(topk_oracle_sql(spec, "events", start, end, 15))
+    compare_frames(res, oracle, sort_cols=["key"])
+
+
 def test_hokusai_decay_keeps_conservative_estimates(spark, events):
     from snappy_aqp_spark.topk.api import decay_topk
     reg = TopKRegistry()
