@@ -48,6 +48,14 @@ def contamination_stages(dialect: str, k: int = 7, min_shared: int = 100,
         ("__cgt",
          f"SELECT doc_id, {dual.arr_distinct(dialect, grams)} AS gs "
          f"FROM {table} WHERE NOT ({eval_pred})"),
+        # per-doc distinct-gram counts come free off the distinct arrays —
+        # an explode + GROUP BY here would re-shuffle the whole corpus
+        ("__cne",
+         f"SELECT doc_id, CAST({dual.arr_len(dialect, 'gs')} AS BIGINT) "
+         f"AS n FROM __cge"),
+        ("__cnt",
+         f"SELECT doc_id, CAST({dual.arr_len(dialect, 'gs')} AS BIGINT) "
+         f"AS n FROM __cgt"),
         ("__cse",
          f"SELECT doc_id, {dual.explode(dialect, 'gs', 'sh')} FROM __cge"),
         ("__cst",
@@ -56,10 +64,6 @@ def contamination_stages(dialect: str, k: int = 7, min_shared: int = 100,
         ("__cdf",
          f"SELECT sh FROM __cse GROUP BY sh "
          f"HAVING COUNT(*) <= {max_gram_df}"),
-        ("__cne",
-         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM __cse GROUP BY doc_id"),
-        ("__cnt",
-         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM __cst GROUP BY doc_id"),
         ("__cov",
          "SELECT t.doc_id AS train_id, e.doc_id AS eval_id, "
          "CAST(COUNT(*) AS BIGINT) AS shared_grams "
