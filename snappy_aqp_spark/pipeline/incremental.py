@@ -48,13 +48,17 @@ def cross_corpus_dedup_stages(dialect: str, new_pred: str,
     grams = dual.gram_int_array(dialect, "txt", k)
     stages = [
         ("__cc0",
-         f"SELECT doc_id, {col} AS txt, "
+         f"SELECT doc_id, {col} AS txt, md5({col}) AS th, "
          f"CASE WHEN {new_pred} THEN 1 ELSE 0 END AS is_new FROM {table}"),
-        # exact tier: smallest corpus doc with identical text
+        # exact tier: smallest corpus doc with identical text. The join
+        # key is the 32-byte md5, not the document — the exact-tier
+        # shuffle carries (doc_id, hash) rows, never text (both engines
+        # emit identical lowercase-hex md5, so the oracle replays it)
         ("__cce",
          "SELECT n.doc_id AS doc_id, MIN(c.doc_id) AS match_id "
-         "FROM __cc0 n JOIN __cc0 c ON n.txt = c.txt "
-         "WHERE n.is_new = 1 AND c.is_new = 0 GROUP BY n.doc_id"),
+         "FROM (SELECT doc_id, th FROM __cc0 WHERE is_new = 1) n "
+         "JOIN (SELECT doc_id, th FROM __cc0 WHERE is_new = 0) c "
+         "ON n.th = c.th GROUP BY n.doc_id"),
         # distinct shingles as narrow rows, side flag carried
         ("__ccs",
          f"SELECT doc_id, is_new, "

@@ -61,15 +61,19 @@ def bm25_topk_stages(dialect: str, query_pred: str, topk: int = 5,
         ("__bmg",
          "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
          "CAST(SUM(dl) AS BIGINT) AS tot FROM __bml"),
-        # posting-list lengths -> integer idf surrogate (broadcast-sized)
+        # distinct query terms
+        ("__bmq",
+         "SELECT DISTINCT doc_id AS qid, w FROM __bmt WHERE is_q = 1"),
+        # posting-list lengths -> integer idf surrogate (broadcast-sized).
+        # Only query terms are ever scored, so the df aggregate is
+        # semi-joined to the (small) query vocabulary up front — the
+        # GROUP BY shrinks from |corpus vocab| to |query vocab| keys
         ("__bmi",
          f"SELECT w, {idiv(dialect, '(g.n_docs - df) * 10000', 'df')} "
          f"AS idf_bp FROM "
          f"(SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM __bmf "
+         f"WHERE w IN (SELECT w FROM __bmq) "
          f"GROUP BY w) __df, __bmg g"),
-        # distinct query terms
-        ("__bmq",
-         "SELECT DISTINCT doc_id AS qid, w FROM __bmt WHERE is_q = 1"),
         # probe the tf table on the term; saturate tf; weight by idf
         ("__bms",
          f"SELECT q.qid, f.doc_id, CAST(SUM(i.idf_bp * "
