@@ -34,6 +34,42 @@ from snappy_aqp_spark.sql import frontend as fe
 
 _SQL_DEFAULTS = {"error": 0.2, "confidence": 0.95, "behavior": "do_nothing"}
 
+# The driver's correctness gate checks at most ~50 queries per round, taken
+# in dict-insertion order.  Rotate coverage: fixtures that have never had a
+# driver CORRECTNESS row (round-3 additions + the pipeline family) come
+# first, then the ones last checked in round 2, then the rest.  Every name
+# here must exist in queries(); unknown names are ignored defensively.
+_GATE_PRIORITY: tuple[str, ...] = (
+    # never driver-checked (verified only by pytest/judge up to round 3)
+    "topk_decay", "streaming_sql_surface", "streaming_topk_ingest",
+    "sql_create_topk", "sql_derived_agg_join", "cf_incremental_append",
+    "decontamination", "bm25_retrieval", "cross_corpus_dedup",
+    "ann_pq_topk", "approx_distinct_hll", "approx_quantiles",
+    "approx_quantiles_grouped", "sessionize_events", "asof_join_clicks",
+    "range_join_activity", "bloom_semi_join", "stratified_split",
+    "text_top_terms", "pps_weighted_sample", "corpus_histogram",
+    "source_quota_cap", "chunk_documents", "skew_report",
+    "join_cardinality", "event_funnel", "cohort_retention",
+    "table_profile", "sequence_pack", "mixture_resample",
+    "repetition_signals", "duplicate_spans", "token_stats",
+    "hard_negative_mining", "lm_surprise", "dsir_select",
+    "leakage_safe_split",
+    # last checked in round 2 (rotated out of round 3's gate)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_embedding_cosine", "dedup_clusters",
+    "dedup_embedding_clusters", "corpus_clean", "ann_cosine_topk",
+    "ann_ivf_topk", "ann_lsh_topk", "multimodal_features",
+    "text_analysis", "sample_error_stats", "sample_error_estimate_avg",
+    "streaming_topk_state",
+)
+
+
+def _gate_order(out: dict) -> dict:
+    """Reorder a fixture dict so _GATE_PRIORITY names come first."""
+    head = {k: out[k] for k in _GATE_PRIORITY if k in out}
+    head.update((k, v) for k, v in out.items() if k not in head)
+    return head
+
 
 def _tables_for(spec: ApproxQuerySpec) -> tuple[str, ...]:
     return (spec.sample.base_table, *[j.table for j in spec.joins],
@@ -363,7 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["topk_decay"] = _topk_decay_runner
     out["dedup_embedding_clusters"] = _embedding_clusters_runner
     out["leakage_safe_split"] = _leakage_safe_split_runner
-    return out
+    return _gate_order(out)
 
 
 def _error_stats_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,4 +479,4 @@ def oracle_sql() -> dict[str, str]:
     out["sample_error_estimate_avg"] = error_estimate_average_oracle(
         sample_cte_stages(LI_HASH), "l_extendedprice",
         ["l_returnflag", "l_linestatus"], confidence=0.95, max_abs=_PRICE)
-    return out
+    return _gate_order(out)
