@@ -41,6 +41,7 @@ _SQL_DEFAULTS = {"error": 0.2, "confidence": 0.95, "behavior": "do_nothing"}
 # here must exist in queries(); unknown names are ignored defensively.
 _GATE_PRIORITY: tuple[str, ...] = (
     # never driver-checked (verified only by pytest/judge up to round 3)
+    "streaming_topk_decay",
     "topk_decay", "streaming_sql_surface", "streaming_topk_ingest",
     "sql_create_topk", "sql_derived_agg_join", "cf_incremental_append",
     "decontamination", "bm25_retrieval", "cross_corpus_dedup",
@@ -147,14 +148,14 @@ def _dedup_clusters_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snappy_aqp_spark.pipeline.clusters import dedup_clusters
     spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .createOrReplaceTempView("documents")
-    return dedup_clusters(spark)
+    return dedup_clusters(spark, data_token=sf_dir)
 
 
 def _leakage_safe_split_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snappy_aqp_spark.pipeline.clusters import leakage_safe_split
     spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .createOrReplaceTempView("documents")
-    return leakage_safe_split(spark)
+    return leakage_safe_split(spark, data_token=sf_dir)
 
 
 def _embedding_clusters_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,7 +169,7 @@ def _clean_corpus_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snappy_aqp_spark.pipeline.clusters import clean_corpus
     spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .createOrReplaceTempView("documents")
-    return clean_corpus(spark)
+    return clean_corpus(spark, data_token=sf_dir)
 
 
 def _streaming_topk_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,6 +255,35 @@ def _streaming_topk_ingest_runner(spark: SparkSession, sf_dir: str) -> DataFrame
     m = StreamingTopKMaintainer(spark, _TOPK_REGISTRY, spec)
     for i in range(3):
         m.process_batch(df.where(F.pmod(F.col("event_id"), F.lit(3)) == i))
+    return query_approx_ts_topk(spark, _TOPK_REGISTRY, spec.name,
+                                None, None, 20)
+
+
+def _streaming_topk_decay_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic Hokusai decay-on-ingest (Hokusai.scala:172-196
+    timeEpoch.increment -> item aggregation; TopKHokusai.scala:287-300):
+    three TIME-ORDERED micro-batches (buckets 0-3, 4-6, 7-9) stream into a
+    CMS TopK table whose maintainer keeps only the newest 5 buckets at
+    full width. As the newest bucket advances, the maintenance pass
+    compresses aged buckets in place — batch 2 decays [0,2), batch 3
+    decays [2,5) — so the final state has buckets <5 at half width, each
+    halved exactly once (the decay watermark). The full-range query must
+    hash-match the decayed-slack oracle."""
+    import dataclasses as dc
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.fixtures import TOPK_FIXTURES
+    from snappy_aqp_spark.streaming.maintenance import StreamingTopKMaintainer
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = TOPK_FIXTURES["topk_cms_full"]["spec"]
+    spec = dc.replace(base, name=f"topk_stream_decay@{sf_dir}")
+    from snappy_aqp_spark.topk.api import _time_us
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bucket = F.floor((_time_us(df, "ts") - F.lit(base.epoch_us))
+                     / F.lit(base.time_interval_us))
+    m = StreamingTopKMaintainer(spark, _TOPK_REGISTRY, spec,
+                                decay_horizon=5, decay_levels=1)
+    for lo, hi in ((0, 3), (4, 6), (7, 9)):
+        m.process_batch(df.where(bucket.between(lo, hi)))
     return query_approx_ts_topk(spark, _TOPK_REGISTRY, spec.name,
                                 None, None, 20)
 
@@ -395,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_clean"] = _clean_corpus_runner
     out["streaming_topk_state"] = _streaming_topk_runner
     out["streaming_sql_surface"] = _streaming_sql_surface_runner
+    out["streaming_topk_decay"] = _streaming_topk_decay_runner
     out["sql_derived_agg_join"] = _derived_agg_join_runner
     out["topk_decay"] = _topk_decay_runner
     out["dedup_embedding_clusters"] = _embedding_clusters_runner
@@ -467,6 +498,11 @@ def oracle_sql() -> dict[str, str]:
     # post-decay full-range query still equals the exact-count replay,
     # with the decayed buckets' slack computed at the halved width
     out["topk_decay"] = topk_oracle_sql(
+        TOPK_FIXTURES["topk_cms_full"]["spec"], "events", None, None, 20,
+        decayed_before=5, decay_levels=1)
+    # decay-on-ingest converges to the same mixed-width state: events span
+    # buckets 0-9 at every SF, so horizon 5 leaves decayed_before == 5
+    out["streaming_topk_decay"] = topk_oracle_sql(
         TOPK_FIXTURES["topk_cms_full"]["spec"], "events", None, None, 20,
         decayed_before=5, decay_levels=1)
     from snappy_aqp_spark.fixtures import LI_HASH, _PRICE

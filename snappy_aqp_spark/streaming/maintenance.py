@@ -36,7 +36,8 @@ from pyspark.sql.window import Window
 from ..detrng import hash_sql, threshold_for_fraction
 from ..specs import (STRATA_SAMPLED_COL, STRATA_TOTAL_COL, WEIGHT_COL,
                      SampleSpec)
-from ..topk.api import TopKRegistry, TopKSpec, create_approx_ts_topk, insert_into_topk
+from ..topk.api import (TopKRegistry, TopKSpec, create_approx_ts_topk,
+                        decay_topk, insert_into_topk)
 
 
 class StreamingSampleMaintainer:
@@ -183,17 +184,43 @@ class StreamingSampleMaintainer:
 
 
 class StreamingTopKMaintainer:
-    """foreachBatch fan-in to a TopK table (reference aqpTablePopulator)."""
+    """foreachBatch fan-in to a TopK table (reference aqpTablePopulator).
+
+    ``decay_horizon``: with a CMS-backed (non stream-summary) spec, keep
+    only the newest N time buckets at full sketch width — as ingestion
+    advances the newest bucket, older buckets automatically compress
+    (width-halving, ``decay_levels`` times) inside the same maintenance
+    pass. This is the reference's bounded-memory aging: ``Hokusai``
+    item aggregation runs on ``timeEpoch.increment`` as stream time
+    advances (Hokusai.scala:172-196; TopKHokusai.scala:287-300), so a
+    long-running stream's historical state stays bounded instead of
+    growing linearly with history. ``decay_topk`` tracks a per-table
+    watermark, so each bucket compresses exactly once."""
 
     def __init__(self, spark: SparkSession, registry: TopKRegistry,
-                 spec: TopKSpec):
+                 spec: TopKSpec, decay_horizon: int | None = None,
+                 decay_levels: int = 1):
+        if decay_horizon is not None:
+            if spec.stream_summary:
+                raise ValueError("decay_horizon applies to CMS-backed "
+                                 "TopK tables")
+            if decay_horizon < 1:
+                raise ValueError("decay_horizon must be >= 1 bucket")
         self.spark, self.registry, self.spec = spark, registry, spec
+        self.decay_horizon, self.decay_levels = decay_horizon, decay_levels
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
         if self.spec.name.lower() not in self.registry.tables:
             create_approx_ts_topk(self.spark, self.registry, batch_df, self.spec)
         else:
             insert_into_topk(self.spark, self.registry, self.spec.name, batch_df)
+        if self.decay_horizon is not None:
+            table = self.registry.get(self.spec.name)
+            cutoff = table.max_bucket - self.decay_horizon + 1
+            if cutoff > table.decayed_before:
+                decay_topk(self.spark, self.registry, self.spec.name,
+                           older_than_bucket=cutoff,
+                           levels=self.decay_levels)
 
     def attach(self, stream_df: DataFrame):
         return stream_df.writeStream.foreachBatch(self.process_batch)

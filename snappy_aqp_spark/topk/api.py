@@ -63,6 +63,8 @@ class TopKTable:
     state: DataFrame                           # all levels (level 0 = raw)
     epoch_us: int
     max_level: int = 0
+    max_bucket: int = 0                        # newest level-0 bucket seen
+    decayed_before: int = 0                    # buckets < this are compressed
 
 
 class TopKRegistry:
@@ -434,12 +436,14 @@ def create_approx_ts_topk(spark: SparkSession, registry: TopKRegistry,
               .applyInPandas(_build_state(spec), schema=_STATE_SCHEMA)
               .persist())
     state0.count()
+    mx = state0.agg(F.max("bucket").alias("m")).collect()[0]["m"]
     state, max_level = _with_levels(state0, spec)
     if max_level > 0:
         state = state.persist()
         state.count()
         state0.unpersist()
-    table = TopKTable(spec, state, epoch, max_level)
+    table = TopKTable(spec, state, epoch, max_level,
+                      max_bucket=int(mx or 0))
     registry.tables[spec.name.lower()] = table
     return table
 
@@ -515,6 +519,9 @@ def insert_into_topk(spark: SparkSession, registry: TopKRegistry,
     table.state.unpersist()
     table.state = merged
     table.max_level = max_level
+    if touched_pairs:
+        table.max_bucket = max(table.max_bucket,
+                               max(b for _, b in touched_pairs))
     return table
 
 
@@ -525,16 +532,26 @@ def decay_topk(spark: SparkSession, registry: TopKRegistry, name: str,
     estimate resolution (Hokusai.scala:68-1017; CountMinSketch ``compress``).
 
     Width-halving keeps estimates conservative (counts of column i and
-    i + w/2 merge), so range queries stay upper bounds after decay."""
+    i + w/2 merge), so range queries stay upper bounds after decay.
+
+    Idempotent over repeated calls with an advancing cutoff: the table
+    tracks ``decayed_before`` and only buckets in
+    [decayed_before, older_than_bucket) compress — each bucket is halved
+    exactly ``levels`` times once, no matter how many maintenance passes
+    run (the automatic decay-on-ingest path calls this per micro-batch,
+    TopKHokusai.scala:287-300 ``timeEpoch.increment``)."""
     table = registry.get(name)
     spec = table.spec
     if spec.stream_summary:
         raise ValueError("decay applies to CMS-backed TopK tables")
+    not_before = table.decayed_before
+    if older_than_bucket <= not_before:
+        return table
 
     def decay(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf.copy()
         for idx, r in out.iterrows():
-            if int(r["bucket"]) < older_than_bucket:
+            if not_before <= int(r["bucket"]) < older_than_bucket:
                 s = CountMinSketch.from_bytes(bytes(r["sketch"]))
                 for _ in range(levels):
                     if s.width >= 2:
@@ -543,11 +560,13 @@ def decay_topk(spark: SparkSession, registry: TopKRegistry, name: str,
         return out
 
     old0 = table.state.where(F.col("level") == 0)
-    untouched0 = old0.where(F.col("bucket") >= older_than_bucket)
-    decayed = (old0.where(F.col("bucket") < older_than_bucket).groupBy("pid")
+    in_range = ((F.col("bucket") >= not_before) &
+                (F.col("bucket") < older_than_bucket))
+    untouched0 = old0.where(~in_range)
+    decayed = (old0.where(in_range).groupBy("pid")
                .applyInPandas(decay, schema=_STATE_SCHEMA))
     touched_pairs = [(int(r["pid"]), int(r["bucket"])) for r in
-                     (old0.where(F.col("bucket") < older_than_bucket)
+                     (old0.where(in_range)
                       .select("pid", "bucket").distinct().collect())]
     decayed0 = untouched0.unionByName(decayed).persist()
     decayed0.count()
@@ -561,6 +580,7 @@ def decay_topk(spark: SparkSession, registry: TopKRegistry, name: str,
     table.state.unpersist()
     table.state = new_state
     table.max_level = max_level
+    table.decayed_before = older_than_bucket
     return table
 
 

@@ -153,6 +153,61 @@ def test_hokusai_decay_keeps_conservative_estimates(spark, events):
         assert after.get(k, 0) >= v
 
 
+def test_decay_watermark_halves_each_bucket_exactly_once(spark, events):
+    """Repeated decay calls with an advancing cutoff compress each bucket
+    exactly ``levels`` times: the table tracks decayed_before, so a second
+    pass over an already-decayed bucket is a no-op (the automatic
+    decay-on-ingest path relies on this)."""
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.topk.api import decay_topk
+    reg = TopKRegistry()
+    spec = _spec("wm", width=4096)
+    create_approx_ts_topk(spark, reg, events, spec)
+
+    def widths():
+        rows = (reg.get("wm").state.where(F.col("level") == 0)
+                .select("bucket", "sketch").collect())
+        return {int(r["bucket"]):
+                CountMinSketch.from_bytes(bytes(r["sketch"])).width
+                for r in rows}
+
+    decay_topk(spark, reg, "wm", older_than_bucket=3, levels=1)
+    w1 = widths()
+    assert all(w == 2048 for b, w in w1.items() if b < 3)
+    assert all(w == 4096 for b, w in w1.items() if b >= 3)
+    # advancing cutoff: only [3, 5) compresses; [0, 3) must NOT re-halve
+    decay_topk(spark, reg, "wm", older_than_bucket=5, levels=1)
+    w2 = widths()
+    assert all(w == 2048 for b, w in w2.items() if b < 5)
+    assert all(w == 4096 for b, w in w2.items() if b >= 5)
+    # same cutoff again: no-op
+    t = decay_topk(spark, reg, "wm", older_than_bucket=5, levels=1)
+    assert t.decayed_before == 5 and widths() == w2
+
+
+def test_streaming_decay_on_ingest_bounds_old_widths(spark, events):
+    """StreamingTopKMaintainer(decay_horizon=...) compresses aged buckets
+    as time-ordered batches advance the newest bucket — no manual decay
+    call (Hokusai.scala:172-196 timeEpoch.increment)."""
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.streaming.maintenance import StreamingTopKMaintainer
+    reg = TopKRegistry()
+    spec = _spec("ingest_decay", width=4096, epoch_us=1_704_067_200_000_000)
+    from snappy_aqp_spark.topk.api import _time_us
+    bucket = F.floor((_time_us(events, "ts") - F.lit(spec.epoch_us))
+                     / F.lit(spec.time_interval_us))
+    m = StreamingTopKMaintainer(spark, reg, spec, decay_horizon=5)
+    for lo, hi in ((0, 3), (4, 6), (7, 9)):
+        m.process_batch(events.where(bucket.between(lo, hi)))
+    table = reg.get("ingest_decay")
+    assert table.max_bucket == 9 and table.decayed_before == 5
+    rows = (table.state.where(F.col("level") == 0)
+            .select("bucket", "sketch").collect())
+    for r in rows:
+        w = CountMinSketch.from_bytes(bytes(r["sketch"])).width
+        assert w == (2048 if int(r["bucket"]) < 5 else 4096)
+
+
 def test_interval_tracker_cover_properties():
     """IntervalTracker invariants (HokusaiIntervalTrackerSpec analog):
     the cover partitions [lo, hi] exactly into aligned dyadic spans,
