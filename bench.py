@@ -97,13 +97,33 @@ def main() -> None:
                  "mixture_resample", "repetition_signals",
                  "duplicate_spans", "cross_corpus_dedup",
                  "bm25_retrieval", "token_stats",
-                 "lm_surprise", "dsir_select", "hard_negative_mining"):
+                 "lm_surprise", "dsir_select", "hard_negative_mining",
+                 # clustering family: consumers share one converged label
+                 # table (pipeline/clusters.cluster_labels) — these time the
+                 # derive-from-labels passes; cluster_labels_build below
+                 # times the convergence itself
+                 "dedup_clusters", "corpus_clean", "leakage_safe_split"):
         def once():
             qs[name](spark, SF_DIR).collect()
         for _ in range(max(1, WARMUP - 1)):
             once()
         times = [_time(once) for _ in range(max(3, ITERS - 2))]
         results[name] = round(statistics.median(times), 4)
+
+    # cold label convergence: pair detection + connected components, cache
+    # cleared each iteration (the one number the clustering family amortizes)
+    from snappy_aqp_spark.pipeline import clusters as _cl
+
+    def labels_cold():
+        for df in _cl._LABEL_CACHE.values():
+            df.unpersist()
+        _cl._LABEL_CACHE.clear()
+        spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+            .createOrReplaceTempView("documents")
+        _cl.cluster_labels(spark, data_token=SF_DIR).count()
+    labels_cold()
+    times = [_time(labels_cold) for _ in range(max(3, ITERS - 2))]
+    results["cluster_labels_build"] = round(statistics.median(times), 4)
 
     total = round(sum(v for k, v in results.items()
                       if not k.startswith(("exact:", "exact_cached:"))), 4)

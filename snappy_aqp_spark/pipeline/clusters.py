@@ -30,20 +30,71 @@ from .dedup import minhash_lsh_stages
 from ..dialect import DUCKDB, SPARK, dlit
 
 
+def _union_find_local(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Driver-side union-find with path compression; labels = component
+    minimum. Deterministic and exact; used only below the edge-count guard."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN root so the final root is the component minimum
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return sorted((x, find(x)) for x in parent)
+
+
+# edge lists below this collect to the driver (16 B/edge -> ~32 MB at the
+# cap); above it the distributed pointer-doubling loop runs
+SMALL_GRAPH_EDGES = 2_000_000
+
+
 def connected_components(pairs: DataFrame, src: str = "ida",
-                         dst: str = "idb", max_iter: int = 30) -> DataFrame:
+                         dst: str = "idb", max_iter: int = 30,
+                         small_graph_edges: int = SMALL_GRAPH_EDGES
+                         ) -> DataFrame:
     """(doc_id, cluster_id) for every node in ``pairs``; cluster_id is the
     component-minimum node id (deterministic, iteration-order independent).
 
-    Labels start as node ids and are monotonically non-increasing: each
-    round takes the min over neighbor labels (propagation) then follows the
-    label's own label (pointer doubling). The sum of labels strictly
-    decreases until the fixpoint, so one scalar per round decides
-    convergence."""
+    Two physical strategies behind one result contract:
+
+      * edge count <= ``small_graph_edges``: collect the EDGE LIST (never
+        the corpus — near-dup pairs are orders of magnitude smaller than
+        the documents) and run driver-side union-find; one job + one
+        collect replaces O(log diameter) shuffle rounds. This is the same
+        adaptive small-side shortcut as a broadcast join: the dedup
+        pipelines join the labels back to the corpus, which stays fully
+        distributed.
+      * larger graphs: iterative min-label propagation with POINTER
+        DOUBLING (label <- label(label) each round) — the alternating-star
+        / hash-to-min family (Rastogi et al. 2012; Kiveris et al. 2014),
+        O(log diameter) rounds, each two key-partitioned shuffles over the
+        edge list only. Labels are monotonically non-increasing; the sum
+        of labels strictly decreases until the fixpoint, so one scalar per
+        round decides convergence.
+    """
     e = pairs.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
     e = (e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
          .distinct().persist())
+    n_edges = e.count()
+    if n_edges <= small_graph_edges:
+        rows = _union_find_local([(r["u"], r["v"]) for r in e.collect()])
+        e.unpersist()
+        spark = pairs.sparkSession
+        if not rows:
+            return spark.createDataFrame([], "doc_id long, cluster_id long")
+        return spark.createDataFrame(rows, "doc_id long, cluster_id long")
     # localCheckpoint (not persist) per round: the pointer-doubling
     # self-join doubles the logical plan every iteration — lineage must be
     # truncated or plan construction itself goes exponential
@@ -71,12 +122,27 @@ def connected_components(pairs: DataFrame, src: str = "ida",
                       F.col("lab").alias("cluster_id"))
 
 
-def dedup_clusters(spark: SparkSession, threshold: float = 0.5, k: int = 7,
+# converged (doc_id, cluster_id) label tables, keyed by
+# (session, data_token, LSH params). The three downstream consumers
+# (dedup_clusters, clean_corpus, leakage_safe_split) all need the SAME
+# converged labels — without the memo each one re-runs pair detection and
+# the CC convergence loop from scratch. data_token=None disables caching
+# (callers whose temp view contents aren't identified by a token).
+_LABEL_CACHE: dict[tuple, DataFrame] = {}
+
+
+def cluster_labels(spark: SparkSession, threshold: float = 0.5, k: int = 7,
                    n_hashes: int = 32, bands: int = 8,
-                   table: str = "documents", col: str = "text") -> DataFrame:
-    """Full-corpus cluster assignment over ``table`` (must be a temp view):
-    (doc_id, cluster_id, cluster_size, is_duplicate), one row per document;
-    documents in no near-dup pair are singleton clusters of themselves."""
+                   table: str = "documents", col: str = "text",
+                   data_token: str | None = None) -> DataFrame:
+    """Converged near-dup labels for EVERY document of ``table`` (must be
+    a temp view): (doc_id, cluster_id); docs in no near-dup pair are
+    singleton clusters of themselves. Persisted + materialized once, so
+    every downstream split/filter/size pass reuses the converged table
+    instead of re-running pair detection and the CC loop."""
+    key = (spark, data_token, threshold, k, n_hashes, bands, table, col)
+    if data_token is not None and key in _LABEL_CACHE:
+        return _LABEL_CACHE[key]
     stages, final = minhash_lsh_stages(SPARK, threshold=threshold, k=k,
                                        n_hashes=n_hashes, bands=bands,
                                        table=table, col=col)
@@ -85,7 +151,23 @@ def dedup_clusters(spark: SparkSession, threshold: float = 0.5, k: int = 7,
     docs = spark.table(table).select(F.col("doc_id").cast("long").alias("doc_id"))
     lab = (docs.join(cc, "doc_id", "left")
            .select("doc_id",
-                   F.coalesce("cluster_id", "doc_id").alias("cluster_id")))
+                   F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+           .persist())
+    lab.count()
+    if data_token is not None:
+        _LABEL_CACHE[key] = lab
+    return lab
+
+
+def dedup_clusters(spark: SparkSession, threshold: float = 0.5, k: int = 7,
+                   n_hashes: int = 32, bands: int = 8,
+                   table: str = "documents", col: str = "text",
+                   data_token: str | None = None) -> DataFrame:
+    """Full-corpus cluster assignment over ``table`` (must be a temp view):
+    (doc_id, cluster_id, cluster_size, is_duplicate), one row per document;
+    documents in no near-dup pair are singleton clusters of themselves."""
+    lab = cluster_labels(spark, threshold, k, n_hashes, bands, table, col,
+                         data_token=data_token)
     sz = lab.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return (lab.join(sz, "cluster_id")
             .select("doc_id", "cluster_id", "cluster_size",
@@ -135,7 +217,8 @@ def dedup_clusters_oracle_sql(threshold: float = 0.5, k: int = 7,
 
 def clean_corpus(spark: SparkSession, min_quality: float = 0.32,
                  threshold: float = 0.5, k: int = 7,
-                 table: str = "documents") -> DataFrame:
+                 table: str = "documents",
+                 data_token: str | None = None) -> DataFrame:
     """End-to-end corpus cleaning: one keep/drop decision per document with
     the reason, composing the pipeline's stages the way a training-data job
     would run them:
@@ -159,8 +242,8 @@ def clean_corpus(spark: SparkSession, min_quality: float = 0.32,
     fp = docs.select("doc_id", F.expr("md5(text)").alias("fp"))
     keep_fp = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     exact = fp.join(keep_fp, "fp").select("doc_id", "keeper")
-    cl = dedup_clusters(spark, threshold=threshold, k=k, table=table) \
-        .select("doc_id", "cluster_id")
+    cl = cluster_labels(spark, threshold=threshold, k=k, table=table,
+                        data_token=data_token)
     reason = (f"CASE WHEN quality < {dlit(min_quality)} THEN 'low_quality' "
               f"WHEN doc_id <> keeper THEN 'exact_dup' "
               f"WHEN doc_id <> cluster_id THEN 'near_dup' "
@@ -249,9 +332,11 @@ def leakage_safe_split(spark: SparkSession,
     straddles the cut). Composition of ``dedup_clusters`` (LSH pairs ->
     connected components) with the zero-shuffle hash-threshold assignment
     (``split.hash_split_case`` on cluster_id). -> one row per doc:
-    (doc_id, cluster_id, split)."""
+    (doc_id, cluster_id, split). The converged label table is computed
+    once (``cluster_labels``) and every split class derives from it in the
+    same pass — no per-class re-join."""
     from .split import hash_split_case
-    lab = dedup_clusters(spark, **cluster_kw)
+    lab = cluster_labels(spark, **cluster_kw)
     case = hash_split_case(("cluster_id",), fractions, names, seed)
     return (lab.select("doc_id", "cluster_id", F.expr(case).alias("split"))
             .orderBy("doc_id"))
