@@ -29,7 +29,8 @@ from .dual import idiv
 def contamination_stages(dialect: str, k: int = 7, min_shared: int = 100,
                          eval_pred: str = "doc_id % 17 = 0",
                          table: str = "documents", col: str = "text",
-                         max_gram_df: int = 50
+                         max_gram_df: int = 50,
+                         max_train_gram_df: int = 10_000
                          ) -> tuple[list[tuple[str, str]], str]:
     """``(stages, final)`` -> one row per contaminated (train, eval) pair:
     (train_id, eval_id, shared_grams, train_grams, eval_grams,
@@ -39,7 +40,17 @@ def contamination_stages(dialect: str, k: int = 7, min_shared: int = 100,
     signal) and the skew guard (a gram in most eval docs multiplies the
     join fan-out by the eval-set size; at the default the sweep runs ~2×
     faster and reports verbatim overlaps only). Counts for surviving
-    grams stay exact."""
+    grams stay exact.
+
+    ``max_train_gram_df`` is the SYMMETRIC cap: a gram present in more
+    than this many TRAIN docs is dropped too, so the ``__cov`` join's
+    per-gram fan-out is bounded by max_train_gram_df x max_gram_df on
+    both sides (without it, one boilerplate gram in 10M train docs x 50
+    eval docs = 500M join rows). Train-side document frequency is only
+    counted for grams that survive the eval filter — the broadcast-sized
+    eval gram list prunes the count's shuffle to the gram intersection —
+    and the over-cap gram list (tiny by construction) excludes via
+    anti-join, not a kept-list join."""
     grams = dual.gram_int_array(dialect, col, k)
     stages = [
         ("__cge",
@@ -64,11 +75,17 @@ def contamination_stages(dialect: str, k: int = 7, min_shared: int = 100,
         ("__cdf",
          f"SELECT sh FROM __cse GROUP BY sh "
          f"HAVING COUNT(*) <= {max_gram_df}"),
+        # train-side df over the eval-surviving gram intersection only;
+        # grams above the cap form a TINY exclusion list
+        ("__cxt",
+         f"SELECT t.sh FROM __cst t JOIN __cdf d ON t.sh = d.sh "
+         f"GROUP BY t.sh HAVING COUNT(*) > {max_train_gram_df}"),
         ("__cov",
          "SELECT t.doc_id AS train_id, e.doc_id AS eval_id, "
          "CAST(COUNT(*) AS BIGINT) AS shared_grams "
          "FROM __cst t JOIN __cdf d ON t.sh = d.sh "
          "JOIN __cse e ON t.sh = e.sh "
+         "WHERE t.sh NOT IN (SELECT sh FROM __cxt) "
          f"GROUP BY t.doc_id, e.doc_id HAVING COUNT(*) >= {min_shared}"),
     ]
     final = ("SELECT o.train_id, o.eval_id, o.shared_grams, "

@@ -590,6 +590,36 @@ def test_contamination_finds_planted_near_dups(views):
             .min(axis=1)).all()
 
 
+def test_contamination_train_df_cap_drops_ubiquitous_grams(spark):
+    """the symmetric skew guard: a gram present in more train docs than
+    max_train_gram_df is excluded from the overlap join on BOTH engines —
+    a planted boilerplate string shared by every train doc must not
+    produce contamination pairs once the cap triggers, and must when the
+    cap is above the train df."""
+    import duckdb
+    from snappy_aqp_spark.pipeline.contamination import contamination_stages
+    from snappy_aqp_spark.pipeline.dual import stages_sql
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler + f" unique filler {i} " * 3) for i in range(1, 6)]
+    rows.append((17, boiler + " eval side text"))
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("cap_docs")
+    con = duckdb.connect()
+    con.sql("CREATE TABLE cap_docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO cap_docs VALUES (?, ?)", rows)
+    for cap, expect_pairs in ((2, 0), (1000, 5)):
+        st, fin = contamination_stages(SPARK, k=7, min_shared=10,
+                                       table="cap_docs",
+                                       max_train_gram_df=cap)
+        sp = run_stages(spark, st, fin).toPandas()
+        assert len(sp) == expect_pairs, (cap, len(sp))
+        st_d, fin_d = contamination_stages(DUCKDB, k=7, min_shared=10,
+                                           table="cap_docs",
+                                           max_train_gram_df=cap)
+        dk = con.sql(stages_sql(st_d, fin_d)).df()
+        assert len(dk) == expect_pairs, (cap, len(dk))
+
+
 def test_join_cardinality_matches_actual_join(views):
     from snappy_aqp_spark.pipeline.diagnostics import join_cardinality_stages
     st, fin = join_cardinality_stages(SPARK)
