@@ -167,10 +167,14 @@ def analyze_text(text: str, catalog: SampleCatalog, defaults: dict,
                                      from_table=direct.spec.base_table)
         if wc.error is None:
             wc = dataclasses.replace(wc, error=INFINITE_ERROR_TOLERANCE)
-        if wc.behavior in ("run_on_full_table", "partial_run_on_base_table"):
-            # queries fired AT the sample table never reroute to the base
-            # (QueryRoutingTestSuite "no routing with HAC error constraint
-            # on sample table", :732-938)
+        effective_behavior = (wc.behavior if wc.behavior is not None
+                              else defaults.get("behavior"))
+        if effective_behavior in ("run_on_full_table",
+                                  "partial_run_on_base_table"):
+            # queries fired AT the sample table never reroute to the base,
+            # whether the reroute behavior came from the WITH clause or the
+            # session default (QueryRoutingTestSuite "no routing with HAC
+            # error constraint on sample table", :732-938)
             wc = dataclasses.replace(wc, behavior="do_nothing")
         analyzed = fe.analyze(parsed, wc, direct.spec, defaults)
         if analyzed.spec is not None and analyzed.spec.where_subs:
@@ -433,6 +437,11 @@ class AQPSession:
         if not attaching:
             self._derive_col_bounds(self.tables[spec.base_table], spec)
         key = (spec, self._token)
+        if rebuild:
+            # rebuild must actually re-sample: drop the cached sample so
+            # the build branch below runs and overwrites any persisted
+            # parquet at ``path``
+            _SAMPLE_CACHE.pop(key, None)
         if key in _SAMPLE_CACHE:
             sample = _SAMPLE_CACHE[key]
         elif attaching:

@@ -301,8 +301,16 @@ def parse_select(sql: str) -> ParsedSelect:
     # NYC corpus uses them throughout (sampleTableNYCQueries.sql:1,5).
     # Resolved here so downstream analysis never sees a bare literal (which
     # would silently group every row into one bucket).
+    # positional ONLY when the whole item is a bare integer literal plus an
+    # optional ASC/DESC [NULLS FIRST|LAST] suffix — `ORDER BY 2 + 1` is a
+    # constant expression in Spark/DuckDB, not an ordinal, and must pass
+    # through unchanged
+    _ORDINAL_RE = re.compile(
+        r"^(\d+)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
+        re.IGNORECASE)
+
     def deref(item: str, keep_alias: bool) -> str:
-        dm = re.match(r"^(\d+)(\s+.*)?$", item.strip(), re.DOTALL)
+        dm = _ORDINAL_RE.match(item.strip())
         if not dm:
             return item
         idx = int(dm.group(1)) - 1
@@ -984,8 +992,10 @@ _STREAMING_CMD_RE = re.compile(
     r"\s*;?\s*$", re.IGNORECASE)
 
 _CREATE_STREAM_RE = re.compile(
+    # schema is non-greedy and anchored on USING so column types with
+    # parens (decimal(10,2), varchar(32)) don't truncate at the first ')'
     r"^\s*CREATE\s+STREAM\s+TABLE\s+(?P<name>\w+)\s*"
-    r"(?:\((?P<schema>[^)]*)\)\s*)?"
+    r"(?:\((?P<schema>.*?)\)\s*)?"
     r"USING\s+(?P<provider>\w+)\s+OPTIONS\s*\((?P<opts>.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 

@@ -69,7 +69,7 @@ class StreamingManager:
         self.spark = spark
         self.trigger_ms = 500
         self.tables: dict[str, StreamTableDef] = {}
-        self._queries: list = []
+        self._queries: dict[str, object] = {}   # table name -> StreamingQuery
         self._root = state_root or tempfile.mkdtemp(prefix="aqp_streams_")
         # name -> list of callables(batch_df) fanned out per micro-batch
         self._sinks: dict[str, list] = {}
@@ -105,11 +105,14 @@ class StreamingManager:
         self._sinks.setdefault(table.lower(), []).append(fn)
 
     def drop(self, name: str) -> bool:
+        """Drop ONE stream table: stop only its query — the other stream
+        tables' ingestion queries keep running untouched."""
         d = self.tables.pop(name.lower(), None)
         if d is None:
             return False
-        if self.active:
-            self.stop()
+        q = self._queries.pop(name.lower(), None)
+        if q is not None:
+            q.stop()
         self.spark.catalog.dropTempView(d.name)
         self._sinks.pop(name.lower(), None)
         shutil.rmtree(os.path.join(self._root, name.lower()),
@@ -161,18 +164,18 @@ class StreamingManager:
                  .trigger(processingTime=f"{self.trigger_ms} milliseconds")
                  .option("checkpointLocation", ckpt)
                  .start())
-            self._queries.append(q)
+            self._queries[d.name.lower()] = q
 
     def process_all(self) -> None:
         """deterministic drain: block until every source is fully consumed
         (test/sync surface; production relies on the trigger cadence)."""
-        for q in self._queries:
+        for q in self._queries.values():
             q.processAllAvailable()
 
     def stop(self) -> None:
-        for q in self._queries:
+        for q in self._queries.values():
             q.stop()
-        self._queries = []
+        self._queries = {}
 
     def snapshot(self, name: str) -> DataFrame | None:
         """current accumulated rows of a stream table (None if unknown)."""

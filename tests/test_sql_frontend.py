@@ -850,6 +850,15 @@ def test_parse_bare_aliases_and_ordinals():
     assert p2.order_by == ["c DESC"]
     with pytest.raises(fe.SQLFrontendError):
         fe.parse_select("SELECT COUNT(*) c FROM orders GROUP BY 9")
+    # `2 + 1` is a constant EXPRESSION, not an ordinal — must pass through
+    p3 = fe.parse_select("SELECT o_orderstatus s, COUNT(*) c FROM orders "
+                         "GROUP BY o_orderstatus ORDER BY 2 + 1")
+    assert p3.order_by == ["2 + 1"]
+    # ordinal + NULLS suffix still resolves
+    p4 = fe.parse_select("SELECT o_orderstatus s, COUNT(*) c FROM orders "
+                         "GROUP BY 1 ORDER BY 2 DESC NULLS LAST")
+    assert p4.group_by == ["o_orderstatus"]
+    assert p4.order_by == ["c DESC NULLS LAST"]
 
 
 def test_order_by_agg_expression_rewrites_to_alias():
@@ -1093,6 +1102,40 @@ def test_direct_sample_query_never_reroutes(aqp):
                          "FROM li_sample WITH ERROR 0.000001 "
                          "BEHAVIOR 'run_on_full_table'")
     assert an.spec is not None and an.spec.behavior == "do_nothing"
+
+
+def test_direct_sample_session_default_reroute_also_inert(spark):
+    """the no-reroute guard must also catch a reroute behavior arriving as
+    the SESSION default (no explicit BEHAVIOR clause): a tight error on a
+    direct sample query would otherwise reroute to the base."""
+    s = AQPSession(spark, data_token="reroute-default-test",
+                   behavior="run_on_full_table")
+    s.load_tables(SF_SMALL, ["lineitem"])
+    s.sql("CREATE SAMPLE TABLE li_rr ON lineitem OPTIONS("
+          "qcs 'l_returnflag', fraction '0.05', method 'hash', seed '42')")
+    an = s.analyze_sql("SELECT sum(l_quantity) AS x, absolute_error(x) "
+                       "FROM li_rr WITH ERROR 0.000001")
+    assert an.spec is not None and an.spec.behavior == "do_nothing"
+
+
+def test_rebuild_resamples_despite_session_cache(spark, tmp_path):
+    """rebuild=True must bypass the session sample cache AND rewrite the
+    persisted parquet at path (the cache-hit fast path was returning the
+    stale sample)."""
+    import os
+    import time
+    from snappy_aqp_spark.specs import SampleSpec
+    p = str(tmp_path / "li_rb")
+    s = AQPSession(spark, data_token="rebuild-test")
+    s.load_tables(SF_SMALL, ["lineitem"])
+    spec = SampleSpec("lineitem", ("l_orderkey",), ("l_returnflag",),
+                      fraction=0.1, method="hash", seed=42)
+    s.create_sample_table_from_spec("li_rb", spec, path=p)
+    mtimes = {f: os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)}
+    time.sleep(0.05)
+    s.create_sample_table_from_spec("li_rb", spec, path=p, rebuild=True)
+    after = {f: os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)}
+    assert after != mtimes          # the parquet was actually rewritten
 
 
 def test_sample_persist_and_attach(spark, tmp_path, duck):

@@ -409,6 +409,40 @@ def test_streaming_duration_parse():
         "CREATE STREAM TABLE t (a string) USING file_stream "
         "OPTIONS (path '/x', format 'json')") == (
             "t", "a string", "file_stream", {"path": "/x", "format": "json"})
+    # paren-carrying column types must not truncate the schema capture
+    assert fe.parse_create_stream(
+        "CREATE STREAM TABLE t2 (a decimal(10,2), b varchar(32), c long) "
+        "USING file_stream OPTIONS (path '/x', format 'csv')") == (
+            "t2", "a decimal(10,2), b varchar(32), c long", "file_stream",
+            {"path": "/x", "format": "csv"})
+
+
+def test_drop_one_stream_table_keeps_others_running(spark, tmp_path):
+    """dropping one stream table stops ONLY its ingestion query — the
+    other stream tables keep ingesting (the all-queries stop was a bug)."""
+    import json
+    from snappy_aqp_spark.api import AQPSession
+    s = AQPSession(spark, data_token="stream-drop-test")
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    a_dir.mkdir(); b_dir.mkdir()
+    s.sql("STREAMING INIT 1secs")
+    s.sql(f"CREATE STREAM TABLE sa (k string) USING file_stream "
+          f"OPTIONS (path '{a_dir}', format 'json')")
+    s.sql(f"CREATE STREAM TABLE sb (k string) USING file_stream "
+          f"OPTIONS (path '{b_dir}', format 'json')")
+    s.sql("STREAMING START")
+    (a_dir / "1.json").write_text(json.dumps({"k": "x"}) + "\n")
+    (b_dir / "1.json").write_text(json.dumps({"k": "y"}) + "\n")
+    s.streaming.process_all()
+    assert s.sql("select * from sa").count() == 1
+    assert s.sql("select * from sb").count() == 1
+    s.sql("DROP TABLE sa")
+    assert s.streaming.active          # sb's query survives the drop
+    (b_dir / "2.json").write_text(json.dumps({"k": "z"}) + "\n")
+    s.streaming.process_all()
+    assert s.sql("select * from sb").count() == 2
+    s.sql("STREAMING STOP")
+    s.sql("DROP TABLE IF EXISTS sb")
 
 
 def test_stream_sample_maintenance_sql_surface(spark, tmp_path):
