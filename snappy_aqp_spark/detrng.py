@@ -57,6 +57,27 @@ def hash_sql(key_cols: list[str], seed: int, salt: str | int = 0) -> str:
     return f"({expr})"
 
 
+def rand_hash_sql(key_cols: list[str], seed: int, salt: str | int = 0) -> str:
+    """Like ``hash_sql`` but with two QUADRATIC scrambling rounds on top of
+    the polynomial hash — the seeded ``reservoir_rand`` sampler's priority
+    stream (Algorithm-R semantics, StratifiedSamplerReservoir.scala:58-77).
+
+    The polynomial hash is affine in the keys, so key patterns correlated
+    with measures (e.g. keys striding in lockstep with a value column)
+    could in principle correlate with sampling priorities. The plain LCG
+    fix doesn't help — affine maps compose to affine — so each round here
+    squares mod the Mersenne prime (``h*h`` stays under 2^62, safe in
+    ANSI BIGINT), a nonlinear map with good empirical avalanche that still
+    uses only * + %, portable verbatim to Spark SQL and DuckDB. Coverage
+    across seeds is pinned by the statistical suite (test_accuracy.py)."""
+    h = hash_sql(key_cols, seed, salt)
+    c1 = (seed * _MIX + 48271) % MODULUS
+    r1 = (f"((({h} * {h}) % {MODULUS}) * 3 + {h} * 48271 + {c1}) "
+          f"% {MODULUS}")
+    return (f"(((({r1}) * ({r1})) % {MODULUS}) + ({r1}) * 69621 + 12345) "
+            f"% {MODULUS}")
+
+
 def threshold_for_fraction(fraction: float) -> int:
     """Integer threshold t so that P(hash < t) == fraction (exactly, in both engines)."""
     if not 0.0 <= fraction <= 1.0:

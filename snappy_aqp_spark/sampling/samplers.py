@@ -33,7 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from ..detrng import MODULUS, hash_sql, threshold_for_fraction
+from ..detrng import (MODULUS, hash_sql, rand_hash_sql,
+                      threshold_for_fraction)
 from ..specs import (STRATA_SAMPLED_COL, STRATA_TOTAL_COL, WEIGHT_COL,
                      SampleSpec)
 
@@ -46,8 +47,18 @@ def _qcs_cols(spec: SampleSpec) -> list[str]:
     return [f"__q{i}" for i in range(len(spec.qcs))]
 
 
+def priority_sql(spec: SampleSpec) -> str:
+    """The spec's sampling-priority fragment: plain polynomial key hash, or
+    the quadratically scrambled stream for ``reservoir_rand`` (seeded
+    Algorithm-R semantics — taking the k SMALLEST independent uniform
+    priorities per stratum is distribution-identical to Algorithm-R's
+    replace-at-k/seen, and replayable on any engine)."""
+    fn = rand_hash_sql if spec.method == "reservoir_rand" else hash_sql
+    return fn(list(spec.key_cols), spec.seed)
+
+
 def _tag(df: DataFrame, spec: SampleSpec) -> DataFrame:
-    out = df.withColumn("__h", F.expr(hash_sql(list(spec.key_cols), spec.seed)))
+    out = df.withColumn("__h", F.expr(priority_sql(spec)))
     for i, q in enumerate(spec.qcs):
         out = out.withColumn(f"__q{i}", F.expr(q))
     return out
@@ -143,7 +154,7 @@ def _ranked_sample(df: DataFrame, spec: SampleSpec, use_prefilter: bool = True) 
     order = [F.col("__h").asc()] + [F.col(c).asc() for c in df.columns]
     w = Window.partitionBy(*qcs).orderBy(*order)
     ranked = pool.withColumn("__rn", F.row_number().over(w))
-    if spec.method == "reservoir":
+    if spec.method in ("reservoir", "reservoir_rand"):
         picked = ranked.where(F.col("__rn") <= F.lit(k))
     else:
         picked = ranked.where((F.col("__rn") <= F.lit(k)) | (F.col("__h") < F.lit(thr)))

@@ -7,7 +7,7 @@ also valid Spark SQL (tested for equality against the DataFrame path).
 
 from __future__ import annotations
 
-from ..detrng import hash_sql, threshold_for_fraction
+from ..detrng import threshold_for_fraction
 from ..specs import (STRATA_SAMPLED_COL, STRATA_TOTAL_COL, WEIGHT_COL,
                      SampleSpec)
 from ..tables import TABLE_COLUMNS
@@ -37,7 +37,8 @@ def sample_cte_stages(spec: SampleSpec, out_name: str = "__sample",
     base = base_sql or (
         f"SELECT {col_list} FROM {spec.base_table}"
         + (f" WHERE {spec.base_filter}" if spec.base_filter else ""))
-    h = hash_sql(list(spec.key_cols), spec.seed)
+    from .samplers import priority_sql
+    h = priority_sql(spec)
     qcs = ", ".join(spec.qcs)
     keys = ", ".join(cols)  # full-column tiebreak (see samplers._ranked_sample)
     k = spec.reservoir_size
@@ -75,7 +76,7 @@ def sample_cte_stages(spec: SampleSpec, out_name: str = "__sample",
 
     if spec.method == "hash":
         include = f"__h < {thr}"
-    elif spec.method == "reservoir":
+    elif spec.method in ("reservoir", "reservoir_rand"):
         include = f"__rn <= {k}"
     else:  # fraction with per-stratum floor
         include = f"__rn <= {k} OR __h < {thr}"

@@ -58,7 +58,7 @@ class SampleSpec:
     time_interval_us: int = 0
 
     def __post_init__(self):
-        assert self.method in ("hash", "reservoir", "fraction",
+        assert self.method in ("hash", "reservoir", "reservoir_rand", "fraction",
                                "error_limit"), self.method
         assert self.key_cols and self.qcs
         if self.method == "error_limit":

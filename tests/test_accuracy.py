@@ -91,6 +91,56 @@ def test_higher_fraction_tightens_bounds(spark):
     assert width(0.2) < width(0.05)
 
 
+@pytest.fixture(scope="module")
+def rr_runs(spark, exact_sum):
+    """reservoir_rand sampler across independent seeds — the seeded
+    Algorithm-R mode (StratifiedSamplerReservoir.scala:58-77 semantics;
+    SamplingAccuracySuite protocol). reservoir_size ~= 10% of the biggest
+    stratum so CI widths are comparable to the fraction harness."""
+    tables = load_tables(spark, SF_SMALL, ("lineitem",))
+    out = []
+    for seed in range(N_SEEDS):
+        sample = dataclasses.replace(LI_HASH, seed=seed,
+                                     method="reservoir_rand",
+                                     reservoir_size=150)
+        spec = ApproxQuerySpec(
+            sample=sample,
+            aggs=(ApproxAgg("sum", "l_extendedprice", "s", _PRICE,
+                            ALL_ERRORS),),
+            confidence=CONFIDENCE)
+        row = run_approx_query(spark, spec, tables).collect()[0]
+        out.append((row["s"], row["s_lower_bound"], row["s_upper_bound"]))
+    return out
+
+
+def test_reservoir_rand_ci_coverage(rr_runs, exact_sum):
+    covered = sum(1 for est, lo, hi in rr_runs if lo <= exact_sum <= hi)
+    # binomial(30, 0.95): P(covered < 24) < 1e-4
+    assert covered >= 24, f"coverage {covered}/{N_SEEDS} at {CONFIDENCE}"
+
+
+def test_reservoir_rand_point_estimates_converge(rr_runs, exact_sum):
+    mean_est = sum(e for e, _, _ in rr_runs) / len(rr_runs)
+    assert abs(mean_est - exact_sum) / exact_sum < 0.03
+
+
+def test_rand_hash_decorrelates_adversarial_keys(duck):
+    """the scrambled priority stream must stay uniform when keys stride in
+    lockstep with the measure (the adversarial pattern a plain polynomial
+    hash can correlate with): selection rate per measure-decile stays near
+    the global rate for every seed."""
+    from snappy_aqp_spark.detrng import MODULUS, rand_hash_sql
+    for seed in (0, 1, 7):
+        frag = rand_hash_sql(["k"], seed)
+        df = duck.sql(
+            "SELECT (r * 64) AS k, r % 10 AS decile, "
+            f"CASE WHEN {frag} < {MODULUS // 5} THEN 1 ELSE 0 END AS sel "
+            "FROM (SELECT UNNEST(generate_series(0, 19999)) AS r)").df()
+        by_decile = df.groupby("decile")["sel"].mean()
+        assert abs(df["sel"].mean() - 0.2) < 0.02, seed
+        assert ((by_decile - 0.2).abs() < 0.05).all(), (seed, by_decile)
+
+
 def test_quantile_ci_coverage_across_seeds(spark, duck):
     """binomial order-statistic intervals must cover the TRUE median at
     roughly the confidence level across independent sampler seeds (the

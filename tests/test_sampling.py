@@ -21,6 +21,11 @@ SPECS = {
     "fraction": SampleSpec("lineitem", ("l_orderkey", "l_linenumber"),
                            ("l_returnflag", "l_linestatus"), "fraction",
                            0.02, reservoir_size=50, seed=42),
+    # seeded Algorithm-R semantics: scrambled-priority reservoir
+    "reservoir_rand": SampleSpec("lineitem", ("l_orderkey", "l_linenumber"),
+                                 ("l_returnflag", "l_linestatus"),
+                                 "reservoir_rand", 0.05,
+                                 reservoir_size=100, seed=42),
 }
 
 
