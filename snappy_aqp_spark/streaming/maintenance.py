@@ -20,15 +20,21 @@ stratifiedSampling.scala:456-464) and it makes streaming maintenance
     stratum -> incremental top-k merge reproduces the batch pick
     bit-for-bit (Algorithm-R analog with deterministic priorities)
 
-State lives in two parquet directories (rows/, stats/) — at scale these
-would be a transactional table format; the swap-directory write here keeps
-local runs atomic enough.
+State commits through a SINGLE-MANIFEST protocol (the minimal form of an
+Iceberg/Delta-style table commit): each micro-batch writes its outputs
+under a fresh epoch directory, then atomically replaces one MANIFEST file
+pointing at the consistent (rows, stats) pair. A crash anywhere before the
+manifest flip leaves the previous epoch fully intact — there is no window
+where rows and stats disagree. At scale the same protocol runs on shared
+storage with a conditional-put for the manifest.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
@@ -51,15 +57,15 @@ class StreamingSampleMaintainer:
 
     def __init__(self, spark: SparkSession, spec: SampleSpec, state_dir: str,
                  retain_slots: int | None = None):
-        if spec.method not in ("hash", "reservoir"):
+        if spec.method not in ("hash", "reservoir", "reservoir_rand"):
             raise ValueError("streaming maintenance supports hash/reservoir")
         if retain_slots is not None and not spec.time_series_col:
             raise ValueError("retain_slots needs the spec's "
                              "timeSeriesColumn/timeInterval options")
         self.spark, self.spec = spark, spec
         self.retain_slots = retain_slots
-        self.rows_dir = os.path.join(state_dir, "rows")
-        self.stats_dir = os.path.join(state_dir, "stats")
+        self.state_dir = state_dir
+        self.manifest_path = os.path.join(state_dir, "MANIFEST")
         self._qcs = [f"__q{i}" for i in range(len(spec.qcs))]
         if spec.time_series_col:
             # the time slot is an extra stratification dimension: weights,
@@ -69,8 +75,8 @@ class StreamingSampleMaintainer:
     # -- helpers ------------------------------------------------------------
 
     def _tag(self, df: DataFrame) -> DataFrame:
-        out = df.withColumn("__h", F.expr(hash_sql(list(self.spec.key_cols),
-                                                   self.spec.seed)))
+        from ..sampling.samplers import priority_sql
+        out = df.withColumn("__h", F.expr(priority_sql(self.spec)))
         for i, q in enumerate(self.spec.qcs):
             out = out.withColumn(f"__q{i}", F.expr(q))
         if self.spec.time_series_col:
@@ -81,30 +87,69 @@ class StreamingSampleMaintainer:
                         / F.lit(self.spec.time_interval_us)).cast("long"))
         return out
 
-    def _read(self, path: str) -> DataFrame | None:
+    # -- manifest commit protocol -------------------------------------------
+
+    def _manifest(self) -> dict | None:
         try:
-            return self.spark.read.parquet(path)
-        except Exception:
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
             return None
 
-    def _swap_write(self, df: DataFrame, path: str) -> None:
-        tmp = path + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+    def _read_dirs(self, dirs: list[str]) -> DataFrame | None:
+        paths = [os.path.join(self.state_dir, d) for d in dirs
+                 if os.path.isdir(os.path.join(self.state_dir, d))]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def _epoch_dir(self, epoch: int, kind: str) -> str:
+        # uuid suffix: a retried epoch after a pre-commit crash must not
+        # collide with the orphaned half-written directory
+        return os.path.join("epochs", f"{epoch:08d}_{uuid.uuid4().hex[:8]}",
+                            kind)
+
+    def _commit(self, manifest: dict) -> None:
+        """the ONE atomic step: everything referenced by ``manifest`` is
+        fully written before this replace; a crash before it leaves the
+        previous manifest (and its files) untouched."""
+        tmp = self.manifest_path + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self.manifest_path)
+        self._gc(manifest)
+
+    def _gc(self, manifest: dict) -> None:
+        """post-commit cleanup: epoch dirs no longer referenced. Safe to
+        crash mid-way — unreferenced files are invisible to readers."""
+        live = {os.path.normpath(d).split(os.sep)[1]
+                for d in manifest.get("rows", []) + [manifest.get("stats")]
+                if d}
+        root = os.path.join(self.state_dir, "epochs")
+        if not os.path.isdir(root):
+            return
+        for d in os.listdir(root):
+            if d not in live:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     # -- the foreachBatch hook ----------------------------------------------
+
+    # delta-dir count above which the hash method's row deltas compact
+    # into one directory (bounds manifest size AND expired-slot storage)
+    _COMPACT_AFTER = 16
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
         spec = self.spec
         tagged = self._tag(batch_df)
+        man = self._manifest() or {"epoch": -1, "rows": [], "stats": None,
+                                   "cutoff": None}
+        epoch = int(man["epoch"]) + 1
 
         # 1. accumulate per-stratum totals (global, not per-batch — the
         #    incremental-weights pitfall called out in SURVEY §7)
         batch_stats = tagged.groupBy(*self._qcs).agg(
             F.count(F.lit(1)).alias("__seen"))
-        old = self._read(self.stats_dir)
+        old = self._read_dirs([man["stats"]]) if man["stats"] else None
         if old is not None:
             batch_stats = (batch_stats.unionByName(old)
                            .groupBy(*self._qcs)
@@ -113,31 +158,38 @@ class StreamingSampleMaintainer:
         # aging cutoff: only the newest retain_slots slots survive, in the
         # stats AND the kept rows (late rows behind the cutoff are dropped,
         # which is the point of aging)
-        cutoff = None
+        cutoff = man.get("cutoff")
         if self.retain_slots is not None:
             mx = batch_stats.agg(F.max("__slot").alias("m")).collect()[0]["m"]
             if mx is not None:
                 cutoff = int(mx) - self.retain_slots + 1
                 batch_stats = batch_stats.where(F.col("__slot") >= cutoff)
-        self._swap_write(batch_stats, self.stats_dir)
+        stats_rel = self._epoch_dir(epoch, "stats")
+        batch_stats.write.parquet(os.path.join(self.state_dir, stats_rel))
 
         # 2. maintain kept rows
+        rows_rel = self._epoch_dir(epoch, "rows")
+        rows_abs = os.path.join(self.state_dir, rows_rel)
         if spec.method == "hash":
-            # membership is key-determined -> append-only; with aging the
-            # rows land slot-partitioned so expiry is a directory drop
-            # (at scale: a partition-drop on a partitioned table)
+            # membership is key-determined -> append-only: each batch adds
+            # ONE delta dir; expired slots are filtered at read time by the
+            # manifest cutoff, and deltas periodically compact into one dir
             thr = threshold_for_fraction(spec.fraction)
             kept = tagged.where(F.col("__h") < F.lit(thr))
             if cutoff is not None:
                 kept = kept.where(F.col("__slot") >= cutoff)
-                (kept.write.mode("append").partitionBy("__slot")
-                 .parquet(self.rows_dir))
-                self._drop_slot_partitions(cutoff)
-            else:
-                kept.write.mode("append").parquet(self.rows_dir)
+            kept.write.parquet(rows_abs)
+            new_rows = list(man["rows"]) + [rows_rel]
+            if len(new_rows) > self._COMPACT_AFTER:
+                live = self._read_dirs(new_rows)
+                if cutoff is not None:
+                    live = live.where(F.col("__slot") >= cutoff)
+                compact_rel = self._epoch_dir(epoch, "rows_compact")
+                live.write.parquet(os.path.join(self.state_dir, compact_rel))
+                new_rows = [compact_rel]
         else:
             merged = tagged
-            old_rows = self._read(self.rows_dir)
+            old_rows = self._read_dirs(man["rows"]) if man["rows"] else None
             if old_rows is not None:
                 merged = old_rows.select(*merged.columns).unionByName(merged)
             if cutoff is not None:
@@ -147,24 +199,25 @@ class StreamingSampleMaintainer:
             w = Window.partitionBy(*self._qcs).orderBy(*order)
             kept = (merged.withColumn("__rn", F.row_number().over(w))
                     .where(F.col("__rn") <= spec.reservoir_size).drop("__rn"))
-            self._swap_write(kept, self.rows_dir)
+            kept.write.parquet(rows_abs)
+            new_rows = [rows_rel]
 
-    def _drop_slot_partitions(self, cutoff: int) -> None:
-        if not os.path.isdir(self.rows_dir):
-            return
-        for d in os.listdir(self.rows_dir):
-            if d.startswith("__slot=") and int(d.split("=", 1)[1]) < cutoff:
-                shutil.rmtree(os.path.join(self.rows_dir, d),
-                              ignore_errors=True)
+        # everything above is invisible until this single atomic flip
+        self._commit({"epoch": epoch, "rows": new_rows, "stats": stats_rel,
+                      "cutoff": cutoff})
 
     # -- read side ----------------------------------------------------------
 
     def sample_df(self) -> DataFrame:
         """rows ⨝ current stats -> weight columns (read-time fillWeightage)."""
-        rows = self._read(self.rows_dir)
-        stats = self._read(self.stats_dir)
+        man = self._manifest()
+        rows = self._read_dirs(man["rows"]) if man else None
+        stats = (self._read_dirs([man["stats"]])
+                 if man and man["stats"] else None)
         if rows is None or stats is None:
             raise RuntimeError("no streaming state yet")
+        if man.get("cutoff") is not None:
+            rows = rows.where(F.col("__slot") >= int(man["cutoff"]))
         n_kept = rows.groupBy(*self._qcs).agg(F.count(F.lit(1)).alias("__kept"))
         joined = (rows.join(F.broadcast(stats), on=self._qcs)
                   .join(F.broadcast(n_kept), on=self._qcs))

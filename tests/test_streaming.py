@@ -62,6 +62,45 @@ def test_stream_sample_equals_batch(spark, tmpdir, method):
     assert a.equals(b), f"{len(a)} streamed vs {len(b)} batch rows"
 
 
+@pytest.mark.parametrize("method", ["hash", "reservoir"])
+def test_stream_state_crash_between_writes_stays_consistent(spark, tmpdir,
+                                                            method):
+    """single-manifest commit: a crash AFTER the epoch's rows/stats are
+    written but BEFORE the manifest flip must leave the reader on the
+    previous consistent (rows, stats) pair; the retried batch then lands
+    normally and equals the batch re-sample."""
+    spec = SampleSpec("lineitem", ("l_orderkey", "l_linenumber"),
+                      ("l_returnflag", "l_linestatus"), method,
+                      fraction=0.05, reservoir_size=100, seed=42)
+    full = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    half1 = full.where("l_orderkey % 2 = 0")
+    half2 = full.where("l_orderkey % 2 = 1")
+    m = StreamingSampleMaintainer(spark, spec, f"{tmpdir}/state")
+    m.process_batch(half1)
+    before = m.sample_df().toPandas()
+
+    real_commit = m._commit
+
+    def crash_commit(manifest):
+        raise RuntimeError("injected crash before manifest flip")
+    m._commit = crash_commit
+    with pytest.raises(RuntimeError, match="injected"):
+        m.process_batch(half2)
+    # reader still sees epoch 1: rows AND stats from the same commit
+    mid = m.sample_df().toPandas()
+    cols = sorted(before.columns)
+    assert (mid[cols].sort_values(cols).reset_index(drop=True)
+            .equals(before[cols].sort_values(cols).reset_index(drop=True)))
+
+    m._commit = real_commit
+    m.process_batch(half2)       # retry lands
+    streamed = m.sample_df().toPandas()
+    batch = stratified_sample(full, spec).toPandas()
+    a = streamed[cols].sort_values(cols).reset_index(drop=True)
+    b = batch[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_stream_topk_equals_batch(spark, tmpdir, duck):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from snappy_aqp_spark.topk.api import create_approx_ts_topk
