@@ -628,16 +628,20 @@ def query_approx_ts_topk(spark: SparkSession, registry: TopKRegistry,
         state = state.where(F.col("level") == 0)
 
     if spec.stream_summary:
-        def query(pdf: pd.DataFrame) -> pd.DataFrame:
-            agg: dict[str, list[int]] = {}
-            for _, r in pdf.iterrows():
-                for key, c in zip(r["cand_keys"], r["cand_counts"]):
-                    cur = agg.setdefault(key, [0, 0])
-                    cur[0] += int(c)
-            rows = [(key, v[0], v[1]) for key, v in agg.items()]
-            return pd.DataFrame(rows, columns=["key", "EstimatedValue",
-                                               "DeltaError"])
-        out_schema = "key string, EstimatedValue long, DeltaError long"
+        # candidate-count merge is pure counter addition over the bounded
+        # (buckets x capacity) candidate lists — stays entirely JVM-side:
+        # explode the zipped candidate arrays and sum per key (each key
+        # lives in exactly one pid, so the global groupBy equals the old
+        # per-pid merge). No Python in the query path.
+        per = (state.select(F.explode(F.arrays_zip(
+                   F.col("cand_keys").alias("k"),
+                   F.col("cand_counts").alias("c"))).alias("kc"))
+               .select(F.col("kc.k").alias("key"), F.col("kc.c").alias("c"))
+               .groupBy("key")
+               .agg(F.sum("c").cast("long").alias("EstimatedValue"))
+               .withColumn("DeltaError", F.lit(0).cast("long")))
+        return (per.orderBy(F.col("EstimatedValue").desc(),
+                            F.col("key").asc()).limit(k))
     else:
         def query(pdf: pd.DataFrame) -> pd.DataFrame:
             sketches = [CountMinSketch.from_bytes(bytes(r))
