@@ -22,7 +22,8 @@ from pyspark.sql import SparkSession
 
 from snappy_aqp_spark.fixtures import APPROX_SPECS
 from snappy_aqp_spark.plans.approx_query import (load_tables, run_approx_query,
-                                                 run_exact_query)
+                                                 run_exact_query,
+                                                 set_interactive_latency_mode)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "8")
@@ -62,6 +63,10 @@ def main() -> None:
         df.cache().count()  # park in memory: bench measures compute, not disk
 
     results: dict[str, float] = {}
+    # interactive serving profile for the cached-sample section: AQE's
+    # per-stage re-planning only adds latency here (PLANS.md A/B); applied
+    # to approx AND exact columns alike, restored for the pipeline section
+    set_interactive_latency_mode(spark, True)
     for name in HEADLINE:
         spec = APPROX_SPECS[name]
         # exact_cached reuses one prepared plan across iterations — the
@@ -82,6 +87,7 @@ def main() -> None:
             results[f"{label}{name}"] = round(statistics.median(times), 4)
 
     # --- TopK / pipeline operators ---------------------------------------
+    set_interactive_latency_mode(spark, False)   # ETL section: AQE back on
     import __spark_entry__ as entry
     qs = entry.queries()
     for name in ("topk_cms_full", "topk_streamsummary", "dedup_minhash_lsh",

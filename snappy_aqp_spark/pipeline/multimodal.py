@@ -120,6 +120,34 @@ def register_real_decoder(name: str, fn) -> None:
     _REAL_DECODERS[name] = fn
 
 
+def pil_image_decoder(pdf, stride: int):
+    """Reference implementation of the extension contract for REAL image
+    bytes via PIL: decode ``content`` (any PIL-readable format), convert to
+    grayscale, emit one frame-0 pixel row per image (still images have one
+    frame; ``stride`` is a no-op for n_frames == 1). Ships permanently so
+    the first environment WITH PIL proves the real-codec contract without
+    code changes (tests/test_pipeline.py, marker-skipped here):
+
+        register_real_decoder("pil", pil_image_decoder)
+        decode_media(media, decode_fn="pil")
+
+    Vectorized per Arrow batch; the per-image decode loop is the codec
+    itself, not row-at-a-time Spark work."""
+    import io
+    import numpy as np
+    import pandas as pd
+    from PIL import Image
+    rows = []
+    for r in pdf.itertuples():
+        img = Image.open(io.BytesIO(r.content)).convert("L")
+        px = np.asarray(img, dtype=np.int64)
+        rows.append({"id": int(r.id), "frame": 0,
+                     "width": int(img.width), "height": int(img.height),
+                     "pixels": px.reshape(-1).tolist()})
+    return pd.DataFrame(rows, columns=["id", "frame", "width", "height",
+                                       "pixels"])
+
+
 def decode_media(df: DataFrame, decode_fn="fake",
                  sample_every: int = 1) -> DataFrame:
     """content -> per-frame pixel rows; ``sample_every`` keeps every n-th

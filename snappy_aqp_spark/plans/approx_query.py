@@ -491,6 +491,21 @@ def _bootstrap_fin_rel(spark: SparkSession, spec: ApproxQuerySpec,
                              for n, s in _bs_rel_frags(spec).items()])
 
 
+def set_interactive_latency_mode(spark: SparkSession,
+                                 enabled: bool = True) -> None:
+    """Serving profile for interactive approx queries over CACHED samples.
+
+    AQE's extra query-stage scheduling costs more than it saves when every
+    input is a small in-memory sample: measured at sf0.1/local[8]
+    (PLANS.md A/B), disabling it cuts the cf_* medians 15-40%
+    (cf_sum_global 0.045 -> 0.026 s) with only bs_sum_group ~10% slower.
+    AQE stays ON for ETL-shaped pipelines (dedup/ANN/streaming ingest),
+    where runtime re-planning and skew handling actually pay — call with
+    ``enabled=False`` to restore before running those."""
+    spark.conf.set("spark.sql.adaptive.enabled",
+                   "false" if enabled else "true")
+
+
 def run_approx_query(spark: SparkSession, spec: ApproxQuerySpec,
                      tables: dict[str, DataFrame],
                      cache_token: str | None = None) -> DataFrame:

@@ -255,6 +255,48 @@ def test_multimodal_custom_decoder_contract(spark):
         mm._REAL_DECODERS.pop("const", None)
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _pil_available(),
+                    reason="PIL not installed in this container; the test "
+                           "runs unchanged in the first env with codecs")
+def test_multimodal_pil_decoder_roundtrip(spark):
+    """REAL codec path: PNG bytes -> pil_image_decoder through the same
+    mapInPandas plumbing as the fake codec; decoded pixels must equal the
+    source array and downstream resize/features must run unchanged."""
+    import io
+    import numpy as np
+    from PIL import Image
+    from snappy_aqp_spark.pipeline import multimodal as mm
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(3):
+        arr = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode="L").save(buf, format="PNG")
+        rows.append((i, bytearray(buf.getvalue()), "png", 8, 8, 1, arr))
+    media = spark.createDataFrame(
+        [r[:6] for r in rows], mm.MEDIA_SCHEMA)
+    mm.register_real_decoder("pil", mm.pil_image_decoder)
+    try:
+        decoded = mm.decode_media(media, decode_fn="pil").toPandas()
+        assert len(decoded) == 3
+        for i, *_rest, arr in rows:
+            got = decoded.loc[decoded["id"] == i, "pixels"].iloc[0]
+            assert list(got) == arr.reshape(-1).tolist()
+        feats = mm.extract_features(
+            mm.decode_media(media, decode_fn="pil")).toPandas()
+        assert len(feats) == 3 and (feats["mean_px"] >= 0).all()
+    finally:
+        mm._REAL_DECODERS.pop("pil", None)
+
+
 def test_ngram_jaccard_guard_rail(views, duck):
     """above max_docs the quadratic baseline fails fast in BOTH dialects,
     pointing at minhash_lsh; below it results are unchanged."""
