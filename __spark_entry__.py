@@ -41,7 +41,7 @@ _SQL_DEFAULTS = {"error": 0.2, "confidence": 0.95, "behavior": "do_nothing"}
 # here must exist in queries(); unknown names are ignored defensively.
 _GATE_PRIORITY: tuple[str, ...] = (
     # never driver-checked (verified only by pytest/judge up to round 3)
-    "streaming_topk_decay",
+    "streaming_topk_decay", "sql_auto_weighted_table",
     "topk_decay", "streaming_sql_surface", "streaming_topk_ingest",
     "sql_create_topk", "sql_derived_agg_join", "cf_incremental_append",
     "decontamination", "bm25_retrieval", "cross_corpus_dedup",
@@ -372,6 +372,56 @@ def _derived_agg_join_oracle() -> str:
             + _DRV_OUTER.format(sub="(SELECT * FROM big)"))
 
 
+# AQP-211 protocol: a relation CARRYING the sampler's hidden columns is
+# detected as a sample with no DDL (stratifiedSampling.scala:55-63). The
+# runner materializes a deterministic sample, registers it as a PLAIN
+# table, and queries it — routing must go through the weighted estimators
+# via the auto-synthesized spec. The oracle replays the producing spec's
+# sample chain and derives the identical synthesized spec session-free.
+_AUTOW_P_KW = dict(base_table="lineitem",
+                   key_cols=("l_orderkey", "l_linenumber"),
+                   qcs=("l_returnflag", "l_linestatus"),
+                   method="hash", fraction=0.1, seed=42)
+_AUTOW_QUERY = ("SELECT l_returnflag AS rf, sum(l_quantity) AS sum_qty, "
+                "absolute_error(sum_qty) AS ae, count(*) AS cnt "
+                "FROM li_auto GROUP BY l_returnflag ORDER BY rf "
+                "WITH ERROR 0.9")
+
+
+def _auto_weighted_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from snappy_aqp_spark.sampling.samplers import stratified_sample
+    from snappy_aqp_spark.specs import SampleSpec
+    aqp = AQPSession(spark, data_token=sf_dir, **_SQL_DEFAULTS)
+    aqp.load_tables(sf_dir, ("lineitem",))
+    rows = stratified_sample(aqp.tables["lineitem"], SampleSpec(**_AUTOW_P_KW))
+    aqp.register_table("li_auto", rows)        # auto-detected, no DDL
+    return aqp.sql(_AUTOW_QUERY)
+
+
+def _auto_weighted_oracle() -> str:
+    from snappy_aqp_spark.api import auto_weighted_spec
+    from snappy_aqp_spark.catalog import SampleCatalog, SampleInfo
+    from snappy_aqp_spark.sampling.sql import sample_cte_stages
+    from snappy_aqp_spark.specs import HIDDEN_COLS, SampleSpec
+    from snappy_aqp_spark.tables import TABLE_COLUMNS
+    cols = list(TABLE_COLUMNS["lineitem"]) + list(HIDDEN_COLS)
+    cat = SampleCatalog()
+    cat.register(SampleInfo("li_auto", auto_weighted_spec("li_auto", cols),
+                            None))
+    analyzed = analyze_text(_AUTOW_QUERY, cat, _SQL_DEFAULTS,
+                            extra_cols={c.lower() for c in cols})
+    assert analyzed.spec is not None
+    sql = oracle_sql_for(
+        analyzed.spec,
+        sample_stages_override=sample_cte_stages(SampleSpec(**_AUTOW_P_KW),
+                                                 out_name="__sample"))
+    if analyzed.rename:
+        vis = [f"{c} AS {analyzed.rename.get(c, c)}"
+               for c in visible_columns(analyzed.spec)]
+        sql = f"SELECT {', '.join(vis)} FROM (\n{sql}\n) __renamed"
+    return sql
+
+
 def _multimodal_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = mm.synthesize_media(docs, n_frames=4, width=16, height=16)
@@ -430,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["topk_decay"] = _topk_decay_runner
     out["dedup_embedding_clusters"] = _embedding_clusters_runner
     out["leakage_safe_split"] = _leakage_safe_split_runner
+    out["sql_auto_weighted_table"] = _auto_weighted_runner
     return _gate_order(out)
 
 
@@ -505,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
     out["streaming_topk_decay"] = topk_oracle_sql(
         TOPK_FIXTURES["topk_cms_full"]["spec"], "events", None, None, 20,
         decayed_before=5, decay_levels=1)
+    out["sql_auto_weighted_table"] = _auto_weighted_oracle()
     from snappy_aqp_spark.fixtures import LI_HASH, _PRICE
     from snappy_aqp_spark.operators.sample_stats import (
         error_estimate_average_oracle, error_stats_oracle)

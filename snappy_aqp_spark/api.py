@@ -321,6 +321,27 @@ def build_views_from_ddl(ddls: list[str]) -> dict:
     return views
 
 
+def auto_weighted_spec(name: str, columns) -> "SampleSpec":
+    """Synthesized SampleSpec for a relation DETECTED as a sample by its
+    hidden columns (AQP-211, stratifiedSampling.scala:55-63) with no
+    user-stated spec. The spec's only consumed parts on the direct-query
+    path are base_table (the relation itself — the scan is never replaced)
+    and qcs, set to the hidden per-stratum counts: rows of one stratum
+    share (n_s, N_s), so grouping by the pair reconstructs the strata for
+    the closed-form variance lattice. Strata that happen to share both
+    counts merge conservatively — the same ambiguity as the reference's
+    packed-long decode, which keeps only an 8-bit stratum hash. Pure
+    function of (name, columns), so the DuckDB replay oracle can derive
+    the identical spec session-free."""
+    from .specs import HIDDEN_COLS, STRATA_SAMPLED_COL, STRATA_TOTAL_COL
+    key = [c for c in columns if c not in HIDDEN_COLS]
+    if not key:
+        raise ValueError(f"{name}: only hidden columns, not a sample")
+    return SampleSpec(base_table=name.lower(), key_cols=(key[0],),
+                      qcs=(STRATA_SAMPLED_COL, STRATA_TOTAL_COL),
+                      method="hash", fraction=1.0, seed=0)
+
+
 class AQPSession:
     # Spark-conf property surface (reference SnappyAQPSessionState.scala:222:
     # spark.sql.aqp.{error,confidence,behavior,numBootStrapTrials}).
@@ -371,6 +392,15 @@ class AQPSession:
     def register_table(self, name: str, df: DataFrame) -> None:
         self.tables[name.lower()] = df
         df.createOrReplaceTempView(name)
+        # AQP-211: ANY relation carrying the sampler's hidden columns IS a
+        # sample (stratifiedSampling.scala:55-63 detects
+        # SNAPPY_SAMPLER_WEIGHTAGE on the plan) — auto-attach it so queries
+        # fired at it route through the weighted estimators with no DDL.
+        from .specs import HIDDEN_COLS
+        if (self.catalog.get(name.lower()) is None
+                and all(c in df.columns for c in HIDDEN_COLS)):
+            self.attach_sample_data(name, df,
+                                    auto_weighted_spec(name, df.columns))
 
     def load_tables(self, sf_dir: str, names=None) -> None:
         for n in names or TABLE_COLUMNS:

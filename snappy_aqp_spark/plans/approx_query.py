@@ -596,7 +596,13 @@ def _dict_select(frags: dict[str, str], keep: list[str]) -> str:
     return ", ".join(parts)
 
 
-def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
+def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB,
+                   sample_stages_override: list | None = None) -> str:
+    """``sample_stages_override``: replaces the sample-derivation CTE chain
+    (must end in a stage named ``__sample``). Used when the engine-side
+    sample is ATTACHED rows rather than a re-derivation — e.g. the AQP-211
+    auto-detected weighted tables, whose oracle replays the PRODUCING
+    spec's chain and then reads the stored hidden columns verbatim."""
     gcols, qcols = _gcols(spec), _qcols(spec)
     stages = []
     # sampled subquery trees: each gets its own sample CTE (__subs{i}),
@@ -606,7 +612,11 @@ def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
         if sp.sample is not None:
             stages += sample_cte_stages(sp.sample, out_name=f"__subs{i}",
                                         prefix=f"__s{i}")
-    stages += sample_cte_stages(spec.sample, out_name="__sample")
+    if sample_stages_override is not None:
+        assert sample_stages_override[-1][0] == "__sample"
+        stages += sample_stages_override
+    else:
+        stages += sample_cte_stages(spec.sample, out_name="__sample")
 
     def prepared_stage(src: str, sampled: bool) -> str:
         sampled_tbl = spec.sample.base_table

@@ -1118,6 +1118,36 @@ def test_direct_sample_session_default_reroute_also_inert(spark):
     assert an.spec is not None and an.spec.behavior == "do_nothing"
 
 
+def test_auto_weighted_table_detection(spark, duck):
+    """AQP-211 (stratifiedSampling.scala:55-63): registering a PLAIN table
+    that carries the sampler's hidden columns auto-attaches it as a sample
+    — queries at it route through the weighted estimators with no DDL, and
+    point estimates equal the direct weighted SQL over the same rows."""
+    from snappy_aqp_spark.sampling.samplers import stratified_sample
+    from snappy_aqp_spark.specs import SampleSpec, WEIGHT_COL
+    s = AQPSession(spark, data_token="auto-w-test")
+    s.load_tables(SF_SMALL, ["lineitem"])
+    P = SampleSpec("lineitem", ("l_orderkey", "l_linenumber"),
+                   ("l_returnflag",), "hash", 0.1, seed=42)
+    rows = stratified_sample(s.tables["lineitem"], P)
+    s.register_table("li_autow", rows)
+    assert s.catalog.get("li_autow") is not None      # detected
+    got = {r["rf"]: r["sq"] for r in s.sql(
+        "SELECT l_returnflag AS rf, sum(l_quantity) AS sq "
+        "FROM li_autow GROUP BY l_returnflag WITH ERROR 0.9").collect()}
+    # HT estimate == weighted sum over the very same rows (modulo the
+    # engine's reproducible-mode measure quantization)
+    rows.createOrReplaceTempView("__li_autow_rows")
+    want = {r["rf"]: r["sq"] for r in spark.sql(
+        f"SELECT l_returnflag AS rf, SUM(l_quantity * {WEIGHT_COL}) AS sq "
+        "FROM __li_autow_rows GROUP BY l_returnflag").collect()}
+    for k, v in want.items():
+        assert abs(got[k] - v) / v < 1e-3, (k, got[k], v)
+    # a table WITHOUT hidden columns must not be detected
+    s.register_table("li_plain", s.tables["lineitem"].limit(10))
+    assert s.catalog.get("li_plain") is None
+
+
 def test_rebuild_resamples_despite_session_cache(spark, tmp_path):
     """rebuild=True must bypass the session sample cache AND rewrite the
     persisted parquet at path (the cache-hit fast path was returning the
