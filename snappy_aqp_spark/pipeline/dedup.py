@@ -3,11 +3,12 @@
 Four flavors over ``documents(doc_id, text, ...)``:
 
   * exact          — full-text hash clusters (one shuffle on the hash)
-  * ngram_jaccard  — exact character-k-gram Jaccard on all co-shingled
-                     pairs (inverted-index join; the quadratic baseline)
+  * ngram_jaccard  — EXACT character-k-gram Jaccard via prefix filtering
+                     (ppjoin-style rarest-first prefixes + size-ratio
+                     pruning; candidate-complete, no all-pairs join)
   * minhash_lsh    — MinHash signatures -> banded LSH buckets -> candidate
-                     pairs -> exact-Jaccard verification (the 100 TB path:
-                     cost ~ O(docs x H) + bucket-join, no all-pairs)
+                     pairs -> exact-Jaccard verification (probabilistic
+                     recall, cheapest at extreme scale / low thresholds)
   * simhash        — 32-bit simhash over tokens, pairs within Hamming
                      distance (bit_count(xor) filter)
 
@@ -59,46 +60,66 @@ def exact_dedup_stages(dialect: str, table: str = "documents",
 
 def ngram_jaccard_stages(dialect: str, threshold: float, k: int = 5,
                          table: str = "documents", col: str = "text",
-                         max_doc_freq: int = 10_000,
-                         max_docs: int = 100_000
+                         max_doc_freq: int = 10_000
                          ) -> tuple[list[tuple[str, str]], str]:
-    """Exact all-co-shingled-pair Jaccard — the QUADRATIC small-N baseline.
+    """EXACT n-gram Jaccard pairs via PREFIX FILTERING — complete (unlike
+    minhash) without the all-co-shingled-pairs quadratic join.
 
-    Guard rail: the co-shingled pair join is ~O(n²) on near-dup-heavy
-    corpora, so corpora above ``max_docs`` documents fail fast with a
-    pointer to ``minhash_lsh_stages`` (same threshold semantics, bucketed
-    candidates) instead of silently launching a scale-killing join. Below
-    the cap, results are byte-identical to the unguarded baseline.
-    """
-    guard = dual.raise_err(
-        dialect, f"ngram_jaccard is a quadratic small-N baseline capped at "
-                 f"{max_docs} documents; use minhash_lsh (banded LSH "
-                 f"candidates + exact-Jaccard verify) for large corpora, or "
-                 f"raise max_docs explicitly")
+    Chaudhuri/Xiao prefix-filter principle: order every doc's shingles by
+    one global total order (rarest-first for pruning power); two docs with
+    |A∩B| >= O must share a shingle among the first |A|-O+1 / |B|-O+1 of
+    each. Jaccard >= t forces overlap >= ceil(t*n_doc) and partner size
+    within [t*n, n/t], so candidates come from ONE equi-join on the short
+    prefixes + a size-ratio filter; the exact intersection count then runs
+    only over candidate pairs. At 100 TB every stage is an equi-shuffle
+    bounded by prefix/candidate volume — no N x N product.
+
+    ``max_doc_freq`` caps hot-shingle document frequency exactly as
+    before: intersections count capped shingles, union sizes stay full —
+    same output contract as the prior baseline, now scale-shaped."""
+    t = dlit(threshold)
     stages = _shingles(dialect, table, col, k)
     stages += [
-        ("__ngj_guard",
-         f"SELECT CASE WHEN COUNT(*) > {max_docs} THEN {guard} "
-         f"ELSE CAST(0 AS BIGINT) END AS g FROM {table}"),
         ("__sz", "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM __sh "
                  "GROUP BY doc_id"),
-        # frequency-cap hot shingles (stopword-gram skew guard)
-        ("__df", f"SELECT sh FROM __sh GROUP BY sh "
-                 f"HAVING COUNT(*) <= {max_doc_freq}"),
-        ("__shc", "SELECT s.doc_id, s.sh FROM __sh s JOIN __df d ON s.sh = d.sh"),
-        # the guard's scalar subquery gates the quadratic join itself
-        ("__pairs", "SELECT a.doc_id AS ida, b.doc_id AS idb, "
-                    "CAST(COUNT(*) AS BIGINT) AS common "
-                    "FROM __shc a JOIN __shc b ON a.sh = b.sh "
-                    "AND a.doc_id < b.doc_id "
-                    "WHERE (SELECT g FROM __ngj_guard) = 0 "
-                    "GROUP BY a.doc_id, b.doc_id"),
+        # global shingle document frequency: the prefix order AND the
+        # hot-shingle cap both come off this one aggregate
+        ("__dfc", "SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM __sh "
+                  "GROUP BY sh"),
+        ("__shc", f"SELECT s.doc_id, s.sh, d.df FROM __sh s "
+                  f"JOIN __dfc d ON s.sh = d.sh WHERE d.df <= {max_doc_freq}"),
+        ("__csz", "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM __shc "
+                  "GROUP BY doc_id"),
+        # rarest-first prefix: keep the first c - ceil(t*n) + 1 shingles
+        ("__pref",
+         "SELECT q.doc_id, q.sh FROM ("
+         "SELECT s.doc_id, s.sh, "
+         "ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY s.df, s.sh) "
+         "AS rn FROM __shc s) q "
+         "JOIN __sz z ON q.doc_id = z.doc_id "
+         "JOIN __csz c ON q.doc_id = c.doc_id "
+         f"WHERE q.rn <= c.c - CAST(CEIL({t} * z.n) AS BIGINT) + 1"),
+        # candidates: prefix equi-join + size-ratio pruning (n_b in
+        # [t*n_a, n_a/t] is necessary for jaccard >= t)
+        ("__cand",
+         "SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
+         "FROM __pref a JOIN __pref b ON a.sh = b.sh "
+         "AND a.doc_id < b.doc_id "
+         "JOIN __sz za ON a.doc_id = za.doc_id "
+         "JOIN __sz zb ON b.doc_id = zb.doc_id "
+         f"WHERE zb.n * {t} <= za.n AND za.n * {t} <= zb.n"),
+        # exact intersection counts, candidate pairs only
+        ("__pairs",
+         "SELECT c.ida, c.idb, CAST(COUNT(*) AS BIGINT) AS common "
+         "FROM __cand c JOIN __shc a ON a.doc_id = c.ida "
+         "JOIN __shc b ON b.doc_id = c.idb AND b.sh = a.sh "
+         "GROUP BY c.ida, c.idb"),
         ("__j", "SELECT p.ida, p.idb, CAST(p.common AS DOUBLE) / "
                 "CAST(sa.n + sb.n - p.common AS DOUBLE) AS jaccard "
                 "FROM __pairs p JOIN __sz sa ON p.ida = sa.doc_id "
                 "JOIN __sz sb ON p.idb = sb.doc_id"),
     ]
-    final = (f"SELECT ida, idb, jaccard FROM __j WHERE jaccard >= {dlit(threshold)} "
+    final = (f"SELECT ida, idb, jaccard FROM __j WHERE jaccard >= {t} "
              f"ORDER BY ida, idb")
     return stages, final
 

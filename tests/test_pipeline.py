@@ -297,21 +297,41 @@ def test_multimodal_pil_decoder_roundtrip(spark):
         mm._REAL_DECODERS.pop("pil", None)
 
 
-def test_ngram_jaccard_guard_rail(views, duck):
-    """above max_docs the quadratic baseline fails fast in BOTH dialects,
-    pointing at minhash_lsh; below it results are unchanged."""
+def test_ngram_jaccard_prefix_filter_is_lossless(views, duck):
+    """the prefix-filtered join must return EXACTLY the pairs of the
+    brute-force all-co-shingled-pairs baseline (prefix filtering + size
+    ratio pruning are candidate-complete for Jaccard >= t), at several
+    thresholds, on both engines."""
     from snappy_aqp_spark.pipeline.dedup import ngram_jaccard_stages
-    spark = views
-    # under the cap: identical to the unguarded baseline (existing fixture)
-    stages, final = ngram_jaccard_stages(SPARK, threshold=0.5, max_docs=100_000)
-    assert run_stages(spark, stages, final).count() > 0
-    # over the cap: loud failure, not a silent quadratic join
-    stages_s, final_s = ngram_jaccard_stages(SPARK, threshold=0.5, max_docs=10)
-    with pytest.raises(Exception, match="quadratic small-N baseline"):
-        run_stages(spark, stages_s, final_s).count()
-    stages_d, final_d = ngram_jaccard_stages(DUCKDB, threshold=0.5, max_docs=10)
-    with pytest.raises(Exception, match="quadratic small-N baseline"):
-        duck.sql(stages_sql(stages_d, final_d)).df()
+
+    def brute(th):
+        return duck.sql(
+            "WITH g AS (SELECT doc_id, unnest(list_distinct("
+            "  [hash(substr(text, i, 5)) FOR i IN "
+            "   range(1, length(text) - 3)])) AS sh FROM documents), "
+            "sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id), "
+            "p AS (SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c FROM g a "
+            "JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT ida, idb FROM p JOIN sz sa ON ida = sa.doc_id "
+            "JOIN sz sb ON idb = sb.doc_id "
+            f"WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {th} "
+            "ORDER BY ida, idb").df()
+
+    for th in (0.3, 0.5, 0.8):
+        st, fin = ngram_jaccard_stages(SPARK, threshold=th)
+        sp = run_stages(views, st, fin).toPandas()
+        st_d, fin_d = ngram_jaccard_stages(DUCKDB, threshold=th)
+        dk = duck.sql(stages_sql(st_d, fin_d)).df()
+        # Spark == DuckDB replay, bit-exact
+        assert sp["jaccard"].tolist() == dk["jaccard"].tolist(), th
+        assert sp[["ida", "idb"]].values.tolist() == \
+            dk[["ida", "idb"]].values.tolist(), th
+        # prefix-filtered == brute force pair set (different shingle hash
+        # in the brute oracle, but the PAIR SET at threshold must agree)
+        bf = brute(th)
+        assert sp[["ida", "idb"]].values.tolist() == \
+            bf[["ida", "idb"]].values.tolist(), th
 
 
 # --- round-3: deterministic HyperLogLog --------------------------------------
