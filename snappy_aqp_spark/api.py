@@ -712,6 +712,12 @@ class AQPSession:
                 kw["num_partitions"] = int(opts["numpartitions"])
             if "capacity" in opts:
                 kw["capacity"] = int(opts["capacity"])
+            # automatic Hokusai aging: keep the newest N buckets at full
+            # width, compress older ones on every ingest pass
+            if "decayhorizon" in opts:
+                kw["decay_horizon"] = int(opts["decayhorizon"])
+            if "decaylevels" in opts:
+                kw["decay_levels"] = int(opts["decaylevels"])
             self.create_approx_ts_topk(
                 name, base, key=opts["key"],
                 time_series_column=opts.get("timeseriescolumn"),

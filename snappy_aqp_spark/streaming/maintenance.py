@@ -253,27 +253,24 @@ class StreamingTopKMaintainer:
     def __init__(self, spark: SparkSession, registry: TopKRegistry,
                  spec: TopKSpec, decay_horizon: int | None = None,
                  decay_levels: int = 1):
+        import dataclasses as _dc
         if decay_horizon is not None:
+            spec = _dc.replace(spec, decay_horizon=decay_horizon,
+                               decay_levels=decay_levels)
+        if spec.decay_horizon is not None:
             if spec.stream_summary:
                 raise ValueError("decay_horizon applies to CMS-backed "
                                  "TopK tables")
-            if decay_horizon < 1:
+            if spec.decay_horizon < 1:
                 raise ValueError("decay_horizon must be >= 1 bucket")
         self.spark, self.registry, self.spec = spark, registry, spec
-        self.decay_horizon, self.decay_levels = decay_horizon, decay_levels
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        # create/insert run the spec-driven aging (_maybe_decay) themselves
         if self.spec.name.lower() not in self.registry.tables:
             create_approx_ts_topk(self.spark, self.registry, batch_df, self.spec)
         else:
             insert_into_topk(self.spark, self.registry, self.spec.name, batch_df)
-        if self.decay_horizon is not None:
-            table = self.registry.get(self.spec.name)
-            cutoff = table.max_bucket - self.decay_horizon + 1
-            if cutoff > table.decayed_before:
-                decay_topk(self.spark, self.registry, self.spec.name,
-                           older_than_bucket=cutoff,
-                           levels=self.decay_levels)
 
     def attach(self, stream_df: DataFrame):
         return stream_df.writeStream.foreachBatch(self.process_batch)

@@ -55,6 +55,12 @@ class TopKSpec:
     int_key: bool = False                      # integer keys partition by mod
                                                # (engine-portable, see oracle.py)
     dyadic: bool = True                        # Hokusai time-aggregation levels
+    # automatic Hokusai aging (TopKHokusai.scala:287-300): with a horizon
+    # set, every ingest pass compresses buckets older than the newest
+    # `decay_horizon` by `decay_levels` width-halvings (exactly once per
+    # bucket — decay_topk tracks the watermark). None -> manual decay only.
+    decay_horizon: int | None = None
+    decay_levels: int = 1
 
 
 @dataclass
@@ -445,6 +451,21 @@ def create_approx_ts_topk(spark: SparkSession, registry: TopKRegistry,
     table = TopKTable(spec, state, epoch, max_level,
                       max_bucket=int(mx or 0))
     registry.tables[spec.name.lower()] = table
+    return _maybe_decay(spark, registry, table)
+
+
+def _maybe_decay(spark: SparkSession, registry: TopKRegistry,
+                 table: TopKTable) -> TopKTable:
+    """spec-driven aging: run inside every create/insert maintenance pass
+    when the spec carries a decay_horizon (Hokusai timeEpoch.increment)."""
+    spec = table.spec
+    if spec.decay_horizon is None or spec.stream_summary:
+        return table
+    cutoff = table.max_bucket - spec.decay_horizon + 1
+    if cutoff > table.decayed_before:
+        return decay_topk(spark, registry, spec.name,
+                          older_than_bucket=cutoff,
+                          levels=spec.decay_levels)
     return table
 
 
@@ -522,7 +543,7 @@ def insert_into_topk(spark: SparkSession, registry: TopKRegistry,
     if touched_pairs:
         table.max_bucket = max(table.max_bucket,
                                max(b for _, b in touched_pairs))
-    return table
+    return _maybe_decay(spark, registry, table)
 
 
 def decay_topk(spark: SparkSession, registry: TopKRegistry, name: str,

@@ -208,6 +208,49 @@ def test_streaming_decay_on_ingest_bounds_old_widths(spark, events):
         assert w == (2048 if int(r["bucket"]) < 5 else 4096)
 
 
+def test_spec_level_decay_applies_on_plain_inserts(spark, events):
+    """decay_horizon carried ON THE SPEC (the CREATE TOPK TABLE
+    decayHorizon option path) ages buckets through plain
+    create/insert_into_topk maintenance — no maintainer object needed."""
+    from pyspark.sql import functions as F
+    reg = TopKRegistry()
+    spec = _spec("spec_decay", width=4096,
+                 epoch_us=1_704_067_200_000_000, decay_horizon=5)
+    from snappy_aqp_spark.topk.api import _time_us
+    bucket = F.floor((_time_us(events, "ts") - F.lit(spec.epoch_us))
+                     / F.lit(spec.time_interval_us))
+    create_approx_ts_topk(spark, reg, events.where(bucket.between(0, 3)),
+                          spec)
+    insert_into_topk(spark, reg, "spec_decay",
+                     events.where(bucket.between(4, 9)))
+    table = reg.get("spec_decay")
+    assert table.max_bucket == 9 and table.decayed_before == 5
+    for r in (table.state.where(F.col("level") == 0)
+              .select("bucket", "sketch").collect()):
+        w = CountMinSketch.from_bytes(bytes(r["sketch"])).width
+        assert w == (2048 if int(r["bucket"]) < 5 else 4096)
+
+
+def test_create_topk_ddl_decay_horizon_option(spark, events):
+    """CREATE TOPK TABLE ... decayHorizon 'N' flows into the spec and ages
+    the one-shot build immediately (events span buckets 0-9 -> cutoff 5)."""
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.api import AQPSession
+    s = AQPSession(spark, data_token="topk-ddl-decay")
+    s.register_table("events", events)
+    s.sql("CREATE TOPK TABLE tk_decay ON events OPTIONS(key 'user_id', "
+          "timeSeriesColumn 'ts', timeInterval '259200s', "
+          "epoch '1704067200000000', width '4096', numPartitions '8', "
+          "intKey 'true', decayHorizon '5')")
+    t = s.topk.get("tk_decay")
+    assert t.spec.decay_horizon == 5
+    assert t.max_bucket == 9 and t.decayed_before == 5
+    for r in (t.state.where(F.col("level") == 0)
+              .select("bucket", "sketch").collect()):
+        w = CountMinSketch.from_bytes(bytes(r["sketch"])).width
+        assert w == (2048 if int(r["bucket"]) < 5 else 4096)
+
+
 def test_interval_tracker_cover_properties():
     """IntervalTracker invariants (HokusaiIntervalTrackerSpec analog):
     the cover partitions [lo, hi] exactly into aligned dyadic spans,
