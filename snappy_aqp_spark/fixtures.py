@@ -38,8 +38,11 @@ from .topk.api import TopKSpec
 PIPELINE_FIXTURES: dict[str, dict] = {
     "dedup_exact": {
         "builder": _dd.exact_dedup_stages, "kw": {}, "tables": ("documents",)},
+    # 0.8 is the standard near-verbatim threshold: the planted near-dups
+    # sit at jaccard ~0.93-0.99, and the prefix length (c - ceil(t*n) + 1)
+    # shrinks ~2.5x vs t=0.5, which is what bounds the candidate join
     "dedup_ngram_jaccard": {
-        "builder": _dd.ngram_jaccard_stages, "kw": {"threshold": 0.5},
+        "builder": _dd.ngram_jaccard_stages, "kw": {"threshold": 0.8},
         "tables": ("documents",)},
     # k=7 shingles: background char-gram Jaccard on natural text is high at
     # k=5 (~0.17 here), flooding the bands with false-positive candidates;

@@ -58,7 +58,7 @@ def exact_dedup_stages(dialect: str, table: str = "documents",
     return stages, final
 
 
-def ngram_jaccard_stages(dialect: str, threshold: float, k: int = 5,
+def ngram_jaccard_stages(dialect: str, threshold: float = 0.8, k: int = 5,
                          table: str = "documents", col: str = "text",
                          max_doc_freq: int = 10_000
                          ) -> tuple[list[tuple[str, str]], str]:
@@ -108,12 +108,18 @@ def ngram_jaccard_stages(dialect: str, threshold: float, k: int = 5,
          "JOIN __sz za ON a.doc_id = za.doc_id "
          "JOIN __sz zb ON b.doc_id = zb.doc_id "
          f"WHERE zb.n * {t} <= za.n AND za.n * {t} <= zb.n"),
-        # exact intersection counts, candidate pairs only
+        # exact intersection counts, candidate pairs only — via per-doc
+        # capped-gram ARRAYS, not a token re-explosion: joining candidates
+        # back to the token stream costs |cand| x tokens-per-doc
+        # intermediate rows (measured 17x slower at sf0.1); two array
+        # lookups + an array_intersect are linear in the candidate count
+        ("__gsc", f"SELECT doc_id, {dual.arr_agg(dialect, 'sh')} AS gsc "
+                  f"FROM __shc GROUP BY doc_id"),
         ("__pairs",
-         "SELECT c.ida, c.idb, CAST(COUNT(*) AS BIGINT) AS common "
-         "FROM __cand c JOIN __shc a ON a.doc_id = c.ida "
-         "JOIN __shc b ON b.doc_id = c.idb AND b.sh = a.sh "
-         "GROUP BY c.ida, c.idb"),
+         f"SELECT c.ida, c.idb, "
+         f"{dual.arr_intersect_len(dialect, 'ga.gsc', 'gb.gsc')} AS common "
+         f"FROM __cand c JOIN __gsc ga ON ga.doc_id = c.ida "
+         f"JOIN __gsc gb ON gb.doc_id = c.idb"),
         ("__j", "SELECT p.ida, p.idb, CAST(p.common AS DOUBLE) / "
                 "CAST(sa.n + sb.n - p.common AS DOUBLE) AS jaccard "
                 "FROM __pairs p JOIN __sz sa ON p.ida = sa.doc_id "

@@ -126,6 +126,19 @@ def arr_max(dialect: str, arr_sql: str) -> str:
             else f"list_max({arr_sql})")
 
 
+def arr_agg(dialect: str, col_sql: str) -> str:
+    """aggregate rows into an array (grouping decided by the caller)."""
+    return (f"collect_list({col_sql})" if dialect == SPARK
+            else f"list({col_sql})")
+
+
+def arr_intersect_len(dialect: str, a_sql: str, b_sql: str) -> str:
+    """|A ∩ B| for two DISTINCT-element arrays, as BIGINT."""
+    inner = (f"array_intersect({a_sql}, {b_sql})" if dialect == SPARK
+             else f"list_intersect({a_sql}, {b_sql})")
+    return f"CAST({arr_len(dialect, inner)} AS BIGINT)"
+
+
 def arr_filter(dialect: str, arr_sql: str, lam: str) -> str:
     return (f"filter({arr_sql}, {lam})" if dialect == SPARK
             else f"list_filter({arr_sql}, {lam})")
@@ -214,6 +227,15 @@ def stages_sql(stages: list[tuple[str, str]], final: str) -> str:
     return f"WITH {ctes}\n{final}"
 
 
+# persisted stage DataFrames from the PREVIOUS run_stages call. Without
+# this, repeated pipeline executions (bench iterations, verify sweeps)
+# accumulate persisted intermediates without bound — a single shingle
+# explosion at sf0.1 parks GBs in the block manager forever. Evicting at
+# the START of the next call keeps the just-returned plan's stages alive
+# until its consumer has materialized it (the universal call pattern).
+_PREV_PERSISTED: list = []
+
+
 def run_stages(spark, stages: list[tuple[str, str]], final: str):
     """Execute the stage list on Spark.
 
@@ -224,6 +246,9 @@ def run_stages(spark, stages: list[tuple[str, str]], final: str):
     DuckDB materializes CTEs natively, so semantics stay identical.
     """
     import re as _re
+    for old in _PREV_PERSISTED:
+        old.unpersist()
+    _PREV_PERSISTED.clear()
     texts = [s for _, s in stages] + [final]
     persisted = []
     for i, (name, _) in enumerate(stages):
@@ -238,5 +263,6 @@ def run_stages(spark, stages: list[tuple[str, str]], final: str):
         df = spark.sql(sql)            # references earlier stages as views
         if name in persisted:
             df = df.persist()
+            _PREV_PERSISTED.append(df)
         df.createOrReplaceTempView(name)
     return spark.sql(final)
