@@ -80,8 +80,10 @@ def ngram_jaccard_stages(dialect: str, threshold: float = 0.8, k: int = 5,
     t = dlit(threshold)
     stages = _shingles(dialect, table, col, k)
     stages += [
-        ("__sz", "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM __sh "
-                 "GROUP BY doc_id"),
+        # full sizes come free off the distinct arrays — a COUNT over the
+        # exploded stream would re-shuffle the whole corpus
+        ("__sz", f"SELECT doc_id, CAST({dual.arr_len(dialect, 'gs')} "
+                 f"AS BIGINT) AS n FROM __grams"),
         # global shingle document frequency: the prefix order AND the
         # hot-shingle cap both come off this one aggregate
         ("__dfc", "SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM __sh "
