@@ -41,7 +41,7 @@ _SQL_DEFAULTS = {"error": 0.2, "confidence": 0.95, "behavior": "do_nothing"}
 # here must exist in queries(); unknown names are ignored defensively.
 _GATE_PRIORITY: tuple[str, ...] = (
     # never driver-checked (verified only by pytest/judge up to round 3)
-    "streaming_topk_decay", "sql_auto_weighted_table",
+    "streaming_topk_decay", "sql_auto_weighted_table", "sql_external_csv",
     "topk_decay", "streaming_sql_surface", "streaming_topk_ingest",
     "sql_create_topk", "sql_derived_agg_join", "cf_incremental_append",
     "decontamination", "bm25_retrieval", "cross_corpus_dedup",
@@ -422,6 +422,58 @@ def _auto_weighted_oracle() -> str:
     return sql
 
 
+# AQP-282: approx query over an EXTERNAL (CSV) base table
+# (QueryProcessingSuite.scala:211-231). The CSV content is synthesized
+# deterministically at a fixed path, so the DuckDB oracle reads the same
+# bytes via read_csv_auto and the whole external-source path — register,
+# CREATE SAMPLE TABLE ON it, grouped approx query — replays bit-exact.
+_EXT_CSV_PATH = "/tmp/aqp_external_orderline.csv"
+_EXT_DDL = ("CREATE SAMPLE TABLE ol_sample ON orderline OPTIONS("
+            "qcs 'ol_cat', fraction '0.5', method 'hash', seed '42', "
+            "keyColumns 'ol_id')")
+_EXT_QUERY = ("SELECT ol_cat, sum(ol_amt) AS sa, absolute_error(sa) AS ae "
+              "FROM orderline GROUP BY ol_cat ORDER BY ol_cat "
+              "WITH ERROR 0.8")
+_EXT_COLS = ("ol_id", "ol_cat", "ol_amt")
+
+
+def _ext_csv_write() -> None:
+    rows = [(i, (i * 7) % 5, f"{10.0 + (i % 13) * 0.25:.2f}")
+            for i in range(1, 401)]
+    with open(_EXT_CSV_PATH, "w") as f:
+        f.write("ol_id,ol_cat,ol_amt\n")
+        f.writelines(f"{a},{b},{c}\n" for a, b, c in rows)
+
+
+def _external_csv_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aqp = AQPSession(spark, data_token=f"extcsv@{sf_dir}", **_SQL_DEFAULTS)
+    _ext_csv_write()
+    aqp.create_external_table("orderline", "csv", _EXT_CSV_PATH,
+                              {"header": "true", "inferSchema": "true"})
+    aqp.sql(_EXT_DDL)
+    return aqp.sql(_EXT_QUERY)
+
+
+def _external_csv_oracle() -> str:
+    from snappy_aqp_spark.tables import TABLE_COLUMNS
+    TABLE_COLUMNS.setdefault("orderline", _EXT_COLS)
+    analyzed = analyze_text(_EXT_QUERY, build_catalog_from_ddl([_EXT_DDL]),
+                            _SQL_DEFAULTS,
+                            extra_cols={c.lower() for c in _EXT_COLS})
+    assert analyzed.spec is not None
+    sql = oracle_sql_for(analyzed.spec)
+    if analyzed.rename:
+        vis = [f"{c} AS {analyzed.rename.get(c, c)}"
+               for c in visible_columns(analyzed.spec)]
+        sql = f"SELECT {', '.join(vis)} FROM (\n{sql}\n) __renamed"
+    # the driver's DuckDB has no 'orderline' view: inject it as the first
+    # CTE of the oracle's top-level WITH list
+    inject = (f"orderline AS (SELECT * FROM "
+              f"read_csv_auto('{_EXT_CSV_PATH}', header=true)), ")
+    assert "WITH " in sql
+    return sql.replace("WITH ", "WITH " + inject, 1)
+
+
 def _multimodal_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = mm.synthesize_media(docs, n_frames=4, width=16, height=16)
@@ -481,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_embedding_clusters"] = _embedding_clusters_runner
     out["leakage_safe_split"] = _leakage_safe_split_runner
     out["sql_auto_weighted_table"] = _auto_weighted_runner
+    out["sql_external_csv"] = _external_csv_runner
     return _gate_order(out)
 
 
@@ -557,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
         TOPK_FIXTURES["topk_cms_full"]["spec"], "events", None, None, 20,
         decayed_before=5, decay_levels=1)
     out["sql_auto_weighted_table"] = _auto_weighted_oracle()
+    out["sql_external_csv"] = _external_csv_oracle()
     from snappy_aqp_spark.fixtures import LI_HASH, _PRICE
     from snappy_aqp_spark.operators.sample_stats import (
         error_estimate_average_oracle, error_stats_oracle)

@@ -392,6 +392,9 @@ class AQPSession:
     def register_table(self, name: str, df: DataFrame) -> None:
         self.tables[name.lower()] = df
         df.createOrReplaceTempView(name)
+        # record the schema so replay-oracle emission (sample_cte_stages)
+        # works for non-builtin relations (external tables, ad-hoc frames)
+        TABLE_COLUMNS.setdefault(name.lower(), tuple(df.columns))
         # AQP-211: ANY relation carrying the sampler's hidden columns IS a
         # sample (stratifiedSampling.scala:55-63 detects
         # SNAPPY_SAMPLER_WEIGHTAGE on the plan) — auto-attach it so queries
@@ -405,6 +408,21 @@ class AQPSession:
     def load_tables(self, sf_dir: str, names=None) -> None:
         for n in names or TABLE_COLUMNS:
             self.register_table(n, self.spark.read.parquet(f"{sf_dir}/{n}.parquet"))
+
+    def create_external_table(self, name: str, fmt: str, path: str,
+                              options: dict | None = None) -> DataFrame:
+        """Register an external file-backed table as an AQP base relation
+        (reference ``snc.createExternalTable`` + AQP-282: sample tables
+        build over it via the ``baseTable`` option and approx queries
+        route normally — QueryProcessingSuite.scala:211-231). Any Spark
+        DataSource format works (csv/json/parquet/orc); reads stay lazy,
+        so sampling is the first and only full scan."""
+        reader = self.spark.read.format(fmt)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load(path)
+        self.register_table(name, df)
+        return df
 
     def create_sample_table(self, name: str, base: str, qcs: list[str],
                             method: str = "fraction", fraction: float = 0.01,

@@ -1148,6 +1148,44 @@ def test_auto_weighted_table_detection(spark, duck):
     assert s.catalog.get("li_plain") is None
 
 
+def test_external_csv_table_routes_through_sample(spark, tmp_path):
+    """AQP-282 protocol (QueryProcessingSuite.scala:211-231): an EXTERNAL
+    CSV table becomes an AQP base relation — CREATE SAMPLE TABLE with the
+    baseTable option builds over it, and a grouped approx query routes
+    closed-form with estimates matching the DuckDB replay on the same
+    CSV, bit-exact."""
+    import duckdb
+    csv = tmp_path / "orderline.csv"
+    rows = [(i, (i * 7) % 5, round(10.0 + (i % 13) * 0.25, 2))
+            for i in range(1, 401)]
+    csv.write_text("ol_id,ol_cat,ol_amt\n" +
+                   "\n".join(f"{a},{b},{c}" for a, b, c in rows))
+    s = AQPSession(spark, data_token="ext-csv-test")
+    s.create_external_table("orderline", "csv", str(csv),
+                            {"header": "true", "inferSchema": "true"})
+    s.sql("CREATE SAMPLE TABLE ol_sample ON orderline OPTIONS("
+          "qcs 'ol_cat', fraction '0.5', method 'hash', seed '42', "
+          "keyColumns 'ol_id')")
+    an = s.analyze_sql("SELECT ol_cat, sum(ol_amt) AS sa, "
+                       "absolute_error(sa) FROM orderline "
+                       "GROUP BY ol_cat ORDER BY ol_cat WITH ERROR 0.8")
+    assert an.spec is not None            # routed approx, not exact
+    got = s.sql("SELECT ol_cat, sum(ol_amt) AS sa, absolute_error(sa) "
+                "FROM orderline GROUP BY ol_cat ORDER BY ol_cat "
+                "WITH ERROR 0.8").toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orderline AS SELECT * FROM "
+            f"read_csv_auto('{csv}', header=true)")
+    from snappy_aqp_spark.plans.approx_query import oracle_sql_for
+    dk = con.sql(oracle_sql_for(an.spec)).df().rename(columns=an.rename or {})
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = dk[cols].sort_values(cols).reset_index(drop=True)
+    assert a.shape == b.shape
+    for c in cols:
+        assert (a[c] == b[c]).all() or (a[c] - b[c]).abs().max() < 1e-9, c
+
+
 def test_rebuild_resamples_despite_session_cache(spark, tmp_path):
     """rebuild=True must bypass the session sample cache AND rewrite the
     persisted parquet at path (the cache-hit fast path was returning the
