@@ -432,6 +432,32 @@ def test_streaming_sql_surface(spark, tmp_path):
     assert "tagstream" not in [t.name for t in spark.catalog.listTables()]
 
 
+def test_rate_stream_provider_ingests(spark, tmp_path):
+    """the rate_stream provider (reference's load-test source analog):
+    CREATE STREAM TABLE ... USING rate_stream starts, accumulates rows in
+    the snapshot, and SELECT * over it works mid-stream."""
+    import time
+    from snappy_aqp_spark.api import AQPSession
+    s = AQPSession(spark, data_token="rate-test")
+    s.sql("STREAMING INIT 500ms")
+    s.sql("CREATE STREAM TABLE ticker USING rate_stream "
+          "OPTIONS (rowsPerSecond '50')")
+    assert s.sql("select * from ticker").count() == 0
+    s.sql("STREAMING START")
+    deadline = time.time() + 30
+    n = 0
+    while time.time() < deadline:
+        n = s.sql("select * from ticker").count()
+        if n > 0:
+            break
+        time.sleep(0.5)
+    assert n > 0, "rate stream produced no rows in 30s"
+    cols = set(s.sql("select * from ticker").columns)
+    assert {"timestamp", "value"} <= cols
+    s.sql("STREAMING STOP")
+    s.sql("DROP TABLE IF EXISTS ticker")
+
+
 def test_streaming_duration_parse():
     from snappy_aqp_spark.streaming.stream_tables import (
         parse_streaming_duration_ms)
