@@ -374,6 +374,32 @@ SQL_FIXTURES: dict[str, dict] = {
                   "HAVING lower_bound(x) + upper_bound(x) > 0 "
                   "ORDER BY l_returnflag WITH ERROR 0.5"),
     },
+    # AQP-283 protocol (CommonBugTest.scala:2666-2712): arithmetic ACROSS
+    # aggregates in ONE select item — sum(a)/sum(b) WITH ERROR. The point
+    # estimate composes the per-aggregate HT estimates; error functions on
+    # the composite ride the bootstrap trials (per-trial composition is the
+    # statistically sound ratio CI, which closed-form variance lacks)
+    "sql_agg_ratio": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, "
+                  "sum(l_extendedprice)/sum(l_quantity) AS ratio, "
+                  "relative_error(ratio), lower_bound(ratio), "
+                  "upper_bound(ratio) FROM lineitem GROUP BY l_returnflag "
+                  "ORDER BY l_returnflag WITH ERROR 0.5"),
+    },
+    # errorless composites stay on the chosen estimator as post-aggregation
+    # derived items; the arithmetic mixes sums, count(*) and literals with
+    # a guarded division
+    "sql_agg_arithmetic": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_linestatus, "
+                  "(sum(l_extendedprice) + 2 * count(*)) / 1000 AS score, "
+                  "sum(l_quantity) AS q, absolute_error(q) "
+                  "FROM lineitem GROUP BY l_linestatus "
+                  "ORDER BY l_linestatus WITH ERROR 0.5"),
+    },
     # AQP-229 protocol (CommonBugTest.scala:1482-1530): a select item that
     # is an expression OVER the group key (CASE over the grouped column),
     # computed post-aggregation alongside the weighted estimate

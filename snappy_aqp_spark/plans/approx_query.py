@@ -89,7 +89,10 @@ def _fin_rel_frags(spec: ApproxQuerySpec) -> dict[str, str]:
 def _output_frags(spec: ApproxQuerySpec) -> dict[str, str]:
     frags: dict[str, str] = {}
     mod = bs if spec.estimator == "bootstrap" else cf
-    for a in spec.aggs:
+    aggs = list(spec.aggs)
+    if spec.estimator == "bootstrap":
+        aggs += _composite_pseudo_aggs(spec)
+    for a in aggs:
         frags.update(mod.output_frags(a, spec))
     return frags
 
@@ -122,30 +125,48 @@ def _bs_trial_frags(spec: ApproxQuerySpec) -> dict[str, str]:
     return frags
 
 
+def _composite_pseudo_aggs(spec: ApproxQuerySpec) -> list:
+    """composite select items ride the per-trial machinery as pseudo-aggs:
+    once ``__bv_<alias>`` exists (arithmetic over component trial values),
+    group/fin/rel/output fragments treat them exactly like a SUM."""
+    from ..specs import ApproxAgg
+    return [ApproxAgg("sum", "0", comp.alias, errors=comp.errors)
+            for comp in spec.composites]
+
+
+def _composite_bv_frags(spec: ApproxQuerySpec) -> dict[str, str]:
+    """per (group, trial) composite values over the component __bv columns
+    (evaluated in a follow-on projection of the trial-value stage)."""
+    return {f"__bv_{comp.alias}":
+            comp.template.format(*[f"__bv_{c}" for c in comp.components])
+            for comp in spec.composites}
+
+
 def _bs_group_frags(spec: ApproxQuerySpec, dialect: str) -> dict[str, str]:
     frags: dict[str, str] = {}
-    for a in spec.aggs:
+    for a in list(spec.aggs) + _composite_pseudo_aggs(spec):
         frags.update(bs.group_frags(a, dialect))
     return frags
 
 
 def _bs_fin_frags(spec: ApproxQuerySpec, dialect: str) -> dict[str, str]:
     frags: dict[str, str] = {}
-    for a in spec.aggs:
+    for a in list(spec.aggs) + _composite_pseudo_aggs(spec):
         frags.update(bs.fin_frags(a, spec, dialect))
     return frags
 
 
 def _bs_rel_frags(spec: ApproxQuerySpec) -> dict[str, str]:
     frags: dict[str, str] = {}
-    for a in spec.aggs:
+    for a in list(spec.aggs) + _composite_pseudo_aggs(spec):
         frags.update(bs.rel_frags(a))
     return frags
 
 
 def _violation_cond(spec: ApproxQuerySpec) -> str:
     """any aggregate's relative error above the contract."""
-    conds = [cf.omitted_cond(a, spec.error) for a in spec.aggs]
+    conds = [cf.omitted_cond(a, spec.error)
+             for a in list(spec.aggs) + _composite_pseudo_aggs(spec)]
     return "(" + " OR ".join(conds) + ")"
 
 
@@ -154,6 +175,16 @@ def _exact_frags(spec: ApproxQuerySpec) -> dict[str, str]:
     frags: dict[str, str] = {}
     for a in spec.aggs:
         frags.update(cf.exact_output_frags(a, sc[a.alias]))
+    # composite exact value: the arithmetic over the components' exact
+    # aggregate TEXTS (siblings in one SELECT cannot reference each other);
+    # exact error functions constant-fold like every other agg
+    for comp in spec.composites:
+        est = comp.template.format(*[f"({frags[c]})" for c in comp.components])
+        frags[comp.alias] = est
+        err_val = {"absolute_error": "0.0", "relative_error": "0.0",
+                   "lower_bound": est, "upper_bound": est}
+        for fn in comp.errors:
+            frags[f"{comp.alias}_{fn}"] = err_val[fn]
     return frags
 
 
@@ -164,6 +195,9 @@ def output_columns(spec: ApproxQuerySpec) -> list[str]:
     for a in spec.aggs:
         cols.append(a.alias)
         cols.extend(f"{a.alias}_{fn}" for fn in a.errors)
+    for comp in spec.composites:
+        cols.append(comp.alias)
+        cols.extend(f"{comp.alias}_{fn}" for fn in comp.errors)
     cols.extend(n for _, n in spec.derived_items)
     return cols
 
@@ -485,6 +519,9 @@ def _bootstrap_fin_rel(spark: SparkSession, spec: ApproxQuerySpec,
     outer = _agg_frags(inner, gcols + [bs.TRIAL_COL], _bs_outer_frags(spec))
     trialv = _select_frags(outer, gcols + [bs.TRIAL_COL, "__bmask"],
                            _bs_trial_frags(spec))
+    if spec.composites:
+        trialv = trialv.select("*", *[F.expr(s).alias(n) for n, s in
+                                      _composite_bv_frags(spec).items()])
     grp = _agg_frags(trialv, gcols, _bs_group_frags(spec, SPARK))
     fin = _select_frags(grp, gcols, _bs_fin_frags(spec, SPARK))
     return fin.select("*", *[F.expr(s).alias(n)
@@ -656,10 +693,17 @@ def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB,
         stages.append(("__btrial",
                        f"SELECT {_dict_select(_bs_trial_frags(spec), gcols + [bs.TRIAL_COL, '__bmask'])} "
                        f"FROM __bouter"))
+        grp_src = "__btrial"
+        if spec.composites:
+            comp_sel = ", ".join(f"{s} AS {n}" for n, s in
+                                 _composite_bv_frags(spec).items())
+            stages.append(("__btrialc",
+                           f"SELECT *, {comp_sel} FROM __btrial"))
+            grp_src = "__btrialc"
         group3 = ", ".join(gcols) or None
         stages.append(("__bgrp",
                        f"SELECT {_dict_select(_bs_group_frags(spec, dialect), gcols)} "
-                       f"FROM __btrial" + (f" GROUP BY {group3}" if group3 else "")))
+                       f"FROM {grp_src}" + (f" GROUP BY {group3}" if group3 else "")))
         stages.append(("__bfin",
                        f"SELECT {_dict_select(_bs_fin_frags(spec, dialect), gcols)} "
                        f"FROM __bgrp"))

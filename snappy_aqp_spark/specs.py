@@ -106,6 +106,37 @@ class ApproxAgg:
 
 
 @dataclass(frozen=True)
+class CompositeSpec:
+    """Arithmetic over several aggregates in ONE select item — the
+    reference's AQP-283 query shape (``SELECT sum(fare_amount) /
+    sum(trip_time_in_secs) ... WITH ERROR``, CommonBugTest.scala:2666-2712).
+
+    ``template`` is portable SQL text with ``{0}``, ``{1}``, ... holes for
+    the component aggregate VALUES (the front-end pre-guards every division
+    with a CASE so a zero denominator yields NULL on both engines);
+    ``components`` names the component agg aliases in hole order.
+
+    Error functions on a composite are BOOTSTRAP-only: each trial's
+    composite value is the arithmetic over the components' per-trial
+    Horvitz-Thompson estimates, so the quantile CI machinery applies
+    unchanged (the statistically sound CI for a ratio, which closed-form
+    variance propagation does not cover). Composites without error
+    functions are plain post-aggregation derived items on any estimator.
+    """
+    alias: str
+    template: str
+    components: tuple[str, ...]
+    errors: tuple[str, ...] = ()
+
+    def __post_init__(self):
+        assert self.components, "composite needs at least one component"
+        for i in range(len(self.components)):
+            assert f"{{{i}}}" in self.template, (i, self.template)
+        for e in self.errors:
+            assert e in ERROR_FUNCTIONS, e
+
+
+@dataclass(frozen=True)
 class JoinSpec:
     table: str
     on: str | None                      # portable SQL join condition;
@@ -190,6 +221,10 @@ class ApproxQuerySpec:
     # resolution, QueryProcessingRules.scala:1525-1566): evaluated through
     # the tail clauses, then dropped from the visible output
     hidden_cols: tuple[str, ...] = ()
+    # aggregate-arithmetic select items WITH error functions (AQP-283
+    # shape); their components are hidden aggs in ``aggs``. Bootstrap-only:
+    # per-trial composition is the CI model (see CompositeSpec)
+    composites: tuple = ()
     error: float = 0.2
     confidence: float = 0.95
     behavior: str = "do_nothing"
@@ -206,6 +241,13 @@ class ApproxQuerySpec:
         assert self.behavior in BEHAVIORS
         if self.group_aliases:
             assert len(self.group_aliases) == len(self.group_by)
+        if self.composites:
+            assert self.estimator == "bootstrap", \
+                "composites with error functions are bootstrap-only"
+            aliases = {a.alias for a in self.aggs}
+            for comp in self.composites:
+                missing = [c for c in comp.components if c not in aliases]
+                assert not missing, f"composite components not in aggs: {missing}"
 
     @property
     def group_out(self) -> tuple[str, ...]:

@@ -24,8 +24,9 @@ import re
 from dataclasses import dataclass, field
 
 from ..specs import (BEHAVIORS, ERROR_FUNCTIONS, ApproxAgg, ApproxQuerySpec,
-                     JoinSpec, SubqueryPred)
+                     CompositeSpec, JoinSpec, SubqueryPred)
 from ..tables import DEFAULT_COL_BOUNDS
+from . import composite as comp
 
 # WITH ERROR is optional: the reference also accepts bare trailing
 # `CONFIDENCE x` / `BEHAVIOR 'y'` clauses (QuerySyntaxTestSuite.scala:123-165)
@@ -355,6 +356,20 @@ def parse_select(sql: str) -> ParsedSelect:
 
 _AGG_RE = re.compile(r"^(SUM|AVG|COUNT|MIN|MAX)\s*\((.*)\)$",
                      re.IGNORECASE | re.DOTALL)
+
+
+def _balanced(text: str) -> bool:
+    """parens balanced and never negative — distinguishes one aggregate
+    call from composites like ``sum(a)/sum(b)`` under _AGG_RE's greedy arg."""
+    depth = 0
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
 _ERRFN_RE = re.compile(r"^(ABSOLUTE_ERROR|RELATIVE_ERROR|LOWER_BOUND|UPPER_BOUND)"
                        r"\s*\(\s*(\w+)\s*\)$", re.IGNORECASE)
 # unanchored form: direct error-fn calls inside HAVING/ORDER BY text
@@ -530,7 +545,7 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
     # engine never builds a broken plan; the exact route then surfaces
     # Spark's own clear error
     for g in parsed.group_by:
-        if _AGG_RE.match(g.strip()):
+        if _AGG_RE.match(g.strip()) or comp.split_agg_calls(g) is not None:
             return AnalyzedQuery(None, parsed, {},
                                  "GROUP BY references an aggregate")
 
@@ -538,42 +553,77 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
     agg_by_alias: dict[str, ApproxAgg] = {}
     group_items: list[tuple[str, str | None]] = []
     errfns: list[tuple[str, str, str | None]] = []   # (fn, target, alias)
+    # aggregate-arithmetic select items (AQP-283 shape): alias ->
+    # (guarded template, component agg aliases); errors attach later
+    comp_items: dict[str, tuple[str, tuple[str, ...]]] = {}
+    hidden: list[str] = []
     gen = 0
+
+    def build_agg(fn: str, arg: str, alias: str | None
+                  ) -> tuple[ApproxAgg | None, str | None]:
+        """one validated ApproxAgg, or (None, route-exact reason)."""
+        nonlocal gen
+        if fn == "count" and arg != "*" and _COND_COUNT_RE.search(arg):
+            return None, "conditional COUNT routes exact"
+        if fn in ("min", "max"):
+            # MIN/MAX alongside approx aggs bypass error calc ONLY when
+            # their arg is a QCS expression (every stratum is represented
+            # in the sample, so the sample extremum is trustworthy) —
+            # reference QueryRoutingRules.scala:55-92,
+            # QueryProcessingRules.scala:1335-1459
+            qcs_norm = {q.strip().lower() for q in sample_spec.qcs}
+            if arg.strip().lower() not in qcs_norm:
+                return None, "min/max arg not in QCS"
+        if alias is None:
+            gen += 1
+            alias = f"{fn}_{gen}"
+        if fn == "count" and arg == "*":
+            return ApproxAgg("count_star", None, alias), None
+        dm = _DEC_MEASURE_RE.match(arg) if fn in ("sum", "avg") else None
+        return ApproxAgg(fn, arg, alias,
+                         measure_bound(arg, defaults.get("col_bounds")),
+                         dec_scale=int(dm.group(1)) if dm else None), None
+
     for expr, alias in parsed.select_items:
         em = _ERRFN_RE.match(expr)
         if em:
             errfns.append((em.group(1).lower(), em.group(2), alias))
             continue
         m = _AGG_RE.match(expr)
-        if m:
-            fn = m.group(1).lower()
-            arg = m.group(2).strip()
-            if fn == "count" and arg != "*" and _COND_COUNT_RE.search(arg):
+        # the greedy arg capture also matches composites like
+        # `sum(a)/sum(b)` (arg = `a)/sum(b`): only treat the item as ONE
+        # call when the captured argument is paren-balanced
+        if m and _balanced(m.group(2)):
+            agg, reason = build_agg(m.group(1).lower(), m.group(2).strip(),
+                                    alias)
+            if agg is None:
+                return AnalyzedQuery(None, parsed, {}, reason)
+            aggs.append(agg)
+            agg_by_alias[agg.alias.lower()] = agg
+            continue
+        split = comp.split_agg_calls(expr)
+        if split is not None:
+            # arithmetic over several aggregates in one item (AQP-283):
+            # components become HIDDEN aggs, the item a guarded template
+            skeleton, calls = split
+            template = comp.parse_template(skeleton, len(calls))
+            if template is None:
                 return AnalyzedQuery(None, parsed, {},
-                                     "conditional COUNT routes exact")
-            if fn in ("min", "max"):
-                # MIN/MAX alongside approx aggs bypass error calc ONLY when
-                # their arg is a QCS expression (every stratum is represented
-                # in the sample, so the sample extremum is trustworthy) —
-                # reference QueryRoutingRules.scala:55-92,
-                # QueryProcessingRules.scala:1335-1459
-                qcs_norm = {q.strip().lower() for q in sample_spec.qcs}
-                if arg.strip().lower() not in qcs_norm:
-                    return AnalyzedQuery(None, parsed, {},
-                                         "min/max arg not in QCS")
+                                     f"unsupported aggregate arithmetic: {expr}")
+            members: list[str] = []
+            for fn, arg in calls:
+                gen += 1
+                agg, reason = build_agg(fn, arg, f"__ca{gen}")
+                if agg is None:
+                    return AnalyzedQuery(None, parsed, {}, reason)
+                aggs.append(agg)
+                agg_by_alias[agg.alias.lower()] = agg
+                hidden.append(agg.alias)
+                members.append(agg.alias)
             if alias is None:
                 gen += 1
-                alias = f"{fn}_{gen}"
-            if fn == "count" and arg == "*":
-                agg = ApproxAgg("count_star", None, alias)
-            else:
-                dm = _DEC_MEASURE_RE.match(arg) if fn in ("sum", "avg") else None
-                agg = ApproxAgg(fn, arg, alias,
-                                measure_bound(arg,
-                                              defaults.get("col_bounds")),
-                                dec_scale=int(dm.group(1)) if dm else None)
-            aggs.append(agg)
-            agg_by_alias[alias.lower()] = agg
+                alias = f"expr_{gen}"
+            comp_items[alias] = (template, tuple(members))
             continue
         group_items.append((expr, alias))
 
@@ -583,22 +633,33 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
     # attach error functions to their target aggregates
     rename: dict[str, str] = {}
     by_alias: dict[str, list[str]] = {}
+    comp_errors: dict[str, list[str]] = {}    # composite alias -> error fns
+    comp_norm = {a.lower(): a for a in comp_items}
     for fn, target, alias in errfns:
         agg = agg_by_alias.get(target.lower())
-        if agg is None:
-            return AnalyzedQuery(None, parsed, {},
-                                 f"error function references unknown alias {target}")
-        by_alias.setdefault(agg.alias, []).append(fn)
-        if alias:
-            rename[f"{agg.alias}_{fn}"] = alias
+        if agg is not None:
+            by_alias.setdefault(agg.alias, []).append(fn)
+            if alias:
+                rename[f"{agg.alias}_{fn}"] = alias
+            continue
+        ca = comp_norm.get(target.lower())
+        if ca is not None:
+            comp_errors.setdefault(ca, []).append(fn)
+            if alias:
+                rename[f"{ca}_{fn}"] = alias
+            continue
+        return AnalyzedQuery(None, parsed, {},
+                             f"error function references unknown alias {target}")
 
     # error functions called DIRECTLY in HAVING/ORDER BY (not just by
     # select-list alias): rewrite the call into the engine's hidden error
     # column and compute it even when unselected, dropping it from the
     # visible output (reference resolves these via GetErrorBounds /
     # ErrorEstimateAttribute, QueryProcessingRules.scala:1525-1566)
-    selected = {(agg_by_alias[t.lower()].alias, f) for f, t, _ in errfns}
-    hidden: list[str] = []
+    selected = set()
+    for f, t, _ in errfns:
+        agg = agg_by_alias.get(t.lower())
+        selected.add(((agg.alias if agg else comp_norm[t.lower()]), f))
 
     def rewrite_direct(text: str | None) -> str | None:
         if not text:
@@ -607,11 +668,16 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
         def repl(m: re.Match) -> str:
             fn, tgt = m.group(1).lower(), m.group(2)
             agg = agg_by_alias.get(tgt.lower())
-            if agg is None:
+            if agg is not None:
+                name = agg.alias
+                by_alias.setdefault(name, []).append(fn)
+            elif tgt.lower() in comp_norm:
+                name = comp_norm[tgt.lower()]
+                comp_errors.setdefault(name, []).append(fn)
+            else:
                 return m.group(0)        # not an agg alias; leave untouched
-            eng = f"{agg.alias}_{fn}"
-            by_alias.setdefault(agg.alias, []).append(fn)
-            if (agg.alias, fn) not in selected and eng not in hidden:
+            eng = f"{name}_{fn}"
+            if (name, fn) not in selected and eng not in hidden:
                 hidden.append(eng)
             return eng
 
@@ -669,6 +735,12 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
     estimator = "closed_form"
     if (any(a.func == "avg" for a in aggs)
             and (parsed.having or parsed.where)):
+        estimator = "bootstrap"
+    # error functions over an aggregate-arithmetic item (AQP-283 shape):
+    # the CI composes per bootstrap trial — closed-form has no ratio
+    # variance, so the whole query routes bootstrap (same decision class
+    # as the AVG+filter rule above)
+    if comp_errors:
         estimator = "bootstrap"
     if wc.error is None and wc.confidence is None and wc.behavior is None:
         # bare WITH ERROR -> session defaults (ErrorDefaults node)
@@ -737,6 +809,18 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
 
     derived = tuple((unalias(e), n) for e, n in derived_rw)
 
+    # aggregate-arithmetic items: WITH error functions they ride the
+    # bootstrap trial pipeline as CompositeSpec entries; WITHOUT they are
+    # plain post-aggregation derived items over the component aliases
+    # (point estimate only — identical value on any estimator)
+    composites = []
+    for ca, (template, members) in comp_items.items():
+        errs = tuple(dict.fromkeys(comp_errors.get(ca, ())))
+        if errs:
+            composites.append(CompositeSpec(ca, template, members, errs))
+        else:
+            derived += ((template.format(*members), ca),)
+
     spec = ApproxQuerySpec(
         sample=sample_spec,
         from_relation=from_relation,
@@ -744,6 +828,7 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
         group_by=tuple(parsed.group_by),
         group_aliases=group_aliases,
         derived_items=derived,
+        composites=tuple(composites),
         joins=tuple(parsed.joins),
         where=where_plain,
         where_subs=where_subs,

@@ -1033,6 +1033,69 @@ def test_errfn_arithmetic_select_items(aqp, duck):
     assert (sp["lbub"] > 0).all()
 
 
+def test_composite_agg_arithmetic(aqp, duck):
+    """AQP-283 (CommonBugTest.scala:2666-2712): arithmetic ACROSS
+    aggregates in one select item. Without error functions the composite
+    is a derived item over hidden component aggs on the chosen estimator;
+    WITH error functions the whole query routes bootstrap and the CI
+    composes per trial."""
+    q = ("SELECT l_returnflag, sum(l_extendedprice)/sum(l_quantity) AS r "
+         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag "
+         "WITH ERROR 0.5")
+    an = aqp.analyze_sql(q)
+    assert an.spec is not None and an.spec.estimator == "closed_form"
+    assert not an.spec.composites          # errorless -> derived item
+    assert [a.alias for a in an.spec.aggs] == ["__ca1", "__ca2"]
+    assert set(an.spec.hidden_cols) >= {"__ca1", "__ca2"}
+    df = aqp.sql(q)
+    assert df.columns == ["l_returnflag", "r"]
+    compare_frames(df, duck.sql(oracle_sql_for(an.spec)).df())
+
+    q2 = ("SELECT l_returnflag, sum(l_extendedprice)/sum(l_quantity) AS r, "
+          "relative_error(r), lower_bound(r), upper_bound(r) "
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag "
+          "WITH ERROR 0.5")
+    an2 = aqp.analyze_sql(q2)
+    assert an2.spec.estimator == "bootstrap"
+    assert an2.spec.composites[0].errors == ("relative_error", "lower_bound",
+                                             "upper_bound")
+    sp = aqp.sql(q2).toPandas()
+    # the CI brackets the estimate; trial-0 estimate equals the errorless
+    # composite's point estimate
+    assert (sp["r_lower_bound"] <= sp["r"]).all()
+    assert (sp["r"] <= sp["r_upper_bound"]).all()
+    compare_frames(aqp.sql(q2), duck.sql(oracle_sql_for(an2.spec)).df()
+                   .rename(columns=an2.rename))
+
+
+def test_composite_division_by_zero_yields_null(aqp, duck):
+    """the guarded division: a zero denominator gives NULL on both engines
+    (ANSI Spark would otherwise raise DIVIDE_BY_ZERO)."""
+    q = ("SELECT sum(l_extendedprice) / sum(l_quantity - l_quantity) AS r "
+         "FROM lineitem WITH ERROR 0.5")
+    an = aqp.analyze_sql(q)
+    sp = aqp.sql(q).toPandas()
+    assert len(sp) == 1 and sp["r"].isna().all()
+    compare_frames(aqp.sql(q), duck.sql(oracle_sql_for(an.spec)).df())
+
+
+def test_composite_routing_envelope(aqp):
+    """outside the arithmetic grammar -> exact route; GROUP BY containing
+    an aggregate composite -> rejected; unknown error target still errors."""
+    # a non-arithmetic wrapper around the aggregate is not a composite
+    an = aqp.analyze_sql("SELECT abs(sum(l_quantity)) AS a FROM lineitem "
+                         "WITH ERROR 0.5")
+    assert an.spec is None and "aggregate arithmetic" in an.reason
+    # mixed identifier outside any aggregate
+    an2 = aqp.analyze_sql("SELECT sum(l_quantity)/l_partkey AS a "
+                          "FROM lineitem WITH ERROR 0.5")
+    assert an2.spec is None
+    an3 = aqp.analyze_sql("SELECT 1 FROM lineitem "
+                          "GROUP BY sum(l_quantity)/sum(l_tax) "
+                          "WITH ERROR 0.5")
+    assert an3.spec is None
+
+
 def test_avg_with_where_picks_bootstrap(aqp):
     """AvgQueryWithWhereClauseUsesBootstrapAnalysis (CommonBugTest
     .scala:917): AVG + any filter routes bootstrap; pure AVG stays
