@@ -44,6 +44,14 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "dedup_ngram_jaccard": {
         "builder": _dd.ngram_jaccard_stages, "kw": {"threshold": 0.8},
         "tables": ("documents",)},
+    # RefinedWeb/Falcon line-level dedup: corpus-repeated lines removed
+    # from EVERY document, documents rebuilt in original order. The
+    # synthetic corpus has no newlines, so the fixture folds docs into
+    # 3-word lines first (deterministic, both engines) — near-dup docs
+    # share folded lines, exercising the removal + rebuild branches
+    "dedup_lines": {
+        "builder": _dd.line_dedup_fixture_stages, "kw": {},
+        "tables": ("documents",)},
     # k=7 shingles: background char-gram Jaccard on natural text is high at
     # k=5 (~0.17 here), flooding the bands with false-positive candidates;
     # k=7 drops it ~3x while staying injective in the 257^j polynomial code

@@ -216,6 +216,90 @@ def ngram_jaccard_stages(dialect: str, threshold: float = 0.8, k: int = 5,
     return stages, final
 
 
+def line_dedup_stages(dialect: str, min_count: int = 3,
+                      table: str = "documents", col: str = "text"
+                      ) -> tuple[list[tuple[str, str]], str]:
+    """Corpus-level LINE deduplication with document reconstruction — the
+    RefinedWeb/Falcon recipe (Penedo et al. 2023): a line whose exact text
+    occurs >= ``min_count`` times across the whole corpus is boilerplate
+    (headers, nav bars, license blocks); EVERY occurrence is removed and
+    each document is rebuilt from its surviving lines in original order.
+
+    Differs from ``duplicate_spans_stages`` (which *reports* duplicated
+    token spans): this is the cleaning transform — output is the cleaned
+    corpus plus per-document removal accounting.
+
+    Plan shape at 100 TB: one explode (rows ~ total line count), one
+    GROUP BY on the line hash (the only wide shuffle; md5 keys, not line
+    text), a hash semi-join back, and one per-doc rebuild aggregation.
+    Empty/whitespace-only lines are dropped before counting so indentation
+    noise can't link unrelated documents."""
+    nl = "chr(10)"          # '\n' literal text is not portable (see dual)
+    lines = dual.str_split(dialect, col, nl)
+    def _structs(la: str) -> str:
+        body = dual.mk_struct(dialect, [
+            ("li", "i"), ("line", f"trim({dual.elem(dialect, la, 'i')})")])
+        return dual.transform(
+            dialect, dual.sequence(dialect, "1", dual.arr_len(dialect, la)),
+            f"i -> {body}")
+
+    structs = dual.bind_array(dialect, lines, _structs)
+    stages = [
+        ("__dls", f"SELECT doc_id, {dual.explode(dialect, structs, 's')} "
+                  f"FROM {table}"),
+        ("__dl", "SELECT doc_id, CAST(s.li AS BIGINT) AS li, s.line AS line, "
+                 "md5(s.line) AS lh FROM __dls WHERE length(s.line) > 0"),
+        # corpus frequency per line hash: total occurrences (a line twice
+        # in one doc counts twice — the reference recipe counts copies)
+        ("__lc", f"SELECT lh, CAST(COUNT(*) AS BIGINT) AS cnt FROM __dl "
+                 f"GROUP BY lh"),
+        ("__keep", f"SELECT d.doc_id, d.li, d.line FROM __dl d "
+                   f"JOIN __lc c ON d.lh = c.lh WHERE c.cnt < {min_count}"),
+        ("__stat", "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines "
+                   "FROM __dl GROUP BY doc_id"),
+        ("__rb", f"SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+                 f"{dual.arr_join(dialect, dual.ordered_list(dialect, 'line', 'li'), nl)} "
+                 f"AS clean_text FROM __keep GROUP BY doc_id"),
+    ]
+    final = (f"SELECT s.doc_id, s.n_lines, "
+             f"s.n_lines - COALESCE(r.n_kept, 0) AS n_removed, "
+             f"COALESCE(r.clean_text, '') AS clean_text "
+             f"FROM __stat s LEFT JOIN __rb r ON s.doc_id = r.doc_id "
+             f"ORDER BY s.doc_id")
+    return stages, final
+
+
+def line_dedup_fixture_stages(dialect: str, words_per_line: int = 3,
+                              min_count: int = 2
+                              ) -> tuple[list[tuple[str, str]], str]:
+    """`line_dedup_stages` over the synthetic corpus, which has no
+    newlines: a deterministic preprocessing stage folds every document
+    into ``words_per_line``-word lines first (same fold on both engines),
+    then the real recipe runs unchanged. Near-duplicate documents share
+    word runs, so their folded lines repeat corpus-wide and the removal
+    branch is genuinely exercised."""
+    nl, sp = "chr(10)", "chr(32)"
+    words = dual.str_split(dialect, "text", sp)
+
+    def _fold(wa: str) -> str:
+        n_lines = (f"CAST(CEIL(CAST({dual.arr_len(dialect, wa)} AS DOUBLE) "
+                   f"/ {words_per_line}.0) AS BIGINT)")
+        line = dual.arr_join(
+            dialect,
+            dual.arr_slice(dialect, wa, f"(b - 1) * {words_per_line} + 1",
+                           str(words_per_line)), sp)
+        lines = dual.transform(
+            dialect, dual.sequence(dialect, "1", n_lines), f"b -> {line}")
+        return dual.arr_join(dialect, lines, nl)
+
+    pre = [("__docs_ml",
+            f"SELECT doc_id, {dual.bind_array(dialect, words, _fold)} AS text "
+            f"FROM documents")]
+    stages, final = line_dedup_stages(dialect, min_count=min_count,
+                                      table="__docs_ml")
+    return pre + stages, final
+
+
 def _minhash_exprs(n_hashes: int) -> list[tuple[int, int]]:
     """fixed (a, b) constants for the permutation hashes."""
     rnd = []

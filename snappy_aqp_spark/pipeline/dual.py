@@ -144,6 +144,27 @@ def arr_filter(dialect: str, arr_sql: str, lam: str) -> str:
             else f"list_filter({arr_sql}, {lam})")
 
 
+def str_split(dialect: str, col_sql: str, sep_sql: str) -> str:
+    """split a string on a literal separator expression (pass the separator
+    via chr(...) — Spark string literals interpret C escapes, DuckDB's do
+    not, so an escape like '\\n' is not portable text)."""
+    return (f"split({col_sql}, {sep_sql})" if dialect == SPARK
+            else f"string_split({col_sql}, {sep_sql})")
+
+
+def arr_join(dialect: str, arr_sql: str, sep_sql: str) -> str:
+    """join a string array with a separator."""
+    return (f"array_join({arr_sql}, {sep_sql})" if dialect == SPARK
+            else f"array_to_string({arr_sql}, {sep_sql})")
+
+
+def arr_slice(dialect: str, arr_sql: str, start_sql: str, n_sql: str) -> str:
+    """``n`` elements starting at 1-based ``start`` (shorter at the end)."""
+    if dialect == SPARK:
+        return f"slice({arr_sql}, {start_sql}, {n_sql})"
+    return f"list_slice({arr_sql}, {start_sql}, ({start_sql}) + ({n_sql}) - 1)"
+
+
 def mk_struct(dialect: str, fields: list[tuple[str, str]]) -> str:
     if dialect == SPARK:
         body = ", ".join(f"'{n}', {s}" for n, s in fields)

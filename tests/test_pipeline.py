@@ -297,6 +297,40 @@ def test_multimodal_pil_decoder_roundtrip(spark):
         mm._REAL_DECODERS.pop("pil", None)
 
 
+def test_line_dedup_planted_boilerplate(spark):
+    """RefinedWeb line dedup on a planted corpus: a boilerplate line in 3
+    docs is removed from ALL of them at min_count=3; a line shared by only
+    2 docs survives; order and blank lines behave per the recipe."""
+    from snappy_aqp_spark.pipeline.dedup import line_dedup_stages
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha unique one\n{boiler}\nbody text a"),
+        (2, f"{boiler}\nbody text b\nshared pair line"),
+        (3, f"body text c\n{boiler}"),
+        (4, "shared pair line\n\n  \nonly doc four"),   # blanks dropped
+        (5, "totally unique document"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]) \
+         .createOrReplaceTempView("planted_docs")
+    st, fin = line_dedup_stages(SPARK, min_count=3, table="planted_docs")
+    out = {r["doc_id"]: r for r in run_stages(spark, st, fin).collect()}
+    assert out[1]["clean_text"] == "alpha unique one\nbody text a"
+    assert out[2]["clean_text"] == "body text b\nshared pair line"
+    assert out[3]["clean_text"] == "body text c"
+    assert (out[1]["n_removed"], out[2]["n_removed"],
+            out[3]["n_removed"]) == (1, 1, 1)
+    # blank/whitespace lines are excluded from counting AND output
+    assert out[4]["n_lines"] == 2 and out[4]["n_removed"] == 0
+    assert out[4]["clean_text"] == "shared pair line\nonly doc four"
+    assert out[5]["n_removed"] == 0
+    # at min_count=2 the pair-shared line goes too, everywhere
+    st2, fin2 = line_dedup_stages(SPARK, min_count=2, table="planted_docs")
+    out2 = {r["doc_id"]: r for r in run_stages(spark, st2, fin2).collect()}
+    assert out2[2]["clean_text"] == "body text b"
+    assert out2[4]["clean_text"] == "only doc four"
+
+
 def test_ngram_jaccard_prefix_filter_is_lossless(views, duck):
     """the prefix-filtered join must return EXACTLY the pairs of the
     brute-force all-co-shingled-pairs baseline (prefix filtering + size
