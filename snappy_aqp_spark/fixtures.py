@@ -27,6 +27,7 @@ from .pipeline import incremental as _ic
 from .pipeline import lm as _lm
 from .pipeline import retrieval as _rv
 from .pipeline import spans as _dsp
+from .pipeline import pii as _pii
 from .pipeline import temporal as _tp
 from .pipeline import terms as _tm
 from .pipeline import text as _tx
@@ -43,6 +44,13 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     # shrinks ~2.5x vs t=0.5, which is what bounds the candidate join
     "dedup_ngram_jaccard": {
         "builder": _dd.ngram_jaccard_stages, "kw": {"threshold": 0.8},
+        "tables": ("documents",)},
+    # PII scan + redaction (map-only pass; backslash-free patterns keep
+    # the regex text identical across engines). The corpus carries no PII,
+    # so the fixture injects deterministic doc_id-derived emails/IPs/
+    # phones first — extraction, counting and chained redaction all fire
+    "pii_scan": {
+        "builder": _pii.pii_fixture_stages, "kw": {},
         "tables": ("documents",)},
     # RefinedWeb/Falcon line-level dedup: corpus-repeated lines removed
     # from EVERY document, documents rebuilt in original order. The

@@ -1,0 +1,93 @@
+"""PII scanning and redaction over a document corpus.
+
+A standard training-data pipeline stage the reference's AQP engine never
+needed, but a 100 TB corpus build does: count pattern-class hits per
+document (emails, phone numbers, IPv4 addresses), flag documents that
+carry any, and emit a REDACTED text column with every hit replaced by a
+typed placeholder.
+
+Engineering notes:
+
+  * patterns are written BACKSLASH-FREE (character classes like ``[.]``
+    and ``[0-9]`` instead of ``\\.``/``\\d``) so the same pattern text is
+    valid in Spark SQL string literals (C-style escape interpretation)
+    and DuckDB's (none) — the whole dual-dialect contract in one trick;
+  * DuckDB's ``regexp_replace`` replaces only the FIRST match unless the
+    ``'g'`` flag is passed; Spark replaces all — ``regex_replace_all``
+    papers over it;
+  * redaction order matters: emails first (their local part can contain
+    digit runs), then IPs (dotted digits), then bare phone runs;
+  * the scan is one projection — zero shuffles; at 100 TB this is a
+    map-only pass whose cost is the regex engine, not Spark.
+
+The synthetic corpus contains no PII, so the driver fixture injects
+deterministic synthetic PII (derived from doc_id, identical on both
+engines) into a slice of documents before scanning — the extraction,
+counting and redaction branches all run for real.
+"""
+
+from __future__ import annotations
+
+from ..dialect import SPARK
+from .text import regex_count
+
+# ordered: redaction applies top to bottom
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+     "<EMAIL>"),
+    ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+    ("phone", "[0-9]{3}-[0-9]{4}", "<PHONE>"),
+)
+
+
+def regex_replace_all(dialect: str, col_sql: str, pat: str, rep: str) -> str:
+    if dialect == SPARK:
+        return f"regexp_replace({col_sql}, '{pat}', '{rep}')"
+    return f"regexp_replace({col_sql}, '{pat}', '{rep}', 'g')"
+
+
+def pii_scan_stages(dialect: str, table: str = "documents",
+                    col: str = "text") -> tuple[list[tuple[str, str]], str]:
+    """per-document PII counts + redacted text.
+
+    Counting runs on the ORIGINAL text; redaction chains the replacements
+    in PII_PATTERNS order, so a phone-shaped digit run inside an email
+    address is redacted once, as the email."""
+    counts = ", ".join(
+        f"CAST({regex_count(dialect, col, pat)} AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS)
+    red = col
+    for _, pat, rep in PII_PATTERNS:
+        red = regex_replace_all(dialect, red, pat, rep)
+    stages = [
+        ("__pii", f"SELECT doc_id, {counts}, {red} AS redacted_text "
+                  f"FROM {table}"),
+    ]
+    flag = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    final = (f"SELECT doc_id, "
+             + ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+             + f", CASE WHEN {flag} > 0 THEN 1 ELSE 0 END AS has_pii, "
+             f"redacted_text FROM __pii ORDER BY doc_id")
+    return stages, final
+
+
+def pii_fixture_stages(dialect: str) -> tuple[list[tuple[str, str]], str]:
+    """`pii_scan_stages` over the synthetic corpus with deterministic
+    PII injected into a doc_id-derived slice (the corpus itself carries
+    none): every 3rd doc gains an email, every 5th an IPv4, every 7th a
+    phone — all synthesized from doc_id, byte-identical on both engines."""
+    did = "CAST(doc_id AS VARCHAR(20))"
+    email = f"concat(' reach user', {did}, '@example.com')"
+    ip = (f"concat(' host 10.', CAST(doc_id % 256 AS VARCHAR(20)), '.', "
+          f"CAST((doc_id * 7) % 256 AS VARCHAR(20)), '.', "
+          f"CAST((doc_id * 13) % 256 AS VARCHAR(20)))")
+    phone = (f"concat(' call 555-', "
+             f"lpad(CAST(doc_id % 10000 AS VARCHAR(20)), 4, '0'))")
+    pre = [("__docs_pii",
+            "SELECT doc_id, concat(text"
+            f", CASE WHEN doc_id % 3 = 0 THEN {email} ELSE '' END"
+            f", CASE WHEN doc_id % 5 = 0 THEN {ip} ELSE '' END"
+            f", CASE WHEN doc_id % 7 = 0 THEN {phone} ELSE '' END"
+            ") AS text FROM documents")]
+    stages, final = pii_scan_stages(dialect, table="__docs_pii")
+    return pre + stages, final
