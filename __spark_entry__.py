@@ -42,6 +42,7 @@ _SQL_DEFAULTS = {"error": 0.2, "confidence": 0.95, "behavior": "do_nothing"}
 _GATE_PRIORITY: tuple[str, ...] = (
     # never driver-checked (verified only by pytest/judge up to round 3)
     "sql_agg_ratio", "sql_agg_arithmetic", "dedup_lines", "pii_scan",
+    "sql_topk_plain",
     "streaming_topk_decay", "sql_auto_weighted_table", "sql_external_csv",
     "topk_decay", "streaming_sql_surface", "streaming_topk_ingest",
     "sql_create_topk", "sql_derived_agg_join", "cf_incremental_append",
@@ -223,6 +224,17 @@ def _incremental_append_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SAMPLE_CACHE[(LI_HASH, token)] = s
     return run_approx_query(spark, INCR_APPEND_SPEC, {"lineitem": li},
                             cache_token=token)
+
+
+def _sql_topk_plain_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """plain TopKCMS (no timeSeriesColumn — reference TopKCMS class, one
+    sketch per partition, no dyadic levels) through the DDL + scan
+    surface; LIMIT is the top-k cut."""
+    from snappy_aqp_spark.fixtures import TOPK_PLAIN_TEXT
+    aqp = AQPSession(spark, data_token=sf_dir, **_SQL_DEFAULTS)
+    aqp.load_tables(sf_dir, ("events",))
+    aqp.sql(TOPK_PLAIN_TEXT)
+    return aqp.sql("SELECT * FROM topk_plain LIMIT 20")
 
 
 def _sql_create_topk_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sample_error_estimate_avg"] = _error_estimate_avg_runner
     out["cf_incremental_append"] = _incremental_append_runner
     out["sql_create_topk"] = _sql_create_topk_runner
+    out["sql_topk_plain"] = _sql_topk_plain_runner
     out["streaming_topk_ingest"] = _streaming_topk_ingest_runner
     out = {name: _memoized(name, fn) for name, fn in out.items()}
     for name, fx in PIPELINE_FIXTURES.items():
@@ -593,6 +606,9 @@ def oracle_sql() -> dict[str, str]:
     out["cf_incremental_append"] = oracle_sql_for(INCR_APPEND_SPEC)
     out["sql_create_topk"] = topk_oracle_sql(
         TOPK_DDL_SPEC, "events", *TOPK_DDL_WINDOW)
+    from snappy_aqp_spark.fixtures import TOPK_PLAIN_SPEC
+    out["sql_topk_plain"] = topk_oracle_sql(
+        TOPK_PLAIN_SPEC, "events", None, None, 20)
     out["streaming_topk_ingest"] = topk_oracle_sql(
         TOPK_FIXTURES["topk_cms_full"]["spec"], "events", None, None, 20)
     # same sketch parameters, populated through the streaming SQL surface

@@ -92,6 +92,7 @@ def main() -> None:
     qs = entry.queries()
     for name in ("topk_cms_full", "topk_streamsummary", "dedup_minhash_lsh",
                  "dedup_ngram_jaccard",     # exact prefix-filtered join
+                 "dedup_lines", "pii_scan",
                  "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk",
                  "ann_pq_topk", "approx_distinct_hll", "approx_quantiles",
                  "approx_quantiles_grouped", "text_analysis",

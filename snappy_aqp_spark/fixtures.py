@@ -683,6 +683,16 @@ TOPK_DDL_TEXT = ("CREATE TOPK TABLE topk_ddl ON events OPTIONS("
                  "numPartitions '8', intKey 'true')")
 TOPK_DDL_WINDOW = (_T_2024_01_08, _T_2024_01_22, 15)
 
+# plain (non-timeseries) TopKCMS: no timeSeriesColumn -> ONE sketch per
+# partition, no dyadic levels (reference TopKCMS vs TopKHokusai split,
+# TopKWrapper options); the scan is top-k over the whole ingest
+TOPK_PLAIN_SPEC = TopKSpec("topk_plain", key="user_id", time_col=None,
+                           size=100, depth=7, width=4096, num_partitions=8,
+                           int_key=True)
+TOPK_PLAIN_TEXT = ("CREATE TOPK TABLE topk_plain ON events OPTIONS("
+                   "key 'user_id', size '100', depth '7', width '4096', "
+                   "numPartitions '8', intKey 'true')")
+
 APPROX_SPECS: dict[str, ApproxQuerySpec] = {
     # global aggregate, all error functions (perfQueries.sql:1 shape)
     "cf_sum_global": ApproxQuerySpec(

@@ -38,12 +38,18 @@ def topk_oracle_sql(spec: TopKSpec, table: str, start_us: int | None,
     iv = spec.time_interval_us
     eps = float(np.e) / spec.width
     prob = 1.0 - float(np.exp(-spec.depth))
-    if spec.epoch_us is not None:
+    if spec.time_col is None:
+        # plain (non-timeseries) TopKCMS: one sketch, every row in the
+        # single level-0 bucket; range endpoints do not apply
+        assert start_us is None and end_us is None
+        epoch, bucket = "0", "CAST(0 AS BIGINT)"
+    elif spec.epoch_us is not None:
         epoch = str(int(spec.epoch_us))
     else:
         epoch = f"(SELECT MIN(epoch_us({spec.time_col})) FROM {table})"
-    bucket = (f"CAST(FLOOR(CAST(epoch_us({spec.time_col}) - {epoch} AS DOUBLE) "
-              f"/ CAST({iv} AS DOUBLE)) AS BIGINT)")
+    if spec.time_col is not None:
+        bucket = (f"CAST(FLOOR(CAST(epoch_us({spec.time_col}) - {epoch} "
+                  f"AS DOUBLE) / CAST({iv} AS DOUBLE)) AS BIGINT)")
     freq = spec.frequency_col or "1"
     key = f"CAST({spec.key} AS VARCHAR)"
     pid = f"CAST(({spec.key}) % {spec.num_partitions} AS BIGINT)"
