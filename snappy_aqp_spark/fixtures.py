@@ -322,8 +322,27 @@ TOPK_FIXTURES: dict[str, dict] = {
 _LI_DDL = ("CREATE SAMPLE TABLE li_sample ON lineitem OPTIONS("
            "qcs 'l_returnflag,l_linestatus', fraction '0.05', "
            "method 'hash', seed '42')")
+# second candidate on the same base, different QCS and fraction: the
+# selection-priority fixture registers BOTH and the query's GROUP BY
+# matches exactly one
+_LI_DDL_STATUS = ("CREATE SAMPLE TABLE li_by_status ON lineitem OPTIONS("
+                  "qcs 'l_linestatus', fraction '0.2', "
+                  "method 'hash', seed '7')")
 
 SQL_FIXTURES: dict[str, dict] = {
+    # sample-selection priority (reference sample choice rules,
+    # QueryProcessingRules.scala + SampleSelectionTest protocols): with
+    # two candidate samples on the base table, the query's GROUP BY
+    # {l_linestatus} matches li_by_status's QCS EXACTLY, so it must be
+    # chosen over the broader li_sample; the oracle replays the CHOSEN
+    # spec, so a selection change flips fractions/seeds and hash-fails
+    "sql_sample_priority": {
+        "ddl": [_LI_DDL, _LI_DDL_STATUS],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_linestatus, sum(l_extendedprice) AS rev, "
+                  "relative_error(rev) FROM lineitem GROUP BY l_linestatus "
+                  "ORDER BY l_linestatus WITH ERROR 0.5"),
+    },
     "sql_with_error": {
         "ddl": [_LI_DDL],
         "tables": ("lineitem",),
