@@ -149,9 +149,19 @@ def analyze_text(text: str, catalog: SampleCatalog, defaults: dict,
         fm = _FROM_NAME_RE.search(stripped)
         if (fm is None or catalog.get(fm.group(1)) is None
                 or not fe._ERRFN_CALL_RE.search(stripped)):
-            return None
-        wc = fe.WithClause(error=INFINITE_ERROR_TOLERANCE, confidence=None,
-                           behavior=None, has_error_kw=False)
+            # AQP-285: once the error PROPERTY is in the conf
+            # (`SET spark.sql.aqp.error=...`), plain base-table queries
+            # route through AQP with the session values
+            # (QueryProcessingRules.scala:286-291)
+            if defaults.get("error_conf_set"):
+                wc = fe.WithClause(error=None, confidence=None,
+                                   behavior=None, has_error_kw=True)
+            else:
+                return None
+        else:
+            wc = fe.WithClause(error=INFINITE_ERROR_TOLERANCE,
+                               confidence=None, behavior=None,
+                               has_error_kw=False)
     try:
         parsed = fe.parse_select(stripped)
         parsed = fe.expand_view(parsed, views or {})
@@ -298,13 +308,36 @@ def build_catalog_from_ddl(ddls: list[str]) -> SampleCatalog:
             continue
         parsed = fe.parse_create_sample(ddl)
         if parsed is None:
-            if fe.parse_create_view(ddl) is not None:
-                continue                     # views: build_views_from_ddl
+            if (fe.parse_create_view(ddl) is not None
+                    or fe.parse_set_aqp(ddl) is not None):
+                continue   # views: build_views_from_ddl; SET: defaults_from_ddl
             raise fe.SQLFrontendError(f"not a CREATE SAMPLE TABLE: {ddl}")
         name, base, opts, as_sql = parsed
         catalog.register(SampleInfo(name, spec_from_ddl(base, opts,
                                                         as_sql=as_sql)))
     return catalog
+
+
+def defaults_from_ddl(ddls: list[str], defaults: dict) -> dict:
+    """Replay `SET spark.sql.aqp.*` statements from a DDL script over a
+    copy of the session defaults (AQP-285) — the analysis-only counterpart
+    of AQPSession._set_aqp_property, used for replay-oracle emission."""
+    out = dict(defaults)
+    for ddl in ddls:
+        sprop = fe.parse_set_aqp(ddl)
+        if sprop is None:
+            continue
+        key, raw = sprop
+        if key == "error":
+            out["error"] = float(raw)
+            out["error_conf_set"] = True
+        elif key == "confidence":
+            out["confidence"] = float(raw)
+        elif key == "behavior":
+            out["behavior"] = raw.lower()
+        else:
+            out["trials"] = int(raw)
+    return out
 
 
 def build_views_from_ddl(ddls: list[str]) -> dict:
@@ -384,8 +417,47 @@ class AQPSession:
                        else conf(self.CONF_TRIALS, int, 100)),
             "col_bounds": self.col_bounds,
         }
+        # AQP-285 (AQPConnectionPropertySetTest): plain queries (no WITH
+        # clause) route through AQP only when the error PROPERTY is present
+        # in the conf — `conf.contains(Property.Error.name)`,
+        # QueryProcessingRules.scala:286-291 — via a pre-set Spark conf or
+        # a later `SET spark.sql.aqp.error=...` statement. Constructor args
+        # are ErrorDefaults (bare WITH-clause defaults) and do NOT trigger
+        # plain-query routing.
+        self.defaults["error_conf_set"] = (
+            spark.conf.get(self.CONF_ERROR, None) is not None)
         self._token = data_token or f"aqp-session-{uuid.uuid4().hex[:8]}"
         self.views: dict = {}          # projection views (approx-routable)
+
+    def _set_aqp_property(self, key: str, raw: str) -> None:
+        """Apply `SET spark.sql.aqp.<key>=<raw>` (AQP-285). Validation
+        mirrors getErrorDefaults (QueryProcessingRules.scala:1206-1226):
+        error==0 / >=1 and confidence outside (0,1) raise; NEGATIVE error
+        is the AQP-off sentinel and is stored as-is (plain queries then
+        route exact)."""
+        # the property lives on THIS AQPSession (the SnappySession analog:
+        # per-session SQLConf) — never on the shared SparkSession conf,
+        # which would leak routing changes across sessions
+        if key == "error":
+            val = float(raw)
+            if val == 0 or val >= 1:
+                raise fe.SQLFrontendError(
+                    f"error within range of 0 to 1 required, got {val}")
+            self.defaults["error"] = val
+            self.defaults["error_conf_set"] = True
+        elif key == "confidence":
+            val = float(raw)
+            if not 0 < val < 1:
+                raise fe.SQLFrontendError(
+                    f"confidence within range of 0 to 1 required, got {val}")
+            self.defaults["confidence"] = val
+        elif key == "behavior":
+            b = raw.lower()
+            if b not in fe.BEHAVIORS:
+                raise fe.SQLFrontendError(f"unknown behavior '{raw}'")
+            self.defaults["behavior"] = b
+        else:  # numBootStrapTrials
+            self.defaults["trials"] = int(raw)
 
     # -- tables / samples ---------------------------------------------------
 
@@ -657,6 +729,10 @@ class AQPSession:
                 .createOrReplaceTempView(info.name)
 
     def sql(self, text: str) -> DataFrame:
+        sprop = fe.parse_set_aqp(text)
+        if sprop:
+            self._set_aqp_property(*sprop)
+            return self.spark.range(0)
         scmd = fe.parse_streaming_cmd(text)
         if scmd:
             op, dur = scmd

@@ -677,6 +677,72 @@ SQL_FIXTURES: dict[str, dict] = {
                   "absolute_error(u) FROM lineitem GROUP BY l_returnflag "
                   "ORDER BY l_returnflag WITH ERROR 0.1"),
     },
+    # AQP-128/96/271 (CommonBugTest.scala:843-899): the same aggregate
+    # repeated under two aliases — both columns carry the identical estimate
+    # and the error fn resolves against the second alias
+    "sql_dup_agg": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, avg(l_quantity) AS a1, "
+                  "avg(l_quantity) AS a2, absolute_error(a2) FROM lineitem "
+                  "GROUP BY l_returnflag ORDER BY l_returnflag DESC "
+                  "WITH ERROR 0.5 CONFIDENCE 0.95"),
+    },
+    # AQP-130 (CommonBugTest.scala:2194-2238): error functions directly in
+    # ORDER BY (group keys appended as deterministic tiebreakers)
+    "sql_order_by_errfn": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, l_linestatus, "
+                  "sum(l_extendedprice) AS s, absolute_error(s) "
+                  "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+                  "ORDER BY absolute_error(s), l_returnflag, l_linestatus "
+                  "WITH ERROR 0.5 CONFIDENCE 0.95"),
+    },
+    # AQP-239/230/229 (CommonBugTest.scala:1482-1568): GROUP BY over a
+    # datetime function with a CASE select item over the same expression,
+    # ORDER BY the (unselected, hidden — AQP-201) group expression, strict
+    # behavior; error-fn target resolution is case-insensitive (the
+    # reference query writes relative_error(numOFRides) for alias
+    # numOfRides)
+    "sql_month_case": {
+        "ddl": [("CREATE SAMPLE TABLE ev_sample ON events OPTIONS("
+                 "qcs 'event_type', fraction '0.05', method 'hash', "
+                 "seed '42')")],
+        "tables": ("events",),
+        "query": ("SELECT sum(value) AS rides, relative_error(RIDES), "
+                  "CASE WHEN month(ts) <= 3 THEN 'Q1' "
+                  "WHEN month(ts) <= 6 THEN 'Q2' "
+                  "WHEN month(ts) <= 9 THEN 'Q3' ELSE 'Q4' END AS qtr "
+                  "FROM events GROUP BY month(ts) ORDER BY month(ts) "
+                  "WITH ERROR 0.9 CONFIDENCE 0.95 BEHAVIOR 'strict'"),
+    },
+    # AQP-285 (AQPConnectionPropertySetTest.scala:120-213): `SET
+    # spark.sql.aqp.error=...` mid-session makes SUBSEQUENT plain queries
+    # (no WITH clause) route through AQP with the session values
+    # (conf.contains(Property.Error.name), QueryProcessingRules.scala:286)
+    "sql_set_props": {
+        "ddl": [_LI_DDL,
+                "SET spark.sql.aqp.error=0.4",
+                "SET spark.sql.aqp.confidence=0.9"],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, avg(l_extendedprice) AS a, "
+                  "relative_error(a) FROM lineitem "
+                  "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    },
+    # AQP-192 protocol (QueryRoutingTestSuite.scala:540-557): a reroute to
+    # the full table answers exactly and folds the error functions — bounds
+    # NULL, absolute/relative error 0
+    "sql_full_route_nulls": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, sum(l_extendedprice) AS s, "
+                  "lower_bound(s) AS lb, upper_bound(s) AS ub, "
+                  "relative_error(s) AS re, absolute_error(s) AS ae "
+                  "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag "
+                  "WITH ERROR 0.00001 CONFIDENCE 0.95 "
+                  "BEHAVIOR 'run_on_full_table'"),
+    },
 }
 
 # closed-form query over a sample maintained by 3 incremental appends

@@ -256,9 +256,14 @@ def output_frags(agg: ApproxAgg, spec: ApproxQuerySpec) -> dict[str, str]:
 # --- exact (base-table) replica for HAC routing ------------------------------
 
 def exact_output_frags(agg: ApproxAgg, sc: AggScales) -> dict[str, str]:
-    """Exact aggregate in reproducible mode, with constant-folded error fns
-    (reference folds error functions to 0/identity on exact plans,
-    common/QueryRoutingRules.scala:370-404)."""
+    """Exact aggregate in reproducible mode, with constant-folded error fns.
+
+    On every exact route the reference's observable contract (the assertion
+    protocol of QueryRoutingTestSuite.scala:142-143, 250-251, 290-291,
+    554-557 — unsupported aggregates, MIN/MAX, COUNT DISTINCT and
+    RUN_ON_FULL_TABLE reroutes alike) is: ``lower_bound``/``upper_bound``
+    evaluate to NULL and ``absolute_error``/``relative_error`` to 0.0
+    (routing hook common/QueryRoutingRules.scala:370-404)."""
     a = agg.alias
     if agg.func in ("min", "max"):
         est = f"CAST({agg.func.upper()}({agg.measure}) AS DOUBLE)"
@@ -277,8 +282,10 @@ def exact_output_frags(agg: ApproxAgg, sc: AggScales) -> dict[str, str]:
                f"(CASE WHEN COUNT({agg.measure}) = 0 THEN NULL "
                f"ELSE {s} / CAST(COUNT({agg.measure}) AS DOUBLE) END)")
     out = {a: est}
-    err_val = {"absolute_error": "0.0", "relative_error": "0.0",
-               "lower_bound": est, "upper_bound": est}
+    err_val = {"absolute_error": "CAST(0.0 AS DOUBLE)",
+               "relative_error": "CAST(0.0 AS DOUBLE)",
+               "lower_bound": "CAST(NULL AS DOUBLE)",
+               "upper_bound": "CAST(NULL AS DOUBLE)"}
     for fn in agg.errors:
         out[f"{a}_{fn}"] = err_val[fn]
     return out

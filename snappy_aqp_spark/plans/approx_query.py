@@ -177,12 +177,15 @@ def _exact_frags(spec: ApproxQuerySpec) -> dict[str, str]:
         frags.update(cf.exact_output_frags(a, sc[a.alias]))
     # composite exact value: the arithmetic over the components' exact
     # aggregate TEXTS (siblings in one SELECT cannot reference each other);
-    # exact error functions constant-fold like every other agg
+    # exact error functions constant-fold like every other agg (NULL bounds /
+    # 0.0 errors — QueryRoutingTestSuite.scala:554-557 protocol)
     for comp in spec.composites:
         est = comp.template.format(*[f"({frags[c]})" for c in comp.components])
         frags[comp.alias] = est
-        err_val = {"absolute_error": "0.0", "relative_error": "0.0",
-                   "lower_bound": est, "upper_bound": est}
+        err_val = {"absolute_error": "CAST(0.0 AS DOUBLE)",
+                   "relative_error": "CAST(0.0 AS DOUBLE)",
+                   "lower_bound": "CAST(NULL AS DOUBLE)",
+                   "upper_bound": "CAST(NULL AS DOUBLE)"}
         for fn in comp.errors:
             frags[f"{comp.alias}_{fn}"] = err_val[fn]
     return frags

@@ -1089,6 +1089,25 @@ _DROP_TABLE_RE = re.compile(
     re.IGNORECASE)
 
 
+_SET_AQP_RE = re.compile(
+    r"^\s*SET\s+spark\.sql\.aqp\.(?P<key>error|confidence|behavior|"
+    r"numBootStrapTrials)\s*=\s*(?P<val>'[^']*'|\S+)\s*;?\s*$",
+    re.IGNORECASE)
+
+
+def parse_set_aqp(sql: str) -> tuple[str, str] | None:
+    """``SET spark.sql.aqp.<prop>=<value>`` — the reference's dynamic
+    session-property surface (AQP-285, AQPConnectionPropertySetTest: a SET
+    statement mid-session changes how SUBSEQUENT plain queries route).
+    Returns (canonical_key, raw_value) or None. Values may be quoted."""
+    m = _SET_AQP_RE.match(sql)
+    if not m:
+        return None
+    canon = {"error": "error", "confidence": "confidence",
+             "behavior": "behavior", "numbootstraptrials": "numBootStrapTrials"}
+    return canon[m.group("key").lower()], m.group("val").strip("'")
+
+
 def parse_streaming_cmd(sql: str) -> tuple[str, str | None] | None:
     """('init', '2secs') | ('start', None) | ('stop', None) | None."""
     m = _STREAMING_CMD_RE.match(sql)
@@ -1136,7 +1155,9 @@ def parse_mutation_target(sql: str) -> str | None:
 
 def fold_error_functions(sql: str, parsed: ParsedSelect | None) -> str:
     """Constant-fold error functions for exact routes: absolute/relative -> 0,
-    lower/upper -> the target's expression (QueryRoutingRules.scala:370-404).
+    lower/upper -> NULL (routing hook QueryRoutingRules.scala:370-404; the
+    observable contract is QueryRoutingTestSuite.scala:142-143/250-251/554-557
+    — bounds are NULL and errors 0.0 on every exact plan).
 
     ``parsed`` may be None for queries the mini-parser rejected; a best-
     effort re-parse recovers the alias map, else the text passes through
@@ -1152,10 +1173,9 @@ def fold_error_functions(sql: str, parsed: ParsedSelect | None) -> str:
         fn, target = m.group(1).lower(), m.group(2)
         if fn in ("absolute_error", "relative_error"):
             return "CAST(0.0 AS DOUBLE)"
-        tgt = expr_by_alias.get(target.lower())
-        if tgt is None:
+        if expr_by_alias.get(target.lower()) is None:
             raise SQLFrontendError(f"error fn references unknown alias {target}")
-        return f"({tgt})"
+        return "CAST(NULL AS DOUBLE)"
 
     return re.sub(r"\b(ABSOLUTE_ERROR|RELATIVE_ERROR|LOWER_BOUND|UPPER_BOUND)"
                   r"\s*\(\s*(\w+)\s*\)", repl, sql, flags=re.IGNORECASE)

@@ -216,7 +216,7 @@ def test_session_conf_property_surface(spark):
         s = AQPSession(spark)
         assert s.defaults == {"error": 0.07, "confidence": 0.9,
                               "behavior": "local_omit", "trials": 37,
-                              "col_bounds": {}}
+                              "col_bounds": {}, "error_conf_set": True}
         # explicit constructor args override the conf
         s2 = AQPSession(spark, error=0.2, behavior="strict")
         assert s2.defaults["error"] == 0.2
@@ -233,7 +233,7 @@ def test_session_conf_property_surface(spark):
     s3 = AQPSession(spark)
     assert s3.defaults == {"error": 0.2, "confidence": 0.95,
                            "behavior": "do_nothing", "trials": 100,
-                           "col_bounds": {}}
+                           "col_bounds": {}, "error_conf_set": False}
 
 
 def test_bare_confidence_and_behavior_clauses(aqp):
@@ -1380,3 +1380,44 @@ def test_attach_sample_data(spark, tmp_path, duck):
     assert s1.sql("SELECT * FROM li_shipped").count() == rows.count()
     with pytest.raises(ValueError, match="missing hidden"):
         s1.attach_sample_data("bogus", s1.tables["lineitem"], spec)
+
+
+def test_set_aqp_property_routing(spark):
+    """AQP-285 (AQPConnectionPropertySetTest.scala:120-213): a
+    `SET spark.sql.aqp.error=...` statement mid-session flips SUBSEQUENT
+    plain (no WITH clause) queries from exact to approx routing; invalid
+    values raise; a negative error is the AQP-off sentinel."""
+    s = AQPSession(spark, data_token="set-props")
+    s.load_tables(SF_SMALL, ["lineitem"])
+    s.sql("CREATE SAMPLE TABLE li_setp ON lineitem OPTIONS("
+          "qcs 'l_returnflag', fraction '0.05', method 'hash', seed '42')")
+    plain = ("SELECT l_returnflag, avg(l_extendedprice) AS a FROM lineitem "
+             "GROUP BY l_returnflag ORDER BY l_returnflag")
+    # before SET: plain query routes exact (no analysis)
+    assert s.analyze_sql(plain) is None
+    exact = {r["l_returnflag"]: r["a"] for r in s.sql(plain).collect()}
+    s.sql("SET spark.sql.aqp.error=0.4")
+    an = s.analyze_sql(plain)
+    assert an is not None and an.spec is not None
+    assert an.spec.error == 0.4
+    approx = {r["l_returnflag"]: r["a"] for r in s.sql(plain).collect()}
+    assert set(approx) == set(exact)
+    assert any(abs(approx[k] - exact[k]) > 1e-9 for k in exact)
+    # validation mirrors getErrorDefaults
+    with pytest.raises(ValueError, match="error within range"):
+        s.sql("SET spark.sql.aqp.error=0")
+    with pytest.raises(ValueError, match="error within range"):
+        s.sql("SET spark.sql.aqp.error=1.5")
+    with pytest.raises(ValueError, match="confidence within range"):
+        s.sql("SET spark.sql.aqp.confidence=1.0")
+    with pytest.raises(ValueError, match="unknown behavior"):
+        s.sql("SET spark.sql.aqp.behavior='bogus'")
+    # behavior/confidence/trials update the session defaults
+    s.sql("SET spark.sql.aqp.behavior='local_omit'")
+    assert s.defaults["behavior"] == "local_omit"
+    s.sql("SET spark.sql.aqp.numBootStrapTrials=37")
+    assert s.defaults["trials"] == 37
+    # negative error: AQP disabled -> plain queries route exact again
+    s.sql("SET spark.sql.aqp.error=-1")
+    an2 = s.analyze_sql(plain)
+    assert an2 is None or an2.spec is None
