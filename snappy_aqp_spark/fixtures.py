@@ -93,6 +93,13 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "ann_pq_topk": {
         "builder": _sim.pq_topk_stages, "kw": {"n_sub": 16, "refine": 20},
         "tables": ("embeddings",)},
+    # SemDeDup (Abbas et al. 2023): k-means + within-cluster cosine
+    # pruning, keep the least-typical member of each duplicate group.
+    # eps=0.95 sits between the planted near-dups (cos ~0.997) and the
+    # random background (max ~0.6): the drop branch provably fires
+    "semantic_dedup": {
+        "builder": _sim.semantic_dedup_stages, "kw": {"eps": 0.95},
+        "tables": ("embeddings",)},
     # deterministic SQL HyperLogLog (p=6 -> 64 registers; documents has
     # 500 distinct doc_ids, safely above the 2.5m linear-counting branch
     # so the libm-free raw path is active — see pipeline/distinct.py)

@@ -573,3 +573,101 @@ def hard_negative_mining_stages(dialect: str, n_queries: int = 20, k: int = 3,
     final = (f"SELECT qid, vid, CAST(rank AS BIGINT) AS rank, cos "
              f"FROM __hn_rk WHERE rank <= {k} ORDER BY qid, rank")
     return stages, final
+
+
+def semantic_dedup_stages(dialect: str, eps: float = 0.95, dim: int = 64,
+                          n_centroids: int = 16, seed_stride: int = 31,
+                          lloyd_steps: int = 1, table: str = "embeddings",
+                          plant_rate: int | None = 25
+                          ) -> tuple[list[tuple[str, str]], str]:
+    """SemDeDup — semantic deduplication via k-means + within-cluster
+    cosine pruning (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023).
+
+      1. k-means over the (quantized) embeddings: the same deterministic
+         SQL Lloyd machinery as ``ivf_topk_stages`` — seed centroids are a
+         strided corpus subsample, assignment is the packed-broadcast
+         in-row argmax fold (the corpus is never shuffled for assignment),
+         refinement is a component-wise integer floor-mean;
+      2. keep-priority within each cluster: ascending cosine-to-centroid
+         (the paper keeps the LEAST typical example of a duplicate group),
+         vec_id ascending as the deterministic tie-break;
+      3. a vector is DROPPED when ANY earlier-priority vector in its
+         cluster has cosine >= ``eps`` — the paper's upper-triangular
+         similarity-matrix rule (not iterative greedy), expressed as one
+         within-cluster equi-join.
+
+    Scale: the only corpus-wide shuffle is the cid equi-join of step 3;
+    cluster sizes stay bounded by scaling ``n_centroids`` with the corpus
+    (the paper runs k ~ 100k on web scale), and with the corpus written
+    partitioned by cid the pair join is partition-local. Planted near-dups
+    (the shared integer-perturbation corpus) guarantee the drop branch
+    fires on the test tables.
+    """
+    from ..dialect import dlit
+
+    def pack(src: str) -> str:
+        cents = dual.collect(dialect, dual.mk_struct(
+            dialect, [("cid", "cid"), ("cv", "cv"), ("cn2", "cn2")]))
+        return f"SELECT {cents} AS cents FROM {src}"
+
+    def argmax_cid(lv: str, ln2: str) -> str:
+        cos = _cos(_dot(dialect, lv, "c.cv", dim), ln2, "c.cn2")
+        scored = dual.transform(
+            dialect, "p.cents",
+            f"c -> {dual.mk_struct(dialect, [('cos', cos), ('ncid', '-c.cid')])}")
+        return f"(-(({dual.arr_max(dialect, scored)}).ncid))"
+
+    if plant_rate:
+        stages = _planted_corpus_stages(dialect, table, dim, plant_rate)
+        base = "__corpus"
+    else:
+        stages = [_vec_stage(dialect, table, dim)]
+        base = "__vec"
+    stages += [
+        ("__seed", f"SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM {base} "
+                   f"WHERE vec_id % {seed_stride} = 0 "
+                   f"AND vec_id < {seed_stride * n_centroids}"),
+        ("__pos", f"SELECT "
+                  f"{dual.explode(dialect, dual.sequence(dialect, '1', str(dim)), 'i')}"),
+    ]
+    cents = "__seed"
+    for s in range(lloyd_steps):
+        stages += [
+            (f"__cp{s}", pack(cents)),
+            (f"__asg{s}", f"SELECT a.vec_id, a.v, "
+                          f"{argmax_cid('a.v', 'a.n2')} AS cid "
+                          f"FROM {base} a CROSS JOIN __cp{s} p"),
+            (f"__cm{s}", f"SELECT g.cid, p.i, CAST(FLOOR(CAST(SUM("
+                         f"{dual.elem(dialect, 'g.v', 'p.i')}) AS DOUBLE) "
+                         f"/ CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS s "
+                         f"FROM __asg{s} g CROSS JOIN __pos p "
+                         f"GROUP BY g.cid, p.i"),
+            (f"__cent{s}", f"SELECT cid, {dual.ordered_list(dialect, 's', 'i')} "
+                           f"AS cv FROM __cm{s} GROUP BY cid"),
+            (f"__centn{s}", f"SELECT cid, cv, {_norm2(dialect, 'cv', dim)} "
+                            f"AS cn2 FROM __cent{s}"),
+        ]
+        cents = f"__centn{s}"
+    ccos = _cos(_dot(dialect, "g.v", "c.cv", dim), "g.n2", "c.cn2")
+    pair_cos = _cos(_dot(dialect, "a.v", "b.v", dim), "a.n2", "b.n2")
+    stages += [
+        ("__centnp", pack(cents)),
+        ("__sd_asg", f"SELECT a.vec_id, a.v, a.n2, "
+                     f"{argmax_cid('a.v', 'a.n2')} AS cid "
+                     f"FROM {base} a CROSS JOIN __centnp p"),
+        # keep-priority: least-typical first (ccos ASC), vec_id tie-break
+        ("__sd_prio", f"SELECT g.vec_id, g.v, g.n2, g.cid, {ccos} AS ccos "
+                      f"FROM __sd_asg g JOIN {cents} c ON c.cid = g.cid"),
+        # drop a when ANY earlier-priority b in the cluster is >= eps close
+        ("__sd_drop", f"SELECT DISTINCT a.vec_id "
+                      f"FROM __sd_prio a JOIN __sd_prio b "
+                      f"ON b.cid = a.cid AND (b.ccos < a.ccos OR "
+                      f"(b.ccos = a.ccos AND b.vec_id < a.vec_id)) "
+                      f"WHERE {pair_cos} >= {dlit(eps)}"),
+    ]
+    final = (f"SELECT p.vec_id, CAST(p.cid AS BIGINT) AS cid, "
+             f"CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) "
+             f"AS kept FROM __sd_prio p LEFT JOIN __sd_drop d "
+             f"ON d.vec_id = p.vec_id ORDER BY p.vec_id")
+    return stages, final

@@ -1213,3 +1213,31 @@ def test_hard_negative_mining_excludes_dups_and_ranks(views, duck):
         g = grp.sort_values("rank")
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         assert (g["cos"].diff().dropna() <= 1e-12).all()
+
+
+def test_semantic_dedup_drops_one_per_planted_pair(views):
+    """SemDeDup contract on the planted corpus: each (original, planted
+    near-dup) pair (cos ~ 0.997 >> eps=0.95) loses EXACTLY one member, and
+    no un-planted vector is dropped (random background max cos ~ 0.6)."""
+    from snappy_aqp_spark.pipeline import similarity
+    st, fin = similarity.semantic_dedup_stages(SPARK, eps=0.95)
+    rows = run_stages(views, st, fin).collect()
+    kept = {r.vec_id for r in rows if r.kept == 1}
+    dropped = {r.vec_id for r in rows if r.kept == 0}
+    planted = {r.vec_id - 10_000_000 for r in rows
+               if r.vec_id >= 10_000_000}
+    assert planted
+    for src in planted:
+        # one survivor per pair — unless k-means split the pair across
+        # clusters, in which case both survive (the paper's known recall
+        # cost); NEVER both dropped
+        assert not (src in dropped and src + 10_000_000 in dropped)
+    # every dropped vector belongs to a planted pair
+    for d in dropped:
+        assert d in planted or d - 10_000_000 in planted
+    # pairs co-located in one cluster lose exactly one member
+    cid = {r.vec_id: r.cid for r in rows}
+    colocated = [s for s in planted if cid[s] == cid[s + 10_000_000]]
+    assert colocated, "planted pairs should mostly share a cluster"
+    for s in colocated:
+        assert (s in dropped) != (s + 10_000_000 in dropped)

@@ -1421,3 +1421,35 @@ def test_set_aqp_property_routing(spark):
     s.sql("SET spark.sql.aqp.error=-1")
     an2 = s.analyze_sql(plain)
     assert an2 is None or an2.spec is None
+
+
+def test_sample_survives_session_restart(spark, tmp_path):
+    """AQP-295 (SamplingTest.scala:291-310): a persisted sample table is
+    recreated with IDENTICAL contents after a restart — per-stratum counts
+    before and after must match exactly. The rebuild analog here: a fresh
+    AQPSession (cold catalog/cache) attaching the same `path` DDL serves
+    the same rows without rescanning the base."""
+    p = str(tmp_path / "li_restart_sample")
+    ddl = ("CREATE SAMPLE TABLE li_restart ON lineitem OPTIONS("
+           "qcs 'l_returnflag', fraction '0.06', method 'hash', seed '7', "
+           f"path '{p}')")
+    probe = ("SELECT l_returnflag, count(*) AS n FROM li_restart "
+             "GROUP BY l_returnflag ORDER BY l_returnflag")
+    s0 = AQPSession(spark, data_token="restart-a")
+    s0.load_tables(SF_SMALL, ["lineitem"])
+    s0.sql(ddl)
+    before = [(r["l_returnflag"], r["n"]) for r in s0.sql(probe).collect()]
+    assert before and all(n > 0 for _, n in before)
+    # "cluster restart": brand-new session, cold catalog — same DDL attaches
+    # the persisted parquet (create_sample_table_from_spec attach path)
+    s1 = AQPSession(spark, data_token="restart-b")
+    s1.load_tables(SF_SMALL, ["lineitem"])
+    s1.sql(ddl)
+    after = [(r["l_returnflag"], r["n"]) for r in s1.sql(probe).collect()]
+    assert after == before
+    # weighted estimates over the reattached sample match the live one
+    q = ("SELECT l_returnflag, sum(l_quantity) AS sq, absolute_error(sq) "
+         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag "
+         "WITH ERROR 0.5")
+    assert [tuple(r) for r in s1.sql(q).collect()] \
+        == [tuple(r) for r in s0.sql(q).collect()]
