@@ -703,6 +703,13 @@ class AQPSession:
             self._streaming = StreamingManager(self.spark)
         return self._streaming
 
+    def register_cq(self, sql: str):
+        """Register a windowed continuous query over a stream table — the
+        ``snsc.registerCQ("SELECT * FROM t window (duration 2 seconds,
+        slide 2 seconds)")`` surface (AQPStreamingSuite.scala:149-186).
+        Returns a ContinuousQuery; chain ``.foreach_dataframe(fn)``."""
+        return self.streaming.register_cq(sql)
+
     def _on_stream_batch(self, name: str, batch_df: DataFrame) -> None:
         """per-micro-batch maintenance for a stream table: refresh the
         session's snapshot, evict every cached sample/plan over it, and

@@ -62,6 +62,66 @@ class StreamTableDef:
     options: dict[str, str] = field(default_factory=dict)
 
 
+_CQ_WINDOW_RE = re.compile(
+    r"\bFROM\s+(?P<table>\w+)\s+window\s*\(\s*duration\s+(?P<dur>\d+\s*\w+)"
+    r"\s*(?:,\s*slide\s+(?P<slide>\d+\s*\w+)\s*)?\)",
+    re.IGNORECASE)
+
+
+def parse_cq(sql: str) -> tuple[str, str, int, int] | None:
+    """``SELECT .. FROM <stream> window (duration 2 seconds[, slide 2
+    seconds])`` — the reference's continuous-query registration surface
+    (SnappyStreamingContext.registerCQ, AQPStreamingSuite.scala:149-181).
+    Returns (inner_sql_without_window, table, duration_ms, slide_ms) or
+    None; slide defaults to duration (tumbling)."""
+    m = _CQ_WINDOW_RE.search(sql)
+    if not m:
+        return None
+    dur = parse_streaming_duration_ms(m.group("dur"))
+    slide = (parse_streaming_duration_ms(m.group("slide"))
+             if m.group("slide") else dur)
+    inner = sql[:m.start()] + f"FROM {m.group('table')}" + sql[m.end():]
+    return inner.strip(), m.group("table").lower(), dur, slide
+
+
+class ContinuousQuery:
+    """A registered CQ: evaluated every ``slide`` over the trailing
+    ``duration`` of micro-batches (classic DStream window semantics —
+    window lengths quantize to whole batches of the session trigger, as in
+    Spark Streaming). ``foreach_dataframe`` callbacks fire per evaluation;
+    ``latest()`` returns the most recent result."""
+
+    def __init__(self, mgr: "StreamingManager", inner_sql: str, table: str,
+                 duration_ms: int, slide_ms: int, view: str):
+        self._mgr = mgr
+        self.inner_sql = inner_sql
+        self.table = table
+        self.win_batches = max(1, -(-duration_ms // mgr.trigger_ms))
+        self.slide_batches = max(1, round(slide_ms / mgr.trigger_ms))
+        self._view = view
+        self._fns: list = []
+        self._latest: DataFrame | None = None
+
+    def foreach_dataframe(self, fn) -> "ContinuousQuery":
+        self._fns.append(fn)
+        return self
+
+    def latest(self) -> DataFrame | None:
+        return self._latest
+
+    def _evaluate(self, hist: DataFrame, epoch: int) -> None:
+        if epoch % self.slide_batches != 0:
+            return
+        window = (hist.where(hist["__cq_epoch"] > epoch - self.win_batches)
+                      .drop("__cq_epoch"))
+        window.createOrReplaceTempView(self._view)
+        sql = re.sub(rf"\bFROM\s+{self.table}\b", f"FROM {self._view}",
+                     self.inner_sql, flags=re.IGNORECASE)
+        self._latest = self._mgr.spark.sql(sql)
+        for fn in self._fns:
+            fn(self._latest)
+
+
 class StreamingManager:
     """Session-scoped registry of stream tables + the running queries."""
 
@@ -73,6 +133,9 @@ class StreamingManager:
         self._root = state_root or tempfile.mkdtemp(prefix="aqp_streams_")
         # name -> list of callables(batch_df) fanned out per micro-batch
         self._sinks: dict[str, list] = {}
+        # name -> list of ContinuousQuery; name -> batches seen so far
+        self._cqs: dict[str, list] = {}
+        self._epochs: dict[str, int] = {}
 
     @property
     def active(self) -> bool:
@@ -104,6 +167,22 @@ class StreamingManager:
         """fan-out hook: fn(batch_df) runs on every micro-batch of table."""
         self._sinks.setdefault(table.lower(), []).append(fn)
 
+    def register_cq(self, sql: str) -> ContinuousQuery:
+        """Register a windowed continuous query (registerCQ analog). The
+        window clause selects the trailing ``duration`` of micro-batches,
+        re-evaluated every ``slide`` — dynamic registration mid-stream is
+        allowed (AQPStreamingSuite.scala:178-186: dynamicCQ after start)."""
+        parsed = parse_cq(sql)
+        if parsed is None:
+            raise ValueError(f"not a CQ (missing window clause): {sql!r}")
+        inner, table, dur, slide = parsed
+        if table not in self.tables:
+            raise ValueError(f"unknown stream table '{table}'")
+        n = sum(len(v) for v in self._cqs.values())
+        cq = ContinuousQuery(self, inner, table, dur, slide, f"__cq_{n}")
+        self._cqs.setdefault(table, []).append(cq)
+        return cq
+
     def drop(self, name: str) -> bool:
         """Drop ONE stream table: stop only its query — the other stream
         tables' ingestion queries keep running untouched."""
@@ -115,6 +194,8 @@ class StreamingManager:
             q.stop()
         self.spark.catalog.dropTempView(d.name)
         self._sinks.pop(name.lower(), None)
+        self._cqs.pop(name.lower(), None)
+        self._epochs.pop(name.lower(), None)
         shutil.rmtree(os.path.join(self._root, name.lower()),
                       ignore_errors=True)
         return True
@@ -139,9 +220,14 @@ class StreamingManager:
     def _snapshot_dir(self, name: str) -> str:
         return os.path.join(self._root, name.lower(), "rows")
 
+    def _hist_dir(self, name: str) -> str:
+        return os.path.join(self._root, name.lower(), "hist")
+
     def _batch_fn(self, d: StreamTableDef):
         rows_dir = self._snapshot_dir(d.name)
+        hist_dir = self._hist_dir(d.name)
         sinks = self._sinks.get(d.name.lower(), [])
+        key = d.name.lower()
 
         def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
             if batch_df.isEmpty():
@@ -151,6 +237,18 @@ class StreamingManager:
             snap.createOrReplaceTempView(d.name)
             for fn in sinks:
                 fn(batch_df)
+            cqs = self._cqs.get(key)
+            if cqs:
+                # epoch-tagged history feeds the CQ windows; written only
+                # when CQs exist (no overhead otherwise)
+                epoch = self._epochs.get(key, 0) + 1
+                self._epochs[key] = epoch
+                from pyspark.sql import functions as F
+                (batch_df.withColumn("__cq_epoch", F.lit(epoch))
+                 .write.mode("append").parquet(hist_dir))
+                hist = self.spark.read.parquet(hist_dir)
+                for cq in cqs:
+                    cq._evaluate(hist, epoch)
 
         return on_batch
 

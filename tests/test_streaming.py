@@ -565,3 +565,63 @@ def test_derived_bounds_only_for_unknown_columns(spark):
     an = s.analyze_sql("SELECT sum(l_quantity) AS q FROM lineitem "
                        "WITH ERROR 0.5")
     assert an.spec.aggs[0].max_abs == 2.0 * 2.0 ** 6
+
+
+def test_register_cq_windowed_stream(spark, tmp_path):
+    """registerCQ analog (AQPStreamingSuite.scala:149-186): a CQ with
+    `window (duration D, slide S)` re-evaluates over the trailing D of
+    micro-batches every S; a dynamic CQ registered mid-stream only sees
+    epochs from its registration on; parse errors surface clearly."""
+    import json
+    from snappy_aqp_spark.api import AQPSession
+    from snappy_aqp_spark.streaming.stream_tables import parse_cq
+    # parser unit checks
+    inner, table, dur, slide = parse_cq(
+        "SELECT * FROM HASHTAGTABLE window (duration 2 seconds, "
+        "slide 2 seconds)")
+    assert (table, dur, slide) == ("hashtagtable", 2000, 2000)
+    assert "window" not in inner.lower()
+    assert parse_cq("SELECT * FROM t")[0] if parse_cq("SELECT * FROM t") \
+        else True  # no window clause -> None
+    s = AQPSession(spark, data_token="cq-test")
+    src = tmp_path / "cqsrc"
+    src.mkdir()
+    s.sql("STREAMING INIT 1secs")
+    s.sql("CREATE STREAM TABLE tagcq (hashtag string, cnt long) "
+          f"USING file_stream OPTIONS (path '{src}', format 'json', "
+          "maxFilesPerTrigger '1')")
+    seen: list[tuple[int, int]] = []   # (rows_in_window, distinct_tags)
+    cq = s.register_cq("SELECT hashtag, count(*) AS c FROM tagcq "
+                       "window (duration 2 seconds, slide 1 seconds) "
+                       "GROUP BY hashtag")
+    assert cq.win_batches == 2 and cq.slide_batches == 1
+    cq.foreach_dataframe(
+        lambda df: seen.append((sum(r.c for r in df.collect()),
+                                df.count())))
+    with pytest.raises(ValueError, match="window clause"):
+        s.register_cq("SELECT * FROM tagcq")
+    with pytest.raises(ValueError, match="unknown stream table"):
+        s.register_cq("SELECT * FROM nosuch window (duration 1 seconds)")
+    s.sql("STREAMING START")
+    for i, batch in enumerate([[("spark", 3)], [("aqp", 2)],
+                               [("sql", 1), ("spark", 1)]]):
+        with open(src / f"b{i}.json", "w") as f:
+            for tag, n in batch:
+                for _ in range(n):
+                    f.write(json.dumps({"hashtag": tag, "cnt": 1}) + "\n")
+        s.streaming.process_all()
+    # e1: {spark:3}; e2: e1+e2 = {spark:3, aqp:2}; e3: e2+e3 (e1 aged out)
+    assert seen == [(3, 1), (5, 2), (4, 3)]
+    # dynamic CQ after start: tumbling 1-batch window, sees only new epochs
+    late: list[int] = []
+    s.register_cq("SELECT * FROM tagcq window (duration 1 seconds)") \
+        .foreach_dataframe(lambda df: late.append(df.count()))
+    with open(src / "b3.json", "w") as f:
+        f.write(json.dumps({"hashtag": "flink", "cnt": 1}) + "\n")
+    s.streaming.process_all()
+    assert late == [1]
+    # shared window at e4: b2 (sql:1, spark:1) + b3 (flink:1) -> 3 groups
+    assert seen[-1] == (3, 3)
+    assert cq.latest() is not None
+    s.sql("STREAMING STOP")
+    s.sql("DROP TABLE IF EXISTS tagcq")
