@@ -230,6 +230,16 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "token_stats": {
         "builder": _tx.token_stats_stages, "kw": {},
         "tables": ("documents",)},
+    # Gopher quality-filter rules (Rae et al. 2021 Appendix A): per-doc
+    # flags + keep decision, map-only. min_words=20 (not the paper's 50)
+    # and a corpus-frequent stopword list so BOTH branches of every rule
+    # fire on the synthetic corpus (which lacks most canonical stopwords)
+    "gopher_quality": {
+        "builder": _tx.gopher_quality_stages,
+        "kw": {"min_words": 20,
+               "stopwords": ("the", "a", "data", "join", "table",
+                             "row", "key", "query")},
+        "tables": ("documents",)},
     # hard-negative mining for contrastive retrieval training: most-similar
     # non-near-dup items per query (LSH-probed candidates, exact cosine,
     # dup band excluded)

@@ -231,3 +231,89 @@ def token_stats_stages(dialect: str, table: str = "documents",
              f"CAST({bpe} AS BIGINT) AS n_bpe_tokens "
              f"FROM {table} ORDER BY doc_id")
     return [], final
+
+
+# Gopher quality rules (Rae et al., "Scaling Language Models: Methods,
+# Analysis & Insights from Training Gopher", 2021 — Appendix A quality
+# filter). The canonical pretraining quality gate: every rule is a single
+# projection over the bound token/line arrays, zero shuffle.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_stages(dialect: str, table: str = "documents",
+                          min_words: int = 50, max_words: int = 100_000,
+                          stopwords: tuple[str, ...] = GOPHER_STOPWORDS
+                          ) -> tuple[list[tuple[str, str]], str]:
+    """Per-document Gopher rule flags + the overall keep decision.
+
+    Rules (paper thresholds): word count in [50, 100k]; mean word length
+    in [3, 10]; symbol-to-word ratio (# / ellipsis) <= 0.1; <= 90% of
+    lines bullet-started and <= 30% ellipsis-ended; >= 80% of words
+    contain an alphabetic character; >= 2 distinct canonical stopwords.
+    Map-only: one token split + one line split per document, every flag a
+    scalar projection — at 100 TB this runs at scan speed with no
+    Exchange (same shape as text_analysis/token_stats)."""
+    flt = "filter" if dialect == SPARK else "list_filter"
+    arr_n = "size" if dialect == SPARK else "len"
+    toks = _tokens(dialect, "text")
+    if dialect == SPARK:
+        lines = "filter(split(text, '\\n'), l -> trim(l) <> '')"
+        alpha_toks = f"filter(t, x -> x RLIKE '[A-Za-z]')"
+        dedup = "array_distinct"
+        lensum = "aggregate(transform(t, x -> length(x)), 0, (a, x) -> a + x)"
+    else:
+        lines = ("list_filter(regexp_split_to_array(text, '\\n'), "
+                 "l -> trim(l) <> '')")
+        alpha_toks = "list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))"
+        dedup = "list_distinct"
+        lensum = "list_sum(list_transform(t, x -> length(x)))"
+    sw_list = ", ".join(f"'{w}'" for w in stopwords)
+    stages = [
+        ("__gq_base",
+         f"SELECT doc_id, "
+         f"CAST({arr_n}(t) AS BIGINT) AS n_words, "
+         f"CAST(COALESCE({lensum}, 0) AS BIGINT) AS char_sum, "
+         f"CAST({arr_n}({alpha_toks}) AS BIGINT) AS n_alpha_words, "
+         f"CAST({arr_n}({flt}({dedup}(t), x -> lower(x) IN ({sw_list}))) "
+         f"AS BIGINT) AS n_stop, "
+         f"CAST({regex_count(dialect, 'text', '#')} AS BIGINT) AS n_hash, "
+         f"CAST({regex_count(dialect, 'text', '[.][.][.]')} "
+         f"AS BIGINT) AS n_ellipsis, "
+         f"CAST({arr_n}(l) AS BIGINT) AS n_lines, "
+         f"CAST({arr_n}({flt}(l, x -> trim(x) LIKE '-%' OR trim(x) LIKE "
+         f"'*%')) AS BIGINT) AS n_bullet, "
+         f"CAST({arr_n}({flt}(l, x -> x LIKE '%...')) AS BIGINT) AS n_ell_end "
+         f"FROM (SELECT doc_id, text, {toks} AS t, {lines} AS l "
+         f"FROM {table}) __b"),
+        ("__gq_flags",
+         "SELECT doc_id, n_words, "
+         f"CAST(CASE WHEN n_words BETWEEN {min_words} AND {max_words} "
+         "THEN 1 ELSE 0 END AS BIGINT) AS ok_word_count, "
+         "CAST(CASE WHEN n_words > 0 AND "
+         "CAST(char_sum AS DOUBLE) / CAST(n_words AS DOUBLE) "
+         f"BETWEEN {dlit(3.0)} AND {dlit(10.0)} "
+         "THEN 1 ELSE 0 END AS BIGINT) AS ok_mean_word_len, "
+         "CAST(CASE WHEN n_words > 0 AND "
+         "CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE) "
+         f"<= {dlit(0.1)} THEN 1 ELSE 0 END AS BIGINT) AS ok_symbol_ratio, "
+         "CAST(CASE WHEN n_lines = 0 OR "
+         "CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) "
+         f"<= {dlit(0.9)} THEN 1 ELSE 0 END AS BIGINT) AS ok_bullet_lines, "
+         "CAST(CASE WHEN n_lines = 0 OR "
+         "CAST(n_ell_end AS DOUBLE) / CAST(n_lines AS DOUBLE) "
+         f"<= {dlit(0.3)} THEN 1 ELSE 0 END AS BIGINT) AS ok_ellipsis_lines, "
+         "CAST(CASE WHEN n_words > 0 AND "
+         "CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) "
+         f">= {dlit(0.8)} THEN 1 ELSE 0 END AS BIGINT) AS ok_alpha_words, "
+         "CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) "
+         "AS ok_stopwords "
+         "FROM __gq_base"),
+    ]
+    final = ("SELECT doc_id, n_words, ok_word_count, ok_mean_word_len, "
+             "ok_symbol_ratio, ok_bullet_lines, ok_ellipsis_lines, "
+             "ok_alpha_words, ok_stopwords, "
+             "CAST(ok_word_count * ok_mean_word_len * ok_symbol_ratio * "
+             "ok_bullet_lines * ok_ellipsis_lines * ok_alpha_words * "
+             "ok_stopwords AS BIGINT) AS keep "
+             "FROM __gq_flags ORDER BY doc_id")
+    return stages, final

@@ -1241,3 +1241,20 @@ def test_semantic_dedup_drops_one_per_planted_pair(views):
     assert colocated, "planted pairs should mostly share a cluster"
     for s in colocated:
         assert (s in dropped) != (s + 10_000_000 in dropped)
+
+
+def test_gopher_quality_rule_semantics(views):
+    """Gopher-rule invariants: keep == AND of all flags; word-count flag
+    agrees with n_words; the drop branch fires on this corpus."""
+    from snappy_aqp_spark.fixtures import PIPELINE_FIXTURES
+    fx = PIPELINE_FIXTURES["gopher_quality"]
+    st, fin = fx["builder"](SPARK, **fx["kw"])
+    rows = run_stages(views, st, fin).collect()
+    assert rows and any(r.keep == 0 for r in rows) \
+        and any(r.keep == 1 for r in rows)
+    for r in rows:
+        flags = [r.ok_word_count, r.ok_mean_word_len, r.ok_symbol_ratio,
+                 r.ok_bullet_lines, r.ok_ellipsis_lines, r.ok_alpha_words,
+                 r.ok_stopwords]
+        assert r.keep == int(all(flags))
+        assert r.ok_word_count == int(20 <= r.n_words <= 100_000)
