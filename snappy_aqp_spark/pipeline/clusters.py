@@ -212,7 +212,7 @@ def dedup_clusters_oracle_sql(threshold: float = 0.5, k: int = 7,
              "AS is_duplicate "
              "FROM __lab l JOIN __csz s ON l.cluster_id = s.cluster_id "
              "ORDER BY l.doc_id")
-    return dual.stages_sql(stages, final)
+    return dual.stages_sql(stages, final, materialized=True)
 
 
 def clean_corpus(spark: SparkSession, min_quality: float = 0.32,
@@ -318,7 +318,7 @@ def embedding_clusters_oracle_sql(threshold: float = 0.9) -> str:
     out = ("SELECT c.vec_id, c.cluster_id, s.cluster_size "
            "FROM __ecomp c JOIN __esz s ON c.cluster_id = s.cluster_id "
            "ORDER BY c.vec_id")
-    return dual.stages_sql(stages, out)
+    return dual.stages_sql(stages, out, materialized=True)
 
 
 def leakage_safe_split(spark: SparkSession,

@@ -241,10 +241,17 @@ def raise_err(dialect: str, msg: str) -> str:
     return f"CAST({fn}({lit}) AS BIGINT)"
 
 
-def stages_sql(stages: list[tuple[str, str]], final: str) -> str:
+def stages_sql(stages: list[tuple[str, str]], final: str,
+               materialized: bool = False) -> str:
+    """``materialized=True`` emits ``AS MATERIALIZED`` CTEs — DuckDB-only
+    syntax for DuckDB-only oracles. Without it DuckDB inlines CTEs into a
+    recursive closure's iteration, re-evaluating the (expensive) pair
+    lineage per step: the embedding-clusters oracle drops 22.3s -> 2.3s at
+    sf0.001 with identical results. Never set for SQL that Spark runs."""
     if not stages:
         return final
-    ctes = ",\n".join(f"{n} AS (\n{s}\n)" for n, s in stages)
+    kw = "AS MATERIALIZED" if materialized else "AS"
+    ctes = ",\n".join(f"{n} {kw} (\n{s}\n)" for n, s in stages)
     return f"WITH {ctes}\n{final}"
 
 

@@ -39,7 +39,11 @@ GROUPS = [
 ]
 TAILS = ["", " ORDER BY m DESC LIMIT 3"]
 BEHAVIORS = ["", " BEHAVIOR 'do_nothing'", " BEHAVIOR 'local_omit'",
-             " BEHAVIOR 'partial_run_on_base_table'"]
+             " BEHAVIOR 'partial_run_on_base_table'",
+             # the exact-reroute path: error-fn folding (NULL bounds /
+             # 0 errors, QueryRoutingTestSuite protocol) swept across the
+             # same agg/error/group axes — ERROR 0.0001 forces the reroute
+             " BEHAVIOR 'run_on_full_table'"]
 
 
 def _cases():
@@ -48,9 +52,10 @@ def _cases():
         # trim the cross-product: behaviors beyond do_nothing only vary
         # meaningfully with groups + errors present
         if beh in ("", " BEHAVIOR 'do_nothing'") or (group and err):
+            err_val = ("0.0001" if "run_on_full_table" in beh else "0.7")
             yield (f"case{i}",
                    f"SELECT {gsel}{agg}{err} FROM lineitem{where}{group}"
-                   f"{tail} WITH ERROR 0.7 CONFIDENCE 0.95{beh}")
+                   f"{tail} WITH ERROR {err_val} CONFIDENCE 0.95{beh}")
 
 
 CASES = list(_cases())
@@ -95,7 +100,7 @@ def sweep_aqp(spark):
 def test_grammar_sweep_counts():
     # keep the sweep meaningful but bounded; adjust deliberately, not by
     # accident
-    assert 150 <= len(CASES) <= 500, len(CASES)
+    assert 150 <= len(CASES) <= 600, len(CASES)
 
 
 @pytest.mark.parametrize("name,query", CASES,
