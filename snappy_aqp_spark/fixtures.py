@@ -734,6 +734,17 @@ SQL_FIXTURES: dict[str, dict] = {
                   "FROM events GROUP BY month(ts) ORDER BY month(ts) "
                   "WITH ERROR 0.9 CONFIDENCE 0.95 BEHAVIOR 'strict'"),
     },
+    # cube/rollup/grouping sets route exact (QueryRoutingRules.scala:86-92)
+    # with folded error functions — previously the ROLLUP group item leaked
+    # into the approx plan and crashed at withColumn time
+    "sql_rollup_exact": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq, "
+                  "absolute_error(sq) AS ae FROM lineitem "
+                  "GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+                  "ORDER BY l_returnflag, l_linestatus WITH ERROR 0.5"),
+    },
     # AQP-285 (AQPConnectionPropertySetTest.scala:120-213): `SET
     # spark.sql.aqp.error=...` mid-session makes SUBSEQUENT plain queries
     # (no WITH clause) route through AQP with the session values

@@ -518,7 +518,11 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
 
     Returns spec=None (exact route) for unsupported aggregate shapes —
     mirroring the reference's whole-query routing."""
-    full_text = " ".join(e for e, _ in parsed.select_items)
+    # GROUP BY items join the scan: ROLLUP/CUBE/GROUPING SETS live there,
+    # not in the select list, and route exact like every other unsupported
+    # shape (QueryRoutingRules.scala:86-92)
+    full_text = " ".join([e for e, _ in parsed.select_items]
+                         + list(parsed.group_by))
     if _UNSUPPORTED_RE.search(full_text):
         return AnalyzedQuery(None, parsed, {}, "unsupported expression")
 

@@ -1453,3 +1453,22 @@ def test_sample_survives_session_restart(spark, tmp_path):
          "WITH ERROR 0.5")
     assert [tuple(r) for r in s1.sql(q).collect()] \
         == [tuple(r) for r in s0.sql(q).collect()]
+
+
+def test_rollup_cube_route_exact(aqp):
+    """ROLLUP/CUBE/GROUPING SETS group items route exact with folded
+    error functions (QueryRoutingRules.scala:86-92). Regression: the
+    ROLLUP call previously leaked into the approx plan's withColumn and
+    crashed with UNRESOLVED_ROUTINE."""
+    for gb in ("ROLLUP(l_returnflag, l_linestatus)",
+               "CUBE(l_returnflag, l_linestatus)"):
+        q = ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq, "
+             f"absolute_error(sq) AS ae FROM lineitem GROUP BY {gb} "
+             "ORDER BY l_returnflag, l_linestatus WITH ERROR 0.5")
+        an = aqp.analyze_sql(q)
+        assert an is not None and an.spec is None
+        rows = aqp.sql(q).collect()
+        assert rows and all(r.ae == 0.0 for r in rows)
+        # the grand-total row proves the real ROLLUP/CUBE ran
+        assert any(r.l_returnflag is None and r.l_linestatus is None
+                   for r in rows)
