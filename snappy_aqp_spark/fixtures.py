@@ -230,6 +230,13 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "token_stats": {
         "builder": _tx.token_stats_stages, "kw": {},
         "tables": ("documents",)},
+    # C4 page-level cleaning rules (Raffel et al. 2020 §2.2): terminal
+    # punctuation, min sentences, curly-brace/code markers, blocklist.
+    # min_sentences=5 fires the drop branch on this corpus (docs fold to
+    # few sentence spans)
+    "c4_filters": {
+        "builder": _tx.c4_fixture_stages, "kw": {"min_sentences": 5},
+        "tables": ("documents",)},
     # Gopher quality-filter rules (Rae et al. 2021 Appendix A): per-doc
     # flags + keep decision, map-only. min_words=20 (not the paper's 50)
     # and a corpus-frequent stopword list so BOTH branches of every rule

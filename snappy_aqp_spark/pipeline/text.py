@@ -317,3 +317,68 @@ def gopher_quality_stages(dialect: str, table: str = "documents",
              "ok_stopwords AS BIGINT) AS keep "
              "FROM __gq_flags ORDER BY doc_id")
     return stages, final
+
+
+def c4_filters_stages(dialect: str, table: str = "documents",
+                      min_sentences: int = 3,
+                      blocklist: tuple[str, ...] = ("lorem ipsum",
+                                                    "javascript")
+                      ) -> tuple[list[tuple[str, str]], str]:
+    """C4 page-level cleaning rules (Raffel et al., "Exploring the Limits
+    of Transfer Learning with a Unified Text-to-Text Transformer", 2020 —
+    §2.2): terminal punctuation, a minimum sentence count, no curly
+    braces (code markers), and a lowercase phrase blocklist ("lorem
+    ipsum", "javascript"). Map-only: one sentence split + scalar
+    projections per document — scan-speed at 100 TB, no Exchange (the
+    line-level "three-sentence span dedup" C4 rule is the separate
+    dedup_lines / duplicate_spans operators)."""
+    flt = "filter" if dialect == SPARK else "list_filter"
+    arr_n = "size" if dialect == SPARK else "len"
+    if dialect == SPARK:
+        sents = "filter(split(text, '[.!?]+'), s -> trim(s) <> '')"
+    else:
+        sents = ("list_filter(regexp_split_to_array(text, '[.!?]+'), "
+                 "s -> trim(s) <> '')")
+    block = " OR ".join(
+        f"contains(lower(text), '{p}')" for p in blocklist)
+    stages = [
+        ("__c4",
+         f"SELECT doc_id, "
+         f"CAST({arr_n}({sents}) AS BIGINT) AS n_sentences, "
+         f"CAST(CASE WHEN {regex_count(dialect, 'trim(text)', '[.!?]$')} > 0 "
+         f"THEN 1 ELSE 0 END AS BIGINT) AS ok_terminal_punct, "
+         f"CAST(CASE WHEN contains(text, chr(123)) OR contains(text, chr(125)) "
+         f"THEN 0 ELSE 1 END AS BIGINT) AS ok_no_braces, "
+         f"CAST(CASE WHEN {block} THEN 0 ELSE 1 END AS BIGINT) "
+         f"AS ok_blocklist "
+         f"FROM {table}"),
+    ]
+    final = (f"SELECT doc_id, n_sentences, "
+             f"CAST(CASE WHEN n_sentences >= {min_sentences} THEN 1 ELSE 0 "
+             f"END AS BIGINT) AS ok_min_sentences, "
+             f"ok_terminal_punct, ok_no_braces, ok_blocklist, "
+             f"CAST(CASE WHEN n_sentences >= {min_sentences} THEN 1 ELSE 0 "
+             f"END * ok_terminal_punct * ok_no_braces * ok_blocklist "
+             f"AS BIGINT) AS keep "
+             f"FROM __c4 ORDER BY doc_id")
+    return stages, final
+
+
+def c4_fixture_stages(dialect: str, min_sentences: int = 5
+                      ) -> tuple[list[tuple[str, str]], str]:
+    """Fixture harness for c4_filters_stages: the synthetic corpus has no
+    punctuation, so every rule would fail identically. Inject
+    deterministic doc_id-derived variants first (same recipe as the PII
+    fixture): sentence boundaries at each ' batch ' occurrence + a
+    terminal period (doc_id%4=0), a curly-brace code marker (%4=1), a
+    blocklist phrase (%4=2), untouched (%4=3) — every rule fires in both
+    directions."""
+    inject = ("SELECT doc_id, CASE "
+              "WHEN doc_id % 4 = 0 THEN "
+              "concat(replace(text, ' batch ', '. batch '), '.') "
+              "WHEN doc_id % 4 = 1 THEN concat(text, ' {x}') "
+              "WHEN doc_id % 4 = 2 THEN concat(text, ' lorem ipsum') "
+              "ELSE text END AS text FROM documents")
+    stages, final = c4_filters_stages(dialect, table="__c4doc",
+                                      min_sentences=min_sentences)
+    return [("__c4doc", inject)] + stages, final

@@ -1258,3 +1258,24 @@ def test_gopher_quality_rule_semantics(views):
                  r.ok_stopwords]
         assert r.keep == int(all(flags))
         assert r.ok_word_count == int(20 <= r.n_words <= 100_000)
+
+
+def test_c4_filters_injection_semantics(views):
+    """C4-rule invariants on the injected corpus: %4=1 docs carry braces
+    (ok_no_braces=0), %4=2 docs hit the blocklist, %4=0 docs end with a
+    terminal period; keep == AND of flags, and some docs survive."""
+    from snappy_aqp_spark.fixtures import PIPELINE_FIXTURES
+    fx = PIPELINE_FIXTURES["c4_filters"]
+    st, fin = fx["builder"](SPARK, **fx["kw"])
+    rows = run_stages(views, st, fin).collect()
+    assert any(r.keep == 1 for r in rows)
+    for r in rows:
+        flags = [r.ok_min_sentences, r.ok_terminal_punct, r.ok_no_braces,
+                 r.ok_blocklist]
+        assert r.keep == int(all(flags))
+        if r.doc_id % 4 == 1:
+            assert r.ok_no_braces == 0
+        if r.doc_id % 4 == 2:
+            assert r.ok_blocklist == 0
+        if r.doc_id % 4 == 0:
+            assert r.ok_terminal_punct == 1
