@@ -44,7 +44,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sql_dup_agg", "sql_order_by_errfn", "sql_month_case",
     "sql_full_route_nulls", "sql_set_props", "semantic_dedup",
     "gopher_quality", "sql_rollup_exact", "df_api_with_error",
-    "c4_filters",
+    "c4_filters", "bpe_pair_counts",
     "sql_agg_ratio", "sql_agg_arithmetic", "dedup_lines", "pii_scan",
     "sql_topk_plain", "sql_sample_priority",
     "streaming_topk_decay", "sql_auto_weighted_table", "sql_external_csv",

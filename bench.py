@@ -107,6 +107,7 @@ def main() -> None:
                  "bm25_retrieval", "token_stats",
                  "lm_surprise", "dsir_select", "hard_negative_mining",
                  "semantic_dedup", "gopher_quality", "c4_filters",
+                 "bpe_pair_counts",
                  # clustering family: consumers share one converged label
                  # table (pipeline/clusters.cluster_labels) — these time the
                  # derive-from-labels passes; cluster_labels_build below

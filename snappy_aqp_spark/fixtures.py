@@ -230,6 +230,11 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "token_stats": {
         "builder": _tx.token_stats_stages, "kw": {},
         "tables": ("documents",)},
+    # one BPE training round (Sennrich et al. 2016): adjacent-pair counts
+    # over the word-frequency table; iterating shuffles only the vocab
+    "bpe_pair_counts": {
+        "builder": _tx.bpe_pair_counts_stages, "kw": {"top_k": 20},
+        "tables": ("documents",)},
     # C4 page-level cleaning rules (Raffel et al. 2020 §2.2): terminal
     # punctuation, min sentences, curly-brace/code markers, blocklist.
     # min_sentences=5 fires the drop branch on this corpus (docs fold to

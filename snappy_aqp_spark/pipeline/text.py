@@ -382,3 +382,41 @@ def c4_fixture_stages(dialect: str, min_sentences: int = 5
     stages, final = c4_filters_stages(dialect, table="__c4doc",
                                       min_sentences=min_sentences)
     return [("__c4doc", inject)] + stages, final
+
+
+def bpe_pair_counts_stages(dialect: str, table: str = "documents",
+                           top_k: int = 20
+                           ) -> tuple[list[tuple[str, str]], str]:
+    """One round of BPE tokenizer training at corpus scale (Sennrich et
+    al., "Neural Machine Translation of Rare Words with Subword Units",
+    2016): adjacent-symbol pair frequencies over the word-frequency
+    table, ranked to propose the next merge.
+
+    Shape: tokenize once -> word-frequency aggregate (the ONLY
+    corpus-wide shuffle; distinct-word cardinality, not token volume) ->
+    per-word character bigrams x word frequency -> pair aggregate over
+    the (tiny) vocabulary relation. Iterating = re-running with the
+    merged symbol applied; every round shuffles only the vocab table, so
+    the classic training loop is corpus-scan-free after round one. (At 100 TB the
+    word-frequency table is the standard first reduction — a few hundred
+    million rows, not the trillions of tokens.)"""
+    from . import dual
+    toks = _tokens(dialect, "text")
+    pairs = dual.transform(
+        dialect, dual.sequence(dialect, "1", "length(w) - 1"),
+        "i -> substr(w, CAST(i AS INT), 2)")
+    stages = [
+        ("__bpe_tok", f"SELECT {dual.explode(dialect, toks, 'w')} "
+                      f"FROM {table}"),
+        ("__bpe_wf", "SELECT lower(w) AS w, CAST(COUNT(*) AS BIGINT) AS wf "
+                     "FROM __bpe_tok GROUP BY lower(w)"),
+        ("__bpe_pairs", f"SELECT pair, wf FROM (SELECT wf, "
+                        f"{dual.explode(dialect, pairs, 'pair')} "
+                        f"FROM __bpe_wf WHERE length(w) >= 2) __p"),
+        ("__bpe_agg", "SELECT pair, CAST(SUM(wf) AS BIGINT) AS n "
+                      "FROM __bpe_pairs GROUP BY pair"),
+    ]
+    final = (f"SELECT pair, n, CAST(ROW_NUMBER() OVER "
+             f"(ORDER BY n DESC, pair ASC) AS BIGINT) AS rank "
+             f"FROM __bpe_agg ORDER BY n DESC, pair ASC LIMIT {top_k}")
+    return stages, final

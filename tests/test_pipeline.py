@@ -1279,3 +1279,27 @@ def test_c4_filters_injection_semantics(views):
             assert r.ok_blocklist == 0
         if r.doc_id % 4 == 0:
             assert r.ok_terminal_punct == 1
+
+
+def test_bpe_pair_counts_semantics(views, duck):
+    """BPE pair counts: rank is dense over DESC counts; the top pair's
+    count equals a direct python recount on the corpus."""
+    from snappy_aqp_spark.fixtures import PIPELINE_FIXTURES
+    import re as _re
+    from collections import Counter
+    fx = PIPELINE_FIXTURES["bpe_pair_counts"]
+    st, fin = fx["builder"](SPARK, **fx["kw"])
+    rows = run_stages(views, st, fin).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(rows[i].n >= rows[i + 1].n for i in range(len(rows) - 1))
+    texts = [r.text for r in views.sql("SELECT text FROM documents").collect()]
+    counts = Counter()
+    for t in texts:
+        for w in _re.split(r"[^A-Za-z0-9]+", t):
+            if w:
+                w = w.lower()
+                for i in range(len(w) - 1):
+                    counts[w[i:i + 2]] += 1
+    top = rows[0]
+    assert counts[top.pair] == top.n
+    assert top.n == max(counts.values())
