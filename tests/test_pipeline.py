@@ -1246,6 +1246,8 @@ def test_semantic_dedup_drops_one_per_planted_pair(views):
 def test_gopher_quality_rule_semantics(views):
     """Gopher-rule invariants: keep == AND of all flags; word-count flag
     agrees with n_words; the drop branch fires on this corpus."""
+    views.read.parquet(f"{SF_SMALL}/documents.parquet") \
+        .createOrReplaceTempView("documents")   # earlier tests clobber it
     from snappy_aqp_spark.fixtures import PIPELINE_FIXTURES
     fx = PIPELINE_FIXTURES["gopher_quality"]
     st, fin = fx["builder"](SPARK, **fx["kw"])
@@ -1264,6 +1266,8 @@ def test_c4_filters_injection_semantics(views):
     """C4-rule invariants on the injected corpus: %4=1 docs carry braces
     (ok_no_braces=0), %4=2 docs hit the blocklist, %4=0 docs end with a
     terminal period; keep == AND of flags, and some docs survive."""
+    views.read.parquet(f"{SF_SMALL}/documents.parquet") \
+        .createOrReplaceTempView("documents")   # earlier tests clobber it
     from snappy_aqp_spark.fixtures import PIPELINE_FIXTURES
     fx = PIPELINE_FIXTURES["c4_filters"]
     st, fin = fx["builder"](SPARK, **fx["kw"])
@@ -1284,6 +1288,8 @@ def test_c4_filters_injection_semantics(views):
 def test_bpe_pair_counts_semantics(views, duck):
     """BPE pair counts: rank is dense over DESC counts; the top pair's
     count equals a direct python recount on the corpus."""
+    views.read.parquet(f"{SF_SMALL}/documents.parquet") \
+        .createOrReplaceTempView("documents")   # earlier tests clobber it
     from snappy_aqp_spark.fixtures import PIPELINE_FIXTURES
     import re as _re
     from collections import Counter
