@@ -770,6 +770,25 @@ SQL_FIXTURES: dict[str, dict] = {
                   "relative_error(a) FROM lineitem "
                   "GROUP BY l_returnflag ORDER BY l_returnflag"),
     },
+    # AQP-217 (CommonBugTest.scala:2315-2420): HAVING on the raw aggregate
+    # expression (not its alias) under BEHAVIOR 'partial_run_on_base_table'
+    # with all four error fns selected and ORDER BY the aggregate DESC —
+    # groups failing the error check re-run exact, pass through the same
+    # HAVING, and the union re-sorts (group key appended as a deterministic
+    # tiebreaker; the reference sorts by the measure alone)
+    "sql_partial_route_having": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem",),
+        "query": ("SELECT l_returnflag, l_linestatus, "
+                  "sum(l_extendedprice) AS s, "
+                  "absolute_error(s) AS ae, relative_error(s) AS re, "
+                  "lower_bound(s) AS lb, upper_bound(s) AS ub "
+                  "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+                  "HAVING sum(l_extendedprice) > 1000.0 "
+                  "ORDER BY s DESC, l_returnflag, l_linestatus "
+                  "WITH ERROR 0.048 "
+                  "CONFIDENCE 0.95 BEHAVIOR 'partial_run_on_base_table'"),
+    },
     # AQP-192 protocol (QueryRoutingTestSuite.scala:540-557): a reroute to
     # the full table answers exactly and folds the error functions — bounds
     # NULL, absolute/relative error 0
