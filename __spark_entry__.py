@@ -41,7 +41,7 @@ _SQL_DEFAULTS = {"error": 0.2, "confidence": 0.95, "behavior": "do_nothing"}
 # here must exist in queries(); unknown names are ignored defensively.
 _GATE_PRIORITY: tuple[str, ...] = (
     # never driver-checked (verified only by pytest/judge up to round 3)
-    "sql_partial_route_having",
+    "sql_partial_route_having", "streaming_windowed_agg",
     "sql_dup_agg", "sql_order_by_errfn", "sql_month_case",
     "sql_full_route_nulls", "sql_set_props", "semantic_dedup",
     "gopher_quality", "sql_rollup_exact", "df_api_with_error",
@@ -335,6 +335,58 @@ def _streaming_sql_surface_runner(spark: SparkSession, sf_dir: str) -> DataFrame
     return out
 
 
+def _streaming_windowed_agg_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming watermarked tumbling-window aggregation with a
+    full value oracle: events arrive as three TIME-ORDERED micro-batches
+    (controlled file names; maxFilesPerTrigger=1 processes them oldest
+    first), the windowed count aggregates in append mode, and the final
+    no-data batch flushes every window the watermark closed. In-order
+    arrival means nothing is late, so the emitted windows' counts equal
+    the batch tumbling-window counts over windows with
+    end <= max(ts) - delay. Late-drop semantics are pinned separately in
+    tests/test_streaming.py::test_windowed_counts_drop_late_rows."""
+    import tempfile
+    import time
+    import uuid
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.streaming.windowed import windowed_counts_micros
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win_us, delay_us = 3 * 86400 * 1_000_000, 2 * 86400 * 1_000_000
+    from snappy_aqp_spark.topk.api import _time_us
+    us = _time_us(df, "ts")
+    tmp = tempfile.mkdtemp(prefix="aqp-winagg-")
+    import os
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    lo = df.select(F.min(us).alias("m")).collect()[0]["m"]
+    hi = df.select(F.max(us).alias("m")).collect()[0]["m"]
+    step = (hi - lo) // 3 + 1
+    for i in range(3):
+        part = df.where((us >= lo + i * step) & (us < lo + (i + 1) * step))
+        tbl = pa.Table.from_pandas(part.toPandas(), preserve_index=False)
+        # pandas round-trips timestamps at ns; write us so the stream scan
+        # sees the same NTZ-us type as the source table (nanosAsLong would
+        # otherwise read the column back as LONG)
+        tbl = tbl.cast(pa.schema(
+            [pa.field(f.name, pa.timestamp("us")) if f.name == "ts" else f
+             for f in tbl.schema]))
+        pq.write_table(tbl, f"{tmp}/in/b{i}.parquet")
+        time.sleep(0.15)        # distinct mtimes => oldest-first order
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{tmp}/in"))
+    out = windowed_counts_micros(stream, "ts", win_us, delay_us,
+                                 "event_type")
+    sink = f"winagg_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(sink).option("checkpointLocation", f"{tmp}/ckpt")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300), \
+        "streaming_windowed_agg query did not finish within 300s"
+    return spark.table(sink).orderBy("win_start_us", "key")
+
+
 def _topk_decay_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hokusai width-halving decay (Hokusai.scala:68-1017): buckets older
     than the cutoff compress 4096 -> 2048, then the full-range query runs
@@ -547,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["streaming_topk_state"] = _streaming_topk_runner
     out["streaming_sql_surface"] = _streaming_sql_surface_runner
     out["streaming_topk_decay"] = _streaming_topk_decay_runner
+    out["streaming_windowed_agg"] = _streaming_windowed_agg_runner
     out["sql_derived_agg_join"] = _derived_agg_join_runner
     out["topk_decay"] = _topk_decay_runner
     out["dedup_embedding_clusters"] = _embedding_clusters_runner
@@ -675,6 +728,10 @@ def oracle_sql() -> dict[str, str]:
     out["streaming_topk_decay"] = topk_oracle_sql(
         TOPK_FIXTURES["topk_cms_full"]["spec"], "events", None, None, 20,
         decayed_before=5, decay_levels=1)
+    from snappy_aqp_spark.streaming.windowed import windowed_counts_oracle_sql
+    out["streaming_windowed_agg"] = windowed_counts_oracle_sql(
+        "events", "ts", 3 * 86400 * 1_000_000, 2 * 86400 * 1_000_000,
+        "event_type")
     out["sql_auto_weighted_table"] = _auto_weighted_oracle()
     out["sql_external_csv"] = _external_csv_oracle()
     out["df_api_with_error"] = _df_api_oracle()

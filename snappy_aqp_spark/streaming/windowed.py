@@ -44,3 +44,54 @@ def windowed_event_counts(stream_df: DataFrame, time_col: str = "ts",
             .select(F.col("win.start").alias("win_start"),
                     F.col("win.end").alias("win_end"),
                     *(["key"] if key is not None else []), "n"))
+
+
+def windowed_counts_micros(stream_df: DataFrame, time_col: str,
+                           window_us: int, watermark_us: int,
+                           key: str) -> DataFrame:
+    """Driver-fixture variant of ``windowed_event_counts``: tumbling
+    event-time windows emitted as epoch-MICROSECOND bounds (BIGINT), so
+    the result is engine-portable (no timestamp-timezone comparisons).
+
+    Append-mode semantics make the batch replay exact: a window appears in
+    the output iff the final watermark (global max event time minus the
+    delay) has passed its end, and every window emits exactly once. With
+    time-ordered micro-batches nothing is ever late, so the closed
+    windows' counts equal the batch tumbling-window counts — the DuckDB
+    side of that contract is ``windowed_counts_oracle_sql``.
+    """
+    assert window_us % 1_000_000 == 0 and watermark_us % 1_000_000 == 0
+    # watermarks require TIMESTAMP; go through epoch micros (TZ-independent
+    # for NTZ/naive inputs — the timestampdiff convention of topk._time_us)
+    # so the instant, the window alignment and the output bounds never see
+    # the session timezone
+    from snappy_aqp_spark.topk.api import _time_us
+    out = (stream_df
+           .withColumn("__t", F.timestamp_micros(_time_us(stream_df,
+                                                          time_col)))
+           .withWatermark("__t", f"{watermark_us // 1_000_000} seconds"))
+    win = F.window("__t", f"{window_us // 1_000_000} seconds")
+    return (out.groupBy(win.alias("win"), F.expr(key).alias("key"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_micros("win.start").alias("win_start_us"),
+                    F.unix_micros("win.end").alias("win_end_us"),
+                    "key", "n"))
+
+
+def windowed_counts_oracle_sql(table: str, time_col: str, window_us: int,
+                               watermark_us: int, key: str) -> str:
+    """DuckDB replay of the append-mode stream output: tumbling-window
+    counts restricted to windows the final watermark closed
+    (win_end <= max(ts) - delay; Spark's eviction predicate is
+    window.end <= eventTimeWatermark, verified empirically in the
+    fixture)."""
+    w = int(window_us)
+    return (
+        "SELECT win_start_us, win_start_us + {w} AS win_end_us, key, n "
+        "FROM (SELECT (epoch_us({t}) // {w}) * {w} AS win_start_us, "
+        "{k} AS key, CAST(COUNT(*) AS BIGINT) AS n FROM {tab} "
+        "GROUP BY 1, 2) __w, "
+        "(SELECT MAX(epoch_us({t})) - {d} AS wm FROM {tab}) __m "
+        "WHERE win_start_us + {w} <= wm "
+        "ORDER BY win_start_us, key"
+        .format(w=w, d=int(watermark_us), t=time_col, k=key, tab=table))

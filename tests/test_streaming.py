@@ -625,3 +625,17 @@ def test_register_cq_windowed_stream(spark, tmp_path):
     assert cq.latest() is not None
     s.sql("STREAMING STOP")
     s.sql("DROP TABLE IF EXISTS tagcq")
+
+
+def test_streaming_windowed_agg_fixture_matches_oracle(spark, duck):
+    """The driver fixture end-to-end: watermarked append-mode windowed
+    counts over three time-ordered micro-batches must equal the DuckDB
+    replay (tumbling-window counts over watermark-closed windows)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, compare_frames
+    res = entrymod._streaming_windowed_agg_runner(spark, SF_SMALL)
+    from snappy_aqp_spark.streaming.windowed import windowed_counts_oracle_sql
+    oracle = duck.sql(windowed_counts_oracle_sql(
+        "events", "ts", 3 * 86400 * 1_000_000, 2 * 86400 * 1_000_000,
+        "event_type"))
+    compare_frames(res, oracle)
