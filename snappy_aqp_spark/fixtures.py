@@ -26,6 +26,7 @@ from .pipeline import repetition as _rp
 from .pipeline import incremental as _ic
 from .pipeline import lm as _lm
 from .pipeline import retrieval as _rv
+from .pipeline import salting as _sa
 from .pipeline import spans as _dsp
 from .pipeline import pii as _pii
 from .pipeline import temporal as _tp
@@ -137,6 +138,12 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "bloom_semi_join": {
         "builder": _bl.bloom_semi_join_stages, "kw": {},
         "tables": ("lineitem", "orders")},
+    # skew-salted equi-join: heavy keys spread over salt_factor reducers,
+    # result row-for-row the plain join (pinned by pytest; the driver
+    # oracle replays the same staged SQL)
+    "skew_salted_join": {
+        "builder": _sa.salted_join_stages, "kw": {},
+        "tables": ("orders", "customer")},
     # reproducible per-stratum train/val/test split (exact quotas here;
     # the zero-shuffle hash-threshold variant is pytest-covered)
     "stratified_split": {

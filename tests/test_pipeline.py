@@ -14,7 +14,8 @@ from tests.conftest import SF_SMALL, compare_frames
 
 @pytest.fixture(scope="module")
 def views(spark):
-    for t in ("documents", "embeddings", "events", "lineitem", "orders"):
+    for t in ("documents", "embeddings", "events", "lineitem", "orders",
+              "customer"):
         spark.read.parquet(f"{SF_SMALL}/{t}.parquet").createOrReplaceTempView(t)
     return spark
 
@@ -1309,3 +1310,15 @@ def test_bpe_pair_counts_semantics(views, duck):
     top = rows[0]
     assert counts[top.pair] == top.n
     assert top.n == max(counts.values())
+
+
+def test_salted_join_equals_plain_join(views):
+    """Salting is semantics-preserving: the salted (key, salt) equi-join
+    aggregates to exactly the plain join's answer, and the heavy branch is
+    actually exercised (non-empty heavy-key relation at this SF)."""
+    from snappy_aqp_spark.pipeline import salting
+    stages, final = salting.salted_join_stages(SPARK)
+    salted = run_stages(views, stages, final)
+    compare_frames(salted, views.sql(salting.plain_join_sql()).toPandas())
+    heavy = views.sql(stages_sql(stages[:1], "SELECT COUNT(*) AS n FROM __hv"))
+    assert heavy.collect()[0]["n"] > 0
