@@ -189,3 +189,17 @@ def test_bootstrap_point_estimates_converge(bs_runs, exact_sum):
     # bootstrap quantile bounds are finite and ordered
     for est, lo, hi in bs_runs:
         assert lo <= est <= hi
+
+
+def test_closed_form_se_matches_empirical_sd(runs):
+    """ClosedFormGoldenSDSuite analog: the closed-form predicted standard
+    error (CI half-width / z) must match the EMPIRICAL standard deviation
+    of the point estimate across independent sampler seeds — an
+    independent check of the variance formula itself (the replay oracle
+    shares the formula; this test does not). chi-square noise of a
+    30-seed SD is ~±25%, plus Bernoulli-vs-SRS slack -> [0.65, 1.5]."""
+    import statistics
+    z975 = 1.959963984540054
+    emp_sd = statistics.stdev(e for e, _, _ in runs)
+    pred_se = statistics.mean((hi - lo) / (2 * z975) for _, lo, hi in runs)
+    assert 0.65 < emp_sd / pred_se < 1.5, (emp_sd, pred_se)
