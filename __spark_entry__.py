@@ -42,7 +42,7 @@ _SQL_DEFAULTS = {"error": 0.2, "confidence": 0.95, "behavior": "do_nothing"}
 _GATE_PRIORITY: tuple[str, ...] = (
     # never driver-checked (verified only by pytest/judge up to round 3)
     "sql_partial_route_having", "streaming_windowed_agg",
-    "skew_salted_join",
+    "skew_salted_join", "streaming_dedup_ingest",
     "sql_dup_agg", "sql_order_by_errfn", "sql_month_case",
     "sql_full_route_nulls", "sql_set_props", "semantic_dedup",
     "gopher_quality", "sql_rollup_exact", "df_api_with_error",
@@ -388,6 +388,68 @@ def _streaming_windowed_agg_runner(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(sink).orderBy("win_start_us", "key")
 
 
+def _streaming_dedup_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming ingest dedup
+    (dropDuplicatesWithinWatermark): events arrive as three time-ordered
+    micro-batches with PLANTED duplicates — every event_id % 7 == 0 row is
+    re-sent both within its own batch and again in the following batch.
+    Re-sends die either in the dedup state (within the 4-day delay) or as
+    late rows behind the watermark; first occurrences are all on time, so
+    the drained sink holds exactly one row per event and the per-type
+    aggregate equals the plain batch aggregate over events."""
+    import os
+    import tempfile
+    import time
+    import uuid
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.streaming.windowed import dedup_within_watermark
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from snappy_aqp_spark.topk.api import _time_us
+    us = _time_us(df, "ts")
+    tmp = tempfile.mkdtemp(prefix="aqp-sdedup-")
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    lo = df.select(F.min(us).alias("m")).collect()[0]["m"]
+    hi = df.select(F.max(us).alias("m")).collect()[0]["m"]
+    step = (hi - lo) // 3 + 1
+    dup = F.pmod(F.col("event_id"), F.lit(7)) == 0
+
+    def write(part, path):
+        tbl = pa.Table.from_pandas(part.toPandas(), preserve_index=False)
+        tbl = tbl.cast(pa.schema(
+            [pa.field(f.name, pa.timestamp("us")) if f.name == "ts" else f
+             for f in tbl.schema]))
+        pq.write_table(tbl, path)
+
+    prev = None
+    for i in range(3):
+        part = df.where((us >= lo + i * step) & (us < lo + (i + 1) * step))
+        batch = part.unionAll(part.where(dup))      # in-batch duplicate
+        if prev is not None:
+            batch = batch.unionAll(prev.where(dup))  # cross-batch re-send
+        write(batch, f"{tmp}/in/b{i}.parquet")
+        prev = part
+        time.sleep(0.15)        # distinct mtimes => oldest-first order
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{tmp}/in"))
+    out = dedup_within_watermark(stream, "ts", "event_id",
+                                 4 * 86400 * 1_000_000)
+    sink = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(sink).option("checkpointLocation", f"{tmp}/ckpt")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300), \
+        "streaming_dedup_ingest query did not finish within 300s"
+    return (spark.table(sink)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .alias("value_cents"))
+            .orderBy("event_type"))
+
+
 def _topk_decay_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hokusai width-halving decay (Hokusai.scala:68-1017): buckets older
     than the cutoff compress 4096 -> 2048, then the full-range query runs
@@ -601,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["streaming_sql_surface"] = _streaming_sql_surface_runner
     out["streaming_topk_decay"] = _streaming_topk_decay_runner
     out["streaming_windowed_agg"] = _streaming_windowed_agg_runner
+    out["streaming_dedup_ingest"] = _streaming_dedup_runner
     out["sql_derived_agg_join"] = _derived_agg_join_runner
     out["topk_decay"] = _topk_decay_runner
     out["dedup_embedding_clusters"] = _embedding_clusters_runner
@@ -733,6 +796,12 @@ def oracle_sql() -> dict[str, str]:
     out["streaming_windowed_agg"] = windowed_counts_oracle_sql(
         "events", "ts", 3 * 86400 * 1_000_000, 2 * 86400 * 1_000_000,
         "event_type")
+    # the deduped stream is exactly one row per event -> plain aggregate
+    out["streaming_dedup_ingest"] = (
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS value_cents FROM events GROUP BY event_type "
+        "ORDER BY event_type")
     out["sql_auto_weighted_table"] = _auto_weighted_oracle()
     out["sql_external_csv"] = _external_csv_oracle()
     out["df_api_with_error"] = _df_api_oracle()

@@ -95,3 +95,23 @@ def windowed_counts_oracle_sql(table: str, time_col: str, window_us: int,
         "WHERE win_start_us + {w} <= wm "
         "ORDER BY win_start_us, key"
         .format(w=w, d=int(watermark_us), t=time_col, k=key, tab=table))
+
+
+def dedup_within_watermark(stream_df: DataFrame, time_col: str,
+                           key: str, delay_us: int) -> DataFrame:
+    """Streaming ingest dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's dedup state only until
+    the watermark passes its event time + delay, so state size is
+    O(arrival rate x delay) instead of O(total keys ever seen) — the only
+    formulation that survives an unbounded 100 TB ingest. Re-sent rows
+    are eliminated either by the dedup state (arrived within the delay)
+    or by the watermark's late-row drop (arrived after it); with every
+    FIRST occurrence on time, the output is exactly one row per key.
+    """
+    assert delay_us % 1_000_000 == 0
+    from snappy_aqp_spark.topk.api import _time_us
+    out = (stream_df
+           .withColumn("__t", F.timestamp_micros(_time_us(stream_df,
+                                                          time_col)))
+           .withWatermark("__t", f"{delay_us // 1_000_000} seconds"))
+    return out.dropDuplicatesWithinWatermark([key]).drop("__t")

@@ -639,3 +639,18 @@ def test_streaming_windowed_agg_fixture_matches_oracle(spark, duck):
         "events", "ts", 3 * 86400 * 1_000_000, 2 * 86400 * 1_000_000,
         "event_type"))
     compare_frames(res, oracle)
+
+
+def test_streaming_dedup_ingest_fixture_matches_oracle(spark, duck):
+    """Planted duplicates (in-batch + cross-batch re-sends) through
+    dropDuplicatesWithinWatermark must aggregate to the plain per-type
+    aggregate over events — bounded-state exactly-once ingest."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, compare_frames
+    res = entrymod._streaming_dedup_runner(spark, SF_SMALL)
+    oracle = duck.sql(
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS value_cents FROM events GROUP BY event_type "
+        "ORDER BY event_type")
+    compare_frames(res, oracle)
