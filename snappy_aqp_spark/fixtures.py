@@ -796,6 +796,21 @@ SQL_FIXTURES: dict[str, dict] = {
                   "WITH ERROR 0.048 "
                   "CONFIDENCE 0.95 BEHAVIOR 'partial_run_on_base_table'"),
     },
+    # partial routing THROUGH A JOIN (JoinQueryRoutingTestSuite x
+    # PartialQueryRoutingTestSuite protocols combined): violating groups
+    # re-run exactly through the joined base plan, passing groups keep the
+    # sampled-join estimate; error 0.084 splits the five priorities
+    # 3 approx / 2 exact at the driver's sf0.01 gate
+    "sql_partial_route_join": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem", "orders"),
+        "query": ("SELECT o_orderpriority, sum(l_extendedprice) AS rev, "
+                  "relative_error(rev) AS re "
+                  "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+                  "GROUP BY o_orderpriority ORDER BY o_orderpriority "
+                  "WITH ERROR 0.084 CONFIDENCE 0.95 "
+                  "BEHAVIOR 'partial_run_on_base_table'"),
+    },
     # AQP-192 protocol (QueryRoutingTestSuite.scala:540-557): a reroute to
     # the full table answers exactly and folds the error functions — bounds
     # NULL, absolute/relative error 0
