@@ -43,7 +43,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # never driver-checked (verified only by pytest/judge up to round 3)
     "sql_partial_route_having", "streaming_windowed_agg",
     "skew_salted_join", "streaming_dedup_ingest",
-    "sql_partial_route_join",
+    "sql_partial_route_join", "grouped_topk",
     "sql_dup_agg", "sql_order_by_errfn", "sql_month_case",
     "sql_full_route_nulls", "sql_set_props", "semantic_dedup",
     "gopher_quality", "sql_rollup_exact", "df_api_with_error",

@@ -98,7 +98,7 @@ def main() -> None:
                  "approx_quantiles_grouped", "text_analysis",
                  "sessionize_events", "asof_join_clicks",
                  "range_join_activity", "bloom_semi_join",
-                 "skew_salted_join",
+                 "skew_salted_join", "grouped_topk",
                  "stratified_split", "text_top_terms",
                  "pps_weighted_sample", "source_quota_cap",
                  "decontamination", "chunk_documents", "join_cardinality",

@@ -26,6 +26,7 @@ from .pipeline import repetition as _rp
 from .pipeline import incremental as _ic
 from .pipeline import lm as _lm
 from .pipeline import retrieval as _rv
+from .pipeline import grouped_topk as _gt
 from .pipeline import salting as _sa
 from .pipeline import spans as _dsp
 from .pipeline import pii as _pii
@@ -144,6 +145,11 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "skew_salted_join": {
         "builder": _sa.salted_join_stages, "kw": {},
         "tables": ("orders", "customer")},
+    # grouped top-k with rank-limit pushdown (WindowGroupLimit): one
+    # combine-enabled shuffle + per-partition bounded-heap top-k
+    "grouped_topk": {
+        "builder": _gt.grouped_topk_stages, "kw": {},
+        "tables": ("events",)},
     # reproducible per-stratum train/val/test split (exact quotas here;
     # the zero-shuffle hash-threshold variant is pytest-covered)
     "stratified_split": {

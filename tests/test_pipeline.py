@@ -1322,3 +1322,13 @@ def test_salted_join_equals_plain_join(views):
     compare_frames(salted, views.sql(salting.plain_join_sql()).toPandas())
     heavy = views.sql(stages_sql(stages[:1], "SELECT COUNT(*) AS n FROM __hv"))
     assert heavy.collect()[0]["n"] > 0
+
+
+def test_grouped_topk_plan_has_window_group_limit(views):
+    """the rank-limit must be pushed into the shuffle (WindowGroupLimit),
+    not evaluated as filter-after-full-window-sort."""
+    from snappy_aqp_spark.pipeline import grouped_topk
+    stages, final = grouped_topk.grouped_topk_stages(SPARK)
+    df = run_stages(views, stages, final)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
