@@ -44,6 +44,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sql_partial_route_having", "streaming_windowed_agg",
     "skew_salted_join", "streaming_dedup_ingest",
     "sql_partial_route_join", "grouped_topk",
+    "streaming_dedup_window_chain",
     "sql_dup_agg", "sql_order_by_errfn", "sql_month_case",
     "sql_full_route_nulls", "sql_set_props", "semantic_dedup",
     "gopher_quality", "sql_rollup_exact", "df_api_with_error",
@@ -451,6 +452,62 @@ def _streaming_dedup_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _streaming_dedup_window_chain_runner(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """TWO stateful operators chained in one streaming query (Spark's
+    multiple-stateful-operator support): dropDuplicatesWithinWatermark
+    feeds the watermarked tumbling-window count directly. Input batches
+    carry planted duplicate re-sends; dedup restores exactly-once, so the
+    chain's closed windows equal the plain windowed counts over events —
+    the same replay oracle as streaming_windowed_agg."""
+    import os
+    import tempfile
+    import time
+    import uuid
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.streaming.windowed import (dedup_within_watermark,
+                                                     windowed_counts_micros)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from snappy_aqp_spark.topk.api import _time_us
+    us = _time_us(df, "ts")
+    tmp = tempfile.mkdtemp(prefix="aqp-chain-")
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    lo = df.select(F.min(us).alias("m")).collect()[0]["m"]
+    hi = df.select(F.max(us).alias("m")).collect()[0]["m"]
+    step = (hi - lo) // 3 + 1
+    dup = F.pmod(F.col("event_id"), F.lit(7)) == 0
+    prev = None
+    for i in range(3):
+        part = df.where((us >= lo + i * step) & (us < lo + (i + 1) * step))
+        batch = part.unionAll(part.where(dup))
+        if prev is not None:
+            batch = batch.unionAll(prev.where(dup))
+        tbl = pa.Table.from_pandas(batch.toPandas(), preserve_index=False)
+        tbl = tbl.cast(pa.schema(
+            [pa.field(f.name, pa.timestamp("us")) if f.name == "ts" else f
+             for f in tbl.schema]))
+        pq.write_table(tbl, f"{tmp}/in/b{i}.parquet")
+        prev = part
+        time.sleep(0.15)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{tmp}/in"))
+    win_us, delay_us = 3 * 86400 * 1_000_000, 2 * 86400 * 1_000_000
+    deduped = dedup_within_watermark(stream, "ts", "event_id", delay_us,
+                                     keep_event_time=True)
+    out = windowed_counts_micros(deduped, "__t", win_us, delay_us,
+                                 "event_type")
+    sink = f"chain_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(sink).option("checkpointLocation", f"{tmp}/ckpt")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300), \
+        "streaming_dedup_window_chain query did not finish within 300s"
+    return spark.table(sink).orderBy("win_start_us", "key")
+
+
 def _topk_decay_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hokusai width-halving decay (Hokusai.scala:68-1017): buckets older
     than the cutoff compress 4096 -> 2048, then the full-range query runs
@@ -665,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["streaming_topk_decay"] = _streaming_topk_decay_runner
     out["streaming_windowed_agg"] = _streaming_windowed_agg_runner
     out["streaming_dedup_ingest"] = _streaming_dedup_runner
+    out["streaming_dedup_window_chain"] = _streaming_dedup_window_chain_runner
     out["sql_derived_agg_join"] = _derived_agg_join_runner
     out["topk_decay"] = _topk_decay_runner
     out["dedup_embedding_clusters"] = _embedding_clusters_runner
@@ -795,6 +853,11 @@ def oracle_sql() -> dict[str, str]:
         decayed_before=5, decay_levels=1)
     from snappy_aqp_spark.streaming.windowed import windowed_counts_oracle_sql
     out["streaming_windowed_agg"] = windowed_counts_oracle_sql(
+        "events", "ts", 3 * 86400 * 1_000_000, 2 * 86400 * 1_000_000,
+        "event_type")
+    # dedup restores exactly-once, so the chain replays as the plain
+    # windowed-count oracle
+    out["streaming_dedup_window_chain"] = windowed_counts_oracle_sql(
         "events", "ts", 3 * 86400 * 1_000_000, 2 * 86400 * 1_000_000,
         "event_type")
     # the deduped stream is exactly one row per event -> plain aggregate

@@ -66,10 +66,17 @@ def windowed_counts_micros(stream_df: DataFrame, time_col: str,
     # so the instant, the window alignment and the output bounds never see
     # the session timezone
     from snappy_aqp_spark.topk.api import _time_us
-    out = (stream_df
-           .withColumn("__t", F.timestamp_micros(_time_us(stream_df,
-                                                          time_col)))
-           .withWatermark("__t", f"{watermark_us // 1_000_000} seconds"))
+    if time_col == "__t":
+        # upstream already defined the watermark on __t (e.g. a chained
+        # dedup_within_watermark(keep_event_time=True)); a second
+        # withWatermark above a stateful operator is disallowed
+        # ("Redefining watermark"), so reuse the propagated one.
+        out = stream_df
+    else:
+        out = (stream_df
+               .withColumn("__t", F.timestamp_micros(_time_us(stream_df,
+                                                              time_col)))
+               .withWatermark("__t", f"{watermark_us // 1_000_000} seconds"))
     win = F.window("__t", f"{window_us // 1_000_000} seconds")
     return (out.groupBy(win.alias("win"), F.expr(key).alias("key"))
             .agg(F.count(F.lit(1)).alias("n"))
@@ -98,7 +105,8 @@ def windowed_counts_oracle_sql(table: str, time_col: str, window_us: int,
 
 
 def dedup_within_watermark(stream_df: DataFrame, time_col: str,
-                           key: str, delay_us: int) -> DataFrame:
+                           key: str, delay_us: int,
+                           keep_event_time: bool = False) -> DataFrame:
     """Streaming ingest dedup with BOUNDED state:
     ``dropDuplicatesWithinWatermark`` keeps a key's dedup state only until
     the watermark passes its event time + delay, so state size is
@@ -107,6 +115,12 @@ def dedup_within_watermark(stream_df: DataFrame, time_col: str,
     are eliminated either by the dedup state (arrived within the delay)
     or by the watermark's late-row drop (arrived after it); with every
     FIRST occurrence on time, the output is exactly one row per key.
+
+    ``keep_event_time=True`` retains the watermarked ``__t`` column so a
+    downstream stateful operator (e.g. ``windowed_counts_micros`` with
+    ``time_col="__t"``) can chain onto the SAME watermark — Spark 4
+    supports multiple stateful operators per query but forbids redefining
+    the watermark between them.
     """
     assert delay_us % 1_000_000 == 0
     from snappy_aqp_spark.topk.api import _time_us
@@ -114,4 +128,5 @@ def dedup_within_watermark(stream_df: DataFrame, time_col: str,
            .withColumn("__t", F.timestamp_micros(_time_us(stream_df,
                                                           time_col)))
            .withWatermark("__t", f"{delay_us // 1_000_000} seconds"))
-    return out.dropDuplicatesWithinWatermark([key]).drop("__t")
+    out = out.dropDuplicatesWithinWatermark([key])
+    return out if keep_event_time else out.drop("__t")

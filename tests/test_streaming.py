@@ -654,3 +654,19 @@ def test_streaming_dedup_ingest_fixture_matches_oracle(spark, duck):
         "AS value_cents FROM events GROUP BY event_type "
         "ORDER BY event_type")
     compare_frames(res, oracle)
+
+
+def test_streaming_dedup_window_chain_fixture_matches_oracle(spark, duck):
+    """TWO stateful operators in ONE streaming query (Spark 4 multiple-
+    stateful-operator support): dropDuplicatesWithinWatermark feeding the
+    watermarked tumbling-window count, sharing a single watermark
+    definition. Planted re-sends are removed by the dedup state, so the
+    chain's closed windows equal the plain windowed-count replay."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, compare_frames
+    res = entrymod._streaming_dedup_window_chain_runner(spark, SF_SMALL)
+    from snappy_aqp_spark.streaming.windowed import windowed_counts_oracle_sql
+    oracle = duck.sql(windowed_counts_oracle_sql(
+        "events", "ts", 3 * 86400 * 1_000_000, 2 * 86400 * 1_000_000,
+        "event_type"))
+    compare_frames(res, oracle)
