@@ -109,6 +109,10 @@ def main() -> None:
                  "lm_surprise", "dsir_select", "hard_negative_mining",
                  "semantic_dedup", "gopher_quality", "c4_filters",
                  "bpe_pair_counts",
+                 # storage layout: first call writes the bucketed/partitioned
+                 # copies (cached per session), iterations time the
+                 # exchange-free join / pruned scan itself
+                 "bucketed_colocated_join", "partition_pruned_scan",
                  # clustering family: consumers share one converged label
                  # table (pipeline/clusters.cluster_labels) — these time the
                  # derive-from-labels passes; cluster_labels_build below
