@@ -439,6 +439,30 @@ SQL_FIXTURES: dict[str, dict] = {
                   "OR substring(c.c_mktsegment, 1, 1) = 'A') "
                   "WITH ERROR 0.5 CONFIDENCE 0.95"),
     },
+    # TPC-H Q5 shape — the deepest join tree in the suite: the sampled
+    # fact through FIVE dimension hops (orders -> customer, supplier with a
+    # compound ON including the dim-dim predicate c_nationkey = s_nationkey,
+    # nation, region) with a region filter; the reference's perf corpus
+    # runs the same fact-through-reference-chain shape
+    # (perfJoinQueries.sql). The AQP contract: sample selection anywhere in
+    # the tree, weights carried through every hop, estimators on top.
+    "sql_q5_multijoin": {
+        "ddl": [("CREATE SAMPLE TABLE li_q5 ON lineitem OPTIONS("
+                 "qcs 'l_returnflag', fraction '0.1', "
+                 "method 'hash', seed '42')")],
+        "tables": ("lineitem", "orders", "customer", "supplier",
+                   "nation", "region"),
+        "query": ("SELECT n_name, sum(l_extendedprice) AS rev, "
+                  "relative_error(rev), lower_bound(rev) "
+                  "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+                  "JOIN customer ON o_custkey = c_custkey "
+                  "JOIN supplier ON l_suppkey = s_suppkey "
+                  "AND c_nationkey = s_nationkey "
+                  "JOIN nation ON s_nationkey = n_nationkey "
+                  "JOIN region ON n_regionkey = r_regionkey "
+                  "WHERE r_name = 'ASIA' "
+                  "GROUP BY n_name ORDER BY rev DESC WITH ERROR 0.8"),
+    },
     # AQP-210/AQP-227 protocol (CommonBugTest.scala:1204-1260): arithmetic
     # OVER error functions as select items and in HAVING; components are
     # computed hidden when not selected separately

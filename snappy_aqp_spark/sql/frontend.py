@@ -94,7 +94,16 @@ def strip_with_clause(sql: str) -> tuple[str, WithClause | None]:
     if wc.behavior is not None and wc.behavior not in BEHAVIORS:
         raise SQLFrontendError(f"unknown behavior '{wc.behavior}'")
     validate_error_confidence(wc.error, wc.confidence)
-    return sql[:m.start()], wc
+    head = sql[:m.start()]
+    # the reference grammar is (WITH ERROR expr)? (CONFIDENCE)? (BEHAVIOR)?
+    # (snappyAQPParsers.scala:48-52) — "WITH BEHAVIOR"/"WITH CONFIDENCE"
+    # is invalid there; without this check the bare-clause match would
+    # silently leave the dangling WITH in the query text
+    if re.search(r"\bWITH\s*$", head, re.IGNORECASE):
+        raise SQLFrontendError(
+            "expected ERROR after WITH (the clause grammar is "
+            "[WITH ERROR <f>] [CONFIDENCE <f>] [BEHAVIOR '<b>'])")
+    return head, wc
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:

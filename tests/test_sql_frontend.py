@@ -32,6 +32,16 @@ def test_with_clause_parsing():
     assert wc2.error is None and wc2.behavior is None
     _, wc3 = fe.strip_with_clause("SELECT 1 FROM t")
     assert wc3 is None
+    # bare CONFIDENCE / BEHAVIOR clauses are legal (no WITH keyword) —
+    # the reference grammar only ties WITH to ERROR
+    q4, wc4 = fe.strip_with_clause("SELECT 1 FROM t BEHAVIOR 'strict'")
+    assert q4 == "SELECT 1 FROM t" and wc4.behavior == "strict"
+    # but WITH directly before CONFIDENCE/BEHAVIOR is a syntax error in
+    # the reference (snappyAQPParsers.scala:48-52) — raise instead of
+    # leaving a dangling WITH in the query text
+    for bad in ("WITH BEHAVIOR 'strict'", "WITH CONFIDENCE 0.9"):
+        with pytest.raises(fe.SQLFrontendError, match="expected ERROR"):
+            fe.strip_with_clause(f"SELECT 1 FROM t ORDER BY x DESC {bad}")
 
 
 def test_parse_select_joins_and_clauses():
