@@ -45,6 +45,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "skew_salted_join", "streaming_dedup_ingest",
     "sql_partial_route_join", "grouped_topk",
     "streaming_dedup_window_chain",
+    "bucketed_colocated_join", "partition_pruned_scan",
+    "sql_q5_multijoin", "streaming_interval_join",
     "sql_dup_agg", "sql_order_by_errfn", "sql_month_case",
     "sql_full_route_nulls", "sql_set_props", "semantic_dedup",
     "gopher_quality", "sql_rollup_exact", "df_api_with_error",
@@ -508,6 +510,61 @@ def _streaming_dedup_window_chain_runner(spark: SparkSession,
     return spark.table(sink).orderBy("win_start_us", "key")
 
 
+def _streaming_interval_join_runner(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: clicks x purchases per
+    user within 1 day, both sides unbounded streams with state bounded by
+    watermark + the range condition. Inner join over time-ordered batches
+    is lossless (eviction only drops rows whose match window the watermark
+    fully passed), so the drained sink aggregates to the plain batch
+    interval join — the DuckDB replay."""
+    import os
+    import tempfile
+    import time
+    import uuid
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.streaming.joins import stream_interval_join
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from snappy_aqp_spark.topk.api import _time_us
+    us = _time_us(df, "ts")
+    tmp = tempfile.mkdtemp(prefix="aqp-ssjoin-")
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    lo = df.select(F.min(us).alias("m")).collect()[0]["m"]
+    hi = df.select(F.max(us).alias("m")).collect()[0]["m"]
+    step = (hi - lo) // 3 + 1
+    for i in range(3):
+        part = df.where((us >= lo + i * step) & (us < lo + (i + 1) * step))
+        tbl = pa.Table.from_pandas(part.toPandas(), preserve_index=False)
+        tbl = tbl.cast(pa.schema(
+            [pa.field(f.name, pa.timestamp("us")) if f.name == "ts" else f
+             for f in tbl.schema]))
+        pq.write_table(tbl, f"{tmp}/in/b{i}.parquet")
+        time.sleep(0.15)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{tmp}/in"))
+    lag_us, delay_us = 86400 * 1_000_000, 2 * 86400 * 1_000_000
+    pairs = stream_interval_join(
+        stream.where("event_type = 'click'"),
+        stream.where("event_type = 'purchase'"),
+        "user_id", "ts", lag_us, delay_us)
+    sink = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (pairs.writeStream.outputMode("append").format("memory")
+         .queryName(sink).option("checkpointLocation", f"{tmp}/ckpt")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300), \
+        "streaming_interval_join query did not finish within 300s"
+    return (spark.table(sink)
+            .groupBy(F.col("key"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.round(F.col("r_value") * 100)
+                       .cast("bigint")).cast("bigint")
+                 .alias("r_value_cents"))
+            .orderBy("key"))
+
+
 def _topk_decay_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hokusai width-halving decay (Hokusai.scala:68-1017): buckets older
     than the cutoff compress 4096 -> 2048, then the full-range query runs
@@ -723,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["streaming_windowed_agg"] = _streaming_windowed_agg_runner
     out["streaming_dedup_ingest"] = _streaming_dedup_runner
     out["streaming_dedup_window_chain"] = _streaming_dedup_window_chain_runner
+    out["streaming_interval_join"] = _streaming_interval_join_runner
     out["sql_derived_agg_join"] = _derived_agg_join_runner
     out["topk_decay"] = _topk_decay_runner
     out["dedup_embedding_clusters"] = _embedding_clusters_runner
@@ -730,7 +788,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sql_auto_weighted_table"] = _auto_weighted_runner
     out["sql_external_csv"] = _external_csv_runner
     out["df_api_with_error"] = _df_api_runner
+    out["bucketed_colocated_join"] = _bucketed_join_runner
+    out["partition_pruned_scan"] = _partition_pruned_runner
     return _gate_order(out)
+
+
+def _bucketed_join_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-co-located fact/fact join (the reference's co-partitioned
+    sample/base layout, ColumnFormatSamplingRelation.scala:98-100 /
+    SampledCachedRDD.scala:36-48, as write-time bucketBy): the
+    SortMergeJoin runs with ZERO Exchange below it."""
+    from snappy_aqp_spark.storage import colocated_join_revenue
+    return colocated_join_revenue(spark, sf_dir)
+
+
+def _partition_pruned_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-level partition pruning: the source filter is resolved at
+    planning time against the partitionBy layout, so only the named
+    sources' files are read."""
+    from snappy_aqp_spark.storage import partition_pruned_counts
+    return partition_pruned_counts(spark, sf_dir)
 
 
 _DFAPI_DDL = ("CREATE SAMPLE TABLE li_dfapi ON lineitem OPTIONS("
@@ -860,6 +937,10 @@ def oracle_sql() -> dict[str, str]:
     out["streaming_dedup_window_chain"] = windowed_counts_oracle_sql(
         "events", "ts", 3 * 86400 * 1_000_000, 2 * 86400 * 1_000_000,
         "event_type")
+    from snappy_aqp_spark.streaming.joins import interval_join_pairs_oracle_sql
+    out["streaming_interval_join"] = interval_join_pairs_oracle_sql(
+        "events", "user_id", "ts", "event_type = 'click'",
+        "event_type = 'purchase'", 86400 * 1_000_000)
     # the deduped stream is exactly one row per event -> plain aggregate
     out["streaming_dedup_ingest"] = (
         "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
@@ -869,6 +950,11 @@ def oracle_sql() -> dict[str, str]:
     out["sql_auto_weighted_table"] = _auto_weighted_oracle()
     out["sql_external_csv"] = _external_csv_oracle()
     out["df_api_with_error"] = _df_api_oracle()
+    # storage layout is physical only — the replays are the plain queries
+    from snappy_aqp_spark.storage.layout import (
+        colocated_join_oracle_sql, partition_pruned_oracle_sql)
+    out["bucketed_colocated_join"] = colocated_join_oracle_sql()
+    out["partition_pruned_scan"] = partition_pruned_oracle_sql()
     from snappy_aqp_spark.fixtures import LI_HASH, _PRICE
     from snappy_aqp_spark.operators.sample_stats import (
         error_estimate_average_oracle, error_stats_oracle)

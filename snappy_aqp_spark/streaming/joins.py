@@ -1,0 +1,76 @@
+"""Watermarked stream-stream interval joins.
+
+The reference joins a stream against sampled/reference relations inside its
+CQ pipeline (AQPStreamingSuite's windowed stream joins); Structured
+Streaming generalizes that to full stream x stream joins where BOTH sides
+are unbounded. The engine buffers each side in the state store and evicts
+by watermark + the join's time-range condition, so state is bounded by
+(arrival rate x allowed lag) — the only join formulation that survives an
+unbounded 100 TB/day event feed.
+
+For an INNER join with time-ordered micro-batches nothing is ever dropped
+(eviction only removes rows whose match window the watermark has fully
+passed), so the drained sink equals the plain batch interval join — which
+is exactly the DuckDB replay used by the fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
+                         time_col: str, max_lag_us: int,
+                         delay_us: int) -> DataFrame:
+    """Pairs (l, r) with ``l.key = r.key`` and ``r.ts`` in
+    ``(l.ts, l.ts + max_lag]`` over two streams.
+
+    Both sides get the SAME watermark delay on an epoch-micros timestamp
+    (portable NTZ convention, topk.api._time_us); the range condition lets
+    the engine size each side's state retention: left rows are kept until
+    the watermark passes ``l.ts + max_lag``, right rows until it passes
+    ``r.ts`` — bounded state on both sides.
+
+    Output columns: key, l_us, r_us, r_value (epoch micros + the right
+    side's measure), one row per qualifying pair, append mode.
+    """
+    assert max_lag_us % 1_000_000 == 0 and delay_us % 1_000_000 == 0
+    from snappy_aqp_spark.topk.api import _time_us
+    delay = f"{delay_us // 1_000_000} seconds"
+    lhs = (left
+           .withColumn("__lt", F.timestamp_micros(_time_us(left, time_col)))
+           .withWatermark("__lt", delay)
+           .select(F.col(key).alias("l_key"), F.col("__lt")))
+    rhs = (right
+           .withColumn("__rt", F.timestamp_micros(_time_us(right, time_col)))
+           .withWatermark("__rt", delay)
+           .select(F.col(key).alias("r_key"), F.col("__rt"),
+                   F.col("value").alias("r_value")))
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("__rt") > F.col("__lt"))
+        & (F.col("__rt") <= F.col("__lt")
+           + F.expr(f"INTERVAL {max_lag_us // 1_000_000} SECONDS")))
+    return (lhs.join(rhs, cond, "inner")
+            .select(F.col("l_key").alias("key"),
+                    F.unix_micros("__lt").alias("l_us"),
+                    F.unix_micros("__rt").alias("r_us"), "r_value"))
+
+
+def interval_join_pairs_oracle_sql(table: str, key: str, time_col: str,
+                                   left_pred: str, right_pred: str,
+                                   max_lag_us: int) -> str:
+    """DuckDB replay of the drained inner-join sink, aggregated per key:
+    pair count and the cents-sum of the right side's measure."""
+    return (
+        "SELECT l.{k} AS key, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM(CAST(ROUND(r.value * 100) AS BIGINT)) AS BIGINT) "
+        "AS r_value_cents "
+        "FROM {tab} l JOIN {tab} r ON l.{k} = r.{k} "
+        "AND epoch_us(r.{t}) > epoch_us(l.{t}) "
+        "AND epoch_us(r.{t}) <= epoch_us(l.{t}) + {lag} "
+        "WHERE ({lp}) AND ({rp}) "
+        "GROUP BY l.{k} ORDER BY key"
+        .format(tab=table, k=key, t=time_col, lag=int(max_lag_us),
+                lp=left_pred.replace("event_type", f"l.event_type"),
+                rp=right_pred.replace("event_type", f"r.event_type")))
