@@ -46,7 +46,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sql_partial_route_join", "grouped_topk",
     "streaming_dedup_window_chain",
     "bucketed_colocated_join", "partition_pruned_scan",
-    "sql_q5_multijoin", "streaming_interval_join",
+    "sql_q5_multijoin", "streaming_interval_join", "streaming_left_join",
     "sql_dup_agg", "sql_order_by_errfn", "sql_month_case",
     "sql_full_route_nulls", "sql_set_props", "semantic_dedup",
     "gopher_quality", "sql_rollup_exact", "df_api_with_error",
@@ -565,6 +565,80 @@ def _streaming_interval_join_runner(spark: SparkSession,
             .orderBy("key"))
 
 
+def _streaming_left_join_runner(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: null-extended rows emit only
+    once the watermark PROVES no match can arrive (state-store eviction).
+    A trailing flush batch (two sentinel rows with a far-future timestamp
+    on an impossible key) advances both sides' watermarks past every real
+    row's match window, so all provable non-matches drain — making the
+    sink's summary the plain batch LEFT JOIN replay."""
+    import os
+    import tempfile
+    import time
+    import uuid
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.streaming.joins import stream_interval_join
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from snappy_aqp_spark.topk.api import _time_us
+    us = _time_us(df, "ts")
+    tmp = tempfile.mkdtemp(prefix="aqp-ssljoin-")
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    lo = df.select(F.min(us).alias("m")).collect()[0]["m"]
+    hi = df.select(F.max(us).alias("m")).collect()[0]["m"]
+    step = (hi - lo) // 3 + 1
+    lag_us, delay_us = 86400 * 1_000_000, 2 * 86400 * 1_000_000
+    schema_us = None
+    for i in range(3):
+        part = df.where((us >= lo + i * step) & (us < lo + (i + 1) * step))
+        tbl = pa.Table.from_pandas(part.toPandas(), preserve_index=False)
+        tbl = tbl.cast(pa.schema(
+            [pa.field(f.name, pa.timestamp("us")) if f.name == "ts" else f
+             for f in tbl.schema]))
+        schema_us = tbl.schema
+        pq.write_table(tbl, f"{tmp}/in/b{i}.parquet")
+        time.sleep(0.15)
+    # flush batch: one sentinel per side (user_id -1 matches nothing, the
+    # far-future ts advances BOTH watermark nodes — the global watermark is
+    # their min — beyond every real row's l.ts + lag + delay)
+    import pandas as pd
+    flush_us = hi + lag_us + delay_us + 86400 * 1_000_000
+    flush = pd.DataFrame({
+        "event_id": [10 ** 12, 10 ** 12 + 1],
+        "ts": pd.to_datetime([flush_us, flush_us], unit="us"),
+        "user_id": [-1, -1],
+        "event_type": ["click", "purchase"],
+        "value": [0.0, 0.0], "props": ["{}", "{}"]})
+    pq.write_table(
+        pa.Table.from_pandas(flush, preserve_index=False).cast(schema_us),
+        f"{tmp}/in/b3_flush.parquet")
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{tmp}/in"))
+    pairs = stream_interval_join(
+        stream.where("event_type = 'click'"),
+        stream.where("event_type = 'purchase'"),
+        "user_id", "ts", lag_us, delay_us, how="left_outer")
+    sink = f"ssljoin_{uuid.uuid4().hex[:8]}"
+    q = (pairs.writeStream.outputMode("append").format("memory")
+         .queryName(sink).option("checkpointLocation", f"{tmp}/ckpt")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300), \
+        "streaming_left_join query did not finish within 300s"
+    return (spark.table(sink)
+            .where(F.col("key") >= 0)    # drop the sentinel's own row
+            .groupBy(F.col("key"))
+            .agg(F.count(F.col("r_us")).alias("n_matched"),
+                 F.sum(F.when(F.col("r_us").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_unmatched"),
+                 F.coalesce(F.sum(F.round(F.col("r_value") * 100)
+                                  .cast("bigint")), F.lit(0)).cast("bigint")
+                 .alias("r_value_cents"))
+            .orderBy("key"))
+
+
 def _topk_decay_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hokusai width-halving decay (Hokusai.scala:68-1017): buckets older
     than the cutoff compress 4096 -> 2048, then the full-range query runs
@@ -781,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["streaming_dedup_ingest"] = _streaming_dedup_runner
     out["streaming_dedup_window_chain"] = _streaming_dedup_window_chain_runner
     out["streaming_interval_join"] = _streaming_interval_join_runner
+    out["streaming_left_join"] = _streaming_left_join_runner
     out["sql_derived_agg_join"] = _derived_agg_join_runner
     out["topk_decay"] = _topk_decay_runner
     out["dedup_embedding_clusters"] = _embedding_clusters_runner
@@ -939,6 +1014,10 @@ def oracle_sql() -> dict[str, str]:
         "event_type")
     from snappy_aqp_spark.streaming.joins import interval_join_pairs_oracle_sql
     out["streaming_interval_join"] = interval_join_pairs_oracle_sql(
+        "events", "user_id", "ts", "event_type = 'click'",
+        "event_type = 'purchase'", 86400 * 1_000_000)
+    from snappy_aqp_spark.streaming.joins import left_join_summary_oracle_sql
+    out["streaming_left_join"] = left_join_summary_oracle_sql(
         "events", "user_id", "ts", "event_type = 'click'",
         "event_type = 'purchase'", 86400 * 1_000_000)
     # the deduped stream is exactly one row per event -> plain aggregate

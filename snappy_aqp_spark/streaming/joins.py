@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 
 def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
                          time_col: str, max_lag_us: int,
-                         delay_us: int) -> DataFrame:
+                         delay_us: int, how: str = "inner") -> DataFrame:
     """Pairs (l, r) with ``l.key = r.key`` and ``r.ts`` in
     ``(l.ts, l.ts + max_lag]`` over two streams.
 
@@ -33,6 +33,13 @@ def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
 
     Output columns: key, l_us, r_us, r_value (epoch micros + the right
     side's measure), one row per qualifying pair, append mode.
+
+    ``how="left_outer"`` additionally emits one null-extended row per left
+    row that found NO pair — but only once the watermark has passed the
+    row's entire match window (``l.ts + max_lag``), i.e. once the engine
+    can PROVE no match will ever arrive. The emission rides the state-store
+    eviction pass, so a trailing watermark-advancing batch (or the
+    engine's no-data finalization batch) flushes the last stragglers.
     """
     assert max_lag_us % 1_000_000 == 0 and delay_us % 1_000_000 == 0
     from snappy_aqp_spark.topk.api import _time_us
@@ -51,7 +58,7 @@ def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
         & (F.col("__rt") > F.col("__lt"))
         & (F.col("__rt") <= F.col("__lt")
            + F.expr(f"INTERVAL {max_lag_us // 1_000_000} SECONDS")))
-    return (lhs.join(rhs, cond, "inner")
+    return (lhs.join(rhs, cond, how)
             .select(F.col("l_key").alias("key"),
                     F.unix_micros("__lt").alias("l_us"),
                     F.unix_micros("__rt").alias("r_us"), "r_value"))
@@ -72,5 +79,29 @@ def interval_join_pairs_oracle_sql(table: str, key: str, time_col: str,
         "WHERE ({lp}) AND ({rp}) "
         "GROUP BY l.{k} ORDER BY key"
         .format(tab=table, k=key, t=time_col, lag=int(max_lag_us),
-                lp=left_pred.replace("event_type", f"l.event_type"),
-                rp=right_pred.replace("event_type", f"r.event_type")))
+                lp=left_pred.replace("event_type", "l.event_type"),
+                rp=right_pred.replace("event_type", "r.event_type")))
+
+
+def left_join_summary_oracle_sql(table: str, key: str, time_col: str,
+                                 left_pred: str, right_pred: str,
+                                 max_lag_us: int) -> str:
+    """DuckDB replay of the drained LEFT OUTER sink, aggregated per key:
+    matched-pair count, unmatched-left count (the watermark-proved nulls)
+    and the cents-sum of the matched right measure. The streaming side
+    flushes every provable non-match via a watermark-advancing trailing
+    batch, so the replay is the plain batch left join."""
+    return (
+        "SELECT l.{k} AS key, "
+        "CAST(COUNT(r.{k}) AS BIGINT) AS n_matched, "
+        "CAST(SUM(CASE WHEN r.{k} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_unmatched, "
+        "CAST(COALESCE(SUM(CAST(ROUND(r.value * 100) AS BIGINT)), 0) "
+        "AS BIGINT) AS r_value_cents "
+        "FROM (SELECT * FROM {tab} WHERE {lp}) l "
+        "LEFT JOIN (SELECT * FROM {tab} WHERE {rp}) r ON l.{k} = r.{k} "
+        "AND epoch_us(r.{t}) > epoch_us(l.{t}) "
+        "AND epoch_us(r.{t}) <= epoch_us(l.{t}) + {lag} "
+        "GROUP BY l.{k} ORDER BY key"
+        .format(tab=table, k=key, t=time_col, lag=int(max_lag_us),
+                lp=left_pred, rp=right_pred))

@@ -65,5 +65,13 @@ def test_partition_pruning_reads_fewer_files(spark):
 def test_partition_pruned_counts_match_oracle(spark, duck):
     from snappy_aqp_spark.storage import (partition_pruned_counts,
                                           partition_pruned_oracle_sql)
+    # earlier pipeline tests may shadow the shared duck documents view
+    # (duck.register python objects take precedence over catalog views)
+    try:
+        duck.unregister("documents")
+    except Exception:
+        pass
+    duck.sql("CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+             f"read_parquet('{SF_SMALL}/documents.parquet')")
     res = partition_pruned_counts(spark, SF_SMALL)
     compare_frames(res, duck.sql(partition_pruned_oracle_sql()))

@@ -729,3 +729,18 @@ def test_tws_reservoir_matches_batch_oracle(spark, duck, tmp_path):
     res = final_reservoir(spark.table("tws_sink")).orderBy("stratum", "id")
     compare_frames(res, duck.sql(
         reservoir_oracle_sql("events", "event_type", "event_id", 8, 42)))
+
+
+def test_streaming_left_join_fixture_matches_oracle(spark, duck):
+    """LEFT OUTER stream-stream interval join: watermark-proved non-matches
+    emit as null-extended rows once the trailing flush batch advances both
+    watermarks past every real match window; summary equals the batch
+    LEFT JOIN."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, compare_frames
+    res = entrymod._streaming_left_join_runner(spark, SF_SMALL)
+    from snappy_aqp_spark.streaming.joins import left_join_summary_oracle_sql
+    oracle = duck.sql(left_join_summary_oracle_sql(
+        "events", "user_id", "ts", "event_type = 'click'",
+        "event_type = 'purchase'", 86400 * 1_000_000))
+    compare_frames(res, oracle)
