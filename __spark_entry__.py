@@ -47,6 +47,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "streaming_dedup_window_chain",
     "bucketed_colocated_join", "partition_pruned_scan",
     "sql_q5_multijoin", "streaming_interval_join", "streaming_left_join",
+    "jsonl_ingest_quarantine", "schema_merge_scan", "compact_small_files",
+    "stream_static_enrich", "corpus_diversity",
     "sql_dup_agg", "sql_order_by_errfn", "sql_month_case",
     "sql_full_route_nulls", "sql_set_props", "semantic_dedup",
     "gopher_quality", "sql_rollup_exact", "df_api_with_error",
@@ -565,6 +567,45 @@ def _streaming_interval_join_runner(spark: SparkSession,
             .orderBy("key"))
 
 
+def _stream_static_enrich_runner(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: every micro-batch LEFT-joins a broadcast
+    user-tier dimension (derived id-wise from the batch table so the
+    replay is deterministic), then the enriched stream aggregates per
+    tier in the same query — stateless join + one stateful aggregate."""
+    import os
+    import tempfile
+    import uuid
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.streaming.joins import stream_static_enrich
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="aqp-enrich-")
+    for i in range(3):
+        (df.where(F.pmod(F.col("event_id"), F.lit(3)) == i)
+         .write.mode("append").parquet(f"{tmp}/in"))
+    dim = (df.select("user_id").distinct()
+           .withColumn("tier", F.pmod(F.col("user_id"), F.lit(3))
+                       .cast("bigint")))
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", str(max(1, len(
+                  [f for f in os.listdir(f"{tmp}/in")
+                   if f.endswith(".parquet")]) // 3)))
+              .parquet(f"{tmp}/in"))
+    enriched = stream_static_enrich(stream, dim, "user_id")
+    out = (enriched.groupBy("tier")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("bigint").alias("value_cents")))
+    sink = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.outputMode("complete").format("memory")
+         .queryName(sink).option("checkpointLocation", f"{tmp}/ckpt")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300), \
+        "stream_static_enrich query did not finish within 300s"
+    return spark.table(sink).orderBy("tier")
+
+
 def _streaming_left_join_runner(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """LEFT OUTER stream-stream interval join: null-extended rows emit only
@@ -856,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["streaming_dedup_window_chain"] = _streaming_dedup_window_chain_runner
     out["streaming_interval_join"] = _streaming_interval_join_runner
     out["streaming_left_join"] = _streaming_left_join_runner
+    out["stream_static_enrich"] = _stream_static_enrich_runner
     out["sql_derived_agg_join"] = _derived_agg_join_runner
     out["topk_decay"] = _topk_decay_runner
     out["dedup_embedding_clusters"] = _embedding_clusters_runner
@@ -865,6 +907,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["df_api_with_error"] = _df_api_runner
     out["bucketed_colocated_join"] = _bucketed_join_runner
     out["partition_pruned_scan"] = _partition_pruned_runner
+    from snappy_aqp_spark.pipeline.ingest import (compact_scan_agg,
+                                                  jsonl_ingest_quarantine,
+                                                  schema_merge_scan)
+    out["jsonl_ingest_quarantine"] = jsonl_ingest_quarantine
+    out["schema_merge_scan"] = schema_merge_scan
+    out["compact_small_files"] = compact_scan_agg
     return _gate_order(out)
 
 
@@ -1020,6 +1068,9 @@ def oracle_sql() -> dict[str, str]:
     out["streaming_left_join"] = left_join_summary_oracle_sql(
         "events", "user_id", "ts", "event_type = 'click'",
         "event_type = 'purchase'", 86400 * 1_000_000)
+    from snappy_aqp_spark.streaming.joins import (
+        stream_static_enrich_oracle_sql)
+    out["stream_static_enrich"] = stream_static_enrich_oracle_sql()
     # the deduped stream is exactly one row per event -> plain aggregate
     out["streaming_dedup_ingest"] = (
         "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
@@ -1034,6 +1085,14 @@ def oracle_sql() -> dict[str, str]:
         colocated_join_oracle_sql, partition_pruned_oracle_sql)
     out["bucketed_colocated_join"] = colocated_join_oracle_sql()
     out["partition_pruned_scan"] = partition_pruned_oracle_sql()
+    # ingest layer: planted corruption/drift is id-derived, so even the
+    # quarantine bucket replays as plain SQL over the source table
+    from snappy_aqp_spark.pipeline.ingest import (
+        compact_scan_oracle_sql, jsonl_quarantine_oracle_sql,
+        schema_merge_oracle_sql)
+    out["jsonl_ingest_quarantine"] = jsonl_quarantine_oracle_sql()
+    out["schema_merge_scan"] = schema_merge_oracle_sql()
+    out["compact_small_files"] = compact_scan_oracle_sql()
     from snappy_aqp_spark.fixtures import LI_HASH, _PRICE
     from snappy_aqp_spark.operators.sample_stats import (
         error_estimate_average_oracle, error_stats_oracle)

@@ -113,6 +113,11 @@ def main() -> None:
                  # copies (cached per session), iterations time the
                  # exchange-free join / pruned scan itself
                  "bucketed_colocated_join", "partition_pruned_scan",
+                 # ingest layer (jsonl write cached per session) + the
+                 # source-level diversity rollup; compaction re-writes its
+                 # files every iteration by design (it IS a write job)
+                 "jsonl_ingest_quarantine", "schema_merge_scan",
+                 "compact_small_files", "corpus_diversity",
                  # clustering family: consumers share one converged label
                  # table (pipeline/clusters.cluster_labels) — these time the
                  # derive-from-labels passes; cluster_labels_build below

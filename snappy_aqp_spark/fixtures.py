@@ -14,6 +14,7 @@ from .pipeline import chunking as _ck
 from .pipeline import contamination as _cn
 from .pipeline import dedup as _dd
 from .pipeline import diagnostics as _dg
+from .pipeline import diversity as _dv
 from .pipeline import funnel as _fn
 from .pipeline import distinct as _dc
 from .pipeline import histogram as _hg
@@ -221,6 +222,12 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     # Gopher-style within-document repetition quality signals
     "repetition_signals": {
         "builder": _rp.repetition_signals_stages, "kw": {},
+        "tables": ("documents",)},
+    # source-level diversity rollup (mixture-design diagnostics): TTR,
+    # unique-trigram fraction, mean per-word document frequency — the
+    # shuffles carry (source, token) pairs only, never text
+    "corpus_diversity": {
+        "builder": _dv.corpus_diversity_stages, "kw": {},
         "tables": ("documents",)},
     # maximal duplicated token spans (suffix-array dedup semantics in
     # relational form: dup k-grams -> gaps-and-islands runs)

@@ -83,6 +83,28 @@ def interval_join_pairs_oracle_sql(table: str, key: str, time_col: str,
                 rp=right_pred.replace("event_type", "r.event_type")))
 
 
+def stream_static_enrich(stream_df: DataFrame, static_dim: DataFrame,
+                         key: str) -> DataFrame:
+    """Stream-static enrichment join: the static side is a plain batch
+    DataFrame joined into every micro-batch (broadcast when small — the
+    standard dimension-enrichment path). No state store involved: the
+    static side is re-resolved per batch, so at scale it can also be a
+    slowly-refreshed dimension snapshot without restarting the query."""
+    from pyspark.sql.functions import broadcast
+    return stream_df.join(broadcast(static_dim), key, "left")
+
+
+def stream_static_enrich_oracle_sql(table: str = "events") -> str:
+    """Replay of the fixture's enrichment summary: the derived user-tier
+    dimension is id-derived, so the whole stream output replays as one
+    batch aggregate."""
+    return (
+        "SELECT CAST(user_id % 3 AS BIGINT) AS tier, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+        f"AS value_cents FROM {table} GROUP BY tier ORDER BY tier")
+
+
 def left_join_summary_oracle_sql(table: str, key: str, time_col: str,
                                  left_pred: str, right_pred: str,
                                  max_lag_us: int) -> str:

@@ -1336,3 +1336,24 @@ def test_grouped_topk_plan_has_window_group_limit(views):
     df = run_stages(views, stages, final)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_corpus_diversity_invariants(views):
+    """Source-level diversity rollup: ratios live in their ranges (TTR and
+    unique-trigram fraction in (0, 10000]; mean per-word df >= 1 means
+    docs_per_word_bp >= 10000) and vocabulary is strictly smaller than the
+    token stream on natural text."""
+    views.read.parquet(f"{SF_SMALL}/documents.parquet") \
+        .createOrReplaceTempView("documents")   # earlier tests clobber it
+    from snappy_aqp_spark.fixtures import PIPELINE_FIXTURES
+    from snappy_aqp_spark.pipeline.dual import run_stages
+    fx = PIPELINE_FIXTURES["corpus_diversity"]
+    st, fin = fx["builder"](SPARK, **fx["kw"])
+    rows = run_stages(views, st, fin).collect()
+    assert len(rows) == 20                      # one row per source
+    for r in rows:
+        assert 0 < r.ttr_bp <= 10000
+        assert 0 < r.uniq_trigram_bp <= 10000
+        assert r.docs_per_word_bp >= 10000
+        assert r.n_distinct_words < r.n_words
+        assert r.n_docs > 0

@@ -744,3 +744,75 @@ def test_streaming_left_join_fixture_matches_oracle(spark, duck):
         "events", "user_id", "ts", "event_type = 'click'",
         "event_type = 'purchase'", 86400 * 1_000_000))
     compare_frames(res, oracle)
+
+
+def test_stream_static_enrich_matches_oracle(spark, duck):
+    """Stream-static enrichment join (broadcast dimension per micro-batch,
+    no state store) feeding a stateful aggregate: the complete-mode sink
+    equals the batch per-tier aggregate."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, compare_frames
+    res = entrymod._stream_static_enrich_runner(spark, SF_SMALL)
+    from snappy_aqp_spark.streaming.joins import (
+        stream_static_enrich_oracle_sql)
+    compare_frames(res, duck.sql(stream_static_enrich_oracle_sql()))
+
+
+def test_streaming_file_sink_exactly_once_across_restart(spark, duck,
+                                                         tmp_path):
+    """Checkpointed stateful query + transactional file sink across a
+    STOP/RESTART: drain two batches, stop the query, add a third batch,
+    restart from the same checkpoint — the recovered state-store windows
+    continue exactly (no loss, no duplicates), and the parquet sink's
+    _spark_metadata commit log makes the readback exactly-once. Final
+    readback equals the full batch windowed-count replay."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.streaming.windowed import (
+        windowed_counts_micros, windowed_counts_oracle_sql)
+    from snappy_aqp_spark.topk.api import _time_us
+    from tests.conftest import SF_SMALL, compare_frames
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    us = _time_us(df, "ts")
+    lo = df.select(F.min(us).alias("m")).collect()[0]["m"]
+    hi = df.select(F.max(us).alias("m")).collect()[0]["m"]
+    step = (hi - lo) // 3 + 1
+    (tmp_path / "in").mkdir()
+
+    def write_batch(i: int) -> None:
+        part = df.where((us >= lo + i * step) & (us < lo + (i + 1) * step))
+        tbl = pa.Table.from_pandas(part.toPandas(), preserve_index=False)
+        tbl = tbl.cast(pa.schema(
+            [pa.field(f.name, pa.timestamp("us")) if f.name == "ts" else f
+             for f in tbl.schema]))
+        pq.write_table(tbl, str(tmp_path / "in" / f"b{i}.parquet"))
+
+    win_us, delay_us = 3 * 86400 * 1_000_000, 2 * 86400 * 1_000_000
+
+    def run_once() -> None:
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(tmp_path / "in")))
+        out = windowed_counts_micros(stream, "ts", win_us, delay_us,
+                                     "event_type")
+        q = (out.writeStream.outputMode("append").format("parquet")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    write_batch(0)
+    write_batch(1)
+    run_once()                    # drains b0, b1; stops (availableNow)
+    n_first = spark.read.parquet(str(tmp_path / "out")).count()
+    write_batch(2)
+    run_once()                    # RESTART from checkpoint, drains b2
+    res = (spark.read.parquet(str(tmp_path / "out"))
+           .orderBy("win_start_us", "key"))
+    assert res.count() > n_first  # the restart emitted the late windows
+    compare_frames(res, duck.sql(windowed_counts_oracle_sql(
+        "events", "ts", win_us, delay_us, "event_type")))
+    run_once()                    # idempotent: nothing new to process
+    assert spark.read.parquet(str(tmp_path / "out")).count() == res.count()
