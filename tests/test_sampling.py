@@ -91,3 +91,23 @@ def test_hash_sampler_scales_without_window(spark, lineitem):
     s = stratified_sample(lineitem, SPECS["hash"])
     plan = s._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+@pytest.mark.parametrize("method", sorted(SPECS))
+def test_partitioning_invariance(spark, lineitem, method):
+    """The reference ships separate partitioned / non-partitioned accuracy
+    suites (SamplingPartitionedAccuracySuite, SamplingNonPartitioned*)
+    because its node-pinned reservoirs CAN differ by layout; our contract
+    is stronger — the sample is a pure function of row keys, so ANY
+    physical layout yields the byte-identical sample."""
+    spec = SPECS[method]
+    base = stratified_sample(lineitem, spec).toPandas()
+    cols = sorted(base.columns)
+    base = base[cols].sort_values(cols).reset_index(drop=True)
+    for layout in (lineitem.repartition(13),
+                   lineitem.repartition(3, "l_returnflag"),
+                   lineitem.coalesce(1),
+                   lineitem.orderBy(F.col("l_extendedprice").desc())):
+        alt = stratified_sample(layout, spec).toPandas()
+        alt = alt[cols].sort_values(cols).reset_index(drop=True)
+        assert base.equals(alt), f"layout changed the {method} sample"
