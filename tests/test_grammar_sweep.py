@@ -87,11 +87,50 @@ def _join_cases():
 
 CASES += list(_join_cases())
 
+# deep-join block: the sampled fact through a 4-5 hop dimension chain
+# (the TPC-H Q5 shape), in every FROM spelling — explicit JOIN chain,
+# comma-style with WHERE equalities, and an aliased chain carrying a
+# dim-dim predicate inside a compound ON
+DEEP_FROMS = [
+    ("FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+     "JOIN customer ON o_custkey = c_custkey "
+     "JOIN nation ON c_nationkey = n_nationkey "
+     "JOIN region ON n_regionkey = r_regionkey", ""),
+    ("FROM lineitem, orders, customer, nation, region",
+     " AND l_orderkey = o_orderkey AND o_custkey = c_custkey "
+     "AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey"),
+    ("FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+     "JOIN customer c ON o.o_custkey = c.c_custkey "
+     "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+     "AND c.c_nationkey = s.s_nationkey "
+     "JOIN nation n ON s.s_nationkey = n.n_nationkey", ""),
+]
+
+
+def _deep_join_cases():
+    i = 0
+    for frm, jpred in DEEP_FROMS:
+        for agg in ("sum(l_extendedprice) AS m", "count(*) AS m"):
+            for err in ERRS[:2]:
+                i += 1
+                yield (f"deep{i}",
+                       f"SELECT n_name, {agg}{err} {frm} "
+                       f"WHERE r_name IN ('ASIA', 'EUROPE')"
+                       f"{jpred} GROUP BY n_name ORDER BY n_name "
+                       f"WITH ERROR 0.8" if "region" in frm else
+                       f"SELECT n_name, {agg}{err} {frm} "
+                       f"WHERE n_name LIKE 'NATION_1%'{jpred} "
+                       f"GROUP BY n_name ORDER BY n_name WITH ERROR 0.8")
+
+
+CASES += list(_deep_join_cases())
+
 
 @pytest.fixture(scope="module")
 def sweep_aqp(spark):
     s = AQPSession(spark, data_token="grammar-sweep")
-    s.load_tables(SF_SMALL, ["lineitem", "orders"])
+    s.load_tables(SF_SMALL, ["lineitem", "orders", "customer", "supplier",
+                             "nation", "region"])
     s.sql("CREATE SAMPLE TABLE li_sweep ON lineitem OPTIONS("
           "qcs 'l_returnflag', fraction '0.1', method 'hash', seed '42')")
     return s
