@@ -104,6 +104,57 @@ def windowed_counts_oracle_sql(table: str, time_col: str, window_us: int,
         .format(w=w, d=int(watermark_us), t=time_col, k=key, tab=table))
 
 
+def sliding_counts_micros(stream_df: DataFrame, time_col: str,
+                          window_us: int, slide_us: int, watermark_us: int,
+                          key: str) -> DataFrame:
+    """Hopping-window variant of ``windowed_counts_micros``: each event
+    contributes to window_us/slide_us overlapping windows (Spark expands
+    the row into one per window BEFORE the aggregate — map-side, no extra
+    shuffle), and append mode still emits each window exactly once when
+    the watermark closes it."""
+    assert window_us % slide_us == 0, "slide must divide the window"
+    assert slide_us % 1_000_000 == 0 and watermark_us % 1_000_000 == 0
+    from snappy_aqp_spark.topk.api import _time_us
+    out = (stream_df
+           .withColumn("__t", F.timestamp_micros(_time_us(stream_df,
+                                                          time_col)))
+           .withWatermark("__t", f"{watermark_us // 1_000_000} seconds"))
+    win = F.window("__t", f"{window_us // 1_000_000} seconds",
+                   f"{slide_us // 1_000_000} seconds")
+    return (out.groupBy(win.alias("win"), F.expr(key).alias("key"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_micros("win.start").alias("win_start_us"),
+                    F.unix_micros("win.end").alias("win_end_us"),
+                    "key", "n"))
+
+
+def sliding_counts_oracle_sql(table: str, time_col: str, window_us: int,
+                              slide_us: int, watermark_us: int,
+                              key: str) -> str:
+    """DuckDB replay of the hopping-window append output: every event maps
+    to the window_us/slide_us slide-aligned starts covering it (expanded
+    with a small UNION of shifted floor-divisions — window/slide is a
+    constant), restricted to watermark-closed windows."""
+    assert window_us % slide_us == 0
+    n_win = window_us // slide_us
+    w, s = int(window_us), int(slide_us)
+    t = f"epoch_us({time_col})"
+    branches = " UNION ALL ".join(
+        f"SELECT ({t} // {s}) * {s} - {k * s} AS win_start_us, "
+        f"{key} AS key FROM {table}"
+        for k in range(n_win))
+    return (
+        "SELECT win_start_us, win_start_us + {w} AS win_end_us, key, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM ({branches}) __e, "
+        "(SELECT MAX({t}) - {d} AS wm FROM {tab}) __m "
+        "WHERE win_start_us + {w} <= wm "
+        "GROUP BY win_start_us, key "
+        "ORDER BY win_start_us, key"
+        .format(w=w, d=int(watermark_us), t=t, tab=table,
+                branches=branches))
+
+
 def dedup_within_watermark(stream_df: DataFrame, time_col: str,
                            key: str, delay_us: int,
                            keep_event_time: bool = False) -> DataFrame:

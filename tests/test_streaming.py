@@ -816,3 +816,17 @@ def test_streaming_file_sink_exactly_once_across_restart(spark, duck,
         "events", "ts", win_us, delay_us, "event_type")))
     run_once()                    # idempotent: nothing new to process
     assert spark.read.parquet(str(tmp_path / "out")).count() == res.count()
+
+
+def test_streaming_sliding_window_fixture_matches_oracle(spark, duck):
+    """Hopping windows (4d window / 2d slide): every event feeds two
+    overlapping windows; append-mode closed windows equal the SQL replay
+    that expands each event to its slide-aligned window starts."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, compare_frames
+    res = entrymod._streaming_sliding_window_runner(spark, SF_SMALL)
+    from snappy_aqp_spark.streaming.windowed import sliding_counts_oracle_sql
+    oracle = duck.sql(sliding_counts_oracle_sql(
+        "events", "ts", 4 * 86400 * 1_000_000, 2 * 86400 * 1_000_000,
+        2 * 86400 * 1_000_000, "event_type"))
+    compare_frames(res, oracle)
