@@ -49,6 +49,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sql_q5_multijoin", "streaming_interval_join", "streaming_left_join",
     "jsonl_ingest_quarantine", "schema_merge_scan", "compact_small_files",
     "stream_static_enrich", "corpus_diversity", "streaming_sliding_window",
+    "python_datasource_scan",
     "sql_dup_agg", "sql_order_by_errfn", "sql_month_case",
     "sql_full_route_nulls", "sql_set_props", "semantic_dedup",
     "gopher_quality", "sql_rollup_exact", "df_api_with_error",
@@ -985,7 +986,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["jsonl_ingest_quarantine"] = jsonl_ingest_quarantine
     out["schema_merge_scan"] = schema_merge_scan
     out["compact_small_files"] = compact_scan_agg
+    out["python_datasource_scan"] = _python_datasource_runner
     return _gate_order(out)
+
+
+def _python_datasource_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 API): the deterministic synthetic
+    event generator read as a BATCH source, partitioned across readers
+    (the reference's pluggable stream-adapter family, re-expressed as a
+    first-class registered source). Generator output is a pure integer
+    function of the row id, so the oracle regenerates it with
+    generate_series — a full value-hash check on a custom source."""
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.sources import register_synthetic_source
+    register_synthetic_source(spark)
+    df = (spark.read.format("synthetic_events")
+          .option("rows", "100000").option("seed", "42").load())
+    return (df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("amount_cents").cast("bigint").alias("amount_cents"),
+                 F.countDistinct("user_id").cast("bigint").alias("n_users"))
+            .orderBy("event_type"))
 
 
 def _bucketed_join_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1169,6 +1190,8 @@ def oracle_sql() -> dict[str, str]:
     out["jsonl_ingest_quarantine"] = jsonl_quarantine_oracle_sql()
     out["schema_merge_scan"] = schema_merge_oracle_sql()
     out["compact_small_files"] = compact_scan_oracle_sql()
+    from snappy_aqp_spark.sources import synthetic_agg_oracle_sql
+    out["python_datasource_scan"] = synthetic_agg_oracle_sql(100_000, 42)
     from snappy_aqp_spark.fixtures import LI_HASH, _PRICE
     from snappy_aqp_spark.operators.sample_stats import (
         error_estimate_average_oracle, error_stats_oracle)
