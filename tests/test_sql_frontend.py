@@ -1482,3 +1482,23 @@ def test_rollup_cube_route_exact(aqp):
         # the grand-total row proves the real ROLLUP/CUBE ran
         assert any(r.l_returnflag is None and r.l_linestatus is None
                    for r in rows)
+
+
+def test_pending_feature_bare_confidence_on_avg(spark):
+    """The reference's ONLY pending feature (PendingFeatureTest.scala:104
+    is @ignore'd there): `SELECT avg(x) FROM t confidence .95` — a bare
+    CONFIDENCE clause (leading-dot literal, no WITH ERROR) on an AVG over
+    a measure-column QCS sample. Routes approx here with the clause
+    applied — this engine runs the query their suite defers."""
+    from snappy_aqp_spark.api import AQPSession
+    from tests.conftest import SF_SMALL
+    s = AQPSession(spark, data_token="pending-feature", error=0.2,
+                   confidence=0.5, behavior="do_nothing")
+    s.load_tables(SF_SMALL, ["lineitem"])
+    s.sql("CREATE SAMPLE TABLE li_pend ON lineitem OPTIONS("
+          "qcs 'l_quantity', fraction '0.05', method 'hash', seed '42')")
+    q = "SELECT avg(l_quantity) AS a FROM lineitem confidence .95"
+    an = s.analyze_sql(q)
+    assert an.spec is not None and an.spec.confidence == 0.95
+    rows = s.sql(q).collect()
+    assert len(rows) == 1 and 20 < rows[0].a < 31   # uniform(1,50)-ish mean
