@@ -13,6 +13,7 @@ from .pipeline import bloom as _bl
 from .pipeline import chunking as _ck
 from .pipeline import contamination as _cn
 from .pipeline import dedup as _dd
+from .operators import two_sample as _ts2
 from .pipeline import diagnostics as _dg
 from .pipeline import diversity as _dv
 from .pipeline import funnel as _fn
@@ -223,6 +224,24 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "repetition_signals": {
         "builder": _rp.repetition_signals_stages, "kw": {},
         "tables": ("documents",)},
+    # the reference's own deferred feature (JoinQueryRoutingTestSuite's
+    # @ignore'd "test join of two sample tables"): two-table HT estimate
+    # w_a*w_b*x with two-sided Poisson-bootstrap CIs (Acharya et al.
+    # SIGMOD'99 join synopses / ripple-join estimator)
+    "two_sample_join_sum": {
+        "builder": _ts2.two_sample_join_sum_stages,
+        "kw": {"spec_a": SampleSpec(
+                   "lineitem", ("l_orderkey", "l_linenumber"),
+                   ("l_returnflag",), "hash", 0.2, seed=42),
+               "spec_b": SampleSpec(
+                   "orders", ("o_orderkey",),
+                   ("o_orderstatus",), "hash", 0.3, seed=43),
+               "join_on": "a.l_orderkey = b.o_orderkey",
+               "measure": "l_extendedprice",
+               "group_by": "b.o_orderstatus",
+               "out_alias": "rev", "max_abs": 2.0e7,
+               "trials": 100, "confidence": 0.95},
+        "tables": ("lineitem", "orders")},
     # source-level diversity rollup (mixture-design diagnostics): TTR,
     # unique-trigram fraction, mean per-word document frequency — the
     # shuffles carry (source, token) pairs only, never text

@@ -1,0 +1,130 @@
+"""Joins of TWO sample tables — the reference's own deferred feature.
+
+JoinQueryRoutingTestSuite.scala carries an @ignore'd "test join of two
+sample tables": the reference restricts every approx query to ONE sampled
+relation and never shipped the two-sample case. The estimator itself is
+classical (public literature: Acharya et al., "Join Synopses for
+Approximate Query Answering", SIGMOD'99; Haas & Hellerstein's ripple
+join): under independent per-table sampling, each joined pair (a, b)
+carries the Horvitz-Thompson weight w_a * w_b, so
+
+    SUM(x)_join  ≈  Σ_pairs  w_a * w_b * x
+
+is unbiased. Closed-form variance for a two-table design is messy (join
+multiplicity covariances), so error bounds come from the two-table
+POISSON BOOTSTRAP: each trial draws independent Poisson(1) multiplicities
+per SIDE (seeded from each side's row keys — deterministic, replayable),
+and the per-trial estimate Σ m_a * m_b * w_a * w_b * x resamples both
+designs jointly. CI = trial percentiles, the same finalize the one-table
+bootstrap uses.
+
+Caveat the operator inherits from the math (and documents rather than
+hides): joining two INDEPENDENT uniform samples keeps only f_a * f_b of
+the join — CIs are honest but wide at small fractions. Where one side's
+keys are contained in the other's (FK joins), prefer the one-sample join
+the engine already routes; this operator is for the case the reference
+punted on.
+
+Everything is dual-emitted stage SQL: integer-lattice sums (quant.py),
+key-derived multiplicities (detrng), BIGINT trial values sorted for the
+percentile pick — bit-exact Spark/DuckDB replay.
+"""
+
+from __future__ import annotations
+
+import math
+
+from ..detrng import MODULUS, hash_sql
+from ..dialect import array_sort, collect_list, dlit, element_at
+from ..quant import pow2_literal
+from ..sampling.sql import sample_cte_stages
+from ..specs import WEIGHT_COL, SampleSpec
+from ..stats import poisson1_cdf_thresholds
+from .bootstrap import TRIAL_COL
+
+# per-row quantized |w_a*w_b*x| budget: 2^30 keeps (value x m_a*m_b <= 144
+# x 6M rows at sf1) far under BIGINT even before sharding further
+_TERM_BITS = 30
+
+
+def _multiplicity(spec: SampleSpec, side_salt: int) -> str:
+    """Poisson(1) multiplicity for (row, trial) on one side; trial 0 -> 1.
+    Seeded from THAT side's row keys so the two sides resample
+    independently (bootstrap.multiplicity_sql with a side-specific
+    seed)."""
+    h = hash_sql(list(spec.key_cols),
+                 seed=spec.seed * 31 + 1709 + side_salt, salt=TRIAL_COL)
+    th = poisson1_cdf_thresholds(MODULUS)
+    branches = " ".join(f"WHEN {h} < {c} THEN {k}"
+                        for k, c in enumerate(th))
+    return (f"(CASE WHEN {TRIAL_COL} = 0 THEN 1 {branches} "
+            f"ELSE {len(th)} END)")
+
+
+def two_sample_join_sum_stages(dialect: str, spec_a: SampleSpec,
+                               spec_b: SampleSpec, join_on: str,
+                               measure: str, group_by: str,
+                               out_alias: str = "est",
+                               where: str = "", max_abs: float = 1.0e7,
+                               trials: int = 100,
+                               confidence: float = 0.95,
+                               ) -> tuple[list[tuple[str, str]], str]:
+    """``(stages, final)``: per ``group_by`` value — the two-sample HT
+    estimate of SUM(measure) over the join, with bootstrap lb/ub and
+    relative error. ``join_on``/``measure``/``where`` reference the two
+    base tables' columns unqualified (both sides' columns are projected
+    into the join stage)."""
+    from ..pipeline.dual import explode, sequence
+    s = _TERM_BITS - max(0, math.ceil(math.log2(max_abs))) - 1
+    stages = list(sample_cte_stages(spec_a, "__tsj_a", prefix="tsa_"))
+    stages += sample_cte_stages(spec_b, "__tsj_b", prefix="tsb_")
+    keys_a = ", ".join(f"a.{k}" for k in spec_a.key_cols)
+    keys_b = ", ".join(f"b.{k}" for k in spec_b.key_cols)
+    q = (f"CAST(FLOOR(a.{WEIGHT_COL} * b.{WEIGHT_COL} * ({measure}) "
+         f"* {pow2_literal(s)}) AS BIGINT)")
+    stages.append((
+        "__tsj_join",
+        f"SELECT {group_by} AS __g, {keys_a}, {keys_b}, {q} AS __q "
+        f"FROM __tsj_a a JOIN __tsj_b b ON {join_on}"
+        + (f" WHERE {where}" if where else "")))
+    # BIGINT trial index: the multiplicity hash multiplies it by a large
+    # prime, which overflows int32 under Spark 4 ANSI mode
+    stages.append((
+        "__tsj_trials",
+        f"SELECT CAST(__ti AS BIGINT) AS {TRIAL_COL} FROM ("
+        f"SELECT {explode(dialect, sequence(dialect, '0', str(trials)), '__ti')}"
+        + (" FROM (SELECT 1 AS __one) __d" if dialect == "spark" else "")
+        + ") __tix"))
+    m_a, m_b = _multiplicity(spec_a, 11), _multiplicity(spec_b, 23)
+    stages.append((
+        "__tsj_tsum",
+        f"SELECT __g, {TRIAL_COL}, "
+        f"SUM({m_a} * {m_b} * __q) AS __tq "
+        f"FROM __tsj_join CROSS JOIN __tsj_trials "
+        f"GROUP BY __g, {TRIAL_COL}"))
+    coll = collect_list(dialect, "__tq")
+    stages.append((
+        "__tsj_grp",
+        f"SELECT __g, MAX(CASE WHEN {TRIAL_COL} = 0 THEN __tq END) AS __e0, "
+        f"{array_sort(dialect, coll + f' FILTER (WHERE {TRIAL_COL} > 0)')} "
+        f"AS __vals, "
+        f"COUNT(CASE WHEN {TRIAL_COL} > 0 THEN 1 END) AS __n "
+        f"FROM __tsj_tsum GROUP BY __g"))
+    lower, upper = (1.0 - confidence) / 2.0, (1.0 + confidence) / 2.0
+    lb_idx = (f"(CAST(FLOOR(CAST(__n AS DOUBLE) * {dlit(lower)}) AS INT)"
+              f" + 1)")
+    ub_idx = f"CAST(CEIL(CAST(__n AS DOUBLE) * {dlit(upper)}) AS INT)"
+    unscale = pow2_literal(-s)
+    est = f"(CAST(__e0 AS DOUBLE) * {unscale})"
+    lb = (f"(CAST({element_at(dialect, '__vals', lb_idx)} AS DOUBLE) "
+          f"* {unscale})")
+    ub = (f"(CAST({element_at(dialect, '__vals', ub_idx)} AS DOUBLE) "
+          f"* {unscale})")
+    final = (
+        f"SELECT __g AS grp, {est} AS {out_alias}, "
+        f"{lb} AS {out_alias}_lb, {ub} AS {out_alias}_ub, "
+        f"(CASE WHEN {est} = {dlit(0.0)} THEN NULL ELSE "
+        f"ABS(({ub} - {lb}) / ({dlit(2.0)} * {est})) END) "
+        f"AS {out_alias}_rel "
+        f"FROM __tsj_grp ORDER BY grp")
+    return stages, final

@@ -30,11 +30,17 @@ from . import composite as comp
 
 # WITH ERROR is optional: the reference also accepts bare trailing
 # `CONFIDENCE x` / `BEHAVIOR 'y'` clauses (QuerySyntaxTestSuite.scala:123-165)
-# whose error then resolves from the session/connection default.
-_WITH_RE = re.compile(
-    r"(?:\s+(?P<w>WITH\s+ERROR)(?:\s+(?P<e>[0-9.eE+-]+))?)?"
-    r"(?:\s+CONFIDENCE\s+(?P<c>[0-9.eE+-]+))?"
-    r"(?:\s+BEHAVIOR\s+'(?P<b>\w+)')?\s*;?\s*$",
+# whose error then resolves from the session/connection default. Unlike the
+# reference's fixed ERROR->CONFIDENCE->BEHAVIOR rule, components here may
+# appear in ANY order — `confidence .85 with error .07` is the reference's
+# own ignored SNAP-225 test (BootStrapAggregateFunctionTest.scala:89-101),
+# deferred there because the parboiled rule can't reorder.
+_WITH_COMPONENT_RE = re.compile(
+    r"(?<![A-Za-z0-9_])(?:"
+    r"(?P<w>WITH\s+ERROR)(?:\s+(?P<e>[0-9.eE+-]+))?"
+    r"|CONFIDENCE\s+(?P<c>[0-9.eE+-]+)"
+    r"|BEHAVIOR\s+'(?P<b>\w+)'"
+    r")\s*;?\s*$",
     re.IGNORECASE)
 
 _CLAUSES = ["FROM", "WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT"]
@@ -81,20 +87,38 @@ class ParsedSelect:
 
 
 def strip_with_clause(sql: str) -> tuple[str, WithClause | None]:
-    m = _WITH_RE.search(sql)
-    # with every component optional the regex can match empty trailing
-    # whitespace — only a real keyword hit is a WITH clause
-    if not m or not (m.group("w") or m.group("c") or m.group("b")):
+    head = sql
+    err = conf = beh = None
+    has_error_kw = False
+    while True:
+        m = _WITH_COMPONENT_RE.search(head)
+        if not m:
+            break
+        if m.group("w"):
+            val = float(m.group("e")) if m.group("e") else None
+            if has_error_kw and err is not None and val is not None:
+                raise SQLFrontendError("duplicate WITH ERROR clause")
+            # a second BARE `WITH ERROR` is the reference's trailing
+            # ErrorDefaults marker (snappyAQPParsers.scala:52) — keep the
+            # valued one
+            has_error_kw = True
+            err = val if val is not None else err
+        elif m.group("c") is not None:
+            if conf is not None:
+                raise SQLFrontendError("duplicate CONFIDENCE clause")
+            conf = float(m.group("c"))
+        else:
+            if beh is not None:
+                raise SQLFrontendError("duplicate BEHAVIOR clause")
+            beh = m.group("b").lower()
+        head = head[:m.start()].rstrip()
+    if not (has_error_kw or conf is not None or beh is not None):
         return sql, None
-    wc = WithClause(
-        error=float(m.group("e")) if m.group("e") else None,
-        confidence=float(m.group("c")) if m.group("c") else None,
-        behavior=m.group("b").lower() if m.group("b") else None,
-        has_error_kw=bool(m.group("w")))
+    wc = WithClause(error=err, confidence=conf, behavior=beh,
+                    has_error_kw=has_error_kw)
     if wc.behavior is not None and wc.behavior not in BEHAVIORS:
         raise SQLFrontendError(f"unknown behavior '{wc.behavior}'")
     validate_error_confidence(wc.error, wc.confidence)
-    head = sql[:m.start()]
     # the reference grammar is (WITH ERROR expr)? (CONFIDENCE)? (BEHAVIOR)?
     # (snappyAQPParsers.scala:48-52) — "WITH BEHAVIOR"/"WITH CONFIDENCE"
     # is invalid there; without this check the bare-clause match would

@@ -81,3 +81,28 @@ def test_hac_persisted_blocks_bounded(spark):
         run_approx_query(spark, s, tables, cache_token=SF_SMALL).collect()
     # only the LAST query's fin_rel may remain beyond the baseline
     assert n_persisted() <= before + 1, (before, n_persisted())
+
+
+def test_two_sample_join_estimate_and_ci(spark, duck):
+    """The reference's deferred two-sample join (JoinQueryRoutingTestSuite
+    @ignore): the w_a*w_b HT estimate tracks the true join SUM and the
+    two-sided Poisson-bootstrap CI covers it, per group."""
+    from snappy_aqp_spark.fixtures import PIPELINE_FIXTURES
+    from snappy_aqp_spark.pipeline.dual import run_stages
+    from tests.conftest import SF_SMALL
+    fx = PIPELINE_FIXTURES["two_sample_join_sum"]
+    for t in fx["tables"]:
+        spark.read.parquet(f"{SF_SMALL}/{t}.parquet") \
+            .createOrReplaceTempView(t)
+    stages, final = fx["builder"]("spark", **fx["kw"])
+    rows = {r.grp: r for r in run_stages(spark, stages, final).collect()}
+    truth = {r[0]: r[1] for r in duck.sql(
+        "SELECT o_orderstatus, SUM(l_extendedprice) FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY 1").fetchall()}
+    assert set(rows) == set(truth)
+    for g, t in truth.items():
+        r = rows[g]
+        assert r.rev_lb <= t <= r.rev_ub, (g, r.rev_lb, t, r.rev_ub)
+        # point estimate within (loose) 3x of truth — the CI is the real
+        # accuracy contract; this guards magnitude-level blunders
+        assert t / 3 < r.rev < t * 3

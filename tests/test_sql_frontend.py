@@ -1502,3 +1502,26 @@ def test_pending_feature_bare_confidence_on_avg(spark):
     assert an.spec is not None and an.spec.confidence == 0.95
     rows = s.sql(q).collect()
     assert len(rows) == 1 and 20 < rows[0].a < 31   # uniform(1,50)-ish mean
+
+
+def test_with_clause_any_order_snap225():
+    """SNAP-225 (ignored in the reference — its parboiled rule is
+    order-fixed): clause components in ANY order, including
+    `confidence .85 with error .07` and a trailing bare WITH ERROR
+    (ErrorDefaults marker) after a valued one."""
+    q, wc = fe.strip_with_clause(
+        "SELECT sum(x) AS t FROM m confidence .85 with error .07")
+    assert q.rstrip() == "SELECT sum(x) AS t FROM m"
+    assert (wc.error, wc.confidence) == (0.07, 0.85)
+    q2, wc2 = fe.strip_with_clause(
+        "SELECT 1 FROM t BEHAVIOR 'local_omit' WITH ERROR 0.2")
+    assert (wc2.error, wc2.behavior) == (0.2, "local_omit")
+    _, wc3 = fe.strip_with_clause(
+        "SELECT 1 FROM t WITH ERROR 0.2 BEHAVIOR 'strict' WITH ERROR")
+    assert (wc3.error, wc3.behavior, wc3.has_error_kw) == \
+        (0.2, "strict", True)
+    for bad in ("WITH ERROR 0.1 WITH ERROR 0.2",
+                "CONFIDENCE 0.9 CONFIDENCE 0.8",
+                "BEHAVIOR 'strict' BEHAVIOR 'strict'"):
+        with pytest.raises(fe.SQLFrontendError, match="duplicate"):
+            fe.strip_with_clause(f"SELECT 1 FROM t {bad}")
