@@ -403,8 +403,13 @@ def _balanced(text: str) -> bool:
             if depth < 0:
                 return False
     return depth == 0
+# target: an alias, OR the aggregate's own function text — the reference's
+# DataFrame API addresses unaliased aggregates as "avg(col)" and @ignore's
+# its test for it (AbstractAQPDataFrameAPIPart1Test.scala:457-465); here
+# both spellings resolve
 _ERRFN_RE = re.compile(r"^(ABSOLUTE_ERROR|RELATIVE_ERROR|LOWER_BOUND|UPPER_BOUND)"
-                       r"\s*\(\s*(\w+)\s*\)$", re.IGNORECASE)
+                       r"\s*\(\s*(\w+(?:\s*\(\s*[^()]*\s*\))?)\s*\)$",
+                       re.IGNORECASE)
 # unanchored form: direct error-fn calls inside HAVING/ORDER BY text
 _ERRFN_CALL_RE = re.compile(
     r"\b(ABSOLUTE_ERROR|RELATIVE_ERROR|LOWER_BOUND|UPPER_BOUND)"
@@ -672,8 +677,16 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
     by_alias: dict[str, list[str]] = {}
     comp_errors: dict[str, list[str]] = {}    # composite alias -> error fns
     comp_norm = {a.lower(): a for a in comp_items}
+    # function-text lookup for unaliased targets: "avg(l_quantity)" ->
+    # the agg whose (func, measure) renders to that text
+    def _fntext(a) -> str:
+        body = "*" if a.func == "count_star" else (a.measure or "")
+        fn_name = "count" if a.func == "count_star" else a.func
+        return f"{fn_name}({body})".replace(" ", "").lower()
+    agg_by_text = {_fntext(a): a for a in aggs}
     for fn, target, alias in errfns:
-        agg = agg_by_alias.get(target.lower())
+        agg = (agg_by_alias.get(target.lower())
+               or agg_by_text.get(target.replace(" ", "").lower()))
         if agg is not None:
             by_alias.setdefault(agg.alias, []).append(fn)
             if alias:
@@ -695,7 +708,8 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
     # ErrorEstimateAttribute, QueryProcessingRules.scala:1525-1566)
     selected = set()
     for f, t, _ in errfns:
-        agg = agg_by_alias.get(t.lower())
+        agg = (agg_by_alias.get(t.lower())
+               or agg_by_text.get(t.replace(" ", "").lower()))
         selected.add(((agg.alias if agg else comp_norm[t.lower()]), f))
 
     def rewrite_direct(text: str | None) -> str | None:

@@ -1525,3 +1525,26 @@ def test_with_clause_any_order_snap225():
                 "BEHAVIOR 'strict' BEHAVIOR 'strict'"):
         with pytest.raises(fe.SQLFrontendError, match="duplicate"):
             fe.strip_with_clause(f"SELECT 1 FROM t {bad}")
+
+
+def test_errfn_targets_unaliased_aggregate_text(spark, duck):
+    """The reference's @ignore'd DataFrame-API case
+    (AbstractAQPDataFrameAPIPart1Test.scala:457-465): an error function
+    addressing an UNALIASED aggregate by its function text —
+    absolute_error(avg(l_quantity)) — resolves to that aggregate and the
+    routed result matches the replay oracle."""
+    from snappy_aqp_spark.api import AQPSession
+    from snappy_aqp_spark.plans.approx_query import oracle_sql_for
+    from tests.conftest import SF_SMALL, compare_frames
+    s = AQPSession(spark, data_token="noalias-errfn", error=0.2,
+                   confidence=0.95, behavior="do_nothing")
+    s.load_tables(SF_SMALL, ["lineitem"])
+    s.sql("CREATE SAMPLE TABLE li_noalias ON lineitem OPTIONS("
+          "qcs 'l_returnflag', fraction '0.1', method 'hash', seed '42')")
+    q = ("SELECT avg(l_quantity), absolute_error(avg(l_quantity)) "
+         "FROM lineitem WITH ERROR 0.5")
+    an = s.analyze_sql(q)
+    assert an.spec is not None
+    assert any("absolute_error" in a.errors for a in an.spec.aggs)
+    compare_frames(s.sql(q),
+                   duck.sql(oracle_sql_for(an.spec)))
