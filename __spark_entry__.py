@@ -785,7 +785,8 @@ _DRV_DDL = ("CREATE SAMPLE TABLE li_drv ON lineitem OPTIONS("
 _DRV_INNER = ("SELECT l_orderkey, sum(l_extendedprice) AS rev "
               "FROM lineitem GROUP BY l_orderkey")
 _DRV_OUTER = ("SELECT o.o_orderpriority, "
-              "sum(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS income_cents "
+              "CAST(sum(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))"
+              " AS BIGINT) AS income_cents "
               "FROM {sub} big JOIN orders o ON big.l_orderkey = o.o_orderkey "
               "WHERE big.rev > 50000.0 "
               "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority")
@@ -917,6 +918,17 @@ def _multimodal_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(resized).orderBy("id", "frame")
 
 
+def _multimodal_real_codec_runner(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """the REAL-decoder branch: actual binary-PPM image bytes parsed by
+    the stdlib-only registered codec (multimodal.ppm_image_decoder) —
+    header parse + RGB de-interleave + integer luma, oracle-matched."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = mm.encode_ppm_media(docs, width=8, height=8)
+    decoded = mm.decode_media(media, decode_fn="ppm")
+    return mm.extract_features(decoded).orderBy("id", "frame")
+
+
 # prepared-query memo for the INTERACTIVE query surface: fixture data is
 # static per sf_dir, every runner is a deterministic (spark, sf_dir) -> lazy
 # DataFrame, and plan construction + Catalyst analysis of the generated
@@ -959,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, fx in PIPELINE_FIXTURES.items():
         out[name] = _make_pipeline_runner(fx)
     out["multimodal_features"] = _multimodal_runner
+    out["multimodal_real_codec"] = _multimodal_real_codec_runner
     out["dedup_clusters"] = _dedup_clusters_runner
     out["corpus_clean"] = _clean_corpus_runner
     out["streaming_topk_state"] = _streaming_topk_runner
@@ -1119,6 +1132,8 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY EstimatedValue DESC, key ASC LIMIT 20) __t")
     out["multimodal_features"] = mm.multimodal_oracle_sql(
         _DK, n_frames=4, sample_every=2, width=16, height=16, factor=2)
+    out["multimodal_real_codec"] = mm.multimodal_ppm_oracle_sql(
+        _DK, width=8, height=8)
     from snappy_aqp_spark.fixtures import (INCR_APPEND_SPEC, TOPK_DDL_SPEC,
                                            TOPK_DDL_WINDOW)
     out["cf_incremental_append"] = oracle_sql_for(INCR_APPEND_SPEC)

@@ -3,9 +3,15 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line.
 
 Protocol scaled down from the reference harness (PerfRun.conf:42-44 — median
-over many iterations after warm-ups): median of ITERS after WARMUP runs.
-Reports each approx query, its exact counterpart (the speedup story the
-reference pitches), and the total.
+over many iterations after warm-ups): median of adaptive ITERS after WARMUP
+runs. Reports each approx query, its exact counterpart (the speedup story
+the reference pitches), and the total.
+
+Artifact robustness: the full per-query map goes to BENCH_full.json next to
+this script; stdout gets the full JSON line first (for humans/history) and
+a COMPACT final line (headline metric + per-query noise floor + pointer)
+that a bounded tail capture can never truncate — the round-4 artifact lost
+its headline because the one-line JSON outgrew the driver's tail window.
 """
 
 from __future__ import annotations
@@ -29,6 +35,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "8")
 WARMUP = int(os.environ.get("BENCH_WARMUP", "2"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+# adaptive floor: keep iterating a query until this much measured time has
+# accumulated (or the cap) — sub-100ms queries need many samples before
+# their median is worth anything; multi-second queries stop at ITERS
+MIN_MEASURED_SEC = float(os.environ.get("BENCH_MIN_MEASURED", "1.2"))
+MAX_ITERS = int(os.environ.get("BENCH_MAX_ITERS", "15"))
 
 HEADLINE = ["cf_sum_global", "cf_group_multi", "cf_where", "cf_join_orders",
             "cf_local_omit", "bypass_weighted_sum",
@@ -36,11 +47,65 @@ HEADLINE = ["cf_sum_global", "cf_group_multi", "cf_where", "cf_join_orders",
             # reference perf protocol reports both (BASELINE.md row 3/6)
             "bs_sum_group"]
 
+PIPELINE = (
+    "topk_cms_full", "topk_streamsummary", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",     # exact prefix-filtered join
+    "dedup_lines", "pii_scan",
+    "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk",
+    "ann_pq_topk", "approx_distinct_hll", "approx_quantiles",
+    "approx_quantiles_grouped", "text_analysis",
+    "sessionize_events", "asof_join_clicks",
+    "range_join_activity", "bloom_semi_join",
+    "skew_salted_join", "grouped_topk",
+    "stratified_split", "text_top_terms",
+    "pps_weighted_sample", "source_quota_cap",
+    "decontamination", "chunk_documents", "join_cardinality",
+    "event_funnel", "cohort_retention", "sequence_pack",
+    "mixture_resample", "repetition_signals",
+    "duplicate_spans", "cross_corpus_dedup",
+    "bm25_retrieval", "token_stats",
+    "lm_surprise", "dsir_select", "hard_negative_mining",
+    "semantic_dedup", "gopher_quality", "c4_filters",
+    "bpe_pair_counts",
+    # storage layout: first call writes the bucketed/partitioned
+    # copies (cached per session), iterations time the
+    # exchange-free join / pruned scan itself
+    "bucketed_colocated_join", "partition_pruned_scan",
+    # ingest layer (jsonl write cached per session) + the
+    # source-level diversity rollup; compaction re-writes its
+    # files every iteration by design (it IS a write job)
+    "jsonl_ingest_quarantine", "schema_merge_scan",
+    "compact_small_files", "corpus_diversity",
+    # clustering family: consumers share one converged label
+    # table (pipeline/clusters.cluster_labels) — these time the
+    # derive-from-labels passes; cluster_labels_build below
+    # times the convergence itself
+    "dedup_clusters", "corpus_clean", "leakage_safe_split")
+
 
 def _time(fn) -> float:
     t0 = time.time()
     fn()
     return time.time() - t0
+
+
+def measure(once, warmup: int, min_iters: int) -> tuple[float, float]:
+    """(median_sec, rel_spread): adaptive iteration count — at least
+    min_iters, continuing until MIN_MEASURED_SEC of samples accumulate
+    (capped at MAX_ITERS). rel_spread = IQR/median, a robust per-query
+    noise estimate."""
+    for _ in range(warmup):
+        once()
+    times: list[float] = []
+    while (len(times) < min_iters
+           or (sum(times) < MIN_MEASURED_SEC and len(times) < MAX_ITERS)):
+        times.append(_time(once))
+    med = statistics.median(times)
+    ts = sorted(times)
+    n = len(ts)
+    q1, q3 = ts[n // 4], ts[(3 * n) // 4 if (3 * n) // 4 < n else n - 1]
+    spread = (q3 - q1) / med if med > 0 else 0.0
+    return med, spread
 
 
 def main() -> None:
@@ -63,6 +128,7 @@ def main() -> None:
         df.cache().count()  # park in memory: bench measures compute, not disk
 
     results: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     # interactive serving profile for the cached-sample section: AQE's
     # per-stage re-planning only adds latency here (PLANS.md A/B); applied
     # to approx AND exact columns alike, restored for the pipeline section
@@ -81,54 +147,20 @@ def main() -> None:
             ("exact_cached:", lambda df=exact_prepared: df.collect()),
         )
         for label, once in runners:
-            for _ in range(WARMUP):
-                once()
-            times = [_time(once) for _ in range(ITERS)]
-            results[f"{label}{name}"] = round(statistics.median(times), 4)
+            med, spread = measure(once, WARMUP, ITERS)
+            results[f"{label}{name}"] = round(med, 4)
+            spreads[f"{label}{name}"] = spread
 
     # --- TopK / pipeline operators ---------------------------------------
     set_interactive_latency_mode(spark, False)   # ETL section: AQE back on
     import __spark_entry__ as entry
     qs = entry.queries()
-    for name in ("topk_cms_full", "topk_streamsummary", "dedup_minhash_lsh",
-                 "dedup_ngram_jaccard",     # exact prefix-filtered join
-                 "dedup_lines", "pii_scan",
-                 "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk",
-                 "ann_pq_topk", "approx_distinct_hll", "approx_quantiles",
-                 "approx_quantiles_grouped", "text_analysis",
-                 "sessionize_events", "asof_join_clicks",
-                 "range_join_activity", "bloom_semi_join",
-                 "skew_salted_join", "grouped_topk",
-                 "stratified_split", "text_top_terms",
-                 "pps_weighted_sample", "source_quota_cap",
-                 "decontamination", "chunk_documents", "join_cardinality",
-                 "event_funnel", "cohort_retention", "sequence_pack",
-                 "mixture_resample", "repetition_signals",
-                 "duplicate_spans", "cross_corpus_dedup",
-                 "bm25_retrieval", "token_stats",
-                 "lm_surprise", "dsir_select", "hard_negative_mining",
-                 "semantic_dedup", "gopher_quality", "c4_filters",
-                 "bpe_pair_counts",
-                 # storage layout: first call writes the bucketed/partitioned
-                 # copies (cached per session), iterations time the
-                 # exchange-free join / pruned scan itself
-                 "bucketed_colocated_join", "partition_pruned_scan",
-                 # ingest layer (jsonl write cached per session) + the
-                 # source-level diversity rollup; compaction re-writes its
-                 # files every iteration by design (it IS a write job)
-                 "jsonl_ingest_quarantine", "schema_merge_scan",
-                 "compact_small_files", "corpus_diversity",
-                 # clustering family: consumers share one converged label
-                 # table (pipeline/clusters.cluster_labels) — these time the
-                 # derive-from-labels passes; cluster_labels_build below
-                 # times the convergence itself
-                 "dedup_clusters", "corpus_clean", "leakage_safe_split"):
+    for name in PIPELINE:
         def once():
             qs[name](spark, SF_DIR).collect()
-        for _ in range(max(1, WARMUP - 1)):
-            once()
-        times = [_time(once) for _ in range(max(3, ITERS - 2))]
-        results[name] = round(statistics.median(times), 4)
+        med, spread = measure(once, max(1, WARMUP - 1), max(3, ITERS - 2))
+        results[name] = round(med, 4)
+        spreads[name] = spread
 
     # cold label convergence: pair detection + connected components, cache
     # cleared each iteration (the one number the clustering family amortizes)
@@ -141,18 +173,42 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/documents.parquet") \
             .createOrReplaceTempView("documents")
         _cl.cluster_labels(spark, data_token=SF_DIR).count()
-    labels_cold()
-    times = [_time(labels_cold) for _ in range(max(3, ITERS - 2))]
-    results["cluster_labels_build"] = round(statistics.median(times), 4)
+    med, spread = measure(labels_cold, 1, max(3, ITERS - 2))
+    results["cluster_labels_build"] = round(med, 4)
+    spreads["cluster_labels_build"] = spread
 
     total = round(sum(v for k, v in results.items()
                       if not k.startswith(("exact:", "exact_cached:"))), 4)
+    # fleet noise floor: median per-query IQR/median across every entry —
+    # the honest error bar on any cross-round comparison of these numbers
+    noise_floor_pct = round(
+        100 * statistics.median(sorted(spreads.values())), 1)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    payload = {
         "metric": "aqp_headline_median_total",
         "value": total,
         "unit": "sec",
         "queries": results,
+        "noise_floor_pct": noise_floor_pct,
+        "noise_pct": {k: round(100 * v, 1) for k, v in spreads.items()},
+        "sf": float(sf),
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full.json")
+    with open(full_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    # full line first (humans / history) ...
+    print(json.dumps({k: v for k, v in payload.items() if k != "noise_pct"}))
+    # ... COMPACT final line last: a bounded tail capture always gets a
+    # complete, parseable JSON object with the headline numbers
+    print(json.dumps({
+        "metric": "aqp_headline_median_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: results[k] for k in HEADLINE},
+        "noise_floor_pct": noise_floor_pct,
+        "n_queries": len(results),
+        "full": "BENCH_full.json",
         "sf": float(sf),
     }))
     spark.stop()

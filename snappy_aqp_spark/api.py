@@ -318,25 +318,56 @@ def build_catalog_from_ddl(ddls: list[str]) -> SampleCatalog:
     return catalog
 
 
+def apply_aqp_property(defaults: dict, key: str, raw: str) -> None:
+    """Validate + apply one `SET spark.sql.aqp.<key>=<raw>` to a defaults
+    dict. Validation mirrors getErrorDefaults
+    (QueryProcessingRules.scala:1206-1226): error==0 / >=1 and confidence
+    outside (0,1) raise; NEGATIVE error is the AQP-off sentinel and is
+    stored as-is (plain queries then route exact). Conversion failures
+    raise the frontend's clear message, never a bare ValueError — and the
+    DDL-replay path gets the same range validation as the live session."""
+    def num(conv, what):
+        try:
+            return conv(raw)
+        except ValueError:
+            raise fe.SQLFrontendError(
+                f"spark.sql.aqp.{key}: {what} required, got {raw!r}")
+    if key == "error":
+        val = num(float, "a number")
+        if val == 0 or val >= 1:
+            raise fe.SQLFrontendError(
+                f"error within range of 0 to 1 required, got {val}")
+        defaults["error"] = val
+        defaults["error_conf_set"] = True
+    elif key == "confidence":
+        val = num(float, "a number")
+        if not 0 < val < 1:
+            raise fe.SQLFrontendError(
+                f"confidence within range of 0 to 1 required, got {val}")
+        defaults["confidence"] = val
+    elif key == "behavior":
+        b = raw.lower()
+        if b not in fe.BEHAVIORS:
+            raise fe.SQLFrontendError(f"unknown behavior '{raw}'")
+        defaults["behavior"] = b
+    else:  # numBootStrapTrials
+        val = num(int, "an integer")
+        if val <= 0:
+            raise fe.SQLFrontendError(
+                f"numBootStrapTrials must be positive, got {val}")
+        defaults["trials"] = val
+
+
 def defaults_from_ddl(ddls: list[str], defaults: dict) -> dict:
     """Replay `SET spark.sql.aqp.*` statements from a DDL script over a
     copy of the session defaults (AQP-285) — the analysis-only counterpart
-    of AQPSession._set_aqp_property, used for replay-oracle emission."""
+    of AQPSession._set_aqp_property, used for replay-oracle emission.
+    Applies the SAME validation as the live session path."""
     out = dict(defaults)
     for ddl in ddls:
         sprop = fe.parse_set_aqp(ddl)
-        if sprop is None:
-            continue
-        key, raw = sprop
-        if key == "error":
-            out["error"] = float(raw)
-            out["error_conf_set"] = True
-        elif key == "confidence":
-            out["confidence"] = float(raw)
-        elif key == "behavior":
-            out["behavior"] = raw.lower()
-        else:
-            out["trials"] = int(raw)
+        if sprop is not None:
+            apply_aqp_property(out, *sprop)
     return out
 
 
@@ -430,34 +461,12 @@ class AQPSession:
         self.views: dict = {}          # projection views (approx-routable)
 
     def _set_aqp_property(self, key: str, raw: str) -> None:
-        """Apply `SET spark.sql.aqp.<key>=<raw>` (AQP-285). Validation
-        mirrors getErrorDefaults (QueryProcessingRules.scala:1206-1226):
-        error==0 / >=1 and confidence outside (0,1) raise; NEGATIVE error
-        is the AQP-off sentinel and is stored as-is (plain queries then
-        route exact)."""
+        """Apply `SET spark.sql.aqp.<key>=<raw>` (AQP-285); validation in
+        apply_aqp_property."""
         # the property lives on THIS AQPSession (the SnappySession analog:
         # per-session SQLConf) — never on the shared SparkSession conf,
         # which would leak routing changes across sessions
-        if key == "error":
-            val = float(raw)
-            if val == 0 or val >= 1:
-                raise fe.SQLFrontendError(
-                    f"error within range of 0 to 1 required, got {val}")
-            self.defaults["error"] = val
-            self.defaults["error_conf_set"] = True
-        elif key == "confidence":
-            val = float(raw)
-            if not 0 < val < 1:
-                raise fe.SQLFrontendError(
-                    f"confidence within range of 0 to 1 required, got {val}")
-            self.defaults["confidence"] = val
-        elif key == "behavior":
-            b = raw.lower()
-            if b not in fe.BEHAVIORS:
-                raise fe.SQLFrontendError(f"unknown behavior '{raw}'")
-            self.defaults["behavior"] = b
-        else:  # numBootStrapTrials
-            self.defaults["trials"] = int(raw)
+        apply_aqp_property(self.defaults, key, raw)
 
     # -- tables / samples ---------------------------------------------------
 

@@ -176,8 +176,13 @@ PIPELINE_FIXTURES: dict[str, dict] = {
         "tables": ("documents",)},
     # benchmark decontamination: train docs sharing >= 100 distinct
     # 7-grams with the (doc_id % 17) "eval set" — one gram-code equi-join
+    # max_grams_per_doc: bottom-M min-hash diet on the train side —
+    # far above any sf0.01/0.1 doc's distinct-gram count (docs are <600
+    # chars here), so fixture semantics equal the uncapped definition
+    # while the capped path stays driver-verified
     "decontamination": {
-        "builder": _cn.contamination_stages, "kw": {},
+        "builder": _cn.contamination_stages,
+        "kw": {"max_grams_per_doc": 2048},
         "tables": ("documents",)},
     # fixed-size overlapping chunk windows (shuffle-free until consumed)
     "chunk_documents": {

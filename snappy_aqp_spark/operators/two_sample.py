@@ -47,12 +47,14 @@ from .bootstrap import TRIAL_COL
 _TERM_BITS = 30
 
 
-def _multiplicity(spec: SampleSpec, side_salt: int) -> str:
+def _multiplicity(spec: SampleSpec, side_salt: int, prefix: str) -> str:
     """Poisson(1) multiplicity for (row, trial) on one side; trial 0 -> 1.
     Seeded from THAT side's row keys so the two sides resample
     independently (bootstrap.multiplicity_sql with a side-specific
-    seed)."""
-    h = hash_sql(list(spec.key_cols),
+    seed). ``prefix`` is the side's projected column prefix in
+    ``__tsj_join`` — key columns are side-prefixed there so the hash
+    stays unambiguous even when both specs share a key-column name."""
+    h = hash_sql([f"{prefix}{k}" for k in spec.key_cols],
                  seed=spec.seed * 31 + 1709 + side_salt, salt=TRIAL_COL)
     th = poisson1_cdf_thresholds(MODULUS)
     branches = " ".join(f"WHEN {h} < {c} THEN {k}"
@@ -75,11 +77,29 @@ def two_sample_join_sum_stages(dialect: str, spec_a: SampleSpec,
     base tables' columns unqualified (both sides' columns are projected
     into the join stage)."""
     from ..pipeline.dual import explode, sequence
+    # Independence guard: the w_a*w_b weight assumes the two inclusion
+    # designs are independent. The affine "hash" stream (detrng.hash_sql)
+    # maps different seeds to SHIFTED intervals of the same key ordering —
+    # two affine samples of the same base table are nested/disjoint, never
+    # independent (a self-join would estimate garbage with honest-looking
+    # CIs). Nonlinear streams (hash_rand/reservoir_rand) decorrelate seeds.
+    _affine = ("hash", "fraction", "reservoir", "error_limit")
+    if (spec_a.base_table == spec_b.base_table
+            and spec_a.method in _affine and spec_b.method in _affine):
+        raise ValueError(
+            "two_sample_join_sum_stages: both sides sample "
+            f"{spec_a.base_table!r} with affine hash streams — seeds are "
+            "shifted intervals, not independent designs. Use method "
+            "'hash_rand' (fraction) or 'reservoir_rand' on at least one "
+            "side, with distinct seeds.")
     s = _TERM_BITS - max(0, math.ceil(math.log2(max_abs))) - 1
     stages = list(sample_cte_stages(spec_a, "__tsj_a", prefix="tsa_"))
     stages += sample_cte_stages(spec_b, "__tsj_b", prefix="tsb_")
-    keys_a = ", ".join(f"a.{k}" for k in spec_a.key_cols)
-    keys_b = ", ".join(f"b.{k}" for k in spec_b.key_cols)
+    # side-prefixed key projections: spec_a and spec_b may share key-column
+    # names (e.g. a self-join), which would make the unqualified projection
+    # ambiguous downstream
+    keys_a = ", ".join(f"a.{k} AS __a_{k}" for k in spec_a.key_cols)
+    keys_b = ", ".join(f"b.{k} AS __b_{k}" for k in spec_b.key_cols)
     q = (f"CAST(FLOOR(a.{WEIGHT_COL} * b.{WEIGHT_COL} * ({measure}) "
          f"* {pow2_literal(s)}) AS BIGINT)")
     stages.append((
@@ -95,7 +115,8 @@ def two_sample_join_sum_stages(dialect: str, spec_a: SampleSpec,
         f"SELECT {explode(dialect, sequence(dialect, '0', str(trials)), '__ti')}"
         + (" FROM (SELECT 1 AS __one) __d" if dialect == "spark" else "")
         + ") __tix"))
-    m_a, m_b = _multiplicity(spec_a, 11), _multiplicity(spec_b, 23)
+    m_a = _multiplicity(spec_a, 11, "__a_")
+    m_b = _multiplicity(spec_b, 23, "__b_")
     stages.append((
         "__tsj_tsum",
         f"SELECT __g, {TRIAL_COL}, "

@@ -30,7 +30,8 @@ def contamination_stages(dialect: str, k: int = 7, min_shared: int = 100,
                          eval_pred: str = "doc_id % 17 = 0",
                          table: str = "documents", col: str = "text",
                          max_gram_df: int = 50,
-                         max_train_gram_df: int = 10_000
+                         max_train_gram_df: int = 10_000,
+                         max_grams_per_doc: int | None = None
                          ) -> tuple[list[tuple[str, str]], str]:
     """``(stages, final)`` -> one row per contaminated (train, eval) pair:
     (train_id, eval_id, shared_grams, train_grams, eval_grams,
@@ -50,15 +51,36 @@ def contamination_stages(dialect: str, k: int = 7, min_shared: int = 100,
     counted for grams that survive the eval filter — the broadcast-sized
     eval gram list prunes the count's shuffle to the gram intersection —
     and the over-cap gram list (tiny by construction) excludes via
-    anti-join, not a kept-list join."""
+    anti-join, not a kept-list join.
+
+    ``max_grams_per_doc`` (the capped-shingle-sample volume diet — same
+    strategy as dedup.py's scale notes): keep only the M SMALLEST distinct
+    gram codes per TRAIN doc. Gram codes are integer hashes, so the M
+    smallest are a uniform deterministic sample of the doc's gram set
+    (bottom-M min-hash). EVAL grams stay exhaustive, so eval-set recall is
+    unchanged; the train-side recall bound is: a (train, eval) pair
+    sharing S grams out of a train doc's T distinct grams retains
+    ~S*min(1, M/T) shared grams in expectation, so choose
+    M >= T*min_shared/S_target for the overlaps that must stay above the
+    threshold. None (default) disables the cap. The fixture passes a cap
+    far above any sf0.01/0.1 doc's distinct-gram count, so fixture
+    semantics are identical with or without it."""
     grams = dual.gram_int_array(dialect, col, k)
+    gs_train = "gs"
+    if max_grams_per_doc is not None:
+        # bottom-M selection is order-free: sort then slice (both engines
+        # 1-based slice via dual.arr_slice)
+        from ..dialect import array_sort
+        gs_train = dual.arr_slice(dialect, array_sort(dialect, "gs"),
+                                  "1", str(max_grams_per_doc))
     stages = [
         ("__cge",
          f"SELECT doc_id, {dual.arr_distinct(dialect, grams)} AS gs "
          f"FROM {table} WHERE {eval_pred}"),
-        ("__cgt",
+        ("__cgt0",
          f"SELECT doc_id, {dual.arr_distinct(dialect, grams)} AS gs "
          f"FROM {table} WHERE NOT ({eval_pred})"),
+        ("__cgt", f"SELECT doc_id, {gs_train} AS gs FROM __cgt0"),
         # per-doc distinct-gram counts come free off the distinct arrays —
         # an explode + GROUP BY here would re-shuffle the whole corpus
         ("__cne",
@@ -75,17 +97,42 @@ def contamination_stages(dialect: str, k: int = 7, min_shared: int = 100,
         ("__cdf",
          f"SELECT sh FROM __cse GROUP BY sh "
          f"HAVING COUNT(*) <= {max_gram_df}"),
-        # train-side df over the eval-surviving gram intersection only;
-        # grams above the cap form a TINY exclusion list
+        # ---- candidate pruning by necessary condition (the similarity-
+        # join length-filter idea, as in dedup.py's ppjoin rewrite):
+        # shared_grams(t, e) counts grams BOTH docs have that survive the
+        # df filters, so it is bounded by each doc's own surviving-gram
+        # count — any doc with fewer than min_shared surviving grams can
+        # never reach the HAVING threshold and is dropped BEFORE the pair
+        # join. On corpora whose docs are shorter than min_shared grams
+        # (most of any web corpus), this kills almost the entire join
+        # input while remaining exact.
+        ("__csef",
+         "SELECT e.doc_id, e.sh FROM __cse e JOIN __cdf d ON e.sh = d.sh"),
+        ("__csek",
+         "SELECT doc_id, sh FROM ("
+         "SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY doc_id) AS __dn "
+         f"FROM __csef) __w WHERE __dn >= {min_shared}"),
+        # train x eval-surviving gram intersection, materialized once
+        # (run_stages persists it: referenced by __cxt and __cstk)
+        ("__cstf",
+         "SELECT t.doc_id, t.sh FROM __cst t JOIN __cdf d ON t.sh = d.sh"),
+        # train-side df cap over the FULL intersection (cap semantics are
+        # defined pre-pruning); over-cap grams form a TINY exclusion list
         ("__cxt",
-         f"SELECT t.sh FROM __cst t JOIN __cdf d ON t.sh = d.sh "
-         f"GROUP BY t.sh HAVING COUNT(*) > {max_train_gram_df}"),
+         f"SELECT sh FROM __cstf "
+         f"GROUP BY sh HAVING COUNT(*) > {max_train_gram_df}"),
+        ("__cstk",
+         "SELECT doc_id, sh FROM ("
+         "SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY doc_id) AS __dn "
+         f"FROM __cstf) __w WHERE __dn >= {min_shared}"),
+        # NOT EXISTS, not NOT IN: the join key is provably non-null, and
+        # NOT EXISTS plans as a plain (hashed) anti join on both engines —
+        # NOT IN forces Spark's null-aware anti join machinery
         ("__cov",
          "SELECT t.doc_id AS train_id, e.doc_id AS eval_id, "
          "CAST(COUNT(*) AS BIGINT) AS shared_grams "
-         "FROM __cst t JOIN __cdf d ON t.sh = d.sh "
-         "JOIN __cse e ON t.sh = e.sh "
-         "WHERE t.sh NOT IN (SELECT sh FROM __cxt) "
+         "FROM __cstk t JOIN __csek e ON t.sh = e.sh "
+         "WHERE NOT EXISTS (SELECT 1 FROM __cxt x WHERE x.sh = t.sh) "
          f"GROUP BY t.doc_id, e.doc_id HAVING COUNT(*) >= {min_shared}"),
     ]
     final = ("SELECT o.train_id, o.eval_id, o.shared_grams, "

@@ -148,6 +148,84 @@ def pil_image_decoder(pdf, stride: int):
                                        "pixels"])
 
 
+def encode_ppm_media(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", width: int = 8,
+                     height: int = 8) -> DataFrame:
+    """REAL image bytes: one binary-PPM (P6) image per row, RGB channels
+    derived deterministically from the text's content seed (r = LCG pixel,
+    g = (r+85)%256, b = (r+170)%256 — three DISTINCT channels, so decoding
+    must genuinely parse the header and de-interleave the binary payload).
+    This is the test-harness encoder; real deployments read media files."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["id", "content", "format", "width", "height", "n_frames"]
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            seeds = np.fromiter(
+                (_content_seed(t.encode("utf-8")) for t in pdf[text_col]),
+                dtype=np.int64, count=len(pdf))
+            r = _pixels(seeds, np.zeros(len(pdf), dtype=np.int64),
+                        width * height)
+            rgb = np.empty((len(pdf), width * height, 3), dtype=np.uint8)
+            rgb[:, :, 0] = r
+            rgb[:, :, 1] = (r + 85) % 256
+            rgb[:, :, 2] = (r + 170) % 256
+            head = f"P6\n{width} {height}\n255\n".encode("ascii")
+            yield pd.DataFrame({
+                "id": pdf[id_col].to_numpy(np.int64),
+                "content": [head + row.tobytes() for row in rgb],
+                "format": "image/x-portable-pixmap",
+                "width": width, "height": height, "n_frames": 1})
+    return df.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def ppm_image_decoder(pdf, stride: int):
+    """REAL zero-dependency codec implementing the extension contract:
+    parses binary PPM (P6) / PGM (P5) — magic, whitespace/comment-tolerant
+    header (width, height, maxval), raw payload — and emits grayscale
+    pixels (P6 luma = (r+g+b)//3, exact integer math so the result is
+    SQL-replayable; P5 passes through). Registered permanently as
+    decode_fn="ppm": the real-decoder branch of decode_media runs against
+    a DuckDB oracle in every environment, not just ones with PIL
+    (reference analog: arbitrary-typed columns through the sampler,
+    stratifiedSampling.scala:55-63 schema carry-through)."""
+    rows = []
+    for r in pdf.itertuples():
+        data = bytes(r.content)
+        # header: magic + 3 ints, '#' comments and any whitespace between
+        pos, fields = 0, []
+        magic = data[:2].decode("ascii")
+        if magic not in ("P5", "P6"):
+            raise ValueError(f"not a binary PPM/PGM: magic {magic!r}")
+        pos = 2
+        while len(fields) < 3:
+            while data[pos] in b" \t\r\n":
+                pos += 1
+            if data[pos:pos + 1] == b"#":
+                while data[pos] not in b"\r\n":
+                    pos += 1
+                continue
+            start = pos
+            while data[pos] not in b" \t\r\n":
+                pos += 1
+            fields.append(int(data[start:pos]))
+        pos += 1                       # single whitespace after maxval
+        w, h, maxval = fields
+        if maxval > 255:
+            raise ValueError("16-bit PPM unsupported")
+        payload = np.frombuffer(data, dtype=np.uint8, offset=pos)
+        if magic == "P6":
+            rgb = payload[:w * h * 3].reshape(-1, 3).astype(np.int64)
+            px = (rgb[:, 0] + rgb[:, 1] + rgb[:, 2]) // 3
+        else:
+            px = payload[:w * h].astype(np.int64)
+        rows.append({"id": int(r.id), "frame": 0, "width": w, "height": h,
+                     "pixels": px.tolist()})
+    return pd.DataFrame(rows, columns=["id", "frame", "width", "height",
+                                       "pixels"])
+
+
 def decode_media(df: DataFrame, decode_fn="fake",
                  sample_every: int = 1) -> DataFrame:
     """content -> per-frame pixel rows; ``sample_every`` keeps every n-th
@@ -341,3 +419,50 @@ def multimodal_oracle_sql(dialect: str = DUCKDB, table: str = "documents",
              f"CAST(nhi AS DOUBLE) / {nd} AS p_high "
              f"FROM __mmagg ORDER BY id, frame")
     return dual.stages_sql(stages, final)
+
+
+def multimodal_ppm_oracle_sql(dialect: str = DUCKDB,
+                              table: str = "documents",
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              width: int = 8, height: int = 8) -> str:
+    """SQL replay of encode_ppm_media -> decode_media("ppm") ->
+    extract_features: the encoder writes channels (r, (r+85)%256,
+    (r+170)%256) from the LCG pixel stream and the REAL decoder's luma is
+    (r+g+b)//3 exactly, so the whole real-codec round trip is integer
+    SQL."""
+    n = width * height
+    px = f"CAST({_px_sql('seed', '0', 'j')} AS BIGINT)"
+    luma = (f"CAST(FLOOR(CAST(({px} + ({px} + 85) % 256 + "
+            f"({px} + 170) % 256) AS DOUBLE) / {dlit(3.0)}) AS BIGINT)")
+    lum_arr = dual.transform(
+        dialect, dual.sequence(dialect, "CAST(0 AS BIGINT)",
+                               f"CAST({n - 1} AS BIGINT)"),
+        f"j -> {luma}")
+    nd = dlit(float(n))
+    mean = f"(CAST(s AS DOUBLE) / {nd})"
+    stages = [
+        ("__mpseed",
+         f"SELECT CAST({id_col} AS BIGINT) AS id, "
+         f"{_seed_sql(dialect, text_col)} AS seed FROM {table}"),
+        ("__mppix", f"SELECT id, {lum_arr} AS px FROM __mpseed"),
+        ("__mpagg",
+         "SELECT id, "
+         f"{dual.arr_sum_bigint(dialect, 'px')} AS s, "
+         f"{dual.arr_sum_bigint(dialect, dual.transform(dialect, 'px', 'p -> p * p'))} AS sq, "
+         f"{dual.arr_sum_bigint(dialect, dual.transform(dialect, 'px', 'p -> (CASE WHEN p < 64 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)'))} AS nlo, "
+         f"{dual.arr_sum_bigint(dialect, dual.transform(dialect, 'px', 'p -> (CASE WHEN p >= 192 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)'))} AS nhi "
+         "FROM __mppix"),
+    ]
+    final = (f"SELECT id, CAST(0 AS INT) AS frame, {mean} AS mean_px, "
+             f"sqrt(greatest(CAST(sq AS DOUBLE) / {nd} - {mean} * {mean}, "
+             f"{dlit(0.0)})) AS std_px, "
+             f"CAST(nlo AS DOUBLE) / {nd} AS p_low, "
+             f"CAST(nhi AS DOUBLE) / {nd} AS p_high "
+             f"FROM __mpagg ORDER BY id")
+    return dual.stages_sql(stages, final)
+
+
+# the PPM codec is stdlib-only: install it unconditionally so
+# decode_media(decode_fn="ppm") works in every environment
+register_real_decoder("ppm", ppm_image_decoder)

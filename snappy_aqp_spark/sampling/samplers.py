@@ -53,7 +53,8 @@ def priority_sql(spec: SampleSpec) -> str:
     Algorithm-R semantics — taking the k SMALLEST independent uniform
     priorities per stratum is distribution-identical to Algorithm-R's
     replace-at-k/seen, and replayable on any engine)."""
-    fn = rand_hash_sql if spec.method == "reservoir_rand" else hash_sql
+    fn = (rand_hash_sql if spec.method in ("reservoir_rand", "hash_rand")
+          else hash_sql)
     return fn(list(spec.key_cols), spec.seed)
 
 
@@ -189,7 +190,7 @@ def stratified_sample(df: DataFrame, spec: SampleSpec) -> DataFrame:
     """
     if spec.base_filter:
         df = df.where(F.expr(spec.base_filter))
-    if spec.method == "hash":
+    if spec.method in ("hash", "hash_rand"):
         return _hash_sample(df, spec)
     if spec.method == "error_limit":
         return _error_limit_sample(df, spec)

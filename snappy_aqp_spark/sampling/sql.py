@@ -74,7 +74,7 @@ def sample_cte_stages(spec: SampleSpec, out_name: str = "__sample",
                        f"WHERE a.__rn <= r.__enreq"))
         return stages
 
-    if spec.method == "hash":
+    if spec.method in ("hash", "hash_rand"):
         include = f"__h < {thr}"
     elif spec.method in ("reservoir", "reservoir_rand"):
         include = f"__rn <= {k}"

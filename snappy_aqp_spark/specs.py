@@ -58,7 +58,13 @@ class SampleSpec:
     time_interval_us: int = 0
 
     def __post_init__(self):
-        assert self.method in ("hash", "reservoir", "reservoir_rand", "fraction",
+        # hash_rand = fraction-threshold universe sample over the QUADRATIC
+        # scrambled stream (detrng.rand_hash_sql): unlike the affine "hash"
+        # stream, different seeds give independent inclusion — required by
+        # e.g. the two-sample join estimator when both sides sample the
+        # same key values
+        assert self.method in ("hash", "hash_rand", "reservoir",
+                               "reservoir_rand", "fraction",
                                "error_limit"), self.method
         assert self.key_cols and self.qcs
         if self.method == "error_limit":

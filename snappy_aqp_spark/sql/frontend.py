@@ -410,10 +410,13 @@ def _balanced(text: str) -> bool:
 _ERRFN_RE = re.compile(r"^(ABSOLUTE_ERROR|RELATIVE_ERROR|LOWER_BOUND|UPPER_BOUND)"
                        r"\s*\(\s*(\w+(?:\s*\(\s*[^()]*\s*\))?)\s*\)$",
                        re.IGNORECASE)
-# unanchored form: direct error-fn calls inside HAVING/ORDER BY text
+# unanchored form: direct error-fn calls inside HAVING/ORDER BY text.
+# The target alternative mirrors _ERRFN_RE: a bare alias OR the aggregate's
+# own function text (lower_bound(avg(l_quantity))) — both spellings must
+# fold/rewrite on every route, not just the anchored select-item path
 _ERRFN_CALL_RE = re.compile(
     r"\b(ABSOLUTE_ERROR|RELATIVE_ERROR|LOWER_BOUND|UPPER_BOUND)"
-    r"\s*\(\s*(\w+)\s*\)", re.IGNORECASE)
+    r"\s*\(\s*(\w+(?:\s*\(\s*[^()]*\s*\))?)\s*\)", re.IGNORECASE)
 _UNSUPPORTED_RE = re.compile(
     r"\bOVER\s*\(|\bDISTINCT\b|\bGROUPING\b|\bCUBE\b|\bROLLUP\b",
     re.IGNORECASE)
@@ -718,7 +721,8 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
 
         def repl(m: re.Match) -> str:
             fn, tgt = m.group(1).lower(), m.group(2)
-            agg = agg_by_alias.get(tgt.lower())
+            agg = (agg_by_alias.get(tgt.lower())
+                   or agg_by_text.get(tgt.replace(" ", "").lower()))
             if agg is not None:
                 name = agg.alias
                 by_alias.setdefault(name, []).append(fn)
@@ -1219,14 +1223,18 @@ def fold_error_functions(sql: str, parsed: ParsedSelect | None) -> str:
         except SQLFrontendError:
             return sql
     expr_by_alias = {a.lower(): e for e, a in parsed.select_items if a}
+    # function-text targets ("lower_bound(avg(l_quantity))") resolve
+    # against the select expressions themselves, same as _ERRFN_RE does
+    # on the approx route
+    expr_texts = {e.replace(" ", "").lower() for e, _ in parsed.select_items}
 
     def repl(m: re.Match) -> str:
         fn, target = m.group(1).lower(), m.group(2)
         if fn in ("absolute_error", "relative_error"):
             return "CAST(0.0 AS DOUBLE)"
-        if expr_by_alias.get(target.lower()) is None:
+        if (expr_by_alias.get(target.lower()) is None
+                and target.replace(" ", "").lower() not in expr_texts):
             raise SQLFrontendError(f"error fn references unknown alias {target}")
         return "CAST(NULL AS DOUBLE)"
 
-    return re.sub(r"\b(ABSOLUTE_ERROR|RELATIVE_ERROR|LOWER_BOUND|UPPER_BOUND)"
-                  r"\s*\(\s*(\w+)\s*\)", repl, sql, flags=re.IGNORECASE)
+    return _ERRFN_CALL_RE.sub(repl, sql)

@@ -117,7 +117,11 @@ class ContinuousQuery:
         window.createOrReplaceTempView(self._view)
         sql = re.sub(rf"\bFROM\s+{self.table}\b", f"FROM {self._view}",
                      self.inner_sql, flags=re.IGNORECASE)
-        self._latest = self._mgr.spark.sql(sql)
+        # materialize the evaluated window eagerly: a lazy plan over the
+        # temp view would re-resolve the parquet history on a LATER
+        # collect(), silently showing a newer epoch's data (and history
+        # partitions older than the window get pruned from disk)
+        self._latest = self._mgr.spark.sql(sql).localCheckpoint(eager=True)
         for fn in self._fns:
             fn(self._latest)
 
@@ -136,6 +140,10 @@ class StreamingManager:
         # name -> list of ContinuousQuery; name -> batches seen so far
         self._cqs: dict[str, list] = {}
         self._epochs: dict[str, int] = {}
+        # CQ temp-view names come from a monotonic counter: a count of
+        # LIVE CQs would reuse a still-registered CQ's view after drop()
+        import itertools
+        self._cq_ids = itertools.count()
 
     @property
     def active(self) -> bool:
@@ -178,8 +186,8 @@ class StreamingManager:
         inner, table, dur, slide = parsed
         if table not in self.tables:
             raise ValueError(f"unknown stream table '{table}'")
-        n = sum(len(v) for v in self._cqs.values())
-        cq = ContinuousQuery(self, inner, table, dur, slide, f"__cq_{n}")
+        cq = ContinuousQuery(self, inner, table, dur, slide,
+                             f"__cq_{next(self._cq_ids)}")
         self._cqs.setdefault(table, []).append(cq)
         return cq
 
@@ -239,18 +247,43 @@ class StreamingManager:
                 fn(batch_df)
             cqs = self._cqs.get(key)
             if cqs:
-                # epoch-tagged history feeds the CQ windows; written only
-                # when CQs exist (no overhead otherwise)
+                # epoch-PARTITIONED history feeds the CQ windows (written
+                # only when CQs exist): the window filter prunes to the
+                # trailing partitions at read time, and aged-out epoch
+                # partitions are deleted below — DStream-window semantics
+                # discard aged batches, so state and per-batch cost stay
+                # bounded by the largest registered window, not the
+                # stream's lifetime
                 epoch = self._epochs.get(key, 0) + 1
                 self._epochs[key] = epoch
                 from pyspark.sql import functions as F
                 (batch_df.withColumn("__cq_epoch", F.lit(epoch))
-                 .write.mode("append").parquet(hist_dir))
+                 .write.mode("append").partitionBy("__cq_epoch")
+                 .parquet(hist_dir))
                 hist = self.spark.read.parquet(hist_dir)
                 for cq in cqs:
                     cq._evaluate(hist, epoch)
+                self._prune_hist(hist_dir, key, epoch)
 
         return on_batch
+
+    def _prune_hist(self, hist_dir: str, key: str, epoch: int) -> None:
+        """delete CQ-history epoch partitions no window can still read
+        (epoch <= current - max registered window)."""
+        max_win = max((cq.win_batches for cq in self._cqs.get(key, [])),
+                      default=0)
+        if not max_win or not os.path.isdir(hist_dir):
+            return
+        for entry in os.listdir(hist_dir):
+            if not entry.startswith("__cq_epoch="):
+                continue
+            try:
+                e = int(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if e <= epoch - max_win:
+                shutil.rmtree(os.path.join(hist_dir, entry),
+                              ignore_errors=True)
 
     def start(self) -> None:
         if self.active:

@@ -570,14 +570,34 @@ def decay_topk(spark: SparkSession, registry: TopKRegistry, name: str,
         return table
 
     def decay(pdf: pd.DataFrame) -> pd.DataFrame:
+        # input rows are pre-filtered to [not_before, older_than_bucket):
+        # compress EVERY sketch ``levels`` times, batched — one numpy
+        # slice-add per (depth, width) shape group per level instead of a
+        # per-row Python fold; the only per-row work left is blob
+        # (de)serialization (CountMinSketch.to_bytes layout: 24-byte
+        # <i8 header (depth, width, size) + depth*width <i8 table)
+        import numpy as np
         out = pdf.copy()
-        for idx, r in out.iterrows():
-            if not_before <= int(r["bucket"]) < older_than_bucket:
-                s = CountMinSketch.from_bytes(bytes(r["sketch"]))
-                for _ in range(levels):
-                    if s.width >= 2:
-                        s = s.compress()
-                out.at[idx, "sketch"] = s.to_bytes()
+        blobs = [bytes(b) for b in out["sketch"]]
+        by_shape: dict[tuple[int, int], list[int]] = {}
+        for i, b in enumerate(blobs):
+            d, w, _ = np.frombuffer(b[:24], dtype="<i8")
+            by_shape.setdefault((int(d), int(w)), []).append(i)
+        new = list(blobs)
+        for (d, w), idxs in by_shape.items():
+            tables = np.frombuffer(
+                b"".join(blobs[i][24:] for i in idxs),
+                dtype="<i8").reshape(len(idxs), d, w)
+            for _ in range(levels):
+                if w >= 2:
+                    w2 = w // 2
+                    tables = tables[:, :, :w2] + tables[:, :, w2:2 * w2]
+                    w = w2
+            for j, i in enumerate(idxs):
+                head = blobs[i][:8] + np.array([w], dtype="<i8").tobytes() \
+                    + blobs[i][16:24]
+                new[i] = head + tables[j].astype("<i8").tobytes()
+        out["sketch"] = new
         return out
 
     old0 = table.state.where(F.col("level") == 0)

@@ -46,10 +46,21 @@ def duck_medium():
 
 
 def compare_frames(spark_df, duck_df, sort_cols=None):
-    """Driver-style comparison: schema names, row count, exact values."""
+    """Driver-style comparison: schema names, row count, exact values —
+    AND pandas dtype KINDS. The driver hashes values as each engine
+    materializes them into pandas, so a DuckDB type widening (SUM(BIGINT)
+    -> HUGEINT -> float64) hash-reds a value-identical result; asserting
+    kind equality here catches that before the round boundary."""
     sp = spark_df.toPandas()
     dk = duck_df.df() if hasattr(duck_df, "df") else duck_df
     assert sorted(sp.columns) == sorted(dk.columns), (sp.columns, dk.columns)
+    kind = {"u": "i"}  # unsigned folds into signed; all else exact
+    for c in sp.columns:
+        a = kind.get(sp[c].dtype.kind, sp[c].dtype.kind)
+        b = kind.get(dk[c].dtype.kind, dk[c].dtype.kind)
+        assert a == b, (f"column {c}: driver-visible dtype kind differs — "
+                        f"spark {sp[c].dtype} vs duck {dk[c].dtype}; pin "
+                        f"the type with an explicit CAST in both texts")
     assert len(sp) == len(dk), (len(sp), len(dk))
     cols = sorted(sp.columns)
     sort_by = sort_cols or cols

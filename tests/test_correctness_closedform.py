@@ -106,3 +106,47 @@ def test_two_sample_join_estimate_and_ci(spark, duck):
         # point estimate within (loose) 3x of truth — the CI is the real
         # accuracy contract; this guards magnitude-level blunders
         assert t / 3 < r.rev < t * 3
+
+
+def test_two_sample_join_shared_key_names(spark, duck):
+    """Self-join shape: both SampleSpecs use the SAME key/group column
+    names. Regression: the join stage used to project both sides' key
+    columns unqualified, producing duplicate output columns and ambiguous
+    multiplicity hashes (side-prefixed __a_/__b_ projections now)."""
+    from snappy_aqp_spark.operators.two_sample import (
+        two_sample_join_sum_stages)
+    from snappy_aqp_spark.pipeline.dual import run_stages
+    from snappy_aqp_spark.specs import SampleSpec
+    from tests.conftest import SF_SMALL
+    spark.read.parquet(f"{SF_SMALL}/orders.parquet") \
+        .createOrReplaceTempView("orders")
+    spec = dict(base_table="orders", key_cols=("o_orderkey",),
+                qcs=("o_orderstatus",), method="hash_rand")
+    # affine self-join designs are rejected outright (shifted intervals,
+    # not independent samples)
+    with pytest.raises(ValueError, match="affine"):
+        two_sample_join_sum_stages(
+            "spark",
+            spec_a=SampleSpec(**{**spec, "method": "hash"},
+                              fraction=0.3, seed=42),
+            spec_b=SampleSpec(**{**spec, "method": "hash"},
+                              fraction=0.4, seed=971),
+            join_on="a.o_orderkey = b.o_orderkey",
+            measure="a.o_totalprice", group_by="a.o_orderstatus")
+    # hash_rand: quadratically scrambled streams — distinct seeds ARE
+    # independent designs, so the w_a*w_b HT weight is honest
+    stages, final = two_sample_join_sum_stages(
+        "spark",
+        spec_a=SampleSpec(fraction=0.3, seed=42, **spec),
+        spec_b=SampleSpec(fraction=0.4, seed=971, **spec),
+        join_on="a.o_orderkey = b.o_orderkey",
+        measure="a.o_totalprice", group_by="a.o_orderstatus",
+        out_alias="tp", max_abs=1.0e6, trials=60, confidence=0.95)
+    rows = {r.grp: r for r in run_stages(spark, stages, final).collect()}
+    truth = {r[0]: r[1] for r in duck.sql(
+        "SELECT o_orderstatus, SUM(o_totalprice) FROM orders "
+        "GROUP BY 1").fetchall()}
+    assert set(rows) == set(truth)
+    for g, t in truth.items():
+        r = rows[g]
+        assert r.tp_lb <= t <= r.tp_ub, (g, r.tp_lb, t, r.tp_ub)

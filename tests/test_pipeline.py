@@ -126,6 +126,40 @@ def test_multimodal_real_decode_is_stubbed(spark):
         mm.decode_media(media, decode_fn="real").collect()
 
 
+def test_multimodal_ppm_real_codec_matches_oracle(spark, duck):
+    """The REAL registered codec (stdlib binary-PPM parse): encode actual
+    P6 bytes, decode through decode_media(decode_fn='ppm'), and the full
+    round trip replays bit-exactly in DuckDB."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    media = mm.encode_ppm_media(docs, width=8, height=8)
+    feats = mm.extract_features(mm.decode_media(media, decode_fn="ppm"))
+    compare_frames(feats.orderBy("id"),
+                   duck.sql(mm.multimodal_ppm_oracle_sql()))
+
+
+def test_ppm_decoder_parses_real_headers():
+    """unit: the PPM/PGM parser handles comments, multi-whitespace headers,
+    P5 grayscale, and rejects non-PPM bytes and 16-bit maxval."""
+    import numpy as np
+    import pandas as pd
+    px = np.arange(12, dtype=np.uint8)
+    p6 = (b"P6\n# a comment\n 4\t3 #c\n255\n"
+          + np.repeat(px, 3).tobytes())     # r=g=b -> luma == px
+    p5 = b"P5\n4 3\n255\n" + px.tobytes()
+    pdf = pd.DataFrame({"id": [1, 2], "content": [p6, p5]})
+    out = mm.ppm_image_decoder(pdf, 1)
+    assert list(out["width"]) == [4, 4] and list(out["height"]) == [3, 3]
+    assert out["pixels"][0] == list(range(12))
+    assert out["pixels"][1] == list(range(12))
+    with pytest.raises(ValueError, match="magic"):
+        mm.ppm_image_decoder(
+            pd.DataFrame({"id": [1], "content": [b"JFIF...."]}), 1)
+    with pytest.raises(ValueError, match="16-bit"):
+        mm.ppm_image_decoder(
+            pd.DataFrame({"id": [1],
+                          "content": [b"P5\n1 1\n65535\n\0\0"]}), 1)
+
+
 # --- connected-components cluster assignment ---------------------------------
 
 def test_connected_components_unit(spark):

@@ -1484,6 +1484,59 @@ def test_rollup_cube_route_exact(aqp):
                    for r in rows)
 
 
+def test_function_text_errfn_folds_on_exact_routes(aqp):
+    """Function-text error-fn targets (lower_bound(avg(l_quantity)) with no
+    alias) must fold on EVERY exact route, not just resolve on the approx
+    route: ROLLUP, and the negative-error AQP-off sentinel. Regression for
+    the _ERRFN_CALL_RE \\w+-only gap — the call was left unfolded in the
+    SQL and Spark raised UNRESOLVED_ROUTINE."""
+    # ROLLUP route: bounds fold to NULL, errors to 0
+    q = ("SELECT l_returnflag, avg(l_quantity) AS aq, "
+         "lower_bound(avg(l_quantity)) AS lb, "
+         "absolute_error(avg(l_quantity)) AS ae "
+         "FROM lineitem GROUP BY ROLLUP(l_returnflag) "
+         "ORDER BY l_returnflag WITH ERROR 0.5")
+    rows = aqp.sql(q).collect()
+    assert rows and all(r.lb is None and r.ae == 0.0 for r in rows)
+    # negative error = AQP-off sentinel -> exact route, same folding
+    q2 = ("SELECT avg(l_quantity) AS aq, "
+          "upper_bound(avg(l_quantity)) AS ub, "
+          "relative_error(avg(l_quantity)) AS re "
+          "FROM lineitem WITH ERROR -1")
+    r2 = aqp.sql(q2).collect()
+    assert len(r2) == 1 and r2[0].ub is None and r2[0].re == 0.0
+    # fold_error_functions itself: nested target resolves by select text
+    parsed = fe.parse_select(
+        "SELECT avg(l_quantity) FROM lineitem GROUP BY l_returnflag")
+    folded = fe.fold_error_functions(
+        "SELECT avg(l_quantity), lower_bound(avg(l_quantity)) "
+        "FROM lineitem GROUP BY l_returnflag", parsed)
+    assert "lower_bound" not in folded.lower()
+    assert "CAST(NULL AS DOUBLE)" in folded
+    # unknown nested target still raises the frontend's clear error
+    with pytest.raises(fe.SQLFrontendError):
+        fe.fold_error_functions(
+            "SELECT avg(l_quantity), lower_bound(sum(l_tax)) "
+            "FROM lineitem GROUP BY l_returnflag", parsed)
+
+
+def test_function_text_errfn_in_having_order_by(aqp, duck):
+    """Direct error-fn calls in HAVING/ORDER BY with function-text targets
+    rewrite to the hidden engine columns on the approx route (previously
+    only bare-alias targets matched _ERRFN_CALL_RE)."""
+    q = ("SELECT l_returnflag, avg(l_quantity) AS aq, "
+         "lower_bound(avg(l_quantity)) AS lb "
+         "FROM lineitem GROUP BY l_returnflag "
+         "HAVING absolute_error(avg(l_quantity)) >= 0 "
+         "ORDER BY lower_bound(avg(l_quantity)) "
+         "WITH ERROR 0.5")
+    rows = aqp.sql(q).collect()
+    assert rows and all(r.aq is not None for r in rows)
+    # every group survives HAVING error >= 0; output is ordered by lb
+    lbs = [r.lb for r in rows]
+    assert lbs == sorted(lbs)
+
+
 def test_pending_feature_bare_confidence_on_avg(spark):
     """The reference's ONLY pending feature (PendingFeatureTest.scala:104
     is @ignore'd there): `SELECT avg(x) FROM t confidence .95` — a bare

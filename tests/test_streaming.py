@@ -627,6 +627,55 @@ def test_register_cq_windowed_stream(spark, tmp_path):
     s.sql("DROP TABLE IF EXISTS tagcq")
 
 
+def test_cq_latest_stable_views_unique_history_pruned(spark, tmp_path):
+    """Three CQ-lifecycle regressions: (1) latest() is MATERIALIZED at
+    evaluation — collecting it after more batches land still returns the
+    evaluated window, not a re-resolved newer epoch; (2) CQ temp-view names
+    never reuse a live CQ's view after another table's drop() (monotonic
+    counter); (3) history epoch partitions older than the largest window
+    are deleted, so long-running streams carry bounded state."""
+    import json
+    import os
+    from snappy_aqp_spark.api import AQPSession
+    s = AQPSession(spark, data_token="cq-stable")
+    src = tmp_path / "cqs2"
+    src.mkdir()
+    s.sql("STREAMING INIT 1secs")
+    s.sql("CREATE STREAM TABLE cqa (tag string, n long) "
+          f"USING file_stream OPTIONS (path '{src}', format 'json', "
+          "maxFilesPerTrigger '1')")
+    cq = s.register_cq("SELECT tag, count(*) AS c FROM cqa "
+                       "window (duration 1 seconds) GROUP BY tag")
+    s.sql("STREAMING START")
+    with open(src / "b0.json", "w") as f:
+        f.write(json.dumps({"tag": "first", "n": 1}) + "\n")
+    s.streaming.process_all()
+    first = cq.latest()
+    assert [r.tag for r in first.collect()] == ["first"]
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"tag": "second", "n": 1}) + "\n")
+    s.streaming.process_all()
+    # (1) the handle taken BEFORE batch 2 still shows batch 1's window
+    assert [r.tag for r in first.collect()] == ["first"]
+    assert [r.tag for r in cq.latest().collect()] == ["second"]
+    # (3) epoch 1's partition aged out of the 1-batch window -> deleted
+    hist = s.streaming._hist_dir("cqa")
+    parts = sorted(e for e in os.listdir(hist) if e.startswith("__cq_epoch="))
+    assert parts == ["__cq_epoch=2"], parts
+    # (2) drop an unrelated table+CQ, then register a new CQ: its view name
+    # must not collide with the live cq's view
+    s.sql("STREAMING STOP")
+    src_b = tmp_path / "cqs2b"
+    src_b.mkdir()
+    s.sql("CREATE STREAM TABLE cqb (tag string, n long) "
+          f"USING file_stream OPTIONS (path '{src_b}', format 'json')")
+    s.register_cq("SELECT * FROM cqb window (duration 1 seconds)")
+    s.streaming.drop("cqb")
+    cq3 = s.register_cq("SELECT tag FROM cqa window (duration 1 seconds)")
+    assert cq3._view != cq._view
+    s.sql("DROP TABLE IF EXISTS cqa")
+
+
 def test_streaming_windowed_agg_fixture_matches_oracle(spark, duck):
     """The driver fixture end-to-end: watermarked append-mode windowed
     counts over three time-ordered micro-batches must equal the DuckDB
