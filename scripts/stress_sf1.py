@@ -1,0 +1,118 @@
+"""sf1-scale spot verification of the heaviest pipeline fixtures.
+
+Replicates the sf0.1 documents/embeddings tables 10x (ids shifted, text
+perturbed with a per-replica suffix so replicas are NEAR-duplicates, the
+hard case for the dedup family) into a scratch dir, then runs the 5
+heaviest fixtures on Spark AND their DuckDB oracles over the same scratch
+tables and asserts bit-match. This exercises AQE re-planning and spill
+paths at ~10x the per-round gate volume — the reproducible-mode contract
+says results are invariant under partitioning/scale, and this is the
+direct check of that claim (the sf0.1 version of this gate caught the
+CMS hash-correlation bug in round 3).
+
+Usage: python scripts/stress_sf1.py [--keep] [fixture ...]
+Writes scratch under /tmp/aqp_sf1_stress; prints per-fixture wall times
+and MATCH/FAIL. Exit 0 iff all match.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession, functions as F
+
+SRC = "/root/testdata/sf0.1"
+SCRATCH = "/tmp/aqp_sf1_stress"
+REPLICAS = 10
+FIXTURES = [a for a in sys.argv[1:] if not a.startswith("--")] or [
+    "decontamination", "semantic_dedup", "bm25_retrieval",
+    "dedup_ngram_jaccard", "cross_corpus_dedup"]
+
+
+def build_scratch(spark) -> None:
+    if os.path.exists(os.path.join(SCRATCH, "events.parquet")):
+        return                      # events is copied LAST: all built
+    os.makedirs(SCRATCH, exist_ok=True)
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = None
+    for k in range(REPLICAS):
+        r = (docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * n))
+                 .withColumn("text", F.concat(F.col("text"),
+                                              F.lit(f" r{k}"))))
+        reps = r if reps is None else reps.unionByName(r)
+    reps.write.mode("overwrite").parquet(f"{SCRATCH}/documents.parquet")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    eid = [c for c in emb.columns if c.endswith("id")][0]
+    m = emb.agg(F.max(eid)).collect()[0][0] + 1
+    reps = None
+    for k in range(REPLICAS):
+        r = emb.withColumn(eid, F.col(eid) + F.lit(k * m))
+        reps = r if reps is None else reps.unionByName(r)
+    reps.write.mode("overwrite").parquet(f"{SCRATCH}/embeddings.parquet")
+    # remaining tables: copy the small ones the fixtures might touch
+    # (driver testdata ships single-file parquet)
+    for t in ("events",):
+        src = f"{SRC}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, f"{SCRATCH}/{t}.parquet",
+                            dirs_exist_ok=True)
+        else:
+            shutil.copy(src, f"{SCRATCH}/{t}.parquet")
+
+
+def main() -> int:
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.ui.showConsoleProgress", "false")
+             .config("spark.driver.memory", "12g")
+             .appName("sf1-stress").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    build_scratch(spark)
+
+    import __spark_entry__ as entrymod
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    con.sql(f"SET memory_limit='24GB'")
+    for t in ("documents", "embeddings", "events"):
+        path = f"{SCRATCH}/{t}.parquet"
+        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
+    fails = []
+    for name in FIXTURES:
+        t0 = time.time()
+        sp = qs[name](spark, SCRATCH).toPandas()
+        t_sp = time.time() - t0
+        t0 = time.time()
+        dk = con.sql(oracles[name]).df()
+        t_dk = time.time() - t0
+        cols = sorted(sp.columns)
+        ok = sorted(dk.columns) == cols and len(sp) == len(dk)
+        if ok:
+            a = sp[cols].sort_values(cols).reset_index(drop=True)
+            b = dk[cols].sort_values(cols).reset_index(drop=True)
+            for c in cols:
+                same = ((a[c] == b[c]) | (a[c].isna() & b[c].isna())).all()
+                if not same:
+                    ok = False
+                    break
+        fails += [] if ok else [name]
+        print(f"{name:24s} rows={len(sp):8d} {'MATCH' if ok else 'FAIL'} "
+              f"spark={t_sp:6.1f}s duck={t_dk:6.1f}s", flush=True)
+    if "--keep" not in sys.argv:
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+    print(f"\n{len(FIXTURES) - len(fails)}/{len(FIXTURES)} match at "
+          f"{REPLICAS}x sf0.1")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -876,6 +876,13 @@ class AQPSession:
 
         analyzed = self.analyze_sql(text)
         if analyzed is None:
+            # plain pass-through — but error functions are valid SQL in the
+            # reference EVERYWHERE, including base-table queries with no
+            # WITH clause (its perf corpus perfQueriesPartialRouteBaseTable
+            # .sql calls absolute_error on the base table): on any exact
+            # plan they fold to 0/NULL (QueryRoutingRules.scala:370-404)
+            if fe._ERRFN_CALL_RE.search(text):
+                return self.spark.sql(fe.fold_error_functions(text, None))
             return self.spark.sql(text)
         if analyzed.spec is None:
             derived = self._try_approx_derived(text)

@@ -413,27 +413,36 @@ def _prepare(spec: ApproxQuerySpec, tables: dict[str, DataFrame],
     sampled_tbl = spec.sample.base_table
     start = (spec.from_relation or sampled_tbl).lower()
 
-    def rel(name: str) -> DataFrame:
-        if sampled and name.lower() == sampled_tbl:
-            return get_sample(tables[sampled_tbl], spec.sample, cache_token)
-        return tables[name.lower()]
+    def rel(name: str, alias: str | None) -> DataFrame:
+        if name.lower() == sampled_tbl:
+            base = (get_sample(tables[sampled_tbl], spec.sample, cache_token)
+                    if sampled else tables[name.lower()])
+            if sampled:
+                # QCS exprs are sample-table attributes: compute them
+                # BEFORE the join so a joined relation sharing the column
+                # name can never make them ambiguous
+                for i, q in enumerate(spec.sample.qcs):
+                    base = base.withColumn(f"__sq{i}", F.expr(q))
+        else:
+            base = tables[name.lower()]
+        # every relation plans under its SQL alias (default: its own
+        # name), so WHERE/ON keep qualified references — required when
+        # joined relations share column names (perfJoinQueries.sql:1-4)
+        return base.alias(alias or name)
 
-    df = rel(start)
+    df = rel(start, spec.from_alias)
     for j in spec.joins:
         if j.how == "cross":
             # comma-style FROM list: predicate stays in spec.where and
             # Catalyst folds it back into an equi-join after the filter
-            df = df.crossJoin(rel(j.table))
+            df = df.crossJoin(rel(j.table, j.alias))
         else:
-            df = df.join(rel(j.table), on=F.expr(j.on), how=j.how)
+            df = df.join(rel(j.table, j.alias), on=F.expr(j.on), how=j.how)
     if spec.where:
         df = df.where(F.expr(spec.where))
     df = _apply_subqueries(df, spec, tables, cache_token)
     for i, g in enumerate(spec.group_by):
         df = df.withColumn(f"__g{i}", F.expr(g))
-    if sampled:
-        for i, q in enumerate(spec.sample.qcs):
-            df = df.withColumn(f"__sq{i}", F.expr(q))
     return df
 
 
@@ -661,22 +670,31 @@ def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB,
     def prepared_stage(src: str, sampled: bool) -> str:
         sampled_tbl = spec.sample.base_table
 
-        def rel(name: str) -> str:
-            return src if (sampled and name.lower() == sampled_tbl) else name
+        def rel(name: str, alias: str | None) -> str:
+            if name.lower() == sampled_tbl and sampled:
+                body = src
+                if spec.sample.qcs:
+                    # QCS computed inside the sampled relation (pre-join),
+                    # mirroring the DataFrame path — a joined relation
+                    # sharing the column name cannot make it ambiguous
+                    qsel = ", ".join(f"{q} AS __sq{i}"
+                                     for i, q in enumerate(spec.sample.qcs))
+                    body = f"(SELECT *, {qsel} FROM {src})"
+                return f"{body} AS {alias or name}"
+            # alias every relation (WHERE/ON keep qualified references)
+            return f"{name} AS {alias}" if alias else name
 
-        frm = rel(spec.from_relation or sampled_tbl)
+        frm = rel(spec.from_relation or sampled_tbl, spec.from_alias)
         for j in spec.joins:
             if j.how == "cross":
-                frm += f" CROSS JOIN {rel(j.table)}"
+                frm += f" CROSS JOIN {rel(j.table, j.alias)}"
             else:
-                frm += f" {j.how.upper()} JOIN {rel(j.table)} ON {j.on}"
+                frm += f" {j.how.upper()} JOIN {rel(j.table, j.alias)} ON {j.on}"
         sql = f"SELECT * FROM {frm}"
         where_full = full_where_sql(spec)
         if where_full:
             sql += f" WHERE {where_full}"
         proj = [f"{g} AS __g{i}" for i, g in enumerate(spec.group_by)]
-        if sampled:
-            proj += [f"{q} AS __sq{i}" for i, q in enumerate(spec.sample.qcs)]
         proj_sql = ("*, " + ", ".join(proj)) if proj else "*"
         return f"SELECT {proj_sql} FROM ({sql}) __p"
 
@@ -795,12 +813,14 @@ def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB,
 
 def exact_oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
     """Oracle for the exact path (routing fallback / benchmarking)."""
-    frm = spec.from_relation or spec.sample.base_table
+    def rel(name: str, alias: str | None) -> str:
+        return f"{name} AS {alias}" if alias else name
+    frm = rel(spec.from_relation or spec.sample.base_table, spec.from_alias)
     for j in spec.joins:
         if j.how == "cross":
-            frm += f" CROSS JOIN {j.table}"
+            frm += f" CROSS JOIN {rel(j.table, j.alias)}"
         else:
-            frm += f" {j.how.upper()} JOIN {j.table} ON {j.on}"
+            frm += f" {j.how.upper()} JOIN {rel(j.table, j.alias)} ON {j.on}"
     sql = f"SELECT *, {', '.join(f'{g} AS __g{i}' for i, g in enumerate(spec.group_by))} FROM {frm}"
     if not spec.group_by:
         sql = f"SELECT * FROM {frm}"

@@ -151,6 +151,11 @@ class JoinSpec:
                                         # stays in WHERE and Catalyst/DuckDB
                                         # fold it back into an equi-join)
     how: str = "inner"
+    # SQL alias from the query text (``FROM FlightData fd``): relations are
+    # planned under their aliases so WHERE/ON can keep qualified column
+    # references — required when joined relations share column names (the
+    # reference's perfJoinQueries corpus: uniqueCarrier on both fact tables)
+    alias: str | None = None
 
 
 @dataclass(frozen=True)
@@ -209,6 +214,8 @@ class ApproxQuerySpec:
     # from_relation holds the outer FROM table; sample.base_table then names
     # the joined relation replaced by its sample. None -> FROM table sampled.
     from_relation: str | None = None
+    # SQL alias of the outer FROM relation (see JoinSpec.alias)
+    from_alias: str | None = None
     group_by: tuple[str, ...] = ()          # portable SQL exprs
     group_aliases: tuple[str, ...] = ()     # output names; default = expr text
     joins: tuple[JoinSpec, ...] = ()

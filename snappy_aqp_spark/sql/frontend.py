@@ -78,6 +78,8 @@ def validate_error_confidence(error: float | None,
 class ParsedSelect:
     select_items: list[tuple[str, str | None]]      # (expr, alias)
     from_table: str
+    from_alias: str | None = None       # ``FROM t alias`` (kept: WHERE/ON
+                                        # may reference columns through it)
     joins: list[JoinSpec] = field(default_factory=list)
     where: str | None = None
     group_by: list[str] = field(default_factory=list)
@@ -279,6 +281,7 @@ def parse_select(sql: str) -> ParsedSelect:
     base_seg, cross_segs = segments[0], segments[1:]
     joins: list[JoinSpec] = []
     quals: set[str] = set()           # alias/table names to strip as prefixes
+    from_alias = None
     m = _JOIN_RE.search(base_seg)
     if m:
         base = base_seg[:m.start()].strip()
@@ -290,7 +293,8 @@ def parse_select(sql: str) -> ParsedSelect:
             nxt = _JOIN_RE.search(rest, m.end())
             on = rest[m.end():nxt.start() if nxt else len(rest)].strip()
             how = (m.group("how") or "inner").strip().lower().split()[0]
-            joins.append(JoinSpec(m.group("table"), on, how))
+            joins.append(JoinSpec(m.group("table"), on, how,
+                                  alias=m.group("alias")))
             quals.add(m.group("table").lower())
             if m.group("alias"):
                 quals.add(m.group("alias").lower())
@@ -304,7 +308,8 @@ def parse_select(sql: str) -> ParsedSelect:
         if rm is None:
             raise SQLFrontendError(
                 f"unsupported FROM-list relation: {seg!r} (routes exact)")
-        joins.append(JoinSpec(rm.group("table"), None, "cross"))
+        joins.append(JoinSpec(rm.group("table"), None, "cross",
+                              alias=rm.group("alias")))
         quals.add(rm.group("table").lower())
         if rm.group("alias"):
             quals.add(rm.group("alias").lower())
@@ -313,6 +318,7 @@ def parse_select(sql: str) -> ParsedSelect:
         rm = _REL_RE.match(base)
         if rm is not None and rm.group("alias"):
             base = rm.group("table")
+            from_alias = rm.group("alias")
             quals.add(rm.group("alias").lower())
         else:
             derived = _DERIVED_RE.match(base)
@@ -354,12 +360,22 @@ def parse_select(sql: str) -> ParsedSelect:
         expr, alias = items[idx]
         ref = (alias if keep_alias and alias else expr)
         return ref + (dm.group(2) or "")
+    # Qualifier handling: SELECT/GROUP BY/HAVING/ORDER BY fragments execute
+    # post-join (or over output aliases) where relation qualifiers are gone,
+    # so ``fd.x`` strips to ``x`` there (sound while measure names are
+    # unique across the join — the documented envelope). WHERE and join ON
+    # keep their qualifiers verbatim: both executors plan every relation
+    # under its alias, so ``fd.uniqueCarrier = ref.Code AND
+    # fl.uniqueCarrier = ref.Code`` stays unambiguous even when the two
+    # fact tables share the column name (perfJoinQueries.sql:1-4 — a
+    # stripped rewrite would silently conflate the two predicates).
     sq = lambda t: _strip_qualifiers(t, quals)      # noqa: E731
     out = ParsedSelect(
         select_items=[(sq(e), a) for e, a in items],
         from_table="__derived__" if derived else base,
-        joins=[JoinSpec(j.table, sq(j.on), j.how) for j in joins],
-        where=sq(clauses.get("WHERE")),
+        from_alias=from_alias,
+        joins=joins,
+        where=clauses.get("WHERE"),
         group_by=[sq(deref(g, keep_alias=False))
                   for g in _split_top(clauses.get("GROUP BY", ""))],
         having=sq(clauses.get("HAVING")),
@@ -879,6 +895,7 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
     spec = ApproxQuerySpec(
         sample=sample_spec,
         from_relation=from_relation,
+        from_alias=parsed.from_alias,
         aggs=tuple(aggs),
         group_by=tuple(parsed.group_by),
         group_aliases=group_aliases,
@@ -954,6 +971,28 @@ def expand_view(parsed: ParsedSelect,
         v = views.get(parsed.from_table.lower())
         if v is None:
             return parsed
+        # views are single-relation, so alias qualifiers are unambiguous —
+        # strip the query's alias for the view (v.col) and the view body's
+        # own FROM alias before substitution (WHERE text keeps qualifiers
+        # in general now; here the aliased relation is being replaced)
+        if parsed.from_alias:
+            pa = parsed.from_alias
+            parsed = dataclasses.replace(
+                parsed,
+                select_items=[(_strip_alias_prefix(e, pa), a)
+                              for e, a in parsed.select_items],
+                where=_strip_alias_prefix(parsed.where, pa),
+                group_by=[_strip_alias_prefix(g, pa) for g in parsed.group_by],
+                having=_strip_alias_prefix(parsed.having, pa),
+                order_by=[_strip_alias_prefix(o, pa) for o in parsed.order_by],
+                from_alias=None)
+        if v.from_alias:
+            v = dataclasses.replace(
+                v,
+                select_items=[(_strip_alias_prefix(e, v.from_alias), a)
+                              for e, a in v.select_items],
+                where=_strip_alias_prefix(v.where, v.from_alias),
+                from_alias=None)
         sub = {a.lower(): e for e, a in v.select_items
                if a is not None and a.lower() != e.strip().lower()}
 
@@ -1237,4 +1276,29 @@ def fold_error_functions(sql: str, parsed: ParsedSelect | None) -> str:
             raise SQLFrontendError(f"error fn references unknown alias {target}")
         return "CAST(NULL AS DOUBLE)"
 
-    return _ERRFN_CALL_RE.sub(repl, sql)
+    # top-level select items that ARE a bare error-fn call keep an implied
+    # alias derived from the call text: two unaliased folds would otherwise
+    # emit identical auto-generated column names, which engines dedupe
+    # differently (DuckDB appends _1, Spark keeps duplicates) — a schema
+    # mismatch on an exact route. Other occurrences (inside expressions,
+    # HAVING, ORDER BY) fold in place.
+    try:
+        clauses = _find_clauses(sql)
+    except Exception:
+        return _ERRFN_CALL_RE.sub(repl, sql)
+    if "FROM" not in clauses:
+        return _ERRFN_CALL_RE.sub(repl, sql)
+    items = []
+    for part in _split_top(clauses["SELECT"]):
+        expr, alias = _split_item_alias(part)
+        em = _ERRFN_RE.match(expr.strip())
+        if em is not None and alias is None:
+            name = re.sub(r"\W+", "_", expr.strip()).strip("_").lower()
+            items.append(f"{_ERRFN_CALL_RE.sub(repl, expr)} AS {name}")
+        else:
+            items.append(_ERRFN_CALL_RE.sub(repl, part))
+    out = "SELECT " + ", ".join(items) + " FROM " + clauses["FROM"]
+    for kw in ("WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT"):
+        if kw in clauses:
+            out += f" {kw} " + _ERRFN_CALL_RE.sub(repl, clauses[kw])
+    return out

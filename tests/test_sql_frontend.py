@@ -812,21 +812,25 @@ def test_mutation_invalidation_scope(spark):
 
 def test_parse_aliases_and_comma_joins():
     # reference perfJoinQueries.sql style: aliased comma-FROM, predicates in
-    # WHERE; qualifiers are stripped because engine fragments run against
-    # unqualified joined columns
+    # WHERE. Qualifiers are PRESERVED in WHERE/ON (relations plan under
+    # their aliases) so same-named columns across relations stay
+    # unambiguous; SELECT items still strip (they run post-join)
     p = fe.parse_select(
         "SELECT AVG(l.l_extendedprice) AS x FROM lineitem l, orders o "
         "WHERE l.l_orderkey = o.o_orderkey AND o.o_orderpriority = '1-URGENT'")
     assert p.from_table == "lineitem"
-    assert [(j.table, j.on, j.how) for j in p.joins] == [("orders", None, "cross")]
-    assert "l." not in p.where and "o." not in p.where
+    assert p.from_alias == "l"
+    assert [(j.table, j.on, j.how, j.alias) for j in p.joins] \
+        == [("orders", None, "cross", "o")]
+    assert "l.l_orderkey = o.o_orderkey" in p.where
+    assert p.select_items[0][0].lower() == "avg(l_extendedprice)"
     # aliased explicit JOIN
     p2 = fe.parse_select(
         "SELECT sum(l.l_quantity) AS s FROM lineitem AS l "
         "JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "GROUP BY o.o_orderstatus")
     assert p2.joins[0].how == "inner"
-    assert p2.joins[0].on == "l_orderkey = o_orderkey"
+    assert p2.joins[0].on == "l.l_orderkey = o.o_orderkey"
     assert p2.group_by == ["o_orderstatus"]
     # qualifier text inside string literals is never stripped
     p3 = fe.parse_select(
@@ -931,7 +935,8 @@ def test_approx_derived_aggregating_subquery_join(aqp, duck):
     inner = ("SELECT l_orderkey, sum(l_extendedprice) AS rev "
              "FROM lineitem GROUP BY l_orderkey")
     q = ("SELECT o.o_orderstatus, "
-         "sum(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents "
+         "CAST(sum(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+         " AS cents "
          f"FROM ({inner}) big JOIN orders o "
          "ON big.l_orderkey = o.o_orderkey WHERE big.rev > 50000.0 "
          "GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus "
@@ -945,7 +950,8 @@ def test_approx_derived_aggregating_subquery_join(aqp, duck):
     assert inner_an.spec is not None
     osql = ("WITH big AS (" + oracle_sql_for(inner_an.spec) + ") "
             "SELECT o.o_orderstatus, "
-            "sum(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents "
+            "CAST(sum(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " AS cents "
             "FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey "
             "WHERE big.rev > 50000.0 "
             "GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus")
@@ -1511,7 +1517,7 @@ def test_function_text_errfn_folds_on_exact_routes(aqp):
     folded = fe.fold_error_functions(
         "SELECT avg(l_quantity), lower_bound(avg(l_quantity)) "
         "FROM lineitem GROUP BY l_returnflag", parsed)
-    assert "lower_bound" not in folded.lower()
+    assert "lower_bound(" not in folded.lower()   # call folded (alias stays)
     assert "CAST(NULL AS DOUBLE)" in folded
     # unknown nested target still raises the frontend's clear error
     with pytest.raises(fe.SQLFrontendError):

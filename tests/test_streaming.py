@@ -101,6 +101,76 @@ def test_stream_state_crash_between_writes_stays_consistent(spark, tmpdir,
     assert a.equals(b)
 
 
+def test_stream_state_crash_restart_retry_and_orphan_gc(spark, tmpdir):
+    """full crash-inject protocol at the RETRY boundary: kill between
+    epoch-dir write and manifest flip, RESTART (fresh maintainer over the
+    same state dir — process death), retry the same epoch, and assert
+    (a) the reader never saw the half-epoch, (b) the retried commit
+    equals the batch re-sample, (c) the orphaned half-epoch directory is
+    GC'd by a later commit, (d) a crash between manifest flip and GC also
+    self-heals on the next commit."""
+    import os
+    spec = SampleSpec("lineitem", ("l_orderkey", "l_linenumber"),
+                      ("l_returnflag",), "hash", fraction=0.05, seed=42)
+    full = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    thirds = [full.where(f"l_orderkey % 3 = {i}") for i in range(3)]
+    state = f"{tmpdir}/state_gc"
+    epochs_dir = os.path.join(state, "epochs")
+
+    m = StreamingSampleMaintainer(spark, spec, state)
+    m.process_batch(thirds[0])
+    before = m.sample_df().toPandas()
+    man1 = m._manifest()
+
+    # crash strictly BEFORE the flip: epoch dirs written, manifest not
+    m._commit = lambda manifest: (_ for _ in ()).throw(
+        RuntimeError("killed before flip"))
+    with pytest.raises(RuntimeError, match="killed"):
+        m.process_batch(thirds[1])
+    orphaned = {d for d in os.listdir(epochs_dir)} - {
+        os.path.normpath(p).split(os.sep)[1]
+        for p in man1["rows"] + [man1["stats"]]}
+    assert orphaned, "crash should have left a half-written epoch dir"
+
+    # RESTART: a brand-new maintainer over the same state dir
+    m2 = StreamingSampleMaintainer(spark, spec, state)
+    assert m2._manifest() == man1          # reader still on epoch 1
+    mid = m2.sample_df().toPandas()
+    cols = sorted(before.columns)
+    assert (mid[cols].sort_values(cols).reset_index(drop=True)
+            .equals(before[cols].sort_values(cols).reset_index(drop=True)))
+
+    # RETRY the same epoch on the new instance: lands, and the commit's
+    # GC removes the orphaned half-epoch (uuid suffix = no collision)
+    m2.process_batch(thirds[1])
+    live_after = set(os.listdir(epochs_dir))
+    assert not (orphaned & live_after), "orphaned half-epoch not GC'd"
+
+    # crash AFTER flip but BEFORE gc: manifest is committed, cleanup isn't
+    real_gc = m2._gc
+    m2._gc = lambda manifest: (_ for _ in ()).throw(
+        RuntimeError("killed before gc"))
+    with pytest.raises(RuntimeError, match="killed"):
+        m2.process_batch(thirds[2])
+    man3 = m2._manifest()
+    assert int(man3["epoch"]) == 2         # flip DID land
+    m2._gc = real_gc
+    stale = set(os.listdir(epochs_dir)) - {
+        os.path.normpath(p).split(os.sep)[1]
+        for p in man3["rows"] + [man3["stats"]]}
+    # hash-method rows are append-only deltas, so only superseded stats
+    # dirs go stale — the NEXT commit's gc clears whatever is unreferenced
+    m3 = StreamingSampleMaintainer(spark, spec, state)
+    m3.process_batch(spark.createDataFrame([], full.schema))
+    assert not (stale & set(os.listdir(epochs_dir)))
+    # final state equals the batch re-sample of everything ingested
+    streamed = m3.sample_df().toPandas()
+    batch = stratified_sample(full, spec).toPandas()
+    a = streamed[cols].sort_values(cols).reset_index(drop=True)
+    b = batch[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_stream_topk_equals_batch(spark, tmpdir, duck):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from snappy_aqp_spark.topk.api import create_approx_ts_topk
