@@ -1113,7 +1113,17 @@ def oracle_sql() -> dict[str, str]:
                                     fx["start"], fx["end"], fx["k"])
     for name, fx in PIPELINE_FIXTURES.items():
         stages, final = fx["builder"](_DK, **fx["kw"])
-        out[name] = stages_sql(stages, final)
+        # materialize_oracle: MATERIALIZED CTEs (DuckDB-only strings —
+        # the driver replays these in DuckDB). Plain AS lets DuckDB
+        # re-inline multi-referenced stages, re-evaluating the expensive
+        # shingle/band lineage per reference — cross_corpus_dedup at 10x
+        # sf0.1 is 39s materialized vs >600s inlined, identical results.
+        # Per-fixture, not global: materialization SPILLS each stage, and
+        # pipelines with one huge streaming-friendly intermediate (bm25's
+        # postings-pair join) are better inlined.
+        out[name] = stages_sql(stages, final,
+                               materialized=fx.get("materialize_oracle",
+                                                   False))
     out["text_analysis"] = text_features_oracle(_DK)
     from snappy_aqp_spark.pipeline.clusters import (
         clean_corpus_oracle_sql, dedup_clusters_oracle_sql,

@@ -264,6 +264,10 @@ PIPELINE_FIXTURES: dict[str, dict] = {
         "builder": _ic.cross_corpus_dedup_stages,
         "kw": {"new_pred": "source IN ('src18', 'src19')",
                "threshold": 0.5},
+        # the band/shingle lineage is referenced by several downstream
+        # stages: inlined re-evaluation is quadratic at scale (see
+        # __spark_entry__.oracle_sql)
+        "materialize_oracle": True,
         "tables": ("documents",)},
     # BM25-shaped lexical retrieval: every 100th doc queries the rest
     "bm25_retrieval": {
@@ -468,6 +472,21 @@ SQL_FIXTURES: dict[str, dict] = {
                   "AND o.o_custkey = c.c_custkey "
                   "AND (substring(c.c_mktsegment, 1, 1) = 'B' "
                   "OR substring(c.c_mktsegment, 1, 1) = 'A') "
+                  "WITH ERROR 0.5 CONFIDENCE 0.95"),
+    },
+    # alias-qualified WHERE/ON kept VERBATIM through planning (round-5
+    # alias-preserving join planning: relations plan under their SQL
+    # aliases on both executors, so qualified predicates survive even
+    # when joined relations share column names — perfJoinQueries.sql
+    # style). Every clause here qualifies through the aliases.
+    "sql_alias_qualified_where": {
+        "ddl": [_LI_DDL],
+        "tables": ("lineitem", "orders"),
+        "query": ("SELECT sum(l.l_quantity) AS sq, absolute_error(sq), "
+                  "lower_bound(sq) FROM lineitem l "
+                  "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+                  "WHERE o.o_orderpriority = '1-URGENT' "
+                  "AND l.l_discount < 0.05 "
                   "WITH ERROR 0.5 CONFIDENCE 0.95"),
     },
     # TPC-H Q5 shape — the deepest join tree in the suite: the sampled

@@ -37,11 +37,22 @@ from .dedup import P31, _minhash_exprs
 def cross_corpus_dedup_stages(dialect: str, new_pred: str,
                               threshold: float = 0.5, k: int = 5,
                               n_hashes: int = 32, bands: int = 8,
-                              table: str = "documents", col: str = "text"
+                              table: str = "documents", col: str = "text",
+                              max_band_df: int = 100_000
                               ) -> tuple[list[tuple[str, str]], str]:
     """``(stages, final)`` -> one row per NEW document:
     (doc_id, status 'exact'|'near'|'unique', match_id nullable,
-    jaccard nullable — 1.0 for exact, the verified Jaccard for near)."""
+    jaccard nullable — 1.0 for exact, the verified Jaccard for near).
+
+    ``max_band_df``: the standard LSH hot-bucket guard (same role as the
+    shingle df-cap in ``dedup.minhash_lsh_stages``): a band value shared
+    by more than this many documents is boilerplate, and its candidate
+    fan-out is new x corpus WITHIN the bucket — one hot band over a
+    templated corpus turns the verification join quadratic. Dropping it
+    costs recall only for pairs whose EVERY other band also misses
+    (recall loss is (hot_bands/bands)-powered); the default is far above
+    any bucket at the fixture scales, so fixture semantics are the
+    uncapped definition while the guard stays driver-verified."""
     rows = n_hashes // bands
     (pa, pb) = _minhash_exprs(1)[0]
     cpows = [pow(1299721, j, P31) for j in range(rows)]
@@ -80,13 +91,19 @@ def cross_corpus_dedup_stages(dialect: str, new_pred: str,
          f"FROM __ccb "
          f"GROUP BY doc_id, is_new, "
          f"CAST((bin - (bin % {rows})) / {rows} AS BIGINT)"),
-        # asymmetric candidate join: new x corpus, exact tier excluded
+        # hot band values (boilerplate): tiny exclusion list by construction
+        ("__cchot",
+         f"SELECT bv FROM __ccv GROUP BY bv "
+         f"HAVING COUNT(*) > {max_band_df}"),
+        # asymmetric candidate join: new x corpus, exact tier excluded,
+        # hot buckets skipped (NOT EXISTS plans as a plain anti join)
         ("__ccand",
          "SELECT DISTINCT a.doc_id AS idn, b.doc_id AS idc "
          "FROM __ccv a JOIN __ccv b ON a.bv = b.bv "
          "AND a.is_new = 1 AND b.is_new = 0 "
          "LEFT JOIN __cce e ON a.doc_id = e.doc_id "
-         "WHERE e.doc_id IS NULL"),
+         "WHERE e.doc_id IS NULL "
+         "AND NOT EXISTS (SELECT 1 FROM __cchot h WHERE h.bv = a.bv)"),
         ("__ccdoc", "SELECT idn AS doc_id FROM __ccand "
                     "UNION SELECT idc AS doc_id FROM __ccand"),
         ("__ccsh", "SELECT s.doc_id, s.sh FROM __ccs s "

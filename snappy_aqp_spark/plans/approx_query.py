@@ -431,15 +431,28 @@ def _prepare(spec: ApproxQuerySpec, tables: dict[str, DataFrame],
         return base.alias(alias or name)
 
     df = rel(start, spec.from_alias)
+    # joined relations may duplicate column names of earlier relations
+    # (NYC corpus: pickup_datetime/medallion on BOTH fact tables). Rule:
+    # the LEFTMOST relation's column wins for bare references; later
+    # duplicates are dropped AFTER the WHERE filter (whose qualified
+    # references still need both sides). Mirrored exactly by the oracle's
+    # explicit projection lists in prepared_stage.
+    seen_cols = {c.lower() for c in df.columns}
+    dup_drops = []                     # (right_frame, column_name)
     for j in spec.joins:
+        r = rel(j.table, j.alias)
+        dup_drops += [(r, c) for c in r.columns if c.lower() in seen_cols]
+        seen_cols |= {c.lower() for c in r.columns}
         if j.how == "cross":
             # comma-style FROM list: predicate stays in spec.where and
             # Catalyst folds it back into an equi-join after the filter
-            df = df.crossJoin(rel(j.table, j.alias))
+            df = df.crossJoin(r)
         else:
-            df = df.join(rel(j.table, j.alias), on=F.expr(j.on), how=j.how)
+            df = df.join(r, on=F.expr(j.on), how=j.how)
     if spec.where:
         df = df.where(F.expr(spec.where))
+    for r, c in dup_drops:
+        df = df.drop(r[c])
     df = _apply_subqueries(df, spec, tables, cache_token)
     for i, g in enumerate(spec.group_by):
         df = df.withColumn(f"__g{i}", F.expr(g))
@@ -669,6 +682,7 @@ def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB,
 
     def prepared_stage(src: str, sampled: bool) -> str:
         sampled_tbl = spec.sample.base_table
+        from ..tables import TABLE_COLUMNS
 
         def rel(name: str, alias: str | None) -> str:
             if name.lower() == sampled_tbl and sampled:
@@ -684,16 +698,50 @@ def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB,
             # alias every relation (WHERE/ON keep qualified references)
             return f"{name} AS {alias}" if alias else name
 
-        frm = rel(spec.from_relation or sampled_tbl, spec.from_alias)
+        def hidden_of(name: str) -> list[str]:
+            if not (name.lower() == sampled_tbl and sampled):
+                return []
+            from ..specs import (STRATA_SAMPLED_COL, STRATA_TOTAL_COL,
+                                 WEIGHT_COL)
+            return ([STRATA_SAMPLED_COL, STRATA_TOTAL_COL, WEIGHT_COL]
+                    + [f"__sq{i}" for i in range(len(spec.sample.qcs))])
+
+        # explicit projection with LEFTMOST-relation-wins dedup of
+        # duplicate column names — mirrors _prepare's post-WHERE drops;
+        # WHERE evaluates at the same SELECT level, so qualified
+        # references to the dropped duplicates still resolve there.
+        # Relations outside the schema registry (dynamically attached
+        # tables whose oracle is built session-free, e.g. the AQP-211
+        # auto-weighted fixtures) fall back to SELECT * — they are
+        # single-relation shapes with no duplicate risk.
+        start_name = spec.from_relation or sampled_tbl
+        start_al = spec.from_alias or start_name
+        rels = ([(start_name, start_al)]
+                + [(j.table, j.alias or j.table) for j in spec.joins])
+        sel: list[str] = []
+        if all(n.lower() in TABLE_COLUMNS for n, _ in rels):
+            seen: set[str] = set()
+            for name, alias in rels:
+                for c in list(TABLE_COLUMNS[name.lower()]) + hidden_of(name):
+                    if c.lower() not in seen:
+                        seen.add(c.lower())
+                        sel.append(f"{alias}.{c}")
+        else:
+            sel = ["*"]
+
+        frm = rel(start_name, spec.from_alias)
         for j in spec.joins:
             if j.how == "cross":
                 frm += f" CROSS JOIN {rel(j.table, j.alias)}"
             else:
                 frm += f" {j.how.upper()} JOIN {rel(j.table, j.alias)} ON {j.on}"
-        sql = f"SELECT * FROM {frm}"
+        sql = f"SELECT {', '.join(sel)} FROM {frm}"
         where_full = full_where_sql(spec)
         if where_full:
             sql += f" WHERE {where_full}"
+        # group exprs bind ABOVE the deduped projection (bare column
+        # references would be ambiguous at the join level while both
+        # duplicates are still in scope)
         proj = [f"{g} AS __g{i}" for i, g in enumerate(spec.group_by)]
         proj_sql = ("*, " + ", ".join(proj)) if proj else "*"
         return f"SELECT {proj_sql} FROM ({sql}) __p"
@@ -813,20 +861,40 @@ def oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB,
 
 def exact_oracle_sql_for(spec: ApproxQuerySpec, dialect: str = DUCKDB) -> str:
     """Oracle for the exact path (routing fallback / benchmarking)."""
+    from ..tables import TABLE_COLUMNS
+
     def rel(name: str, alias: str | None) -> str:
         return f"{name} AS {alias}" if alias else name
-    frm = rel(spec.from_relation or spec.sample.base_table, spec.from_alias)
+    start_name = spec.from_relation or spec.sample.base_table
+    start_al = spec.from_alias or start_name
+    # leftmost-wins dedup of duplicate column names (see prepared_stage);
+    # unknown-registry relations fall back to SELECT *
+    rels = ([(start_name, start_al)]
+            + [(j.table, j.alias or j.table) for j in spec.joins])
+    sel: list[str] = []
+    if all(n.lower() in TABLE_COLUMNS for n, _ in rels):
+        seen: set[str] = set()
+        for name, alias in rels:
+            for c in TABLE_COLUMNS[name.lower()]:
+                if c.lower() not in seen:
+                    seen.add(c.lower())
+                    sel.append(f"{alias}.{c}")
+    else:
+        sel = ["*"]
+    frm = rel(start_name, spec.from_alias)
     for j in spec.joins:
         if j.how == "cross":
             frm += f" CROSS JOIN {rel(j.table, j.alias)}"
         else:
             frm += f" {j.how.upper()} JOIN {rel(j.table, j.alias)} ON {j.on}"
-    sql = f"SELECT *, {', '.join(f'{g} AS __g{i}' for i, g in enumerate(spec.group_by))} FROM {frm}"
-    if not spec.group_by:
-        sql = f"SELECT * FROM {frm}"
+    sql = f"SELECT {', '.join(sel)} FROM {frm}"
     where_full = full_where_sql(spec)
     if where_full:
         sql += f" WHERE {where_full}"
+    if spec.group_by:
+        gp = ", ".join(f"{g} AS __g{i}"
+                       for i, g in enumerate(spec.group_by))
+        sql = f"SELECT *, {gp} FROM ({sql}) __e"
     gcols = _gcols(spec)
     parts = [f"__g{i} AS {name}" for i, name in enumerate(spec.group_out)]
     parts += [f"{s} AS {n}" for n, s in _exact_frags(spec).items()]

@@ -575,6 +575,25 @@ def analyze(parsed: ParsedSelect, wc: WithClause, sample_spec,
 
     Returns spec=None (exact route) for unsupported aggregate shapes —
     mirroring the reference's whole-query routing."""
+    # GROUP BY <select-alias> resolves to the aliased EXPRESSION
+    # (standard lateral alias semantics; the reference's NYC corpus:
+    # `hour(pickup_datetime) as hour ... GROUP BY hour`,
+    # sampleTableNYCQueries.sql:2). A real base column of the same name
+    # wins over the alias, matching Spark's own resolution order.
+    alias_to_expr = {a.lower(): e for e, a in parsed.select_items
+                     if a and not _AGG_RE.match(e.strip())}
+    if alias_to_expr and parsed.group_by:
+        from ..tables import TABLE_COLUMNS
+        base_cols = {c.lower()
+                     for t in ([parsed.from_table]
+                               + [j.table for j in parsed.joins])
+                     for c in TABLE_COLUMNS.get(t.lower(), ())}
+        import dataclasses as _dc
+        parsed = _dc.replace(parsed, group_by=[
+            alias_to_expr.get(g.strip().lower(), g)
+            if g.strip().lower() not in base_cols else g
+            for g in parsed.group_by])
+
     # GROUP BY items join the scan: ROLLUP/CUBE/GROUPING SETS live there,
     # not in the select list, and route exact like every other unsupported
     # shape (QueryRoutingRules.scala:86-92)
@@ -1092,7 +1111,10 @@ def _parse_time_us(val: str) -> int:
 _CREATE_SAMPLE_RE = re.compile(
     r"^\s*CREATE\s+SAMPLE\s+TABLE\s+(?P<name>\w+)"
     r"(?:\s+ON\s+(?P<base>\w+))?\s+"
-    r"OPTIONS\s*\((?P<opts>[^)]*)\)"
+    # option VALUES may contain parens inside their quotes — function QCS
+    # like qcs 'hour(pickup_dateTime)' is the reference's own NYC demo
+    # shape (create_and_load_NYCTaxiSample_hour.sql:3)
+    r"OPTIONS\s*\((?P<opts>(?:'[^']*'|[^()'])*)\)"
     r"(?:\s+AS\s+(?P<as_sql>SELECT\b.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 _DROP_SAMPLE_RE = re.compile(r"^\s*DROP\s+SAMPLE\s+TABLE\s+(?P<name>\w+)\s*;?\s*$",

@@ -24,6 +24,15 @@ from snappy_aqp_spark.api import AQPSession
 from snappy_aqp_spark.plans.approx_query import oracle_sql_for, visible_columns
 from tests.conftest import SF_SMALL, compare_frames
 
+
+class _PandasFrame:
+    """adapter: compare_frames calls .toPandas() on its first arg"""
+    def __init__(self, pdf):
+        self._pdf = pdf
+
+    def toPandas(self):
+        return self._pdf
+
 _REF_DIR = "/root/reference/src/test/java/io/snappydata/app"
 _FILES = ("perfQueries.sql", "perfQueriesBaseTable.sql",
           "perfQueries_WOE.sql", "perfQueriesPartialRoute.sql",
@@ -68,7 +77,8 @@ _VIEWS = {
         "CAST(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END AS INT) "
         "AS CANCELLED, "
         "CAST(l_partkey % 2400 AS INT) AS CRSDepTime, "
-        "CAST(l_suppkey % 2400 AS INT) AS DepTime "
+        "CAST(l_suppkey % 2400 AS INT) AS DepTime, "
+        "CAST(l_suppkey % 50 AS STRING) AS dest "
         "FROM lineitem"),
     "airlineRef": "SELECT n_name AS Code, n_name AS description "
                   "FROM nation",
@@ -157,18 +167,186 @@ _ORACLE_SUBSET = {
 def test_reference_perf_query_matches_oracle(aqp_air, duck_air, src, line, q):
     """the subset's values replay bit-exactly on DuckDB (same contract as
     the driver gate)."""
-    an = aqp_air.analyze_sql(q)
+    _check_vs_oracle(aqp_air, duck_air, q)
+
+
+def _check_vs_oracle(session, duckcon, q: str) -> None:
+    an = session.analyze_sql(q)
     if an is None or an.spec is None:
-        # exact route: fold error functions and run the text on both
+        # exact route: fold error functions and run the text on both.
+        # Unaliased outputs get ENGINE-SPECIFIC auto-names (Spark
+        # `count(1)` vs DuckDB `count_star()`) — not part of the driver
+        # contract (fixtures always alias); compare those positionally
         from snappy_aqp_spark.sql import frontend as fe
         stripped, _ = fe.strip_with_clause(q.rstrip(";"))
         folded = fe.fold_error_functions(
             stripped, an.parsed if an is not None else None)
-        compare_frames(aqp_air.sql(q), duck_air.sql(folded))
+        sp = session.sql(q).toPandas()
+        dk = duckcon.sql(folded).df()
+        if sorted(sp.columns) != sorted(dk.columns):
+            assert len(sp.columns) == len(dk.columns), (sp.columns,
+                                                        dk.columns)
+            sp.columns = dk.columns = [f"c{i}"
+                                       for i in range(len(sp.columns))]
+        compare_frames(_PandasFrame(sp), dk)
         return
     sql = oracle_sql_for(an.spec)
     if an.rename:
         cols = [f"{c} AS {an.rename.get(c, c)}"
                 for c in visible_columns(an.spec)]
         sql = f"SELECT {', '.join(cols)} FROM (\n{sql}\n) __renamed"
-    compare_frames(aqp_air.sql(q), duck_air.sql(sql))
+    compare_frames(session.sql(q), duckcon.sql(sql))
+
+
+# ---------------------------------------------------------------------------
+# The scripts/ corpora: the reference's NYC-taxi demo surface
+# (src/test/resources/scripts/*.sql — loaded by its job-server demos and
+# validation harness). Statement-split on ';' with comment stripping;
+# queries run VERBATIM over nyctaxi-shaped views on the events table.
+# ---------------------------------------------------------------------------
+
+_SCRIPTS_DIR = "/root/reference/src/test/resources/scripts"
+_SCRIPT_FILES = ("aqpQueryRouting.sql",)        # airline-shaped (app dir)
+_NYC_FILES = ("nycQueries.sql", "sampleTableNYCQueries.sql",
+              "baseTableNYCQueries.sql", "nycAPIQueries.sql",
+              "validationQueries.sql", "olap_approx.sql")
+
+
+def _load_statements(path: str) -> list[tuple[int, str]]:
+    """Statement loader for the reference's demo scripts: '--' comment
+    lines and trailing '//' remarks stripped; statements end at ';' OR at
+    a line starting a new SELECT (nycQueries.sql drops a semicolon after
+    its line-19 query). Only SELECT statements are kept (DDL is adapted
+    separately — the create_and_load_* scripts name real CSV drops this
+    container doesn't have). A statement with a dangling comma before
+    FROM (nycQueries.sql line 21 — broken in the reference source) is
+    excluded."""
+    if not os.path.exists(path):
+        return []
+    chunks: list[str] = []
+    for ln in open(path).read().splitlines():
+        if ln.strip().startswith("--"):
+            continue
+        if ln.strip().upper().startswith("SELECT"):
+            chunks.append(ln)
+        elif chunks:
+            chunks[-1] += "\n" + ln
+    out = []
+    i = 0
+    for chunk in chunks:
+        for stmt in chunk.split(";"):
+            stmt = re.sub(r"//.*$", "", stmt.strip(),
+                          flags=re.MULTILINE).strip()
+            if not stmt.upper().startswith("SELECT"):
+                continue
+            i += 1
+            if re.search(r",\s*FROM\b", stmt, re.IGNORECASE):
+                continue        # malformed in the reference source
+            out.append((i, " ".join(stmt.split())))
+    return out
+
+
+_NYC_CORPUS = [(f, i, q) for f in _NYC_FILES
+               for i, q in _load_statements(os.path.join(_SCRIPTS_DIR, f))]
+_ROUTING_CORPUS = [("aqpQueryRouting.sql", i, q) for i, q in
+                   _load_statements(os.path.join(
+                       _REF_DIR, "aqpQueryRouting.sql"))]
+
+# NYC-taxi-shaped views over the events table: nyctaxi and fare share
+# medallion/hack_license/pickup_datetime column NAMES (the corpus joins
+# them on all three) — the duplicate-column join planning exercise
+_NYC_VIEWS = {
+    "nyctaxi": (
+        "SELECT event_id, user_id, "
+        "CAST(user_id % 200 AS STRING) AS medallion, "
+        "CAST(user_id AS STRING) AS hack_license, "
+        "ts AS pickup_datetime, "
+        "CAST(value AS DOUBLE) AS trip_distance, "
+        "CAST(40.61 + (user_id % 30) * 0.01 AS DOUBLE) AS pickup_latitude, "
+        "CAST((user_id % 29) * 0.01 - 74.06 AS DOUBLE) AS pickup_longitude, "
+        "event_type AS vendor_name FROM events"),
+    "fare": (
+        "SELECT event_id, "
+        "CAST(user_id AS STRING) AS hack_license, "
+        "CAST(user_id % 200 AS STRING) AS medallion, "
+        "ts AS pickup_datetime, "
+        "CAST(value AS DOUBLE) AS fare_amount, "
+        "CAST(value * 0.1 AS DOUBLE) AS surcharge, "
+        "CAST(value * 0.15 AS DOUBLE) AS tip_amount, "
+        "CAST(value * 1.3 AS DOUBLE) AS total_amount FROM events"),
+    "NYCTAXI_BIGDATA": (
+        "SELECT event_id, ts AS Trip_Pickup_DateTime, "
+        "CAST(value AS DOUBLE) AS Total_Amt, "
+        "CAST(40.61 + (user_id % 30) * 0.01 AS DOUBLE) AS Start_Lat, "
+        "CAST((user_id % 29) * 0.01 - 74.06 AS DOUBLE) AS Start_Lon, "
+        "event_type AS vendor_name FROM events"),
+}
+
+# the reference's create_and_load_NYCTaxiSample_*.sql sample DDLs,
+# adapted (buckets is a store-layout option there; keyColumns names the
+# deterministic row identity this engine needs for non-builtin tables)
+_NYC_DDLS = (
+    "CREATE SAMPLE TABLE NYCTAXI_SAMPLEMEDALLION ON nyctaxi OPTIONS("
+    "qcs 'medallion', fraction '0.05', method 'hash', seed '42', "
+    "keyColumns 'event_id')",
+    "CREATE SAMPLE TABLE NYCTAXI_SAMPLEHOUR ON nyctaxi OPTIONS("
+    "qcs 'hour(pickup_dateTime)', fraction '0.05', method 'hash', "
+    "seed '43', keyColumns 'event_id')",
+    "CREATE SAMPLE TABLE NYCTAXI_SAMPLEHACKLICENSE ON nyctaxi OPTIONS("
+    "qcs 'hack_license', fraction '0.05', method 'hash', seed '44', "
+    "keyColumns 'event_id')",
+    "CREATE SAMPLE TABLE fare_s ON fare OPTIONS("
+    "qcs 'medallion', fraction '0.05', method 'hash', seed '45', "
+    "keyColumns 'event_id')",
+)
+
+
+@pytest.fixture(scope="module")
+def aqp_nyc(spark):
+    s = AQPSession(spark, data_token="ref-nyc-corpus", error=0.5,
+                   confidence=0.95, behavior="do_nothing")
+    s.load_tables(SF_SMALL, ["events"])
+    for name, sql in _NYC_VIEWS.items():
+        s.register_table(name, spark.sql(sql))
+    for ddl in _NYC_DDLS:
+        s.sql(ddl)
+    return s
+
+
+@pytest.fixture(scope="module")
+def duck_nyc(duck):
+    for name, sql in _NYC_VIEWS.items():
+        duck.sql(f"CREATE OR REPLACE VIEW {name} AS {sql}")
+    return duck
+
+
+@pytest.mark.parametrize(
+    "src,line,q", _NYC_CORPUS + _ROUTING_CORPUS,
+    ids=[f"{f.removesuffix('.sql')}:{i}"
+         for f, i, _ in _NYC_CORPUS + _ROUTING_CORPUS])
+def test_reference_nyc_corpus_runs(aqp_nyc, aqp_air, src, line, q):
+    """the NYC demo corpus + aqpQueryRouting.sql execute end-to-end:
+    shared-column comma joins, GROUP BY ordinals over function exprs,
+    ORDER BY aggregate text, function QCS, direct sample-table scans,
+    COUNT(DISTINCT)->exact route, `count` as a bare alias."""
+    session = aqp_air if "airline" in q.lower() else aqp_nyc
+    rows = session.sql(q).collect()
+    assert rows is not None
+
+
+_NYC_ORACLE_SUBSET = {
+    ("validationQueries.sql", 1),        # plain exact count
+    ("sampleTableNYCQueries.sql", 1),    # shared-col comma join, approx
+    ("sampleTableNYCQueries.sql", 3),    # global count + both errors
+    ("sampleTableNYCQueries.sql", 4),    # medallion group, order/limit
+    ("nycAPIQueries.sql", 1),            # count(*) with bare alias `count`
+}
+
+
+@pytest.mark.parametrize(
+    "src,line,q",
+    [t for t in _NYC_CORPUS if (t[0], t[1]) in _NYC_ORACLE_SUBSET],
+    ids=[f"{f.removesuffix('.sql')}:{i}"
+         for f, i, _ in _NYC_CORPUS if (f, i) in _NYC_ORACLE_SUBSET])
+def test_reference_nyc_corpus_matches_oracle(aqp_nyc, duck_nyc, src, line, q):
+    _check_vs_oracle(aqp_nyc, duck_nyc, q)
