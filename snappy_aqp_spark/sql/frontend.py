@@ -1276,13 +1276,22 @@ def fold_error_functions(sql: str, parsed: ParsedSelect | None) -> str:
     — bounds are NULL and errors 0.0 on every exact plan).
 
     ``parsed`` may be None for queries the mini-parser rejected; a best-
-    effort re-parse recovers the alias map, else the text passes through
-    unchanged (Spark then reports the unknown function clearly)."""
+    effort re-parse recovers the alias map. If even that fails (e.g. a
+    computed-column FROM-subquery, sampleTableCCQueries.sql:3), the calls
+    still fold — LENIENTLY, without alias validation: the exact-route
+    contract (errors 0, bounds NULL) holds for any target, and leaving
+    the calls unfolded would guarantee an UNRESOLVED_ROUTINE failure on a
+    query the reference runs."""
     if parsed is None:
         try:
             parsed = parse_select(sql)
         except SQLFrontendError:
-            return sql
+            def lenient(m: re.Match) -> str:
+                return ("CAST(0.0 AS DOUBLE)"
+                        if m.group(1).lower() in ("absolute_error",
+                                                  "relative_error")
+                        else "CAST(NULL AS DOUBLE)")
+            return _ERRFN_CALL_RE.sub(lenient, sql)
     expr_by_alias = {a.lower(): e for e, a in parsed.select_items if a}
     # function-text targets ("lower_bound(avg(l_quantity))") resolve
     # against the select expressions themselves, same as _ERRFN_RE does

@@ -350,3 +350,88 @@ _NYC_ORACLE_SUBSET = {
          for f, i, _ in _NYC_CORPUS if (f, i) in _NYC_ORACLE_SUBSET])
 def test_reference_nyc_corpus_matches_oracle(aqp_nyc, duck_nyc, src, line, q):
     _check_vs_oracle(aqp_nyc, duck_nyc, q)
+
+
+# ---------------------------------------------------------------------------
+# Climate-change (CC) corpus: nested FROM-subqueries, IF() projections, a
+# CREATE VIEW with WHERE, substr-derived group keys
+# (create_and_load_ClimateChangeCol_table.sql + *CCQueries.sql).
+# ---------------------------------------------------------------------------
+
+_CC_FILES = ("baseTableCCQueries.sql", "sampleTableCCQueries.sql",
+             "validationQueriesForCC.sql")
+
+# one query in the reference source orders by an alias no select item
+# defines (`ORDER BY v1`; the items are v2/x/y) — a source bug, excluded
+_CC_SKIP = {("sampleTableCCQueries.sql", 6)}
+
+_CC_CORPUS = [(f, i, q) for f in _CC_FILES
+              for i, q in _load_statements(os.path.join(_SCRIPTS_DIR, f))
+              if (f, i) not in _CC_SKIP]
+
+_CC_VIEW = (
+    "SELECT CONCAT('ST', CAST(doc_id % 37 AS STRING)) AS id, "
+    "CONCAT(CAST(1760 + (doc_id % 260) AS STRING), '0315') AS ymd, "
+    "CASE WHEN doc_id % 4 = 0 THEN 'TMAX' WHEN doc_id % 4 = 1 THEN 'TMIN' "
+    "WHEN doc_id % 4 = 2 THEN 'PRCP' ELSE 'SNOW' END AS element, "
+    "CAST((doc_id % 400) - 100 AS INT) AS data_value FROM documents")
+
+# the reference's own view DDL (create_and_load_ClimateChangeCol_table
+# .sql:17-21), with substr(ymd, 1, 4): the verbatim corpus text keeps
+# substr(ymd, 0, 4), which Spark reads as 4 chars but DuckDB as 3 — an
+# ENGINE divergence on the same text, so the adapter view (ours to write)
+# uses the portable 1-based form; the verbatim queries still execute on
+# both engines in the run gate
+_CC_VIEW_DDL = (
+    "CREATE VIEW climateChange_View AS SELECT ID AS stationId, "
+    "IF( ELEMENT='TMAX', data_value, NULL ) AS tmax,"
+    "IF( ELEMENT='TMIN', data_value, NULL ) AS tmin,"
+    "CAST(substr(ymd, 1, 4) AS INT) AS year FROM CLIMATECHANGE "
+    "WHERE ELEMENT IN ('TMIN','TMAX')")
+
+_CC_DDL = ("CREATE SAMPLE TABLE climateChangeSampleTable ON climateChange "
+           "OPTIONS(qcs 'element', fraction '0.05', method 'hash', "
+           "seed '46', keyColumns 'doc_id')")
+
+
+@pytest.fixture(scope="module")
+def aqp_cc(spark):
+    s = AQPSession(spark, data_token="ref-cc-corpus", error=0.5,
+                   confidence=0.95, behavior="do_nothing")
+    s.load_tables(SF_SMALL, ["documents"])
+    # keep doc_id visible to the sampler: the view carries it implicitly
+    # through the adapter's deterministic derivations
+    df = spark.sql(_CC_VIEW.replace("SELECT ", "SELECT doc_id, ", 1))
+    s.register_table("climateChange", df)
+    s.sql(_CC_DDL)
+    s.sql(_CC_VIEW_DDL)
+    return s
+
+
+@pytest.fixture(scope="module")
+def duck_cc(duck):
+    duck.sql("CREATE OR REPLACE VIEW climateChange AS "
+             + _CC_VIEW.replace("SELECT ", "SELECT doc_id, ", 1))
+    duck.sql(_CC_VIEW_DDL.replace("CREATE VIEW",
+                                  "CREATE OR REPLACE VIEW"))
+    return duck
+
+
+@pytest.mark.parametrize(
+    "src,line,q", _CC_CORPUS,
+    ids=[f"{f.removesuffix('.sql')}:{i}" for f, i, _ in _CC_CORPUS])
+def test_reference_cc_corpus_runs(aqp_cc, src, line, q):
+    """the CC corpus executes end-to-end: IF() conditional aggregation
+    through a WHERE-carrying view, nested FROM-subqueries under WITH
+    ERROR (derived-table routing), substr group keys."""
+    rows = aqp_cc.sql(q).collect()
+    assert rows is not None
+
+
+@pytest.mark.parametrize(
+    "src,line,q",
+    [t for t in _CC_CORPUS if (t[0], t[1]) in
+     {("sampleTableCCQueries.sql", 1), ("validationQueriesForCC.sql", 1)}],
+    ids=["sampleTableCCQueries:1", "validationQueriesForCC:1"])
+def test_reference_cc_corpus_matches_oracle(aqp_cc, duck_cc, src, line, q):
+    _check_vs_oracle(aqp_cc, duck_cc, q)
