@@ -247,6 +247,26 @@ PIPELINE_FIXTURES: dict[str, dict] = {
                "out_alias": "rev", "max_abs": 2.0e7,
                "trials": 100, "confidence": 0.95},
         "tables": ("lineitem", "orders")},
+    # SELF-join of two INDEPENDENT samples of the same table: requires
+    # the nonlinear hash_rand method — affine hash streams with
+    # different seeds are shifted intervals of the same key ordering
+    # (nested/disjoint, never independent), which the operator rejects
+    # outright. Drives the round-5 independence guard + hash_rand
+    # sampler through the gate.
+    "two_sample_self_join": {
+        "builder": _ts2.two_sample_join_sum_stages,
+        "kw": {"spec_a": SampleSpec(
+                   "orders", ("o_orderkey",),
+                   ("o_orderstatus",), "hash_rand", 0.3, seed=42),
+               "spec_b": SampleSpec(
+                   "orders", ("o_orderkey",),
+                   ("o_orderstatus",), "hash_rand", 0.4, seed=971),
+               "join_on": "a.o_orderkey = b.o_orderkey",
+               "measure": "a.o_totalprice",
+               "group_by": "a.o_orderstatus",
+               "out_alias": "tp", "max_abs": 1.0e6,
+               "trials": 60, "confidence": 0.95},
+        "tables": ("orders",)},
     # source-level diversity rollup (mixture-design diagnostics): TTR,
     # unique-trigram fraction, mean per-word document frequency — the
     # shuffles carry (source, token) pairs only, never text
