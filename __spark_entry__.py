@@ -80,34 +80,57 @@ _GATE_PRIORITY: tuple[str, ...] = (
 )
 
 
-def _driver_checked() -> set[str]:
-    """Fixture names that already have a driver CORRECTNESS row in ANY
-    recorded round (the gate only checks ~50/round, so rotation must be
-    automatic: whatever has a row yields its slot to whatever does not)."""
+def _driver_history() -> dict[str, tuple[int, bool]]:
+    """Per-fixture (last_round_rowed, last_row_green) from the recorded
+    CORRECTNESS_r*.json files (the gate only checks ~50/round, so rotation
+    must be automatic).  A row is green only if rows+schema+hash all match;
+    a rows-only row (no oracle) counts green when rows_match holds and no
+    error was recorded."""
     import glob
     import json
     import os
-    seen: set[str] = set()
+    import re
+    hist: dict[str, tuple[int, bool]] = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
-                seen |= set(json.load(f))
+                rows = json.load(f)
         except Exception:
             continue
-    return seen
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                hist[name] = (rnd, True)
+                continue
+            green = (row.get("err") is None
+                     and row.get("rows_match", False)
+                     and row.get("schema_match", True)
+                     and row.get("hash_match", True))
+            prev = hist.get(name)
+            if prev is None or rnd >= prev[0]:
+                hist[name] = (rnd, bool(green))
+    return hist
 
 
 def _gate_order(out: dict) -> dict:
-    """Order the fixture dict for the driver's bounded gate: fixtures
-    WITHOUT a recorded driver row come first (in _GATE_PRIORITY order,
-    then insertion order), already-rowed fixtures rotate to the back."""
-    seen = _driver_checked()
-    ranked = {k: out[k] for k in _GATE_PRIORITY if k in out and k not in seen}
-    ranked.update((k, v) for k, v in out.items()
-                  if k not in ranked and k not in seen)
-    ranked.update((k, v) for k, v in out.items() if k not in ranked)
-    return ranked
+    """Order the fixture dict for the driver's bounded gate:
+    1. fixtures WITHOUT any recorded driver row (in _GATE_PRIORITY order,
+       then insertion order) — new work gets a row first;
+    2. fixtures whose LATEST recorded row is red — fixes must convert;
+    3. everything else by staleness, oldest last-rowed round first — so
+       the ~50-slot window keeps sweeping the full fixture set forever."""
+    hist = _driver_history()
+    pos = {k: i for i, k in enumerate(out)}
+    prio = {k: i for i, k in enumerate(_GATE_PRIORITY)}
+    never = [k for k in out if k not in hist]
+    never.sort(key=lambda k: (prio.get(k, len(prio)), pos[k]))
+    red = [k for k in out if k in hist and not hist[k][1]]
+    red.sort(key=lambda k: (hist[k][0], pos[k]))
+    stale = [k for k in out if k in hist and hist[k][1]]
+    stale.sort(key=lambda k: (hist[k][0], pos[k]))
+    return {k: out[k] for k in (*never, *red, *stale)}
 
 
 def _tables_for(spec: ApproxQuerySpec) -> tuple[str, ...]:
