@@ -952,6 +952,20 @@ def _multimodal_real_codec_runner(spark: SparkSession,
     return mm.extract_features(decoded).orderBy("id", "frame")
 
 
+def _multimodal_real_video_runner(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """the REAL-decoder FRAME-STRIDE branch: a 6-frame concatenated-PPM
+    container per document, decoded by the stdlib codec with
+    sample_every=2 — keeps container frames 0/2/4, so the stride loop of
+    a real (non-fake) codec is oracle-proven, not just the single-frame
+    case (reference analog: time-sampled ingestion,
+    TopKWrapper.scala:45-51 CastLongTime)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = mm.encode_ppm_media(docs, width=8, height=8, n_frames=6)
+    decoded = mm.decode_media(media, decode_fn="ppm", sample_every=2)
+    return mm.extract_features(decoded).orderBy("id", "frame")
+
+
 # prepared-query memo for the INTERACTIVE query surface: fixture data is
 # static per sf_dir, every runner is a deterministic (spark, sf_dir) -> lazy
 # DataFrame, and plan construction + Catalyst analysis of the generated
@@ -995,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _make_pipeline_runner(fx)
     out["multimodal_features"] = _multimodal_runner
     out["multimodal_real_codec"] = _multimodal_real_codec_runner
+    out["multimodal_real_video"] = _multimodal_real_video_runner
     out["dedup_clusters"] = _dedup_clusters_runner
     out["corpus_clean"] = _clean_corpus_runner
     out["streaming_topk_state"] = _streaming_topk_runner
@@ -1167,6 +1182,8 @@ def oracle_sql() -> dict[str, str]:
         _DK, n_frames=4, sample_every=2, width=16, height=16, factor=2)
     out["multimodal_real_codec"] = mm.multimodal_ppm_oracle_sql(
         _DK, width=8, height=8)
+    out["multimodal_real_video"] = mm.multimodal_ppm_oracle_sql(
+        _DK, width=8, height=8, n_frames=6, sample_every=2)
     from snappy_aqp_spark.fixtures import (INCR_APPEND_SPEC, TOPK_DDL_SPEC,
                                            TOPK_DDL_WINDOW)
     out["cf_incremental_append"] = oracle_sql_for(INCR_APPEND_SPEC)

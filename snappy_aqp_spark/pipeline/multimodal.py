@@ -124,7 +124,9 @@ def pil_image_decoder(pdf, stride: int):
     """Reference implementation of the extension contract for REAL image
     bytes via PIL: decode ``content`` (any PIL-readable format), convert to
     grayscale, emit one frame-0 pixel row per image (still images have one
-    frame; ``stride`` is a no-op for n_frames == 1). Ships permanently so
+    frame; ``stride`` is a documented no-op — this decoder is IMAGE-ONLY.
+    Multi-frame containers go through ``ppm_image_decoder``'s stride loop
+    or an ffmpeg-backed decoder). Ships permanently so
     the first environment WITH PIL proves the real-codec contract without
     code changes (tests/test_pipeline.py, marker-skipped here):
 
@@ -150,11 +152,14 @@ def pil_image_decoder(pdf, stride: int):
 
 def encode_ppm_media(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", width: int = 8,
-                     height: int = 8) -> DataFrame:
-    """REAL image bytes: one binary-PPM (P6) image per row, RGB channels
-    derived deterministically from the text's content seed (r = LCG pixel,
-    g = (r+85)%256, b = (r+170)%256 — three DISTINCT channels, so decoding
-    must genuinely parse the header and de-interleave the binary payload).
+                     height: int = 8, n_frames: int = 1) -> DataFrame:
+    """REAL image bytes: binary-PPM (P6) frames per row, RGB channels
+    derived deterministically from the text's content seed (r = LCG pixel
+    for that frame, g = (r+85)%256, b = (r+170)%256 — three DISTINCT
+    channels, so decoding must genuinely parse the header and
+    de-interleave the binary payload). ``n_frames > 1`` concatenates N
+    header+payload frames into one content blob (a minimal raw video
+    container) so the real decoder's frame-stride branch can be exercised.
     This is the test-harness encoder; real deployments read media files."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["id", "content", "format", "width", "height", "n_frames"]
@@ -165,19 +170,51 @@ def encode_ppm_media(df: DataFrame, text_col: str = "text",
             seeds = np.fromiter(
                 (_content_seed(t.encode("utf-8")) for t in pdf[text_col]),
                 dtype=np.int64, count=len(pdf))
-            r = _pixels(seeds, np.zeros(len(pdf), dtype=np.int64),
-                        width * height)
-            rgb = np.empty((len(pdf), width * height, 3), dtype=np.uint8)
-            rgb[:, :, 0] = r
-            rgb[:, :, 1] = (r + 85) % 256
-            rgb[:, :, 2] = (r + 170) % 256
             head = f"P6\n{width} {height}\n255\n".encode("ascii")
+            parts: list[list[bytes]] = [[] for _ in range(len(pdf))]
+            for f in range(n_frames):
+                r = _pixels(seeds, np.full(len(pdf), f, dtype=np.int64),
+                            width * height)
+                rgb = np.empty((len(pdf), width * height, 3), dtype=np.uint8)
+                rgb[:, :, 0] = r
+                rgb[:, :, 1] = (r + 85) % 256
+                rgb[:, :, 2] = (r + 170) % 256
+                for t in range(len(pdf)):
+                    parts[t].append(head + rgb[t].tobytes())
             yield pd.DataFrame({
                 "id": pdf[id_col].to_numpy(np.int64),
-                "content": [head + row.tobytes() for row in rgb],
-                "format": "image/x-portable-pixmap",
-                "width": width, "height": height, "n_frames": 1})
+                "content": [b"".join(p) for p in parts],
+                "format": ("image/x-portable-pixmap" if n_frames == 1
+                           else "video/x-raw-ppm"),
+                "width": width, "height": height, "n_frames": n_frames})
     return df.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _parse_pnm_header(data: bytes, pos: int) -> tuple[str, int, int, int]:
+    """Parse one binary-PNM header at ``pos``: magic + 3 ints with '#'
+    comments and any whitespace between. Returns (magic, width, height,
+    payload_start)."""
+    magic = data[pos:pos + 2].decode("ascii")
+    if magic not in ("P5", "P6"):
+        raise ValueError(f"not a binary PPM/PGM: magic {magic!r}")
+    pos += 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while data[pos] in b" \t\r\n":
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            while data[pos] not in b"\r\n":
+                pos += 1
+            continue
+        start = pos
+        while data[pos] not in b" \t\r\n":
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1                           # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    return magic, w, h, pos
 
 
 def ppm_image_decoder(pdf, stride: int):
@@ -185,43 +222,36 @@ def ppm_image_decoder(pdf, stride: int):
     parses binary PPM (P6) / PGM (P5) — magic, whitespace/comment-tolerant
     header (width, height, maxval), raw payload — and emits grayscale
     pixels (P6 luma = (r+g+b)//3, exact integer math so the result is
-    SQL-replayable; P5 passes through). Registered permanently as
-    decode_fn="ppm": the real-decoder branch of decode_media runs against
-    a DuckDB oracle in every environment, not just ones with PIL
-    (reference analog: arbitrary-typed columns through the sampler,
-    stratifiedSampling.scala:55-63 schema carry-through)."""
+    SQL-replayable; P5 passes through). Multi-frame containers (N
+    concatenated header+payload frames, ``encode_ppm_video``) decode to
+    one row per KEPT frame: ``stride`` keeps container frames 0, stride,
+    2*stride, ... — the real-codec twin of the fake codec's
+    ``sample_every`` semantics. Registered permanently as decode_fn="ppm":
+    the real-decoder branch of decode_media runs against a DuckDB oracle
+    in every environment, not just ones with PIL (reference analog:
+    arbitrary-typed columns through the sampler,
+    stratifiedSampling.scala:55-63 schema carry-through; time-sampled
+    ingestion, TopKWrapper.scala:45-51 CastLongTime)."""
+    stride = max(1, int(stride))
     rows = []
     for r in pdf.itertuples():
         data = bytes(r.content)
-        # header: magic + 3 ints, '#' comments and any whitespace between
-        pos, fields = 0, []
-        magic = data[:2].decode("ascii")
-        if magic not in ("P5", "P6"):
-            raise ValueError(f"not a binary PPM/PGM: magic {magic!r}")
-        pos = 2
-        while len(fields) < 3:
-            while data[pos] in b" \t\r\n":
-                pos += 1
-            if data[pos:pos + 1] == b"#":
-                while data[pos] not in b"\r\n":
-                    pos += 1
-                continue
-            start = pos
-            while data[pos] not in b" \t\r\n":
-                pos += 1
-            fields.append(int(data[start:pos]))
-        pos += 1                       # single whitespace after maxval
-        w, h, maxval = fields
-        if maxval > 255:
-            raise ValueError("16-bit PPM unsupported")
-        payload = np.frombuffer(data, dtype=np.uint8, offset=pos)
-        if magic == "P6":
-            rgb = payload[:w * h * 3].reshape(-1, 3).astype(np.int64)
-            px = (rgb[:, 0] + rgb[:, 1] + rgb[:, 2]) // 3
-        else:
-            px = payload[:w * h].astype(np.int64)
-        rows.append({"id": int(r.id), "frame": 0, "width": w, "height": h,
-                     "pixels": px.tolist()})
+        pos, fidx = 0, 0
+        while pos < len(data):
+            magic, w, h, pos = _parse_pnm_header(data, pos)
+            nbytes = w * h * (3 if magic == "P6" else 1)
+            if fidx % stride == 0:
+                payload = np.frombuffer(data, dtype=np.uint8, offset=pos,
+                                        count=nbytes)
+                if magic == "P6":
+                    rgb = payload.reshape(-1, 3).astype(np.int64)
+                    px = (rgb[:, 0] + rgb[:, 1] + rgb[:, 2]) // 3
+                else:
+                    px = payload.astype(np.int64)
+                rows.append({"id": int(r.id), "frame": fidx, "width": w,
+                             "height": h, "pixels": px.tolist()})
+            pos += nbytes
+            fidx += 1
     return pd.DataFrame(rows, columns=["id", "frame", "width", "height",
                                        "pixels"])
 
@@ -425,41 +455,49 @@ def multimodal_ppm_oracle_sql(dialect: str = DUCKDB,
                               table: str = "documents",
                               text_col: str = "text",
                               id_col: str = "doc_id",
-                              width: int = 8, height: int = 8) -> str:
+                              width: int = 8, height: int = 8,
+                              n_frames: int = 1,
+                              sample_every: int = 1) -> str:
     """SQL replay of encode_ppm_media -> decode_media("ppm") ->
     extract_features: the encoder writes channels (r, (r+85)%256,
-    (r+170)%256) from the LCG pixel stream and the REAL decoder's luma is
-    (r+g+b)//3 exactly, so the whole real-codec round trip is integer
-    SQL."""
+    (r+170)%256) from the per-frame LCG pixel stream and the REAL
+    decoder's luma is (r+g+b)//3 exactly, so the whole real-codec round
+    trip — including the multi-frame container's ``sample_every``
+    frame-stride branch — is integer SQL."""
+    frames = list(range(0, n_frames, max(1, sample_every)))
     n = width * height
-    px = f"CAST({_px_sql('seed', '0', 'j')} AS BIGINT)"
+    px = f"CAST({_px_sql('seed', 'frame', 'j')} AS BIGINT)"
     luma = (f"CAST(FLOOR(CAST(({px} + ({px} + 85) % 256 + "
             f"({px} + 170) % 256) AS DOUBLE) / {dlit(3.0)}) AS BIGINT)")
     lum_arr = dual.transform(
         dialect, dual.sequence(dialect, "CAST(0 AS BIGINT)",
                                f"CAST({n - 1} AS BIGINT)"),
         f"j -> {luma}")
+    frames_arr = dual.array_lit(dialect, [str(f) for f in frames])
     nd = dlit(float(n))
     mean = f"(CAST(s AS DOUBLE) / {nd})"
     stages = [
         ("__mpseed",
          f"SELECT CAST({id_col} AS BIGINT) AS id, "
          f"{_seed_sql(dialect, text_col)} AS seed FROM {table}"),
-        ("__mppix", f"SELECT id, {lum_arr} AS px FROM __mpseed"),
+        ("__mpframes",
+         f"SELECT id, seed, {dual.explode(dialect, frames_arr, 'frame')} "
+         f"FROM __mpseed"),
+        ("__mppix", f"SELECT id, frame, {lum_arr} AS px FROM __mpframes"),
         ("__mpagg",
-         "SELECT id, "
+         "SELECT id, frame, "
          f"{dual.arr_sum_bigint(dialect, 'px')} AS s, "
          f"{dual.arr_sum_bigint(dialect, dual.transform(dialect, 'px', 'p -> p * p'))} AS sq, "
          f"{dual.arr_sum_bigint(dialect, dual.transform(dialect, 'px', 'p -> (CASE WHEN p < 64 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)'))} AS nlo, "
          f"{dual.arr_sum_bigint(dialect, dual.transform(dialect, 'px', 'p -> (CASE WHEN p >= 192 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)'))} AS nhi "
          "FROM __mppix"),
     ]
-    final = (f"SELECT id, CAST(0 AS INT) AS frame, {mean} AS mean_px, "
+    final = (f"SELECT id, CAST(frame AS INT) AS frame, {mean} AS mean_px, "
              f"sqrt(greatest(CAST(sq AS DOUBLE) / {nd} - {mean} * {mean}, "
              f"{dlit(0.0)})) AS std_px, "
              f"CAST(nlo AS DOUBLE) / {nd} AS p_low, "
              f"CAST(nhi AS DOUBLE) / {nd} AS p_high "
-             f"FROM __mpagg ORDER BY id")
+             f"FROM __mpagg ORDER BY id, frame")
     return dual.stages_sql(stages, final)
 
 

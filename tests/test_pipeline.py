@@ -137,6 +137,33 @@ def test_multimodal_ppm_real_codec_matches_oracle(spark, duck):
                    duck.sql(mm.multimodal_ppm_oracle_sql()))
 
 
+def test_multimodal_ppm_video_stride_matches_oracle(spark, duck):
+    """The REAL codec's FRAME-STRIDE branch: a 6-frame concatenated-PPM
+    container decoded with sample_every=2 keeps container frames 0/2/4,
+    and the whole round trip replays bit-exactly in DuckDB."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    media = mm.encode_ppm_media(docs, width=8, height=8, n_frames=6)
+    feats = mm.extract_features(
+        mm.decode_media(media, decode_fn="ppm", sample_every=2))
+    got = feats.orderBy("id", "frame")
+    compare_frames(got, duck.sql(mm.multimodal_ppm_oracle_sql(
+        n_frames=6, sample_every=2)))
+
+
+def test_ppm_decoder_multiframe_stride_unit():
+    """unit: multi-frame container decode honors stride and keeps the
+    container frame index on emitted rows; stride=1 keeps all frames."""
+    import numpy as np
+    import pandas as pd
+    frames = [np.full(4, 10 * f, dtype=np.uint8) for f in range(5)]
+    blob = b"".join(b"P5\n2 2\n255\n" + f.tobytes() for f in frames)
+    pdf = pd.DataFrame({"id": [7], "content": [blob]})
+    out = mm.ppm_image_decoder(pdf, 2)
+    assert list(out["frame"]) == [0, 2, 4]
+    assert [p[0] for p in out["pixels"]] == [0, 20, 40]
+    assert list(mm.ppm_image_decoder(pdf, 1)["frame"]) == [0, 1, 2, 3, 4]
+
+
 def test_ppm_decoder_parses_real_headers():
     """unit: the PPM/PGM parser handles comments, multi-whitespace headers,
     P5 grayscale, and rejects non-PPM bytes and 16-bit maxval."""
