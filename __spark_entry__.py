@@ -952,6 +952,41 @@ def _multimodal_real_codec_runner(spark: SparkSession,
     return mm.extract_features(decoded).orderBy("id", "frame")
 
 
+_SIDECAR_FX = {
+    "ddl": [("CREATE SAMPLE TABLE li_sidecar_fx ON lineitem OPTIONS("
+             "qcs 'l_returnflag', fraction '0.1', method 'hash', "
+             "seed '42')")],
+    "tables": ("lineitem",),
+    "query": ("SELECT l_returnflag, sum(l_quantity) AS sq, "
+              "absolute_error(sq), count(*) AS c FROM lineitem "
+              "GROUP BY l_returnflag ORDER BY l_returnflag WITH ERROR 0.5"),
+}
+
+
+def _attach_sidecar_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-catalog persistence: session A creates+persists the sample
+    (sidecar written next to the parquet), a FRESH session B restores it
+    via attach_sample(path) with NO DDL replay and routes a WITH ERROR
+    query through it (reference: registrations persist in the catalog,
+    hive/SnappyAQPSessionCatalog.scala:39,54 addSampleDataFrame)."""
+    import hashlib
+    import os
+    import tempfile
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"aqp_sidecar_{tag}")
+    ddl = (_SIDECAR_FX["ddl"][0][:-1]
+           + f", path '{path}', rebuild 'true')")
+    a1 = AQPSession(spark, data_token=f"{sf_dir}#sidecar-create",
+                    **_SQL_DEFAULTS)
+    a1.load_tables(sf_dir, _SIDECAR_FX["tables"])
+    a1.sql(ddl)
+    a2 = AQPSession(spark, data_token=f"{sf_dir}#sidecar-attach",
+                    **_SQL_DEFAULTS)
+    a2.load_tables(sf_dir, _SIDECAR_FX["tables"])
+    a2.attach_sample(path)
+    return a2.sql(_SIDECAR_FX["query"])
+
+
 def _multimodal_real_video_runner(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """the REAL-decoder FRAME-STRIDE branch: a 6-frame concatenated-PPM
@@ -1010,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_features"] = _multimodal_runner
     out["multimodal_real_codec"] = _multimodal_real_codec_runner
     out["multimodal_real_video"] = _multimodal_real_video_runner
+    out["sql_attach_sidecar"] = _attach_sidecar_runner
     out["dedup_clusters"] = _dedup_clusters_runner
     out["corpus_clean"] = _clean_corpus_runner
     out["streaming_topk_state"] = _streaming_topk_runner
@@ -1184,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
         _DK, width=8, height=8)
     out["multimodal_real_video"] = mm.multimodal_ppm_oracle_sql(
         _DK, width=8, height=8, n_frames=6, sample_every=2)
+    out["sql_attach_sidecar"] = _sql_fixture_oracle(_SIDECAR_FX)
     from snappy_aqp_spark.fixtures import (INCR_APPEND_SPEC, TOPK_DDL_SPEC,
                                            TOPK_DDL_WINDOW)
     out["cf_incremental_append"] = oracle_sql_for(INCR_APPEND_SPEC)

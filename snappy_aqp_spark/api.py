@@ -593,6 +593,15 @@ class AQPSession:
             sample = stratified_sample(base_df, spec)
             if path:
                 sample.write.mode("overwrite").parquet(path)
+                # self-describing persistence: spec + the creation-time
+                # column bounds ride with the data so attach_sample() can
+                # restore registration in a fresh session without DDL
+                from .sampling.samplers import write_sample_sidecar
+                cols = {f.name.lower() for f in sample.schema.fields}
+                write_sample_sidecar(
+                    path, spec, name=name,
+                    col_bounds={c: v for c, v in self.col_bounds.items()
+                                if c in cols})
                 sample = self.spark.read.parquet(path)
             elif materialize:
                 sample = sample.persist()
@@ -605,6 +614,27 @@ class AQPSession:
         # validationQueries.sql), hidden weight columns included
         sample.createOrReplaceTempView(name)
         return sample
+
+    def attach_sample(self, path: str, name: str | None = None) -> DataFrame:
+        """Restore a persisted sample table into THIS session from its
+        self-describing sidecar (``_aqp_sample_spec.json`` written at
+        create time) — no original DDL replay needed. Registration,
+        QCS-routing eligibility, and the creation-time column bounds (so
+        quantization scales — and therefore estimates — reproduce exactly)
+        all come from the sidecar; the data itself is the persisted
+        parquet, never a re-sample (reference: sample registrations
+        persist across sessions in the catalog,
+        hive/SnappyAQPSessionCatalog.scala:39,54 addSampleDataFrame)."""
+        from .sampling.samplers import read_sample_sidecar
+        stored_name, spec, bounds = read_sample_sidecar(path)
+        name = name or stored_name
+        if not name:
+            raise ValueError(f"sample sidecar at {path} records no name; "
+                             f"pass name=")
+        for c, v in bounds.items():
+            # bounds only ever grow (same invariant as _derive_col_bounds)
+            self.col_bounds[c] = max(self.col_bounds.get(c, 0.0), float(v))
+        return self.create_sample_table_from_spec(name, spec, path=path)
 
     def drop_sample_table(self, name: str) -> None:
         info = self.catalog.get(name)

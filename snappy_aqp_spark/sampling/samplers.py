@@ -198,7 +198,8 @@ def stratified_sample(df: DataFrame, spec: SampleSpec) -> DataFrame:
 
 
 def create_sample_table(spark, df: DataFrame, spec: SampleSpec, path: str,
-                        partition_by: list[str] | None = None) -> DataFrame:
+                        partition_by: list[str] | None = None,
+                        name: str | None = None) -> DataFrame:
     """Materialize a sample table to parquet (reference:
     ``CREATE SAMPLE TABLE`` -> ColumnFormatSamplingRelation persistence,
     sql/sampling/ColumnFormatSamplingRelation.scala:50).
@@ -211,4 +212,43 @@ def create_sample_table(spark, df: DataFrame, spec: SampleSpec, path: str,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    write_sample_sidecar(path, spec, name=name)
     return spark.read.parquet(path)
+
+
+# self-describing sample persistence: the spec (and any column bounds the
+# estimators derived at creation time) ride next to the parquet as an
+# underscore-prefixed file parquet readers ignore — a FRESH session can
+# re-register the sample without replaying its DDL (reference: sample
+# registrations persist in the session catalog,
+# hive/SnappyAQPSessionCatalog.scala:39,54 addSampleDataFrame). At cluster
+# scale the same bytes go through the Hadoop FS API; locally plain files.
+SIDECAR_NAME = "_aqp_sample_spec.json"
+
+
+def write_sample_sidecar(path: str, spec: SampleSpec,
+                         name: str | None = None,
+                         col_bounds: dict[str, float] | None = None) -> None:
+    import dataclasses
+    import json
+    import os
+    meta = {"format": "snappy-aqp-sample/1", "name": name,
+            "spec": dataclasses.asdict(spec),
+            "col_bounds": col_bounds or {}}
+    with open(os.path.join(path, SIDECAR_NAME), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def read_sample_sidecar(path: str) -> tuple[str | None, SampleSpec,
+                                            dict[str, float]]:
+    import json
+    import os
+    with open(os.path.join(path, SIDECAR_NAME)) as f:
+        meta = json.load(f)
+    if meta.get("format") != "snappy-aqp-sample/1":
+        raise ValueError(f"unrecognized sample sidecar at {path}: "
+                         f"format={meta.get('format')!r}")
+    sd = dict(meta["spec"])
+    sd["key_cols"] = tuple(sd["key_cols"])
+    sd["qcs"] = tuple(sd["qcs"])
+    return meta.get("name"), SampleSpec(**sd), dict(meta.get("col_bounds", {}))

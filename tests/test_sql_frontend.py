@@ -1327,6 +1327,43 @@ def test_sample_persist_and_attach(spark, tmp_path, duck):
     assert s3.sql(q).collect() == r1
 
 
+def test_attach_sample_from_sidecar(spark, tmp_path, duck):
+    """A persisted sample is SELF-DESCRIBING: attach_sample(path) restores
+    registration + routing in a fresh session from the sidecar alone — no
+    DDL replay (reference: registrations persist in the session catalog,
+    SnappyAQPSessionCatalog.scala:54 addSampleDataFrame)."""
+    import json
+    import os
+    from snappy_aqp_spark.api import AQPSession
+    from snappy_aqp_spark.sampling.samplers import SIDECAR_NAME
+    from snappy_aqp_spark.specs import SampleSpec
+    p = str(tmp_path / "li_sidecar")
+    s1 = AQPSession(spark, data_token="sidecar-a")
+    s1.load_tables(SF_SMALL, ["lineitem"])
+    spec = SampleSpec("lineitem", ("l_orderkey",), ("l_returnflag",),
+                      fraction=0.1, method="hash", seed=42)
+    s1.create_sample_table_from_spec("li_sidecar", spec, path=p)
+    q = ("SELECT l_returnflag, sum(l_quantity) AS sq, absolute_error(sq) "
+         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag "
+         "WITH ERROR 0.5")
+    r1 = s1.sql(q).collect()
+    side = json.load(open(os.path.join(p, SIDECAR_NAME)))
+    assert side["name"] == "li_sidecar"
+    assert tuple(side["spec"]["qcs"]) == ("l_returnflag",)
+    # fresh session: NO DDL, only the path
+    s2 = AQPSession(spark, data_token="sidecar-b")
+    s2.load_tables(SF_SMALL, ["lineitem"])
+    df = s2.attach_sample(p)
+    assert s2.catalog.get("li_sidecar") is not None
+    an = s2.analyze_sql(q)
+    assert an is not None and an.spec.sample == spec  # routed to the sample
+    assert s2.sql(q).collect() == r1
+    compare_frames(s2.sql(q), duck.sql(oracle_sql_for(an.spec)).df()
+                   .rename(columns=an.rename))
+    # the sample is queryable as a plain relation too
+    assert df.count() == spark.sql("SELECT * FROM li_sidecar").count()
+
+
 def test_session_api_parity_methods(aqp, spark):
     """thin session analogs of SnappyContextAQPFunctions: errorStats,
     errorEstimateAverage, convertToStratifiedSample, dropTopK."""
