@@ -25,13 +25,18 @@ Each batch emits the stratum's CURRENT reservoir tagged with the batch
 ordinal; the last ordinal per stratum is the final state (the fixture
 post-filters on it — append sinks cannot retract earlier snapshots).
 
-ENVIRONMENT GATE: Spark's transformWithState Python worker speaks a
-protobuf protocol, so this operator needs the ``protobuf`` package at
-runtime (this container lacks it — ``tws_available()`` feature-detects,
-the pytest is marker-skipped, and the production-equivalent semantics are
+QUARANTINED (snappy_aqp_spark.experimental): Spark's transformWithState
+Python worker speaks a protobuf protocol
+(pyspark/sql/streaming/proto/StateMessage_pb2.py imports google.protobuf),
+and this container ships no protobuf and permits no installs — so this
+code path has NEVER executed here and is NOT counted in coverage claims.
+``tws_available()`` feature-detects; the pytest is marker-skipped; the
+production-equivalent semantics (bounded per-key streaming state) are
 covered by the applyInPandasWithState Space-Saving operator in
-streaming/stateful.py). On any stock PySpark 4 cluster (protobuf ships
-with the distribution's Python env) the test runs as-is.
+streaming/stateful.py, whose path DOES run. On a stock PySpark 4 cluster
+(protobuf ships with the distribution's Python env) this module should
+run as-is — promote it back to streaming/ once executed against its
+oracle in such an environment.
 """
 
 from __future__ import annotations

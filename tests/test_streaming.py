@@ -807,12 +807,15 @@ def test_streaming_interval_join_fixture_matches_oracle(spark, duck):
 
 
 def test_tws_reservoir_matches_batch_oracle(spark, duck, tmp_path):
-    """Spark 4 transformWithState stratified reservoir: the per-stratum
-    k-min-hash fold converges to the batch sampler's pick (full value
-    oracle). Skipped where the TWS python worker's protobuf dependency is
-    absent — runs unchanged on a stock PySpark 4 cluster."""
+    """QUARANTINED path (snappy_aqp_spark.experimental): Spark 4
+    transformWithState stratified reservoir — the per-stratum k-min-hash
+    fold converges to the batch sampler's pick (full value oracle).
+    Skipped where the TWS python worker's protobuf dependency is absent
+    (this container); the module is excluded from coverage claims until
+    this test passes somewhere. Runs unchanged on a stock PySpark 4
+    cluster."""
     import pytest
-    from snappy_aqp_spark.streaming.tws_reservoir import (
+    from snappy_aqp_spark.experimental.tws_reservoir import (
         final_reservoir, reservoir_oracle_sql, streaming_reservoir,
         tws_available)
     if not tws_available():
