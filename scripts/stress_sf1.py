@@ -31,7 +31,13 @@ SCRATCH = "/tmp/aqp_sf1_stress"
 REPLICAS = 10
 FIXTURES = [a for a in sys.argv[1:] if not a.startswith("--")] or [
     "decontamination", "semantic_dedup", "bm25_retrieval",
-    "dedup_ngram_jaccard", "cross_corpus_dedup"]
+    "dedup_ngram_jaccard", "cross_corpus_dedup",
+    # AQP quant-lattice family: closed-form two-level lattice, bootstrap
+    # trials, HAC partial/full routing, and the two-sample product-weight
+    # estimator — their oracles replay exactly, so the 10x run checks
+    # AQE re-planning + spill invariance of the lattice itself
+    "cf_group_multi", "bs_sum_group", "cf_partial_route",
+    "cf_full_route", "two_sample_self_join"]
 
 
 def build_scratch(spark) -> None:
@@ -55,6 +61,25 @@ def build_scratch(spark) -> None:
         r = emb.withColumn(eid, F.col(eid) + F.lit(k * m))
         reps = r if reps is None else reps.unionByName(r)
     reps.write.mode("overwrite").parquet(f"{SCRATCH}/embeddings.parquet")
+    # TPC-H fact tables for the AQP lattice fixtures: replicate 10x with
+    # o_orderkey shifted per replica (lineitem shifts l_orderkey by the
+    # same stride, so (l_orderkey, l_linenumber) stays unique and the
+    # order->lineitem relationship is preserved replica-by-replica)
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    okmax = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    reps = None
+    for k in range(REPLICAS):
+        r = orders.withColumn("o_orderkey",
+                              F.col("o_orderkey") + F.lit(k * okmax))
+        reps = r if reps is None else reps.unionByName(r)
+    reps.write.mode("overwrite").parquet(f"{SCRATCH}/orders.parquet")
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    reps = None
+    for k in range(REPLICAS):
+        r = li.withColumn("l_orderkey",
+                          F.col("l_orderkey") + F.lit(k * okmax))
+        reps = r if reps is None else reps.unionByName(r)
+    reps.write.mode("overwrite").parquet(f"{SCRATCH}/lineitem.parquet")
     # remaining tables: copy the small ones the fixtures might touch
     # (driver testdata ships single-file parquet)
     for t in ("events",):
@@ -81,7 +106,7 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     con = duckdb.connect()
     con.sql(f"SET memory_limit='24GB'")
-    for t in ("documents", "embeddings", "events"):
+    for t in ("documents", "embeddings", "events", "orders", "lineitem"):
         path = f"{SCRATCH}/{t}.parquet"
         glob = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")

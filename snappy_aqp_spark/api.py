@@ -66,13 +66,19 @@ def spec_from_ddl(base: str | None, opts: dict[str, str],
     # row-identity exprs for the deterministic sampler: the keyColumns
     # option wins (needed for stream tables and user relations outside the
     # built-in schema map), else the schema map
-    ddl_keys = tuple(c.strip() for c in opts.get("keycolumns", "").split(",")
+    # paren-aware split: key/QCS entries may be function exprs with commas
+    # inside (e.g. keyColumns 'ascii(medallion),CAST(substr(medallion,33)
+    # AS BIGINT)' — the reference allows expression QCS the same way,
+    # hour(pickup_dateTime) in its NYC scripts)
+    ddl_keys = tuple(c.strip()
+                     for c in fe._split_top(opts.get("keycolumns", ""))
                      if c.strip())
     keys = tuple(key_cols or ddl_keys or TABLE_KEYS.get(base.lower()) or ())
     if not keys:
         raise ValueError(f"no key columns known for {base}; pass key_cols "
                          f"or a keyColumns DDL option")
-    qcs = tuple(c.strip() for c in opts.get("qcs", "").split(",") if c.strip())
+    qcs = tuple(c.strip() for c in fe._split_top(opts.get("qcs", ""))
+                if c.strip())
     if not qcs:
         raise fe.SQLFrontendError("CREATE SAMPLE TABLE needs qcs option")
     method = opts.get("method", "fraction").lower()
@@ -469,6 +475,19 @@ class AQPSession:
         apply_aqp_property(self.defaults, key, raw)
 
     # -- tables / samples ---------------------------------------------------
+
+    def register_catalog_table(self, name: str) -> DataFrame:
+        """Register an existing Spark-catalog table (managed/external) as
+        an AQP base relation WITHOUT creating a shadowing temp view —
+        mutations (INSERT/UPDATE/DELETE through .sql) must keep resolving
+        to the real table, and the catalog name already resolves. The
+        stored DataFrame re-resolves the table per action, so inserts are
+        visible to later re-samples (reference: mutable column tables are
+        the sampler's base, CreateSampleTableCommand.scala:27-46)."""
+        df = self.spark.table(name)
+        self.tables[name.lower()] = df
+        TABLE_COLUMNS.setdefault(name.lower(), tuple(df.columns))
+        return df
 
     def register_table(self, name: str, df: DataFrame) -> None:
         self.tables[name.lower()] = df
@@ -880,6 +899,24 @@ class AQPSession:
         if drop:
             self.drop_sample_table(drop)
             return self.spark.range(0)
+        dtab = fe.parse_drop_table(text)
+        if dtab:
+            # reference parity: samples are dropped with plain DROP TABLE
+            # too (NYC demo scripts); non-samples pass through to Spark
+            name, if_exists = dtab
+            if self.catalog.get(name) is not None:
+                self.drop_sample_table(name)
+                return self.spark.range(0)
+            if name.lower() in self.tables:
+                # session-registered relation: unregister + invalidate any
+                # samples built over it, then drop the backing temp view
+                invalidate_base_table(name.lower(), token=self._token)
+                self.tables.pop(name.lower(), None)
+                self.spark.catalog.dropTempView(name)
+                return self.spark.range(0)
+            if if_exists and not self.spark.catalog.tableExists(name):
+                return self.spark.range(0)     # nothing to drop, no error
+            return self.spark.sql(text)
         view_ddl = fe.parse_create_view(text)
         if view_ddl:
             name, body = view_ddl

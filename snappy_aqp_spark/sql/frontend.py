@@ -1117,8 +1117,16 @@ _CREATE_SAMPLE_RE = re.compile(
     r"OPTIONS\s*\((?P<opts>(?:'[^']*'|[^()'])*)\)"
     r"(?:\s+AS\s+(?P<as_sql>SELECT\b.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
-_DROP_SAMPLE_RE = re.compile(r"^\s*DROP\s+SAMPLE\s+TABLE\s+(?P<name>\w+)\s*;?\s*$",
-                             re.IGNORECASE)
+_DROP_SAMPLE_RE = re.compile(
+    r"^\s*DROP\s+SAMPLE\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE)
+# the reference drops sample tables with PLAIN `DROP TABLE [IF EXISTS]`
+# (its samples live in the ordinary catalog — e.g. the NYC demo scripts,
+# src/test/resources/scripts/create_and_load_NYCTaxiSample_*.sql): the
+# session checks the sample catalog first, then passes through to Spark
+_DROP_TABLE_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ife>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE)
 _OPT_RE = re.compile(r"(\w+)\s+'([^']*)'")
 
 
@@ -1135,6 +1143,12 @@ def parse_create_sample(sql: str) -> tuple[str, str | None, dict[str, str],
 def parse_drop_sample(sql: str) -> str | None:
     m = _DROP_SAMPLE_RE.match(sql)
     return m.group("name") if m else None
+
+
+def parse_drop_table(sql: str) -> tuple[str, bool] | None:
+    """plain ``DROP TABLE [IF EXISTS] name`` -> (name, if_exists)."""
+    m = _DROP_TABLE_RE.match(sql)
+    return (m.group("name"), bool(m.group("ife"))) if m else None
 
 
 _NOT_ALIAS_KW = ("JOIN", "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",

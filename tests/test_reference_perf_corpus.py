@@ -279,7 +279,9 @@ _NYC_VIEWS = {
         "CAST(value AS DOUBLE) AS Total_Amt, "
         "CAST(40.61 + (user_id % 30) * 0.01 AS DOUBLE) AS Start_Lat, "
         "CAST((user_id % 29) * 0.01 - 74.06 AS DOUBLE) AS Start_Lon, "
-        "event_type AS vendor_name FROM events"),
+        "event_type AS vendor_name, "
+        "CASE WHEN user_id % 2 = 0 THEN 'CSH' ELSE 'CRD' END "
+        "AS payment_type FROM events"),
 }
 
 # the reference's create_and_load_NYCTaxiSample_*.sql sample DDLs,
