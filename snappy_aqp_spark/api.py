@@ -823,14 +823,30 @@ class AQPSession:
             return self.spark.range(0)
         dropt = fe.parse_drop_table(text)
         if dropt:
-            n = dropt.lower()
+            name, if_exists = dropt
+            n = name.lower()
             if self.streaming.tables.get(n) is not None:
-                self.streaming.drop(dropt)
+                self.streaming.drop(name)
                 self.tables.pop(n, None)
                 return self.spark.range(0)
             if n in self.topk.tables:
                 self.topk.drop(n)
                 return self.spark.range(0)
+            if self.catalog.get(n) is not None:
+                # reference parity: samples drop with plain DROP TABLE
+                # (NYC demo scripts, create_and_load_NYCTaxiSample_*.sql)
+                self.drop_sample_table(n)
+                return self.spark.range(0)
+            if n in self.tables and not self.spark.catalog.tableExists(name):
+                # session-registered relation (temp-view backed):
+                # unregister + invalidate samples built over it
+                invalidate_base_table(n, token=self._token)
+                self.tables.pop(n, None)
+                self.spark.catalog.dropTempView(name)
+                return self.spark.range(0)
+            if if_exists and not self.spark.catalog.tableExists(name):
+                return self.spark.range(0)     # nothing to drop, no error
+            self.tables.pop(n, None)
             return self.spark.sql(text)       # regular Spark table/view
         target = fe.parse_mutation_target(text)
         if target:
@@ -844,7 +860,14 @@ class AQPSession:
             # query re-samples the post-mutation data (scoped to this
             # session's data token)
             invalidate_base_table(t, token=self._token)
-            return self.spark.sql(text)
+            res = self.spark.sql(text)
+            if t in self.tables and self.spark.catalog.tableExists(t):
+                # catalog-table base (register_catalog_table): the stored
+                # DataFrame pinned the pre-mutation file index — refresh
+                # and re-resolve so the next re-sample sees the new rows
+                self.spark.catalog.refreshTable(t)
+                self.tables[t] = self.spark.table(t)
+            return res
         ddl = fe.parse_create_sample(text)
         if ddl:
             name, base, opts, as_sql = ddl
@@ -899,24 +922,6 @@ class AQPSession:
         if drop:
             self.drop_sample_table(drop)
             return self.spark.range(0)
-        dtab = fe.parse_drop_table(text)
-        if dtab:
-            # reference parity: samples are dropped with plain DROP TABLE
-            # too (NYC demo scripts); non-samples pass through to Spark
-            name, if_exists = dtab
-            if self.catalog.get(name) is not None:
-                self.drop_sample_table(name)
-                return self.spark.range(0)
-            if name.lower() in self.tables:
-                # session-registered relation: unregister + invalidate any
-                # samples built over it, then drop the backing temp view
-                invalidate_base_table(name.lower(), token=self._token)
-                self.tables.pop(name.lower(), None)
-                self.spark.catalog.dropTempView(name)
-                return self.spark.range(0)
-            if if_exists and not self.spark.catalog.tableExists(name):
-                return self.spark.range(0)     # nothing to drop, no error
-            return self.spark.sql(text)
         view_ddl = fe.parse_create_view(text)
         if view_ddl:
             name, body = view_ddl

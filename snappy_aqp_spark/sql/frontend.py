@@ -1120,13 +1120,6 @@ _CREATE_SAMPLE_RE = re.compile(
 _DROP_SAMPLE_RE = re.compile(
     r"^\s*DROP\s+SAMPLE\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE)
-# the reference drops sample tables with PLAIN `DROP TABLE [IF EXISTS]`
-# (its samples live in the ordinary catalog — e.g. the NYC demo scripts,
-# src/test/resources/scripts/create_and_load_NYCTaxiSample_*.sql): the
-# session checks the sample catalog first, then passes through to Spark
-_DROP_TABLE_RE = re.compile(
-    r"^\s*DROP\s+TABLE\s+(?P<ife>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
-    re.IGNORECASE)
 _OPT_RE = re.compile(r"(\w+)\s+'([^']*)'")
 
 
@@ -1143,12 +1136,6 @@ def parse_create_sample(sql: str) -> tuple[str, str | None, dict[str, str],
 def parse_drop_sample(sql: str) -> str | None:
     m = _DROP_SAMPLE_RE.match(sql)
     return m.group("name") if m else None
-
-
-def parse_drop_table(sql: str) -> tuple[str, bool] | None:
-    """plain ``DROP TABLE [IF EXISTS] name`` -> (name, if_exists)."""
-    m = _DROP_TABLE_RE.match(sql)
-    return (m.group("name"), bool(m.group("ife"))) if m else None
 
 
 _NOT_ALIAS_KW = ("JOIN", "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
@@ -1214,8 +1201,13 @@ _CREATE_STREAM_RE = re.compile(
     r"USING\s+(?P<provider>\w+)\s+OPTIONS\s*\((?P<opts>.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 
+# the reference drops sample tables with PLAIN `DROP TABLE [IF EXISTS]`
+# too (its samples live in the ordinary catalog — the NYC demo scripts,
+# src/test/resources/scripts/create_and_load_NYCTaxiSample_*.sql): the
+# session checks streams, TopK, the sample catalog, and session-registered
+# relations before passing through to Spark
 _DROP_TABLE_RE = re.compile(
-    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    r"^\s*DROP\s+TABLE\s+(?P<ife>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
     re.IGNORECASE)
 
 
@@ -1258,9 +1250,10 @@ def parse_create_stream(sql: str) -> tuple[str, str | None, str,
     return m.group("name"), schema, m.group("provider"), opts
 
 
-def parse_drop_table(sql: str) -> str | None:
+def parse_drop_table(sql: str) -> tuple[str, bool] | None:
+    """plain ``DROP TABLE [IF EXISTS] name`` -> (name, if_exists)."""
     m = _DROP_TABLE_RE.match(sql)
-    return m.group("name") if m else None
+    return (m.group("name"), bool(m.group("ife"))) if m else None
 
 
 # --- mutations --------------------------------------------------------------

@@ -437,3 +437,161 @@ def test_reference_cc_corpus_runs(aqp_cc, src, line, q):
     ids=["sampleTableCCQueries:1", "validationQueriesForCC:1"])
 def test_reference_cc_corpus_matches_oracle(aqp_cc, duck_cc, src, line, q):
     _check_vs_oracle(aqp_cc, duck_cc, q)
+
+
+# ---------------------------------------------------------------------------
+# The create_and_load_NYCTaxiSample_*.sql DDLs + aqpBatchInsert.sql,
+# loaded VERBATIM from the reference at test time (no hand-mirrored
+# copies — round-5 VERDICT #7) and adapted MECHANICALLY:
+#   - store-layout options dropped (buckets, redundancy — gemfire bucket
+#     counts; Spark's analog is shuffle partitioning)
+#   - keyColumns '<row identity>' appended per base table (this engine's
+#     deterministic sampler needs integer row-identity exprs; the
+#     reference's store assigns implicit rowids)
+#   - aqpBatchInsert's target renamed NYCTAXI -> NYCTAXI_BI (one regex):
+#     it must hit a REAL mutable table, separate from the NYC view corpus
+# ---------------------------------------------------------------------------
+
+_SAMPLE_DDL_FILES = ("create_and_load_NYCTaxiSample_medallion.sql",
+                     "create_and_load_NYCTaxiSample_hour.sql",
+                     "create_and_load_NYCTaxiSample_hackLicense.sql")
+
+# row-identity exprs per base relation (event_id for the view corpus;
+# the batch-insert table derives identity from the id-suffixed medallion)
+_DDL_KEYS = {"nyctaxi": "event_id", "nyctaxi_bigdata": "event_id",
+             "nyctaxi_bi": ("ascii(medallion),"
+                            "CAST(substr(medallion, 33) AS BIGINT)")}
+
+_STORE_OPT_RE = re.compile(r"(buckets|redundancy)\s+'[^']*'\s*,?\s*", re.I)
+_ON_BASE_RE = re.compile(r"\bON\s+(\w+)", re.I)
+
+
+def _load_script_ddls(path: str) -> list[str]:
+    """';'-split with '--' comment stripping FIRST, so the commented-out
+    trailing `-- AS (SELECT * FROM NYCTAXI);` forms vanish before the
+    split."""
+    if not os.path.exists(path):
+        return []
+    body = "\n".join(re.sub(r"--.*$", "", ln)
+                     for ln in open(path).read().splitlines())
+    return [" ".join(s.split()) for s in body.split(";") if s.strip()]
+
+
+def _adapt_sample_ddl(stmt: str) -> str:
+    """the mechanical adaptation (everything else is verbatim)."""
+    s = _STORE_OPT_RE.sub("", stmt)
+    s = re.sub(r",\s*\)", ")", s)            # dangling comma after drop
+    if re.match(r"\s*CREATE\s+SAMPLE", s, re.I):
+        base = _ON_BASE_RE.search(s).group(1).lower()
+        keys = _DDL_KEYS[base]
+        s = s.rstrip()
+        assert s.endswith(")")
+        s = s[:-1] + f", keyColumns '{keys}')"
+    return s
+
+
+_SAMPLE_DDL_CORPUS = [
+    (f, i, stmt) for f in _SAMPLE_DDL_FILES
+    for i, stmt in enumerate(
+        _load_script_ddls(os.path.join(_SCRIPTS_DIR, f)), 1)]
+
+
+@pytest.fixture(scope="module")
+def aqp_nyc_ddl(spark):
+    """separate session: the DDL replay drops/recreates samples whose
+    names collide with the aqp_nyc fixture's."""
+    s = AQPSession(spark, data_token="ref-nyc-ddl", error=0.5,
+                   confidence=0.95, behavior="do_nothing")
+    s.load_tables(SF_SMALL, ["events"])
+    for name, sql in _NYC_VIEWS.items():
+        s.register_table(name, s.spark.sql(sql))
+    return s
+
+
+def test_reference_sample_ddl_scripts_replay(aqp_nyc_ddl):
+    """the three NYCTaxiSample scripts run statement-by-statement in file
+    order: DROP TABLE IF EXISTS over (absent, then present) samples,
+    CREATE SAMPLE TABLE with verbatim qcs/fraction/strataReservoirSize —
+    including the function QCS 'hour(pickup_dateTime)' and
+    'YEAR(TIMESTAMP(Trip_Pickup_DateTime))' forms — then a WITH ERROR
+    query routes through each created sample."""
+    s = aqp_nyc_ddl
+    assert len(_SAMPLE_DDL_CORPUS) >= 8
+    created = []
+    for f, i, stmt in _SAMPLE_DDL_CORPUS:
+        s.sql(_adapt_sample_ddl(stmt))
+        m = re.match(r"\s*CREATE\s+SAMPLE\s+TABLE\s+(\w+)", stmt, re.I)
+        if m:
+            created.append(m.group(1))
+            info = s.catalog.get(m.group(1))
+            assert info is not None, (f, i)
+            assert s.spark.sql(
+                f"SELECT count(*) c FROM {m.group(1)}").collect()[0][0] > 0
+    # medallion script: 1 create; hour: 3 (HOUR, YEAR, PTY); hackLicense: 1
+    assert len(created) == 5
+    # replayed samples route: medallion-grouped query picks the
+    # medallion-QCS sample the SCRIPT created (fraction 0.01)
+    an = s.analyze_sql("SELECT medallion, count(*) AS c FROM nyctaxi "
+                       "GROUP BY medallion WITH ERROR 0.9")
+    assert an.spec.sample.qcs == ("medallion",)
+    assert an.spec.sample.fraction == 0.01
+    r = s.sql("SELECT count(*) AS c, absolute_error(c) FROM nyctaxi "
+              "WITH ERROR 0.9").collect()
+    assert r[0]["c"] > 0
+    # rerunning every DROP statement clears the catalog (plain DROP TABLE
+    # reaches samples — reference semantics)
+    for f, i, stmt in _SAMPLE_DDL_CORPUS:
+        if re.match(r"\s*DROP\s+TABLE", stmt, re.I):
+            s.sql(_adapt_sample_ddl(stmt))
+    for name in ("NYCTAXI_SAMPLEMEDALLION", "NYCTAXI_SAMPLEHOUR",
+                 "NYCTAXI_SAMPLEHACKLICENSE"):
+        assert s.catalog.get(name) is None
+
+
+# pickup/dropoff declared STRING: the script's from_unixtime() yields
+# strings, and Spark 4's ANSI store-assignment policy (correctly) refuses
+# the implicit string->timestamp INSERT cast — schema adaptation, the
+# statement text stays verbatim
+_NYCTAXI_BI_SCHEMA = (
+    "medallion string, hack_license string, vendor_id string, "
+    "rate_code int, store_and_fwd_flag string, pickup_datetime string, "
+    "dropoff_datetime string, passenger_count int, "
+    "trip_time_in_secs bigint, trip_distance double, "
+    "pickup_longitude double, pickup_latitude double, "
+    "dropoff_longitude double, dropoff_latitude double")
+
+
+def test_reference_batch_insert_script_maintains_sample(spark):
+    """aqpBatchInsert.sql VERBATIM (one regex: NYCTAXI -> NYCTAXI_BI):
+    two 10k-row INSERT...SELECT...FROM range(10000) batches into a real
+    mutable table through AQPSession.sql — the mutation path must
+    invalidate the sample so the next approx query re-samples the
+    post-insert data (reference: batch inserts feed sample maintenance,
+    aqpTestWithBatchInserts.conf)."""
+    stmts = [re.sub(r"\bNYCTAXI\b", "NYCTAXI_BI", st, flags=re.I)
+             for st in _load_script_ddls(
+                 os.path.join(_SCRIPTS_DIR, "aqpBatchInsert.sql"))]
+    assert len(stmts) == 2 and all(
+        st.upper().startswith("INSERT INTO NYCTAXI_BI") for st in stmts)
+    spark.sql("DROP TABLE IF EXISTS NYCTAXI_BI")
+    spark.sql(f"CREATE TABLE NYCTAXI_BI ({_NYCTAXI_BI_SCHEMA}) "
+              f"USING parquet")
+    try:
+        s = AQPSession(spark, data_token="ref-batch-insert", error=0.5,
+                       confidence=0.95, behavior="do_nothing")
+        s.register_catalog_table("NYCTAXI_BI")
+        s.sql(stmts[0])                        # first batch: 10k rows
+        ddl = _adapt_sample_ddl(
+            "CREATE SAMPLE TABLE NYCTAXI_BI_S ON NYCTAXI_BI OPTIONS("
+            "qcs 'vendor_id', fraction '0.05', strataReservoirSize '50')")
+        s.sql(ddl)
+        q = ("SELECT count(*) AS c, lower_bound(c), upper_bound(c) "
+             "FROM NYCTAXI_BI WITH ERROR 0.5")
+        est1 = s.sql(q).collect()[0]
+        assert 5000 < est1["c"] < 15000
+        s.sql(stmts[1])                        # second batch: +10k rows
+        est2 = s.sql(q).collect()[0]           # re-sampled post-insert
+        assert 15000 < est2["c"] < 25000, (est1["c"], est2["c"])
+        assert est2["c_lower_bound"] <= 20000 <= est2["c_upper_bound"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS NYCTAXI_BI")
