@@ -308,6 +308,33 @@ def _sql_create_topk_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
                    f"AND EndTime = '{end}' LIMIT {k}")
 
 
+def _topk_persist_reattach_runner(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TopK persistence: build -> save_topk (sketch parquet + sidecar) ->
+    load_topk into a FRESH registry -> window query answers from the
+    restored state, no rebuild scan (reference: TopK structures persist
+    in the store and survive restart, topk/TopKRelation.scala:33-198)."""
+    import dataclasses as _dc
+    import hashlib
+    import os
+    import tempfile
+    from snappy_aqp_spark.fixtures import TOPK_DDL_SPEC, TOPK_DDL_WINDOW
+    from snappy_aqp_spark.topk.api import load_topk, save_topk
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"aqp_topk_{tag}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    build_reg = TopKRegistry()
+    spec = _dc.replace(TOPK_DDL_SPEC, name=f"topk_persist@{sf_dir}")
+    create_approx_ts_topk(spark, build_reg, df, spec)
+    save_topk(build_reg, spec.name, path)
+    build_reg.drop(spec.name)
+    fresh = TopKRegistry()
+    load_topk(spark, fresh, path)
+    start, end, k = TOPK_DDL_WINDOW
+    return query_approx_ts_topk(spark, fresh, spec.name, start, end, k)
+
+
 def _streaming_topk_ingest_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream->TopK ingestion fan-out (reference aqpTablePopulator,
     SnappyContextAQPFunctions.scala:390-442): events arrive as 3
@@ -1039,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sql_create_topk"] = _sql_create_topk_runner
     out["sql_topk_plain"] = _sql_topk_plain_runner
     out["streaming_topk_ingest"] = _streaming_topk_ingest_runner
+    out["topk_persist_reattach"] = _topk_persist_reattach_runner
     out = {name: _memoized(name, fn) for name, fn in out.items()}
     for name, fx in PIPELINE_FIXTURES.items():
         out[name] = _make_pipeline_runner(fx)
@@ -1225,6 +1253,9 @@ def oracle_sql() -> dict[str, str]:
                                            TOPK_DDL_WINDOW)
     out["cf_incremental_append"] = oracle_sql_for(INCR_APPEND_SPEC)
     out["sql_create_topk"] = topk_oracle_sql(
+        TOPK_DDL_SPEC, "events", *TOPK_DDL_WINDOW)
+    # persistence round trip restores the exact state: same oracle
+    out["topk_persist_reattach"] = topk_oracle_sql(
         TOPK_DDL_SPEC, "events", *TOPK_DDL_WINDOW)
     from snappy_aqp_spark.fixtures import TOPK_PLAIN_SPEC
     out["sql_topk_plain"] = topk_oracle_sql(

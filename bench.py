@@ -163,6 +163,14 @@ def main() -> None:
     # per-stage re-planning only adds latency here (PLANS.md A/B); applied
     # to approx AND exact columns alike, restored for the pipeline section
     set_interactive_latency_mode(spark, True)
+    # session-level warm pass BEFORE any measurement: the first measured
+    # queries of a cold JVM session otherwise absorb whole-stage-codegen
+    # compilation and initial GC heap growth as 30-50% sample dispersion
+    # (seen on exact:cf_sum_global — first in program order — every round)
+    for name in HEADLINE:
+        spec = APPROX_SPECS[name]
+        run_approx_query(spark, spec, tables, cache_token=SF_DIR).collect()
+        run_exact_query(spark, spec, tables).collect()
     for name in HEADLINE:
         spec = APPROX_SPECS[name]
         # exact_cached reuses one prepared plan across iterations — the

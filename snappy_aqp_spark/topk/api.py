@@ -454,6 +454,57 @@ def create_approx_ts_topk(spark: SparkSession, registry: TopKRegistry,
     return _maybe_decay(spark, registry, table)
 
 
+TOPK_SIDECAR = "_aqp_topk_spec.json"
+
+
+def save_topk(registry: TopKRegistry, name: str, path: str) -> None:
+    """Persist a TopK table — sketch-state parquet + a self-describing
+    sidecar (spec fields and the scalar registry state) — so a FRESH
+    session restores it with ``load_topk(path)`` and queries answer
+    byte-identically, no rebuild scan (reference: TopK structures live in
+    the store and survive restart, TopKRelation.scala:33-198 buildScan
+    over persisted rows). Sketch blobs are engine-neutral bytes already
+    (deterministic numpy serialization), so parquet IS the wire format."""
+    import dataclasses
+    import json
+    import os
+    t = registry.get(name)
+    t.state.write.mode("overwrite").parquet(path)
+    meta = {"format": "snappy-aqp-topk/1",
+            "spec": dataclasses.asdict(t.spec),
+            "epoch_us": t.epoch_us, "max_level": t.max_level,
+            "max_bucket": t.max_bucket,
+            "decayed_before": t.decayed_before}
+    with open(os.path.join(path, TOPK_SIDECAR), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def load_topk(spark: SparkSession, registry: TopKRegistry,
+              path: str, name: str | None = None) -> TopKTable:
+    """Restore a ``save_topk`` table into ``registry`` (optionally under a
+    new name). The state DataFrame reads straight from the persisted
+    parquet — no base-table scan, no sketch rebuild."""
+    import json
+    import os
+    with open(os.path.join(path, TOPK_SIDECAR)) as f:
+        meta = json.load(f)
+    if meta.get("format") != "snappy-aqp-topk/1":
+        raise ValueError(f"unrecognized TopK sidecar at {path}: "
+                         f"format={meta.get('format')!r}")
+    sd = dict(meta["spec"])
+    if name:
+        sd["name"] = name
+    spec = TopKSpec(**sd)
+    state = spark.read.parquet(path).persist()
+    state.count()
+    table = TopKTable(spec, state, int(meta["epoch_us"]),
+                      int(meta["max_level"]),
+                      max_bucket=int(meta["max_bucket"]),
+                      decayed_before=int(meta["decayed_before"]))
+    registry.tables[spec.name.lower()] = table
+    return table
+
+
 def _maybe_decay(spark: SparkSession, registry: TopKRegistry,
                  table: TopKTable) -> TopKTable:
     """spec-driven aging: run inside every create/insert maintenance pass

@@ -416,3 +416,41 @@ def test_cms_row_hashes_are_independent():
     for k in range(1500):
         cms2.add(str(k), k % 7 + 1)
     assert all(cms2.estimate(str(k)) == k % 7 + 1 for k in range(0, 1500, 11))
+
+
+def test_topk_save_load_roundtrip(spark, duck, events, tmp_path):
+    """save_topk persists sketch state + a self-describing sidecar;
+    load_topk into a FRESH registry answers the same window query
+    byte-identically (and the dyadic cover still matches the oracle) —
+    reference: TopK structures persist in the store and survive restart
+    (topk/TopKRelation.scala:33-198)."""
+    import json
+    import os
+    from snappy_aqp_spark.topk.api import TOPK_SIDECAR, load_topk, save_topk
+    reg = TopKRegistry()
+    spec = _spec("persist_src", epoch_us=1_704_067_200_000_000)
+    create_approx_ts_topk(spark, reg, events, spec)
+    start, end = 1_704_672_000_000_000, 1_705_881_600_000_000
+    before = query_approx_ts_topk(
+        spark, reg, "persist_src", start, end, 10).toPandas()
+    p = str(tmp_path / "topk_state")
+    save_topk(reg, "persist_src", p)
+    side = json.load(open(os.path.join(p, TOPK_SIDECAR)))
+    assert side["spec"]["key"] == "user_id" and side["max_level"] > 0
+    reg.drop("persist_src")
+    fresh = TopKRegistry()
+    t = load_topk(spark, fresh, p)
+    assert t.max_level == side["max_level"]
+    after = query_approx_ts_topk(
+        spark, fresh, "persist_src", start, end, 10)
+    assert after.toPandas().equals(before)
+    compare_frames(after, duck.sql(
+        topk_oracle_sql(spec, "events", start, end, 10)),
+        sort_cols=["key"])
+    # load under a NEW name + incremental insert keeps maintaining state
+    t2 = load_topk(spark, fresh, p, name="persist_renamed")
+    insert_into_topk(spark, fresh, "persist_renamed",
+                     events.limit(500))
+    res = query_approx_ts_topk(spark, fresh, "persist_renamed",
+                               start, end, 10)
+    assert res.count() == 10
