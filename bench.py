@@ -91,6 +91,7 @@ PIPELINE = (
     # copies (cached per session), iterations time the
     # exchange-free join / pruned scan itself
     "bucketed_colocated_join", "partition_pruned_scan",
+    "zorder_layout",
     # ingest layer (jsonl write cached per session) + the
     # source-level diversity rollup; compaction re-writes its
     # files every iteration by design (it IS a write job)

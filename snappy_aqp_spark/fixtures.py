@@ -20,6 +20,7 @@ from .pipeline import funnel as _fn
 from .pipeline import distinct as _dc
 from .pipeline import histogram as _hg
 from .pipeline import quantiles as _qt
+from .pipeline import zorder as _zo
 from .pipeline import sessions as _ss
 from .pipeline import similarity as _sim
 from .pipeline import split as _sp
@@ -174,6 +175,13 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "source_quota_cap": {
         "builder": _hg.quota_cap_stages, "kw": {},
         "tables": ("documents",)},
+    # Z-order (Morton) layout analysis: bit-interleaved (user, value-band)
+    # key, fixed z-prefix chunks (one GROUP BY, no global sort), per-chunk
+    # min/max of BOTH dims — the multi-column data-skipping property,
+    # value-checked end to end
+    "zorder_layout": {
+        "builder": _zo.zorder_chunk_stats_stages, "kw": {},
+        "tables": ("events",)},
     # benchmark decontamination: train docs sharing >= 100 distinct
     # 7-grams with the (doc_id % 17) "eval set" — one gram-code equi-join
     # max_grams_per_doc: bottom-M min-hash diet on the train side —

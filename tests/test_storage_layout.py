@@ -75,3 +75,40 @@ def test_partition_pruned_counts_match_oracle(spark, duck):
              f"read_parquet('{SF_SMALL}/documents.parquet')")
     res = partition_pruned_counts(spark, SF_SMALL)
     compare_frames(res, duck.sql(partition_pruned_oracle_sql()))
+
+
+def test_zorder_write_prunes_on_both_columns(spark, tmp_path):
+    """write_zordered yields files whose footer min/max are narrow on
+    EVERY interleaved column — a filter on either prunes most files —
+    where a single-column sort only prunes on its own column."""
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.pipeline.zorder import (write_zordered,
+                                                  zorder_file_stats)
+    from tests.conftest import SF_SMALL
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet") \
+        .select("event_id", "user_id", "value")
+
+    def mean_span(stats, c):
+        rows = stats.collect()
+        g_lo = min(r[f"min_{c}"] for r in rows)
+        g_hi = max(r[f"max_{c}"] for r in rows)
+        g = float(g_hi - g_lo) or 1.0
+        return sum(float(r[f"max_{c}"] - r[f"min_{c}"]) for r in rows) \
+            / len(rows) / g
+
+    zp = str(tmp_path / "zord")
+    write_zordered(spark, ev, ["user_id", "value"], zp, n_files=8)
+    zs = zorder_file_stats(spark, zp, ["user_id", "value"])
+    assert zs.count() >= 4                    # range exchange made files
+    # both dims narrow: each file covers a small hyper-rectangle
+    assert mean_span(zs, "user_id") < 0.45
+    assert mean_span(zs, "value") < 0.45
+    # contrast: single-column sort leaves the OTHER column's spans ~full
+    sp = str(tmp_path / "sorted")
+    (ev.repartitionByRange(8, "user_id").sortWithinPartitions("user_id")
+       .write.mode("overwrite").parquet(sp))
+    ss = zorder_file_stats(spark, sp, ["user_id", "value"])
+    assert mean_span(ss, "user_id") < 0.30    # its own column: great
+    # the other column: materially worse than the z-ordered layout
+    assert mean_span(ss, "value") > 1.5 * mean_span(zs, "value")
