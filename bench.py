@@ -72,7 +72,8 @@ PIPELINE = (
     "dedup_ngram_jaccard",     # exact prefix-filtered join
     "dedup_lines", "pii_scan",
     "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk",
-    "ann_pq_topk", "approx_distinct_hll", "approx_quantiles",
+    "ann_pq_topk", "approx_distinct_hll", "hll_set_ops",
+    "approx_quantiles",
     "approx_quantiles_grouped", "text_analysis",
     "sessionize_events", "asof_join_clicks",
     "range_join_activity", "bloom_semi_join",

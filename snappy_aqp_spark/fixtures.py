@@ -182,6 +182,12 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "zorder_layout": {
         "builder": _zo.zorder_chunk_stats_stages, "kw": {},
         "tables": ("events",)},
+    # HLL set algebra: two overlapping populations' distinct estimates,
+    # lossless register-max union, inclusion-exclusion intersection,
+    # Jaccard — audience overlap without shuffling raw keys
+    "hll_set_ops": {
+        "builder": _dc.hll_set_ops_stages, "kw": {},
+        "tables": ("documents",)},
     # benchmark decontamination: train docs sharing >= 100 distinct
     # 7-grams with the (doc_id % 17) "eval set" — one gram-code equi-join
     # max_grams_per_doc: bottom-M min-hash diet on the train side —

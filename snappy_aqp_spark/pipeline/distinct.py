@@ -107,3 +107,81 @@ def hll_distinct_stages(dialect: str, col: str = "doc_id",
     final = (f"SELECT {g_pre}{est} AS approx_distinct FROM __hll_z"
              + (f" ORDER BY {g_sql}" if g else ""))
     return stages, final
+
+
+def hll_set_ops_stages(dialect: str, col: str = "doc_id",
+                       table: str = "documents",
+                       filter_a: str = "n_chars < 300",
+                       filter_b: str = "n_chars >= 200",
+                       p: int = 5) -> tuple[list[tuple[str, str]], str]:
+    """``(stages, final)`` -> one row of set-cardinality estimates for two
+    (possibly overlapping) populations: est_a, est_b, est_union,
+    est_intersect, jaccard. The union is EXACT at the sketch level —
+    per-bucket register MAX is HLL's lossless merge — and the
+    intersection is inclusion-exclusion (|A|+|B|-|A∪B|, clamped at 0),
+    the audience-overlap estimator a corpus pipeline runs across shards
+    without ever shuffling raw keys. Same integer-lattice harmonic sum as
+    ``hll_distinct_stages`` (bit-exact dual replay); callers should size
+    ``p`` so every estimate stays above the linear-counting cutoff (the
+    LC branch's ``ln`` is libm-dependent — see module docstring)."""
+    m = 1 << p
+    maxbits = 60 - p
+    h = dual.hex15_to_long(f"md5(CAST({col} AS VARCHAR))"
+                           if dialect == DUCKDB
+                           else f"md5(CAST({col} AS STRING))")
+    w = dual.idiv(dialect, "__hh", str(m))
+    lowbit = dual.band(dialect, "__hw", "-__hw")
+    one = "CAST(1 AS BIGINT)"
+
+    def reg(side: str) -> str:
+        return (f"MAX(CASE WHEN __in_{side} = 1 THEN __rho END) "
+                f"AS __r_{side}")
+
+    def zsum(side: str) -> str:
+        contrib = dual.shiftleft(dialect, one, f"{maxbits + 1} - __r_{side}")
+        return (f"CAST(SUM(CASE WHEN __r_{side} IS NOT NULL "
+                f"THEN {contrib} ELSE CAST(0 AS BIGINT) END) AS BIGINT) "
+                f"AS __zp_{side}, "
+                f"CAST(SUM(CASE WHEN __r_{side} IS NOT NULL THEN 1 ELSE 0 "
+                f"END) AS BIGINT) AS __present_{side}")
+
+    stages = [
+        ("__hso_h",
+         f"SELECT CASE WHEN ({filter_a}) THEN 1 ELSE 0 END AS __in_a, "
+         f"CASE WHEN ({filter_b}) THEN 1 ELSE 0 END AS __in_b, "
+         f"{h} AS __hh FROM {table} WHERE {col} IS NOT NULL "
+         f"AND (({filter_a}) OR ({filter_b}))"),
+        ("__hso_w",
+         f"SELECT __in_a, __in_b, __hh % {m} AS __bucket, {w} AS __hw "
+         f"FROM __hso_h"),
+        ("__hso_rho",
+         f"SELECT __in_a, __in_b, __bucket, CASE WHEN __hw = 0 "
+         f"THEN {maxbits + 1} "
+         f"ELSE CAST(log2({lowbit}) AS BIGINT) + 1 END AS __rho "
+         f"FROM __hso_w"),
+        # per-bucket registers per side + the merged (union) register:
+        # MAX across sides IS the HLL union — associative, shard-safe
+        ("__hso_reg",
+         f"SELECT __bucket, {reg('a')}, {reg('b')}, "
+         f"MAX(__rho) AS __r_u FROM __hso_rho "
+         f"WHERE __in_a = 1 OR __in_b = 1 GROUP BY __bucket"),
+        ("__hso_z",
+         "SELECT " + ", ".join(zsum(s) for s in ("a", "b")) + ", "
+         f"CAST(SUM({dual.shiftleft(dialect, one, f'{maxbits + 1} - __r_u')}) "
+         f"AS BIGINT) AS __zp_u, "
+         f"CAST(COUNT(*) AS BIGINT) AS __present_u FROM __hso_reg"),
+    ]
+    num = _alpha(m) * m * m * float(1 << (maxbits + 1))
+    sent = dual.shiftleft(dialect, one, str(maxbits + 1))
+
+    def est(side: str) -> str:
+        zeros = f"({m} - __present_{side})"
+        z_int = f"(__zp_{side} + {zeros} * {sent})"
+        return f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
+
+    ea, eb, eu = est("a"), est("b"), est("u")
+    ei = f"greatest({ea} + {eb} - {eu}, {dlit(0.0)})"
+    final = (f"SELECT {ea} AS est_a, {eb} AS est_b, {eu} AS est_union, "
+             f"{ei} AS est_intersect, "
+             f"({ei}) / ({eu}) AS jaccard FROM __hso_z")
+    return stages, final

@@ -1418,3 +1418,24 @@ def test_corpus_diversity_invariants(views):
         assert r.docs_per_word_bp >= 10000
         assert r.n_distinct_words < r.n_words
         assert r.n_docs > 0
+
+
+def test_hll_set_ops_accuracy(views, duck):
+    """inclusion-exclusion estimates track the exact set sizes within the
+    m=32 sketch's error envelope (rel err ~ 1.04/sqrt(32) ~ 18%; the
+    derived intersection compounds to ~3x that in the worst case)."""
+    from snappy_aqp_spark.pipeline.distinct import hll_set_ops_stages
+    st, fin = hll_set_ops_stages(SPARK)
+    est = run_stages(views, st, fin).collect()[0]
+    truth = duck.sql(
+        "SELECT count(DISTINCT CASE WHEN n_chars < 300 THEN doc_id END) a, "
+        "count(DISTINCT CASE WHEN n_chars >= 200 THEN doc_id END) b, "
+        "count(DISTINCT CASE WHEN n_chars < 300 OR n_chars >= 200 "
+        "THEN doc_id END) u, "
+        "count(DISTINCT CASE WHEN n_chars >= 200 AND n_chars < 300 "
+        "THEN doc_id END) i FROM documents").df().iloc[0]
+    assert abs(est["est_a"] - truth["a"]) / truth["a"] < 0.40
+    assert abs(est["est_b"] - truth["b"]) / truth["b"] < 0.40
+    assert abs(est["est_union"] - truth["u"]) / truth["u"] < 0.40
+    assert abs(est["est_intersect"] - truth["i"]) / truth["i"] < 0.60
+    assert 0.0 <= est["jaccard"] <= 1.0
