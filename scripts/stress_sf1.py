@@ -37,7 +37,9 @@ FIXTURES = [a for a in sys.argv[1:] if not a.startswith("--")] or [
     # estimator — their oracles replay exactly, so the 10x run checks
     # AQE re-planning + spill invariance of the lattice itself
     "cf_group_multi", "bs_sum_group", "cf_partial_route",
-    "cf_full_route", "two_sample_self_join"]
+    "cf_full_route", "two_sample_self_join",
+    # round-6 additions: z-prefix layout analysis + HLL set algebra
+    "zorder_layout", "hll_set_ops"]
 
 
 def build_scratch(spark) -> None:

@@ -655,6 +655,22 @@ class AQPSession:
             self.col_bounds[c] = max(self.col_bounds.get(c, 0.0), float(v))
         return self.create_sample_table_from_spec(name, spec, path=path)
 
+    def discover_samples(self, root: str) -> list[str]:
+        """Walk ``root`` for sample sidecars (``_aqp_sample_spec.json``)
+        and attach every persisted sample found — the fresh-session
+        equivalent of the reference's catalog listing all registered
+        samples at connect time (SnappyAQPSessionCatalog.scala:39).
+        Returns the attached names."""
+        import os
+        from .sampling.samplers import read_sample_sidecar, SIDECAR_NAME
+        attached = []
+        for dirpath, _dirs, files in sorted(os.walk(root)):
+            if SIDECAR_NAME in files:
+                name, _spec, _bounds = read_sample_sidecar(dirpath)
+                self.attach_sample(dirpath)
+                attached.append(name)
+        return attached
+
     def drop_sample_table(self, name: str) -> None:
         info = self.catalog.get(name)
         if info:

@@ -1362,6 +1362,11 @@ def test_attach_sample_from_sidecar(spark, tmp_path, duck):
                    .rename(columns=an.rename))
     # the sample is queryable as a plain relation too
     assert df.count() == spark.sql("SELECT * FROM li_sidecar").count()
+    # discover_samples walks a directory tree and attaches everything
+    s3 = AQPSession(spark, data_token="sidecar-c")
+    s3.load_tables(SF_SMALL, ["lineitem"])
+    assert s3.discover_samples(str(tmp_path)) == ["li_sidecar"]
+    assert s3.catalog.get("li_sidecar") is not None
 
 
 def test_session_api_parity_methods(aqp, spark):
