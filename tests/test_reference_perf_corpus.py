@@ -74,6 +74,7 @@ _VIEWS = {
         "CAST(l_extendedprice AS DOUBLE) AS Distance, "
         "CAST(l_extendedprice AS DOUBLE) AS ActualElapsedTime, "
         "CAST(l_linenumber AS INT) AS year_, "
+        "CAST(l_partkey % 12 + 1 AS INT) AS Month_, "
         "CAST(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END AS INT) "
         "AS CANCELLED, "
         "CAST(l_partkey % 2400 AS INT) AS CRSDepTime, "
@@ -459,6 +460,7 @@ _SAMPLE_DDL_FILES = ("create_and_load_NYCTaxiSample_medallion.sql",
 # row-identity exprs per base relation (event_id for the view corpus;
 # the batch-insert table derives identity from the id-suffixed medallion)
 _DDL_KEYS = {"nyctaxi": "event_id", "nyctaxi_bigdata": "event_id",
+             "airline": "l_orderkey,l_linenumber",
              "nyctaxi_bi": ("ascii(medallion),"
                             "CAST(substr(medallion, 33) AS BIGINT)")}
 
@@ -595,3 +597,35 @@ def test_reference_batch_insert_script_maintains_sample(spark):
         assert est2["c_lower_bound"] <= 20000 <= est2["c_upper_bound"]
     finally:
         spark.sql("DROP TABLE IF EXISTS NYCTAXI_BI")
+
+
+def test_reference_airline_sample_ddl_replays(aqp_air):
+    """create_and_load_sample_table.sql VERBATIM (mechanically adapted):
+    DROP TABLE IF EXISTS on a sample + CREATE SAMPLE TABLE with the
+    reference's MULTI-COLUMN QCS 'UniqueCarrier, Year_, Month_' — the
+    3-column stratification parses, builds, and routes a matching
+    3-column GROUP BY."""
+    s = aqp_air
+    stmts = [_adapt_sample_ddl(st) for st in _load_script_ddls(
+        os.path.join(_SCRIPTS_DIR, "create_and_load_sample_table.sql"))]
+    assert len(stmts) == 2
+    for st in stmts:
+        s.sql(st)
+    info = s.catalog.get("AIRLINE_SAMPLE")
+    assert info is not None
+    assert tuple(q.lower() for q in info.spec.qcs) == \
+        ("uniquecarrier", "year_", "month_")
+    assert info.spec.fraction == 0.03
+    an = s.analyze_sql(
+        "SELECT uniqueCarrier, year_, month_, count(*) AS c, "
+        "absolute_error(c) FROM airline GROUP BY 1, 2, 3 WITH ERROR 0.9")
+    assert an.spec.sample is info.spec         # 3-col QCS exact match wins
+    rows = s.sql(
+        "SELECT uniqueCarrier, year_, month_, count(*) AS c, "
+        "absolute_error(c) FROM airline GROUP BY 1, 2, 3 "
+        "ORDER BY 1, 2, 3 WITH ERROR 0.9").collect()
+    assert len(rows) > 0
+    # replay the script's own DROP so the module fixture's routing is
+    # untouched for every other corpus test
+    s.sql(stmts[0])
+    assert s.catalog.get("AIRLINE_SAMPLE") is None
