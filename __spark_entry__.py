@@ -516,6 +516,68 @@ def _streaming_windowed_agg_runner(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(sink).orderBy("win_start_us", "key")
 
 
+def _streaming_hll_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained HLL distinct over a file stream: every
+    micro-batch computes ITS OWN register relation (m=64 rows) and
+    appends it to a register sink; the drained state merges per-bucket
+    MAX — HLL's associative union — so the streaming registers equal the
+    batch registers EXACTLY and the estimate replays bit-identically in
+    DuckDB. At scale the per-batch registers are the only state that
+    moves: m rows per trigger, never raw keys (reference analog:
+    stream->AQP structure maintenance fan-out, aqpTablePopulator,
+    SnappyContextAQPFunctions.scala:390-442)."""
+    import os
+    import tempfile
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.pipeline.distinct import (hll_estimate_sql,
+                                                    hll_registers_sql)
+    from snappy_aqp_spark.topk.api import _time_us
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = _time_us(df, "ts")
+    tmp = tempfile.mkdtemp(prefix="aqp-shll-")
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    lo = df.select(F.min(us).alias("m")).collect()[0]["m"]
+    hi = df.select(F.max(us).alias("m")).collect()[0]["m"]
+    step = (hi - lo) // 3 + 1
+    for i in range(3):
+        part = df.where((us >= lo + i * step) & (us < lo + (i + 1) * step))
+        tbl = pa.Table.from_pandas(part.toPandas(), preserve_index=False)
+        tbl = tbl.cast(pa.schema(
+            [pa.field(f.name, pa.timestamp("us")) if f.name == "ts" else f
+             for f in tbl.schema]))
+        pq.write_table(tbl, f"{tmp}/in/b{i}.parquet")
+    reg_sql = hll_registers_sql(_SP, col="event_id", table="__shll_batch",
+                                p=6)
+
+    def upd(bdf, _bid):
+        bdf.createOrReplaceTempView("__shll_batch")
+        (bdf.sparkSession.sql(reg_sql)
+            .write.mode("append").parquet(f"{tmp}/regs"))
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(f"{tmp}/in"))
+    q = (stream.writeStream.foreachBatch(upd)
+         .option("checkpointLocation", f"{tmp}/ckpt")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    (spark.read.parquet(f"{tmp}/regs")
+        .groupBy("__bucket").agg(F.max("__r").alias("__r"))
+        .createOrReplaceTempView("__shll_state"))
+    return spark.sql(hll_estimate_sql("__shll_state", p=6, dialect=_SP))
+
+
+def _streaming_hll_oracle() -> str:
+    from snappy_aqp_spark.pipeline.distinct import (hll_estimate_sql,
+                                                    hll_registers_sql)
+    reg = hll_registers_sql(_DK, col="event_id", table="events", p=6)
+    est = hll_estimate_sql("__shll_state", p=6, dialect=_DK)
+    return f"WITH __shll_state AS ({reg}) {est}"
+
+
 def _streaming_dedup_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state streaming ingest dedup
     (dropDuplicatesWithinWatermark): events arrive as three time-ordered
@@ -1082,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["streaming_windowed_agg"] = _streaming_windowed_agg_runner
     out["streaming_sliding_window"] = _streaming_sliding_window_runner
     out["streaming_dedup_ingest"] = _streaming_dedup_runner
+    out["streaming_hll_distinct"] = _streaming_hll_runner
     out["streaming_dedup_window_chain"] = _streaming_dedup_window_chain_runner
     out["streaming_interval_join"] = _streaming_interval_join_runner
     out["streaming_left_join"] = _streaming_left_join_runner
@@ -1262,6 +1325,8 @@ def oracle_sql() -> dict[str, str]:
         TOPK_PLAIN_SPEC, "events", None, None, 20)
     out["streaming_topk_ingest"] = topk_oracle_sql(
         TOPK_FIXTURES["topk_cms_full"]["spec"], "events", None, None, 20)
+    # streaming register merge == batch registers (HLL union exactness)
+    out["streaming_hll_distinct"] = _streaming_hll_oracle()
     # same sketch parameters, populated through the streaming SQL surface
     out["streaming_sql_surface"] = topk_oracle_sql(
         TOPK_FIXTURES["topk_cms_full"]["spec"], "events", None, None, 20)

@@ -185,3 +185,51 @@ def hll_set_ops_stages(dialect: str, col: str = "doc_id",
              f"{ei} AS est_intersect, "
              f"({ei}) / ({eu}) AS jaccard FROM __hso_z")
     return stages, final
+
+
+def hll_registers_sql(dialect: str, col: str = "event_id",
+                      table: str = "events", p: int = 6) -> str:
+    """One SQL statement -> the HLL register relation (__bucket, __r) for
+    ``table`` — the mergeable sketch state itself (per-bucket MAX is the
+    associative merge, so shard/batch register relations combine into
+    exactly the full-data registers). Same hash/rho derivation as
+    ``hll_distinct_stages``."""
+    m = 1 << p
+    maxbits = 60 - p
+    h = dual.hex15_to_long(f"md5(CAST({col} AS VARCHAR))"
+                           if dialect == DUCKDB
+                           else f"md5(CAST({col} AS STRING))")
+    w = dual.idiv(dialect, "__hh", str(m))
+    return (
+        f"SELECT __bucket, MAX(__rho) AS __r FROM ("
+        f"SELECT __hh % {m} AS __bucket, CASE WHEN {w} = 0 "
+        f"THEN {maxbits + 1} "
+        f"ELSE CAST(log2({dual.band(dialect, f'({w})', f'-({w})')}) AS BIGINT) + 1 END AS __rho "
+        f"FROM (SELECT {h} AS __hh FROM {table} "
+        f"WHERE {col} IS NOT NULL) __hr) __hb GROUP BY __bucket")
+
+
+def hll_estimate_sql(registers_table: str, p: int = 6,
+                     dialect: str = SPARK) -> str:
+    """Scalar estimate over a register relation (__bucket, __r) — the
+    identical integer-lattice harmonic sum as ``hll_distinct_stages``
+    (no libm in the sum path; LC branch included for completeness)."""
+    m = 1 << p
+    maxbits = 60 - p
+    sent = f"CAST({1 << (maxbits + 1)} AS BIGINT)"
+    one = "CAST(1 AS BIGINT)"
+    contrib = (f"CAST(SUM("
+               f"{dual.shiftleft(dialect, one, f'{maxbits + 1} - __r')}"
+               f") AS BIGINT)")
+    num = _alpha(m) * m * m * float(1 << (maxbits + 1))
+    inner = (f"SELECT {contrib} AS __zp, "
+             f"CAST(COUNT(*) AS BIGINT) AS __present "
+             f"FROM {registers_table}")
+    zeros = f"({m} - __present)"
+    z_int = f"(__zp + {zeros} * {sent})"
+    e_raw = f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
+    lc = (f"({dlit(float(m))} * ln({dlit(float(m))} "
+          f"/ CAST({zeros} AS DOUBLE)))")
+    est = (f"CASE WHEN {e_raw} <= {dlit(2.5 * m)} AND {zeros} > 0 "
+           f"THEN {lc} ELSE {e_raw} END")
+    return f"SELECT {est} AS approx_distinct FROM ({inner}) __hz"

@@ -952,3 +952,14 @@ def test_streaming_sliding_window_fixture_matches_oracle(spark, duck):
         "events", "ts", 4 * 86400 * 1_000_000, 2 * 86400 * 1_000_000,
         2 * 86400 * 1_000_000, "event_type"))
     compare_frames(res, oracle)
+
+
+def test_streaming_hll_matches_batch_oracle(spark, duck):
+    """incremental per-batch HLL register merge (per-bucket MAX) equals
+    the batch registers exactly, so the drained stream's estimate
+    replays bit-identically in DuckDB — sketch-state maintenance with m
+    rows per trigger, never raw keys."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, compare_frames
+    res = entrymod._streaming_hll_runner(spark, SF_SMALL)
+    compare_frames(res, duck.sql(entrymod._streaming_hll_oracle()))
