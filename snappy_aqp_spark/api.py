@@ -810,6 +810,29 @@ class AQPSession:
                 .createOrReplaceTempView(info.name)
 
     def sql(self, text: str) -> DataFrame:
+        mexp = re.match(r"^\s*EXPLAIN\s+AQP\s+(?P<q>.*)$", text,
+                        re.IGNORECASE | re.DOTALL)
+        if mexp:
+            # routing introspection as a one-row relation (the rebuild's
+            # SQL-surface analog of the reference's AQPInfo test hook,
+            # common/AQPInfoStoreTestHook.scala): which sample, which
+            # estimator, which behavior — without executing anything
+            an = self.analyze_sql(mexp.group("q"))
+            if an is None:
+                row = ("exact", None, None, None, None, None, None,
+                       "no WITH clause")
+            elif an.spec is None:
+                row = ("exact", None, None, None, None, None, None,
+                       an.reason or "unsupported aggregate shape")
+            else:
+                s = an.spec
+                row = ("approx", s.sample.base_table,
+                       ",".join(s.sample.qcs), s.sample.method,
+                       s.estimator, s.behavior, float(s.error), None)
+            return self.spark.createDataFrame(
+                [row], "route string, base_table string, qcs string, "
+                       "sample_method string, estimator string, "
+                       "behavior string, error double, reason string")
         sprop = fe.parse_set_aqp(text)
         if sprop:
             self._set_aqp_property(*sprop)

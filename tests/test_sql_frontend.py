@@ -1649,3 +1649,31 @@ def test_errfn_targets_unaliased_aggregate_text(spark, duck):
     assert any("absolute_error" in a.errors for a in an.spec.aggs)
     compare_frames(s.sql(q),
                    duck.sql(oracle_sql_for(an.spec)))
+
+
+def test_explain_aqp_statement(spark):
+    """EXPLAIN AQP <query> returns the routing decision as a one-row
+    relation without executing the query (AQPInfo surface analog)."""
+    from snappy_aqp_spark.api import AQPSession
+    s = AQPSession(spark, data_token="explain-test")
+    s.load_tables(SF_SMALL, ["lineitem"])
+    s.sql("CREATE SAMPLE TABLE li_ex ON lineitem OPTIONS("
+          "qcs 'l_returnflag', fraction '0.1', method 'hash', seed '42')")
+    r = s.sql("EXPLAIN AQP SELECT l_returnflag, sum(l_quantity) AS sq, "
+              "absolute_error(sq) FROM lineitem GROUP BY l_returnflag "
+              "WITH ERROR 0.5").collect()[0]
+    assert r["route"] == "approx" and r["base_table"] == "lineitem"
+    assert r["qcs"] == "l_returnflag" and r["estimator"] == "closed_form"
+    assert r["error"] == 0.5
+    # AVG + HAVING -> bootstrap (routing parity)
+    r2 = s.sql("EXPLAIN AQP SELECT l_returnflag, avg(l_quantity) AS a "
+               "FROM lineitem GROUP BY l_returnflag HAVING a > 0 "
+               "WITH ERROR 0.5").collect()[0]
+    assert r2["estimator"] == "bootstrap"
+    # unsupported aggregate -> exact with a reason
+    r3 = s.sql("EXPLAIN AQP SELECT count(DISTINCT l_suppkey) AS u "
+               "FROM lineitem WITH ERROR 0.5").collect()[0]
+    assert r3["route"] == "exact" and r3["reason"]
+    # no WITH clause -> exact
+    r4 = s.sql("EXPLAIN AQP SELECT count(*) FROM lineitem").collect()[0]
+    assert r4["route"] == "exact"
