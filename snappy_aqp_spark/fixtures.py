@@ -188,6 +188,12 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "hll_set_ops": {
         "builder": _dc.hll_set_ops_stages, "kw": {},
         "tables": ("documents",)},
+    # mergeable histogram quantiles: fixed-width bin counts add across
+    # shards (no sampling, no raw-value sort); estimate = bin midpoint
+    # with the bin's [lo, hi) as the deterministic error envelope
+    "histogram_quantile": {
+        "builder": _qt.histogram_quantile_stages, "kw": {},
+        "tables": ("documents",)},
     # benchmark decontamination: train docs sharing >= 100 distinct
     # 7-grams with the (doc_id % 17) "eval set" — one gram-code equi-join
     # max_grams_per_doc: bottom-M min-hash diet on the train side —

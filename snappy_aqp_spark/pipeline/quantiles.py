@@ -121,3 +121,49 @@ def grouped_quantile_stages(dialect: str, col: str = "length(text)",
     and both bounds."""
     return _quantile_stages(dialect, col, key_cols, table, qs, fraction,
                             seed, confidence, group_by=group_by)
+
+
+def histogram_quantile_stages(dialect: str, col: str = "n_chars",
+                              width: int = 50,
+                              qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                              table: str = "documents"
+                              ) -> tuple[list[tuple[str, str]], str]:
+    """MERGEABLE quantiles from a fixed-width integer histogram: one row
+    per q with the estimate (bin midpoint) and the bin's [lo, hi) bound —
+    the deterministic error envelope IS the bin width.
+
+    Complements the sampling path above: bin counts ADD across shards /
+    micro-batches (the same merge property as the HLL registers), no
+    sampling error, no sort of raw values — at 100 TB this is one
+    map-side-combined GROUP BY over ~(range/width) bins, a cumulative
+    window over that tiny relation, and a rank probe. All ranking is
+    integer arithmetic (``fdiv`` floor-bins negatives correctly); the only
+    doubles are the q*n rank target and the midpoint scaling — identical
+    literal text on both engines."""
+    from . import dual
+    bin_expr = dual.fdiv(dialect, f"CAST({col} AS BIGINT)", str(width))
+    q_arr = dual.array_lit(dialect, [dlit(q) for q in qs])
+    stages = [
+        ("__hqb",
+         f"SELECT {bin_expr} AS bin FROM {table} "
+         f"WHERE ({col}) IS NOT NULL"),
+        ("__hqc",
+         "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM __hqb "
+         "GROUP BY bin"),
+        ("__hqr",
+         "SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum, "
+         "(SELECT SUM(n) FROM __hqc) AS total FROM __hqc"),
+        ("__hqq",
+         f"SELECT {dual.explode(dialect, q_arr, 'q')} FROM (SELECT 1) __one"),
+    ]
+    # smallest bin whose cumulative count reaches ceil(q * total)
+    final = (f"SELECT q.q, "
+             f"(CAST(MIN(r.bin) AS DOUBLE) + {dlit(0.5)}) * {width} "
+             f"AS est, "
+             f"CAST(MIN(r.bin) * {width} AS BIGINT) AS lo, "
+             f"CAST((MIN(r.bin) + 1) * {width} AS BIGINT) AS hi "
+             f"FROM __hqq q JOIN __hqr r "
+             f"ON CAST(r.cum AS DOUBLE) >= CEIL(q.q * "
+             f"CAST(r.total AS DOUBLE)) "
+             f"GROUP BY q.q ORDER BY q.q")
+    return stages, final

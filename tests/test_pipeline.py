@@ -1439,3 +1439,16 @@ def test_hll_set_ops_accuracy(views, duck):
     assert abs(est["est_union"] - truth["u"]) / truth["u"] < 0.40
     assert abs(est["est_intersect"] - truth["i"]) / truth["i"] < 0.60
     assert 0.0 <= est["jaccard"] <= 1.0
+
+
+def test_histogram_quantile_brackets_truth(views, duck):
+    """every histogram-quantile estimate's [lo, hi) bin contains the exact
+    quantile — the deterministic error envelope the operator promises."""
+    from snappy_aqp_spark.pipeline.quantiles import histogram_quantile_stages
+    st, fin = histogram_quantile_stages(SPARK)
+    rows = {r["q"]: r for r in run_stages(views, st, fin).collect()}
+    for q in (0.5, 0.9, 0.99):
+        exact = duck.sql(
+            f"SELECT quantile_disc(n_chars, {q}) v FROM documents"
+        ).df().iloc[0, 0]
+        assert rows[q]["lo"] <= exact < rows[q]["hi"], (q, exact, rows[q])
