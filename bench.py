@@ -74,7 +74,7 @@ PIPELINE = (
     "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk",
     "ann_pq_topk", "approx_distinct_hll", "hll_set_ops",
     "approx_quantiles",
-    "approx_quantiles_grouped", "text_analysis",
+    "approx_quantiles_grouped", "histogram_quantile", "text_analysis",
     "sessionize_events", "asof_join_clicks",
     "range_join_activity", "bloom_semi_join",
     "skew_salted_join", "grouped_topk",

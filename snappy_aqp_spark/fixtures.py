@@ -194,6 +194,10 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     "histogram_quantile": {
         "builder": _qt.histogram_quantile_stages, "kw": {},
         "tables": ("documents",)},
+    "histogram_quantile_grouped": {
+        "builder": _qt.histogram_quantile_stages,
+        "kw": {"group_by": "lang"},
+        "tables": ("documents",)},
     # benchmark decontamination: train docs sharing >= 100 distinct
     # 7-grams with the (doc_id % 17) "eval set" — one gram-code equi-join
     # max_grams_per_doc: bottom-M min-hash diet on the train side —

@@ -126,7 +126,8 @@ def grouped_quantile_stages(dialect: str, col: str = "length(text)",
 def histogram_quantile_stages(dialect: str, col: str = "n_chars",
                               width: int = 50,
                               qs: tuple[float, ...] = (0.5, 0.9, 0.99),
-                              table: str = "documents"
+                              table: str = "documents",
+                              group_by: str | None = None
                               ) -> tuple[list[tuple[str, str]], str]:
     """MERGEABLE quantiles from a fixed-width integer histogram: one row
     per q with the estimate (bin midpoint) and the bin's [lo, hi) bound —
@@ -143,21 +144,27 @@ def histogram_quantile_stages(dialect: str, col: str = "n_chars",
     from . import dual
     bin_expr = dual.fdiv(dialect, f"CAST({col} AS BIGINT)", str(width))
     q_arr = dual.array_lit(dialect, [dlit(q) for q in qs])
+    g_sel = f"{group_by} AS g, " if group_by else ""
+    g_col = "g, " if group_by else ""
+    part = "PARTITION BY g " if group_by else ""
+    null_guard = f" AND ({group_by}) IS NOT NULL" if group_by else ""
     stages = [
         ("__hqb",
-         f"SELECT {bin_expr} AS bin FROM {table} "
-         f"WHERE ({col}) IS NOT NULL"),
+         f"SELECT {g_sel}{bin_expr} AS bin FROM {table} "
+         f"WHERE ({col}) IS NOT NULL{null_guard}"),
         ("__hqc",
-         "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM __hqb "
-         "GROUP BY bin"),
+         f"SELECT {g_col}bin, CAST(COUNT(*) AS BIGINT) AS n FROM __hqb "
+         f"GROUP BY {g_col}bin"),
         ("__hqr",
-         "SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum, "
-         "(SELECT SUM(n) FROM __hqc) AS total FROM __hqc"),
+         f"SELECT {g_col}bin, SUM(n) OVER ({part}ORDER BY bin) AS cum, "
+         f"SUM(n) OVER ({part.rstrip() or ''}"
+         + ("" if group_by else "PARTITION BY 1") +
+         ") AS total FROM __hqc"),
         ("__hqq",
          f"SELECT {dual.explode(dialect, q_arr, 'q')} FROM (SELECT 1) __one"),
     ]
     # smallest bin whose cumulative count reaches ceil(q * total)
-    final = (f"SELECT q.q, "
+    final = (f"SELECT {('r.g, ' if group_by else '')}q.q, "
              f"(CAST(MIN(r.bin) AS DOUBLE) + {dlit(0.5)}) * {width} "
              f"AS est, "
              f"CAST(MIN(r.bin) * {width} AS BIGINT) AS lo, "
@@ -165,5 +172,6 @@ def histogram_quantile_stages(dialect: str, col: str = "n_chars",
              f"FROM __hqq q JOIN __hqr r "
              f"ON CAST(r.cum AS DOUBLE) >= CEIL(q.q * "
              f"CAST(r.total AS DOUBLE)) "
-             f"GROUP BY q.q ORDER BY q.q")
+             f"GROUP BY {('r.g, ' if group_by else '')}q.q "
+             f"ORDER BY {('r.g, ' if group_by else '')}q.q")
     return stages, final
