@@ -1124,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_analysis"] = _text_runner
     out["sample_error_stats"] = _error_stats_runner
     out["sample_error_estimate_avg"] = _error_estimate_avg_runner
+    out["sample_weighted_quantile"] = _sample_weighted_quantile_runner
     out["cf_incremental_append"] = _incremental_append_runner
     out["sql_create_topk"] = _sql_create_topk_runner
     out["sql_topk_plain"] = _sql_topk_plain_runner
@@ -1256,6 +1257,21 @@ def _error_stats_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return error_stats(sample, "l_extendedprice",
                        ["l_returnflag", "l_linestatus"],
                        max_abs=_PRICE).orderBy("l_returnflag", "l_linestatus")
+
+
+def _sample_weighted_quantile_runner(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Weighted quantiles over the stratified sample: cumulative
+    Horvitz-Thompson weight in a fixed (val, key) window order — the
+    percentile surface the reference's sample tables imply but route
+    exact (SURVEY §2.9); one window sort of fraction*N rows."""
+    from snappy_aqp_spark.fixtures import LI_HASH
+    from snappy_aqp_spark.operators.sample_stats import approx_quantile
+    from snappy_aqp_spark.plans.approx_query import get_sample
+    tables = load_tables(spark, sf_dir, ("lineitem",))
+    sample = get_sample(tables["lineitem"], LI_HASH, sf_dir)
+    return approx_quantile(sample, "l_extendedprice",
+                           key_cols=("l_orderkey", "l_linenumber"))
 
 
 def _error_estimate_avg_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1397,6 +1413,10 @@ def oracle_sql() -> dict[str, str]:
     out["sample_error_stats"] = error_stats_oracle(
         sample_cte_stages(LI_HASH), "l_extendedprice",
         ["l_returnflag", "l_linestatus"], max_abs=_PRICE)
+    from snappy_aqp_spark.operators.sample_stats import approx_quantile_oracle
+    out["sample_weighted_quantile"] = approx_quantile_oracle(
+        sample_cte_stages(LI_HASH), "l_extendedprice",
+        key_cols=("l_orderkey", "l_linenumber"))
     out["sample_error_estimate_avg"] = error_estimate_average_oracle(
         sample_cte_stages(LI_HASH), "l_extendedprice",
         ["l_returnflag", "l_linestatus"], confidence=0.95, max_abs=_PRICE)

@@ -182,3 +182,69 @@ def error_estimate_average_oracle(sample_stages, measure: str, qcs: list[str],
              + ", ".join(f"{s} AS {n}" for n, s in fin.items())
              + f" FROM ({outer}) __o")
     return stages_to_sql(sample_stages, final)
+
+
+# --- weighted sample quantiles ---------------------------------------------
+
+def _wq_frags(measure: str, key_cols: list[str],
+              qs: tuple[float, ...], dialect: str) -> tuple[str, str, str]:
+    """(ordered-cum SQL, q-spine SQL, final SQL) over a __wq source
+    relation (val, w, tiebreak keys). The cumulative weight runs in the
+    DEFINED window order (val, keys), so the double adds happen in one
+    fixed sequence — bit-identical on any engine/partitioning; the total
+    is MAX(cum) (order-independent), never a free-order double SUM."""
+    keys = ", ".join(key_cols)
+    cum = (f"SELECT val, SUM(w) OVER (ORDER BY val, {keys} "
+           f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+           f"FROM __wq")
+    tot = ("SELECT val, cum, MAX(cum) OVER (PARTITION BY 1) AS total "
+           "FROM __wqc")
+    q_arr = array_lit(dialect, [dlit(q) for q in qs])
+    from ..pipeline import dual
+    spine = (f"SELECT {dual.explode(dialect, q_arr, 'q')} "
+             f"FROM (SELECT 1) __one")
+    final = ("SELECT q.q, MIN(r.val) AS est "
+             "FROM __wqq q JOIN __wqt r ON r.cum >= q.q * r.total "
+             "GROUP BY q.q ORDER BY q.q")
+    return cum, tot, spine, final
+
+
+def approx_quantile(sample_df: DataFrame, measure: str,
+                    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                    key_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Weighted quantiles over a STRATIFIED sample: the q-quantile
+    estimate is the smallest sample value whose cumulative Horvitz-
+    Thompson weight reaches q of the total weight — the estimator the
+    reference's sample tables imply but never shipped (its quantile
+    surface routed exact; SURVEY §2.9). One window sort of the SAMPLE
+    (fraction*N rows — the whole point at 100 TB). ``key_cols`` break
+    value ties deterministically so the cumulative order (and therefore
+    every double add) is fixed."""
+    from ..specs import WEIGHT_COL
+    from ..dialect import SPARK as _S
+    spark = sample_df.sparkSession
+    src = sample_df.where(F.expr(f"({measure}) IS NOT NULL")).selectExpr(
+        f"CAST({measure} AS DOUBLE) AS val", f"{WEIGHT_COL} AS w",
+        *key_cols)
+    src.createOrReplaceTempView("__wq")
+    cum, tot, spine, final = _wq_frags(measure, list(key_cols), qs, _S)
+    spark.sql(cum).createOrReplaceTempView("__wqc")
+    spark.sql(tot).createOrReplaceTempView("__wqt")
+    spark.sql(spine).createOrReplaceTempView("__wqq")
+    return spark.sql(final)
+
+
+def approx_quantile_oracle(sample_stages, measure: str,
+                           qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                           key_cols: tuple[str, ...] = ()) -> str:
+    from ..sampling.sql import stages_to_sql
+    from ..specs import WEIGHT_COL
+    cum, tot, spine, final = _wq_frags(measure, list(key_cols), qs, DUCKDB)
+    keys = ", ".join(key_cols)
+    stages = list(sample_stages) + [
+        ("__wq",
+         f"SELECT CAST({measure} AS DOUBLE) AS val, {WEIGHT_COL} AS w, "
+         f"{keys} FROM __sample WHERE ({measure}) IS NOT NULL"),
+        ("__wqc", cum), ("__wqt", tot), ("__wqq", spine),
+    ]
+    return stages_to_sql(stages, final)

@@ -111,3 +111,28 @@ def test_partitioning_invariance(spark, lineitem, method):
         alt = stratified_sample(layout, spec).toPandas()
         alt = alt[cols].sort_values(cols).reset_index(drop=True)
         assert base.equals(alt), f"layout changed the {method} sample"
+
+
+def test_weighted_sample_quantile_tracks_truth(spark, duck):
+    """the HT-weighted sample quantile lands near the exact population
+    quantile (5% sample, lineitem prices) and replays bit-exactly on the
+    DuckDB oracle."""
+    from snappy_aqp_spark.fixtures import LI_HASH
+    from snappy_aqp_spark.operators.sample_stats import (
+        approx_quantile, approx_quantile_oracle)
+    from snappy_aqp_spark.plans.approx_query import get_sample, load_tables
+    from snappy_aqp_spark.sampling.sql import sample_cte_stages
+    from tests.conftest import SF_SMALL, compare_frames
+    tables = load_tables(spark, SF_SMALL, ("lineitem",))
+    sample = get_sample(tables["lineitem"], LI_HASH, SF_SMALL)
+    est = approx_quantile(sample, "l_extendedprice",
+                          key_cols=("l_orderkey", "l_linenumber"))
+    compare_frames(est, duck.sql(approx_quantile_oracle(
+        sample_cte_stages(LI_HASH), "l_extendedprice",
+        key_cols=("l_orderkey", "l_linenumber"))))
+    got = {r["q"]: r["est"] for r in est.collect()}
+    for q in (0.5, 0.9):
+        exact = duck.sql(
+            f"SELECT quantile_disc(l_extendedprice, {q}) v FROM lineitem"
+        ).df().iloc[0, 0]
+        assert abs(got[q] - exact) / exact < 0.15, (q, got[q], exact)
