@@ -219,7 +219,14 @@ def approx_quantile(sample_df: DataFrame, measure: str,
     surface routed exact; SURVEY §2.9). One window sort of the SAMPLE
     (fraction*N rows — the whole point at 100 TB). ``key_cols`` break
     value ties deterministically so the cumulative order (and therefore
-    every double add) is fixed."""
+    every double add) is fixed.
+
+    Scale note: an unpartitioned cumulative window funnels the sample
+    through ONE partition — fine for the sample sizes this targets
+    (0.01-1% of the base); when even the sample is too big for one
+    executor, use the mergeable ``pipeline.quantiles
+    .histogram_quantile_stages`` (bin counts, no global sort) as the
+    scale path and this estimator for the exact-on-sample answer."""
     from ..specs import WEIGHT_COL
     from ..dialect import SPARK as _S
     spark = sample_df.sparkSession

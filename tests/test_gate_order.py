@@ -63,8 +63,13 @@ def test_real_history_puts_red_first():
     hist = entry._driver_history()
     names = list(q)
     reds = [k for k in names if k in hist and not hist[k][1]]
+    greens = [names.index(k) for k in names if k in hist and hist[k][1]]
+    nevers = [names.index(k) for k in names if k not in hist]
+    # every red row sits after the never-rowed block, before every green
     for r in reds:
-        assert names.index(r) < len(reds) + 5, (r, names.index(r))
-    # rotation: among rowed fixtures in the ordering, rounds ascend
+        i = names.index(r)
+        assert all(i > j for j in nevers), (r, i)
+        assert all(i < j for j in greens), (r, i)
+    # rotation: among green-rowed fixtures in the ordering, rounds ascend
     rowed = [hist[k][0] for k in names if k in hist and hist[k][1]]
     assert rowed == sorted(rowed)
