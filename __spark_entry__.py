@@ -1125,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sample_error_stats"] = _error_stats_runner
     out["sample_error_estimate_avg"] = _error_estimate_avg_runner
     out["sample_weighted_quantile"] = _sample_weighted_quantile_runner
+    out["sample_weighted_quantile_grouped"] = _sample_weighted_quantile_grouped_runner
     out["cf_incremental_append"] = _incremental_append_runner
     out["sql_create_topk"] = _sql_create_topk_runner
     out["sql_topk_plain"] = _sql_topk_plain_runner
@@ -1274,6 +1275,20 @@ def _sample_weighted_quantile_runner(spark: SparkSession,
                            key_cols=("l_orderkey", "l_linenumber"))
 
 
+def _sample_weighted_quantile_grouped_runner(spark: SparkSession,
+                                             sf_dir: str) -> DataFrame:
+    """grouped form: every window PARTITIONs on the group key, so the
+    sort distributes — no single-partition stage at all."""
+    from snappy_aqp_spark.fixtures import LI_HASH
+    from snappy_aqp_spark.operators.sample_stats import approx_quantile
+    from snappy_aqp_spark.plans.approx_query import get_sample
+    tables = load_tables(spark, sf_dir, ("lineitem",))
+    sample = get_sample(tables["lineitem"], LI_HASH, sf_dir)
+    return approx_quantile(sample, "l_extendedprice",
+                           key_cols=("l_orderkey", "l_linenumber"),
+                           group_by="l_returnflag")
+
+
 def _error_estimate_avg_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snappy_aqp_spark.fixtures import LI_HASH, _PRICE
     from snappy_aqp_spark.operators.sample_stats import error_estimate_average
@@ -1417,6 +1432,9 @@ def oracle_sql() -> dict[str, str]:
     out["sample_weighted_quantile"] = approx_quantile_oracle(
         sample_cte_stages(LI_HASH), "l_extendedprice",
         key_cols=("l_orderkey", "l_linenumber"))
+    out["sample_weighted_quantile_grouped"] = approx_quantile_oracle(
+        sample_cte_stages(LI_HASH), "l_extendedprice",
+        key_cols=("l_orderkey", "l_linenumber"), group_by="l_returnflag")
     out["sample_error_estimate_avg"] = error_estimate_average_oracle(
         sample_cte_stages(LI_HASH), "l_extendedprice",
         ["l_returnflag", "l_linestatus"], confidence=0.95, max_abs=_PRICE)

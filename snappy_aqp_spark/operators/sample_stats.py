@@ -187,31 +187,40 @@ def error_estimate_average_oracle(sample_stages, measure: str, qcs: list[str],
 # --- weighted sample quantiles ---------------------------------------------
 
 def _wq_frags(measure: str, key_cols: list[str],
-              qs: tuple[float, ...], dialect: str) -> tuple[str, str, str]:
-    """(ordered-cum SQL, q-spine SQL, final SQL) over a __wq source
-    relation (val, w, tiebreak keys). The cumulative weight runs in the
-    DEFINED window order (val, keys), so the double adds happen in one
-    fixed sequence — bit-identical on any engine/partitioning; the total
-    is MAX(cum) (order-independent), never a free-order double SUM."""
+              qs: tuple[float, ...], dialect: str,
+              group_by: str | None = None) -> tuple[str, str, str, str]:
+    """(ordered-cum SQL, total SQL, q-spine SQL, final SQL) over a __wq
+    source relation ([g,] val, w, tiebreak keys). The cumulative weight
+    runs in the DEFINED window order (val, keys), so the double adds
+    happen in one fixed sequence — bit-identical on any
+    engine/partitioning; the total is MAX(cum) (order-independent),
+    never a free-order double SUM. With ``group_by`` every window
+    PARTITIONs on g — which also distributes the sort across executors
+    (the grouped form has no single-partition stage at all)."""
     keys = ", ".join(key_cols)
-    cum = (f"SELECT val, SUM(w) OVER (ORDER BY val, {keys} "
+    g_col = "g, " if group_by else ""
+    part = "PARTITION BY g " if group_by else ""
+    cum = (f"SELECT {g_col}val, SUM(w) OVER ({part}ORDER BY val, {keys} "
            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
            f"FROM __wq")
-    tot = ("SELECT val, cum, MAX(cum) OVER (PARTITION BY 1) AS total "
-           "FROM __wqc")
+    tot = (f"SELECT {g_col}val, cum, MAX(cum) OVER ("
+           + (part.rstrip() if group_by else "PARTITION BY 1")
+           + ") AS total FROM __wqc")
     q_arr = array_lit(dialect, [dlit(q) for q in qs])
     from ..pipeline import dual
     spine = (f"SELECT {dual.explode(dialect, q_arr, 'q')} "
              f"FROM (SELECT 1) __one")
-    final = ("SELECT q.q, MIN(r.val) AS est "
-             "FROM __wqq q JOIN __wqt r ON r.cum >= q.q * r.total "
-             "GROUP BY q.q ORDER BY q.q")
+    g_out = "r.g, " if group_by else ""
+    final = (f"SELECT {g_out}q.q, MIN(r.val) AS est "
+             f"FROM __wqq q JOIN __wqt r ON r.cum >= q.q * r.total "
+             f"GROUP BY {g_out}q.q ORDER BY {g_out}q.q")
     return cum, tot, spine, final
 
 
 def approx_quantile(sample_df: DataFrame, measure: str,
                     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
-                    key_cols: tuple[str, ...] = ()) -> DataFrame:
+                    key_cols: tuple[str, ...] = (),
+                    group_by: str | None = None) -> DataFrame:
     """Weighted quantiles over a STRATIFIED sample: the q-quantile
     estimate is the smallest sample value whose cumulative Horvitz-
     Thompson weight reaches q of the total weight — the estimator the
@@ -230,11 +239,16 @@ def approx_quantile(sample_df: DataFrame, measure: str,
     from ..specs import WEIGHT_COL
     from ..dialect import SPARK as _S
     spark = sample_df.sparkSession
-    src = sample_df.where(F.expr(f"({measure}) IS NOT NULL")).selectExpr(
-        f"CAST({measure} AS DOUBLE) AS val", f"{WEIGHT_COL} AS w",
-        *key_cols)
+    guard = f"({measure}) IS NOT NULL"
+    sel = [f"CAST({measure} AS DOUBLE) AS val", f"{WEIGHT_COL} AS w",
+           *key_cols]
+    if group_by:
+        guard += f" AND ({group_by}) IS NOT NULL"
+        sel.insert(0, f"{group_by} AS g")
+    src = sample_df.where(F.expr(guard)).selectExpr(*sel)
     src.createOrReplaceTempView("__wq")
-    cum, tot, spine, final = _wq_frags(measure, list(key_cols), qs, _S)
+    cum, tot, spine, final = _wq_frags(measure, list(key_cols), qs, _S,
+                                       group_by)
     spark.sql(cum).createOrReplaceTempView("__wqc")
     spark.sql(tot).createOrReplaceTempView("__wqt")
     spark.sql(spine).createOrReplaceTempView("__wqq")
@@ -243,15 +257,21 @@ def approx_quantile(sample_df: DataFrame, measure: str,
 
 def approx_quantile_oracle(sample_stages, measure: str,
                            qs: tuple[float, ...] = (0.5, 0.9, 0.99),
-                           key_cols: tuple[str, ...] = ()) -> str:
+                           key_cols: tuple[str, ...] = (),
+                           group_by: str | None = None) -> str:
     from ..sampling.sql import stages_to_sql
     from ..specs import WEIGHT_COL
-    cum, tot, spine, final = _wq_frags(measure, list(key_cols), qs, DUCKDB)
+    cum, tot, spine, final = _wq_frags(measure, list(key_cols), qs, DUCKDB,
+                                       group_by)
     keys = ", ".join(key_cols)
+    g_sel = f"{group_by} AS g, " if group_by else ""
+    guard = f"({measure}) IS NOT NULL"
+    if group_by:
+        guard += f" AND ({group_by}) IS NOT NULL"
     stages = list(sample_stages) + [
         ("__wq",
-         f"SELECT CAST({measure} AS DOUBLE) AS val, {WEIGHT_COL} AS w, "
-         f"{keys} FROM __sample WHERE ({measure}) IS NOT NULL"),
+         f"SELECT {g_sel}CAST({measure} AS DOUBLE) AS val, "
+         f"{WEIGHT_COL} AS w, {keys} FROM __sample WHERE {guard}"),
         ("__wqc", cum), ("__wqt", tot), ("__wqq", spine),
     ]
     return stages_to_sql(stages, final)
