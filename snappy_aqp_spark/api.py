@@ -701,6 +701,20 @@ class AQPSession:
         """dropTopK analog (SnappyContextAQPFunctions.scala:126)."""
         self.topk.drop(name)
 
+    def save_topk(self, name: str, path: str) -> None:
+        """Persist a TopK table (sketch parquet + sidecar) — session
+        wrapper over topk.api.save_topk; pair with attach_topk in a
+        fresh session (reference: TopK structures persist in the store,
+        topk/TopKRelation.scala:33-198)."""
+        from .topk.api import save_topk
+        save_topk(self.topk, name, path)
+
+    def attach_topk(self, path: str, name: str | None = None):
+        """Restore a persisted TopK table into THIS session's registry
+        from its sidecar — no rebuild scan."""
+        from .topk.api import load_topk
+        return load_topk(self.spark, self.topk, path, name=name)
+
     def convert_to_stratified_sample(self, df: DataFrame, qcs: list[str],
                                      key_cols: list[str],
                                      **kw) -> DataFrame:

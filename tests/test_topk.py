@@ -454,3 +454,24 @@ def test_topk_save_load_roundtrip(spark, duck, events, tmp_path):
     res = query_approx_ts_topk(spark, fresh, "persist_renamed",
                                start, end, 10)
     assert res.count() == 10
+
+
+def test_session_topk_save_attach(spark, events, tmp_path):
+    """session-surface persistence: save_topk in session A, attach_topk
+    in a FRESH AQPSession, StartTime/EndTime scan answers identically."""
+    from snappy_aqp_spark.api import AQPSession
+    a = AQPSession(spark, data_token="topk-save-a")
+    a.topk.tables.clear()
+    spec = _spec("persist_api", epoch_us=1_704_067_200_000_000)
+    create_approx_ts_topk(spark, a.topk, events, spec)
+    start, end = 1_704_672_000_000_000, 1_705_881_600_000_000
+    before = query_approx_ts_topk(spark, a.topk, "persist_api",
+                                  start, end, 10).toPandas()
+    p = str(tmp_path / "topk_api_state")
+    a.save_topk("persist_api", p)
+    b = AQPSession(spark, data_token="topk-save-b")
+    b.topk.tables.clear()
+    b.attach_topk(p)
+    after = query_approx_ts_topk(spark, b.topk, "persist_api",
+                                 start, end, 10).toPandas()
+    assert after.equals(before)
