@@ -38,8 +38,11 @@ FIXTURES = [a for a in sys.argv[1:] if not a.startswith("--")] or [
     # AQE re-planning + spill invariance of the lattice itself
     "cf_group_multi", "bs_sum_group", "cf_partial_route",
     "cf_full_route", "two_sample_self_join",
-    # round-6 additions: z-prefix layout analysis + HLL set algebra
-    "zorder_layout", "hll_set_ops"]
+    # round-6 additions: z-prefix layout analysis, HLL set algebra,
+    # mergeable + weighted-sample quantiles, streaming register merge
+    "zorder_layout", "hll_set_ops", "histogram_quantile",
+    "histogram_quantile_grouped", "sample_weighted_quantile",
+    "sample_weighted_quantile_grouped", "streaming_hll_distinct"]
 
 
 def build_scratch(spark) -> None:
