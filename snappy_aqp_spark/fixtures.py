@@ -198,6 +198,11 @@ PIPELINE_FIXTURES: dict[str, dict] = {
         "builder": _qt.histogram_quantile_stages,
         "kw": {"group_by": "lang"},
         "tables": ("documents",)},
+    # Pearson correlation per column pair from quantized integer moment
+    # sums (order-independent; per-column lattice scales)
+    "column_correlation": {
+        "builder": _dg.correlation_stages, "kw": {},
+        "tables": ("lineitem",)},
     # benchmark decontamination: train docs sharing >= 100 distinct
     # 7-grams with the (doc_id % 17) "eval set" — one gram-code equi-join
     # max_grams_per_doc: bottom-M min-hash diet on the train side —

@@ -90,3 +90,69 @@ def join_cardinality_stages(dialect: str,
              "(SELECT CAST(SUM(n) AS BIGINT) FROM __jcb) AS right_rows "
              "FROM __jcm")
     return stages, final
+
+
+def correlation_stages(dialect: str,
+                       pairs: tuple[tuple[str, str], ...] = (
+                           ("l_quantity", "l_extendedprice"),
+                           ("l_quantity", "l_discount"),
+                           ("l_extendedprice", "l_tax")),
+                       table: str = "lineitem",
+                       ) -> tuple[list[tuple[str, str]], str]:
+    """``(stages, final)`` -> one row per column pair: (x, y, n, corr) —
+    Pearson correlation from quantized integer moment sums, so the
+    result is order-independent and replays bit-exactly (a plain double
+    SUM(x*y) would depend on Spark's nondeterministic aggregation
+    order). One scan, five integer SUMs per pair, map-side combined —
+    the feature-relationship pass a table-profiling pipeline runs before
+    choosing stratification or clustering columns.
+
+    Lattice: each column quantizes at its OWN measure_scale (per-column
+    bounds — a shared scale zeroes out small-ranged columns like
+    l_discount); per-row products shift down by 2^21 before summing so
+    every term stays <= 2^21 and sums survive 2^41 rows under ANSI
+    BIGINT (the qsum_sql headroom rule). The per-term floor is a
+    deterministic ~2^-21 relative perturbation — identical on both
+    engines, invisible at corr's double output precision."""
+    from ..quant import measure_scale, pow2_literal
+    from ..dialect import dlit
+    from ..sql.frontend import measure_bound
+    D = 21
+
+    def q(col: str, m: int) -> str:
+        return f"CAST(FLOOR(({col}) * {pow2_literal(m)}) AS BIGINT)"
+
+    stages = []
+    selects = []
+    for i, (x, y) in enumerate(pairs):
+        mx = measure_scale(measure_bound(x) / 2.0)
+        my = measure_scale(measure_bound(y) / 2.0)
+        qx, qy = q(x, mx), q(y, my)
+        guard = f"({x}) IS NOT NULL AND ({y}) IS NOT NULL"
+        stages.append((
+            f"__corr{i}",
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM({qx}) AS BIGINT) AS sx, "
+            f"CAST(SUM({qy}) AS BIGINT) AS sy, "
+            f"CAST(SUM({idiv(dialect, f'({qx}) * ({qy})', str(1 << D))}) AS BIGINT) AS sxy, "
+            f"CAST(SUM({idiv(dialect, f'({qx}) * ({qx})', str(1 << D))}) AS BIGINT) AS sxx, "
+            f"CAST(SUM({idiv(dialect, f'({qy}) * ({qy})', str(1 << D))}) AS BIGINT) AS syy "
+            f"FROM {table} WHERE {guard}"))
+        nd = "CAST(n AS DOUBLE)"
+        mean_x = f"(CAST(sx AS DOUBLE) * {pow2_literal(-mx)} / {nd})"
+        mean_y = f"(CAST(sy AS DOUBLE) * {pow2_literal(-my)} / {nd})"
+        xy = (f"(CAST(sxy AS DOUBLE) * {pow2_literal(D - mx - my)} / {nd})")
+        xx = (f"(CAST(sxx AS DOUBLE) * {pow2_literal(D - 2 * mx)} / {nd})")
+        yy = (f"(CAST(syy AS DOUBLE) * {pow2_literal(D - 2 * my)} / {nd})")
+        cov = f"({xy} - {mean_x} * {mean_y})"
+        var_x = f"({xx} - {mean_x} * {mean_x})"
+        var_y = f"({yy} - {mean_y} * {mean_y})"
+        corr = (f"(CASE WHEN {var_x} <= {dlit(0.0)} "
+                f"OR {var_y} <= {dlit(0.0)} THEN NULL "
+                f"ELSE {cov} / (SQRT({var_x}) * SQRT({var_y})) END)")
+        selects.append(
+            f"SELECT '{x}' AS x, '{y}' AS y, n, {corr} AS corr "
+            f"FROM __corr{i}")
+    final = " UNION ALL ".join(selects)
+    final = (f"SELECT x, y, n, corr FROM ({final}) __u ORDER BY x, y")
+    return stages, final

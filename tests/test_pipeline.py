@@ -1452,3 +1452,18 @@ def test_histogram_quantile_brackets_truth(views, duck):
             f"SELECT quantile_disc(n_chars, {q}) v FROM documents"
         ).df().iloc[0, 0]
         assert rows[q]["lo"] <= exact < rows[q]["hi"], (q, exact, rows[q])
+
+
+def test_column_correlation_tracks_exact_pearson(views, duck):
+    """lattice-quantized correlation lands within the documented 2^-21
+    per-term perturbation of the exact double-precision Pearson."""
+    from snappy_aqp_spark.pipeline.diagnostics import correlation_stages
+    st, fin = correlation_stages(SPARK)
+    got = {(r["x"], r["y"]): r["corr"] for r in
+           run_stages(views, st, fin).collect()}
+    for x, y in (("l_quantity", "l_extendedprice"),
+                 ("l_quantity", "l_discount"),
+                 ("l_extendedprice", "l_tax")):
+        exact = duck.sql(f"SELECT corr({x}, {y}) v FROM lineitem"
+                         ).df().iloc[0, 0]
+        assert abs(got[(x, y)] - exact) < 2e-3, (x, y, got[(x, y)], exact)
