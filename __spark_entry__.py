@@ -578,6 +578,57 @@ def _streaming_hll_oracle() -> str:
     return f"WITH __shll_state AS ({reg}) {est}"
 
 
+def _streaming_hist_quantile_runner(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Incrementally-maintained percentiles over a file stream: every
+    micro-batch appends ITS OWN bin-count relation; the drained state
+    merges by plain addition (GROUP BY bin SUM), so the streaming bins
+    equal the batch histogram EXACTLY and the quantile estimates replay
+    bit-identically in DuckDB. State per trigger = occupied bins, never
+    raw values (same shape as _streaming_hll_runner; the two sketches'
+    merges are MAX and ADD respectively)."""
+    import os
+    import tempfile
+    from pyspark.sql import functions as F
+    from snappy_aqp_spark.pipeline.quantiles import (
+        histogram_bins_sql, histogram_quantile_from_bins_sql)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="aqp-shq-")
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    # three deterministic batch files split on doc_id
+    for i in range(3):
+        (docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+             .write.mode("overwrite").parquet(f"{tmp}/in/b{i}"))
+    bins_sql = histogram_bins_sql(_SP, table="__shq_batch")
+
+    def upd(bdf, _bid):
+        bdf.createOrReplaceTempView("__shq_batch")
+        (bdf.sparkSession.sql(bins_sql)
+            .write.mode("append").parquet(f"{tmp}/bins"))
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(f"{tmp}/in/*"))
+    q = (stream.writeStream.foreachBatch(upd)
+         .option("checkpointLocation", f"{tmp}/ckpt")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    (spark.read.parquet(f"{tmp}/bins")
+        .groupBy("bin").agg(F.sum("n").alias("n"))
+        .createOrReplaceTempView("__shq_state"))
+    return spark.sql(histogram_quantile_from_bins_sql(_SP, "__shq_state"))
+
+
+def _streaming_hist_quantile_oracle() -> str:
+    from snappy_aqp_spark.pipeline.quantiles import (
+        histogram_bins_sql, histogram_quantile_from_bins_sql)
+    bins = histogram_bins_sql(_DK, table="documents")
+    fin = histogram_quantile_from_bins_sql(_DK, "__shq_state")
+    # splice the state CTE into the finalize statement's WITH list
+    assert fin.startswith("WITH ")
+    return fin.replace("WITH ", f"WITH __shq_state AS ({bins}), ", 1)
+
+
 def _streaming_dedup_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state streaming ingest dedup
     (dropDuplicatesWithinWatermark): events arrive as three time-ordered
@@ -1147,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["streaming_sliding_window"] = _streaming_sliding_window_runner
     out["streaming_dedup_ingest"] = _streaming_dedup_runner
     out["streaming_hll_distinct"] = _streaming_hll_runner
+    out["streaming_hist_quantile"] = _streaming_hist_quantile_runner
     out["streaming_dedup_window_chain"] = _streaming_dedup_window_chain_runner
     out["streaming_interval_join"] = _streaming_interval_join_runner
     out["streaming_left_join"] = _streaming_left_join_runner
@@ -1358,6 +1410,8 @@ def oracle_sql() -> dict[str, str]:
         TOPK_FIXTURES["topk_cms_full"]["spec"], "events", None, None, 20)
     # streaming register merge == batch registers (HLL union exactness)
     out["streaming_hll_distinct"] = _streaming_hll_oracle()
+    # streaming bin-count merge == batch histogram (addition exactness)
+    out["streaming_hist_quantile"] = _streaming_hist_quantile_oracle()
     # same sketch parameters, populated through the streaming SQL surface
     out["streaming_sql_surface"] = topk_oracle_sql(
         TOPK_FIXTURES["topk_cms_full"]["spec"], "events", None, None, 20)

@@ -175,3 +175,37 @@ def histogram_quantile_stages(dialect: str, col: str = "n_chars",
              f"GROUP BY {('r.g, ' if group_by else '')}q.q "
              f"ORDER BY {('r.g, ' if group_by else '')}q.q")
     return stages, final
+
+
+def histogram_bins_sql(dialect: str, col: str = "n_chars",
+                       width: int = 50, table: str = "documents") -> str:
+    """One statement -> the mergeable bin-count relation (bin, n) for
+    ``table`` — counts ADD across shards/micro-batches (the histogram's
+    merge is plain addition, like the HLL registers' MAX)."""
+    from . import dual
+    bin_expr = dual.fdiv(dialect, f"CAST({col} AS BIGINT)", str(width))
+    return (f"SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM "
+            f"(SELECT {bin_expr} AS bin FROM {table} "
+            f"WHERE ({col}) IS NOT NULL) __b GROUP BY bin")
+
+
+def histogram_quantile_from_bins_sql(dialect: str, bins_table: str,
+                                     width: int = 50,
+                                     qs: tuple[float, ...] = (0.5, 0.9,
+                                                              0.99)) -> str:
+    """One statement -> quantile rows (q, est, lo, hi) over a merged
+    bin-count relation (bin, n) — the finalize step shared by the batch
+    fixture and any shard/stream merge caller."""
+    from . import dual
+    q_arr = dual.array_lit(dialect, [dlit(q) for q in qs])
+    return (
+        f"WITH __fqr AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum, "
+        f"SUM(n) OVER (PARTITION BY 1) AS total FROM {bins_table}), "
+        f"__fqq AS (SELECT {dual.explode(dialect, q_arr, 'q')} "
+        f"FROM (SELECT 1) __one) "
+        f"SELECT q.q, (CAST(MIN(r.bin) AS DOUBLE) + {dlit(0.5)}) * {width} "
+        f"AS est, CAST(MIN(r.bin) * {width} AS BIGINT) AS lo, "
+        f"CAST((MIN(r.bin) + 1) * {width} AS BIGINT) AS hi "
+        f"FROM __fqq q JOIN __fqr r "
+        f"ON CAST(r.cum AS DOUBLE) >= CEIL(q.q * CAST(r.total AS DOUBLE)) "
+        f"GROUP BY q.q ORDER BY q.q")

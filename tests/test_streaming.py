@@ -963,3 +963,13 @@ def test_streaming_hll_matches_batch_oracle(spark, duck):
     from tests.conftest import SF_SMALL, compare_frames
     res = entrymod._streaming_hll_runner(spark, SF_SMALL)
     compare_frames(res, duck.sql(entrymod._streaming_hll_oracle()))
+
+
+def test_streaming_hist_quantile_matches_batch_oracle(spark, duck):
+    """incremental per-batch bin-count merge (addition) equals the batch
+    histogram exactly, so the drained stream's quantile estimates replay
+    bit-identically in DuckDB."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL, compare_frames
+    res = entrymod._streaming_hist_quantile_runner(spark, SF_SMALL)
+    compare_frames(res, duck.sql(entrymod._streaming_hist_quantile_oracle()))
