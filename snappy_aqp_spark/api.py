@@ -755,6 +755,22 @@ class AQPSession:
                            max_abs=fe.measure_bound(
                                measure, self.col_bounds))
 
+    def approx_quantile(self, sample_name: str, measure: str,
+                        qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                        group_by: str | None = None) -> DataFrame:
+        """Weighted quantiles over a registered sample table (session
+        analog of operators.sample_stats.approx_quantile — the
+        SampleDataFrameContract family's percentile member)."""
+        from .operators.sample_stats import approx_quantile
+        info = self.catalog.get(sample_name)
+        if info is None:
+            raise KeyError(f"unknown sample table {sample_name}")
+        sample = get_sample(self.tables[info.spec.base_table], info.spec,
+                            self._token)
+        return approx_quantile(sample, measure, qs,
+                               key_cols=info.spec.key_cols,
+                               group_by=group_by)
+
     def error_estimate_average(self, sample_name: str, measure: str,
                                confidence: float = 0.95) -> DataFrame:
         """single-row weighted average with CI

@@ -136,3 +136,19 @@ def test_weighted_sample_quantile_tracks_truth(spark, duck):
             f"SELECT quantile_disc(l_extendedprice, {q}) v FROM lineitem"
         ).df().iloc[0, 0]
         assert abs(got[q] - exact) / exact < 0.15, (q, got[q], exact)
+
+
+def test_session_approx_quantile_surface(spark):
+    """session wrapper routes through the registered sample's spec (keys
+    for deterministic tie-break come from the catalog, not the caller)."""
+    from snappy_aqp_spark.api import AQPSession
+    s = AQPSession(spark, data_token="aq-surface")
+    s.load_tables(SF_SMALL, ["lineitem"])
+    s.sql("CREATE SAMPLE TABLE li_aq ON lineitem OPTIONS("
+          "qcs 'l_returnflag', fraction '0.1', method 'hash', seed '42')")
+    rows = s.approx_quantile("li_aq", "l_extendedprice").collect()
+    assert [r["q"] for r in rows] == [0.5, 0.9, 0.99]
+    assert all(rows[i]["est"] <= rows[i + 1]["est"] for i in range(2))
+    grouped = s.approx_quantile("li_aq", "l_extendedprice",
+                                group_by="l_returnflag").collect()
+    assert len(grouped) == 9 and {r["g"] for r in grouped} == {"A", "N", "R"}
