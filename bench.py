@@ -92,7 +92,8 @@ PIPELINE = (
     # copies (cached per session), iterations time the
     # exchange-free join / pruned scan itself
     "bucketed_colocated_join", "partition_pruned_scan",
-    "zorder_layout",
+    "zorder_layout", "column_correlation",
+    "histogram_quantile_grouped",
     # ingest layer (jsonl write cached per session) + the
     # source-level diversity rollup; compaction re-writes its
     # files every iteration by design (it IS a write job)
