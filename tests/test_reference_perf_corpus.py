@@ -157,6 +157,13 @@ _ORACLE_SUBSET = {
     ("perfQueries_WOE.sql", 4),         # do_nothing behavior, no error fns
     ("perfFunctionalQueries.sql", 6),   # sum group, single abs error
     ("perfJoinQueries.sql", 2),         # two fact joins + dim filter
+    # round-6 promotions — wider value coverage of the same corpus
+    ("perfQueries.sql", 2),             # avg + WHERE, both errors
+    ("perfQueries.sql", 3),             # count(col), both errors
+    ("perfQueries.sql", 5),             # avg group/order/limit
+    ("perfFunctionalQueries.sql", 2),   # global avg, both errors
+    ("perfFunctionalQueries.sql", 5),   # COUNT(CANCELLED) filtered group
+    ("perfFunctionalQueries.sql", 8),   # sum group ORDER BY ... DESC
 }
 
 
