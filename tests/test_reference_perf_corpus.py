@@ -350,6 +350,11 @@ _NYC_ORACLE_SUBSET = {
     ("sampleTableNYCQueries.sql", 3),    # global count + both errors
     ("sampleTableNYCQueries.sql", 4),    # medallion group, order/limit
     ("nycAPIQueries.sql", 1),            # count(*) with bare alias `count`
+    # round-6 promotions
+    ("sampleTableNYCQueries.sql", 2),    # hour() BETWEEN filter, lateral
+                                         # alias group, order by count
+    ("sampleTableNYCQueries.sql", 6),    # avg group, order by measure +
+                                         # key desc, limit
 }
 
 
