@@ -19,7 +19,12 @@ def spark():
          .config("spark.sql.shuffle.partitions", "8")
          .config("spark.ui.enabled", "false")
          .config("spark.ui.showConsoleProgress", "false")
-         .config("spark.driver.memory", "4g")
+         # one JVM hosts the WHOLE ~1100-test suite: cached samples,
+         # persisted TopK state, and streaming state accumulate across
+         # modules, and 4g died at the suite tail (accumulator-server
+         # ConnectionRefused cascade) once round 6 added persistence
+         # tests — 8g holds with wide margin on this 128G box
+         .config("spark.driver.memory", "8g")
          .appName("snappy-aqp-spark-tests").getOrCreate())
     s.sparkContext.setLogLevel("ERROR")
     yield s

@@ -454,6 +454,9 @@ def test_topk_save_load_roundtrip(spark, duck, events, tmp_path):
     res = query_approx_ts_topk(spark, fresh, "persist_renamed",
                                start, end, 10)
     assert res.count() == 10
+    # drop == unpersist: the shared suite JVM must not accumulate state
+    fresh.drop("persist_src")
+    fresh.drop("persist_renamed")
 
 
 def test_session_topk_save_attach(spark, events, tmp_path):
@@ -475,3 +478,4 @@ def test_session_topk_save_attach(spark, events, tmp_path):
     after = query_approx_ts_topk(spark, b.topk, "persist_api",
                                  start, end, 10).toPandas()
     assert after.equals(before)
+    b.drop_topk("persist_api")    # unpersist: shared suite JVM hygiene
