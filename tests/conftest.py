@@ -50,12 +50,18 @@ def duck_medium():
     return _duck_con(SF_MEDIUM)
 
 
-def compare_frames(spark_df, duck_df, sort_cols=None):
+def compare_frames(spark_df, duck_df, sort_cols=None, rtol=0.0,
+                   atol=0.0):
     """Driver-style comparison: schema names, row count, exact values —
     AND pandas dtype KINDS. The driver hashes values as each engine
     materializes them into pandas, so a DuckDB type widening (SUM(BIGINT)
     -> HUGEINT -> float64) hash-reds a value-identical result; asserting
-    kind equality here catches that before the round boundary."""
+    kind equality here catches that before the round boundary.
+
+    ``rtol``: relative tolerance for float columns — 0.0 (bit-exact, the
+    driver contract) everywhere except verbatim reference texts that SUM
+    raw doubles on the exact route, where the two engines' IEEE
+    accumulation orders legitimately differ in the last ulps."""
     sp = spark_df.toPandas()
     dk = duck_df.df() if hasattr(duck_df, "df") else duck_df
     assert sorted(sp.columns) == sorted(dk.columns), (sp.columns, dk.columns)
@@ -74,7 +80,13 @@ def compare_frames(spark_df, duck_df, sort_cols=None):
     for c in cols:
         a, b = sp[c], dk[c]
         if a.dtype.kind == "f" or b.dtype.kind == "f":
-            same = ((a == b) | (a.isna() & b.isna()))
+            if rtol or atol:
+                import numpy as np
+                same = (np.isclose(a, b, rtol=rtol, atol=atol,
+                                   equal_nan=True)
+                        | (a.isna() & b.isna()))
+            else:
+                same = ((a == b) | (a.isna() & b.isna()))
         else:
             same = (a.astype(object) == b.astype(object)) | (a.isna() & b.isna())
         assert same.all(), f"column {c} mismatch:\n{sp[c][~same]}\nvs\n{dk[c][~same]}"

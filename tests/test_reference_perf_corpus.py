@@ -9,8 +9,12 @@ dim filter, direct sample-table scans (sampleTable_WOE), and the
 error-function-on-exact-route fold. Every query is loaded VERBATIM from
 the reference at test time (no copies kept here), schema-adapted only by
 registering airline-shaped VIEWS over the TPC-H fixture tables, and must
-parse + route + execute; a deterministic subset is additionally
-value-checked against the DuckDB replay oracle.
+parse + route + execute; since round 7 EVERY statement is additionally
+value-checked against the DuckDB replay oracle (fixed-seed sampling makes
+the whole corpus deterministic) — exclusions, if any ever appear, live in
+the per-corpus _*_EXCLUDE dicts with written reasons. Two exact-route
+texts that SUM raw doubles compare at documented tolerances
+(_NYC_FLOAT_TOL); everything else is bit-exact.
 """
 
 from __future__ import annotations
@@ -77,8 +81,12 @@ _VIEWS = {
         "CAST(l_partkey % 12 + 1 AS INT) AS Month_, "
         "CAST(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END AS INT) "
         "AS CANCELLED, "
-        "CAST(l_partkey % 2400 AS INT) AS CRSDepTime, "
-        "CAST(l_suppkey % 2400 AS INT) AS DepTime, "
+        # DOUBLE (not the airline schema's INT): SUM(INT) widens to
+        # HUGEINT->float64 on DuckDB but stays int64 on Spark, and the
+        # corpus text is verbatim (no room for a CAST) — the adapter view
+        # is the one schema knob we own (perfQueriesBaseTable.sql:13-15)
+        "CAST(l_partkey % 2400 AS DOUBLE) AS CRSDepTime, "
+        "CAST(l_suppkey % 2400 AS DOUBLE) AS DepTime, "
         "CAST(l_suppkey % 50 AS STRING) AS dest "
         "FROM lineitem"),
     "airlineRef": "SELECT n_name AS Code, n_name AS description "
@@ -146,25 +154,16 @@ def test_reference_perf_query_parses_routes_runs(aqp_air, src, line, q):
         assert len(rows) == 1
 
 
-# deterministic value-checked subset: (file, line-1-based) pairs
-_ORACLE_SUBSET = {
-    ("perfQueries.sql", 1),             # bare WITH ERROR, sum + both errors
-    ("perfQueries.sql", 4),             # group/order/limit WITH ERROR
-    ("perfQueriesBaseTable.sql", 4),    # HAVING relative_error, no clause
-    ("perfQueriesPartialRoute.sql", 1),   # PARTIAL_RUN_ON_BASE_TABLE
-    ("perfQueriesPartialRoute.sql", 5),   # RUN_ON_FULL_TABLE
-    ("perfQueries_WOE.sql", 1),         # exact passthrough
-    ("perfQueries_WOE.sql", 4),         # do_nothing behavior, no error fns
-    ("perfFunctionalQueries.sql", 6),   # sum group, single abs error
-    ("perfJoinQueries.sql", 2),         # two fact joins + dim filter
-    # round-6 promotions — wider value coverage of the same corpus
-    ("perfQueries.sql", 2),             # avg + WHERE, both errors
-    ("perfQueries.sql", 3),             # count(col), both errors
-    ("perfQueries.sql", 5),             # avg group/order/limit
-    ("perfFunctionalQueries.sql", 2),   # global avg, both errors
-    ("perfFunctionalQueries.sql", 5),   # COUNT(CANCELLED) filtered group
-    ("perfFunctionalQueries.sql", 8),   # sum group ORDER BY ... DESC
+# round-7 (VERDICT r6 #1): the value-checked set is now EVERY corpus
+# statement, minus an explicit exclusion list with reasons. Under the
+# fixed-seed contract all sampling is deterministic, so "deterministic
+# output" is the default, not the exception.
+_ORACLE_EXCLUDE: dict[tuple[str, int], str] = {
+    # (file, line): reason a value replay is not meaningful
 }
+
+_ORACLE_SUBSET = {(f, i) for f, i, _ in _CORPUS
+                  if (f, i) not in _ORACLE_EXCLUDE}
 
 
 @pytest.mark.parametrize(
@@ -178,7 +177,33 @@ def test_reference_perf_query_matches_oracle(aqp_air, duck_air, src, line, q):
     _check_vs_oracle(aqp_air, duck_air, q)
 
 
-def _check_vs_oracle(session, duckcon, q: str) -> None:
+def _replay_sample_views(session, duckcon, q: str) -> None:
+    """A no-error-function query FROM a sample table is a plain aggregate
+    over the raw sample rows (reference AQP-154 semantics) — replay the
+    sample itself as a DuckDB view so the verbatim text runs on both."""
+    from snappy_aqp_spark.sampling.sql import sample_cte_stages, stages_to_sql
+    for name in re.findall(r"\bFROM\s+(\w+)", q, re.IGNORECASE):
+        info = session.catalog.get(name)
+        if info is not None:
+            sql = stages_to_sql(sample_cte_stages(info.spec),
+                                "SELECT * FROM __sample")
+            duckcon.sql(f"CREATE OR REPLACE VIEW {name} AS {sql}")
+
+
+# dialect adaptation applied to the DUCKDB text only: Spark reads
+# substr(s, 0, n) as n chars from the start, DuckDB as n-1 (position
+# clamps to 1 but the window [0, n) loses one slot) — same verbatim text,
+# different values. Rewriting 0 -> 1 on the oracle side reproduces
+# Spark's read; the engine-side text stays verbatim.
+_SUBSTR0_RE = re.compile(r"substr\(\s*([A-Za-z_][\w.]*)\s*,\s*0\s*,", re.I)
+
+
+def _duckify(sql: str) -> str:
+    return _SUBSTR0_RE.sub(r"substr(\1, 1,", sql)
+
+
+def _check_vs_oracle(session, duckcon, q: str, rtol: float = 0.0,
+                     atol: float = 0.0) -> None:
     an = session.analyze_sql(q)
     if an is None or an.spec is None:
         # exact route: fold error functions and run the text on both.
@@ -189,21 +214,27 @@ def _check_vs_oracle(session, duckcon, q: str) -> None:
         stripped, _ = fe.strip_with_clause(q.rstrip(";"))
         folded = fe.fold_error_functions(
             stripped, an.parsed if an is not None else None)
+        _replay_sample_views(session, duckcon, q)
         sp = session.sql(q).toPandas()
-        dk = duckcon.sql(folded).df()
+        dk = duckcon.sql(_duckify(folded)).df()
         if sorted(sp.columns) != sorted(dk.columns):
             assert len(sp.columns) == len(dk.columns), (sp.columns,
                                                         dk.columns)
             sp.columns = dk.columns = [f"c{i}"
                                        for i in range(len(sp.columns))]
-        compare_frames(_PandasFrame(sp), dk)
+        compare_frames(_PandasFrame(sp), dk, rtol=rtol, atol=atol)
         return
     sql = oracle_sql_for(an.spec)
     if an.rename:
         cols = [f"{c} AS {an.rename.get(c, c)}"
                 for c in visible_columns(an.spec)]
         sql = f"SELECT {', '.join(cols)} FROM (\n{sql}\n) __renamed"
-    compare_frames(session.sql(q), duckcon.sql(sql))
+    sp = session.sql(q).toPandas()
+    dk = duckcon.sql(_duckify(sql)).df()
+    if sorted(sp.columns) != sorted(dk.columns):
+        assert len(sp.columns) == len(dk.columns), (sp.columns, dk.columns)
+        sp.columns = dk.columns = [f"c{i}" for i in range(len(sp.columns))]
+    compare_frames(_PandasFrame(sp), dk, rtol=rtol, atol=atol)
 
 
 # ---------------------------------------------------------------------------
@@ -344,27 +375,41 @@ def test_reference_nyc_corpus_runs(aqp_nyc, aqp_air, src, line, q):
     assert rows is not None
 
 
-_NYC_ORACLE_SUBSET = {
-    ("validationQueries.sql", 1),        # plain exact count
-    ("sampleTableNYCQueries.sql", 1),    # shared-col comma join, approx
-    ("sampleTableNYCQueries.sql", 3),    # global count + both errors
-    ("sampleTableNYCQueries.sql", 4),    # medallion group, order/limit
-    ("nycAPIQueries.sql", 1),            # count(*) with bare alias `count`
-    # round-6 promotions
-    ("sampleTableNYCQueries.sql", 2),    # hour() BETWEEN filter, lateral
-                                         # alias group, order by count
-    ("sampleTableNYCQueries.sql", 6),    # avg group, order by measure +
-                                         # key desc, limit
+# round-7: every NYC-demo + routing statement value-checks, minus an
+# explicit exclusion list with reasons (same policy as _ORACLE_EXCLUDE)
+_NYC_ORACLE_EXCLUDE: dict[tuple[str, int], str] = {
 }
+
+# EXACT-route verbatim texts that SUM raw doubles: the two engines'
+# IEEE accumulation orders differ in the last ulps, so these compare at
+# rel-tol 1e-9 instead of bit-exact (everything approx-routed stays
+# bit-exact — the engine's estimates go through integer quant lattices)
+# values are (rtol, atol): nycQueries:5 ROUNDs the sum to 2 decimals, so
+# a half-boundary ulp flips the whole 0.01 quantum — atol admits exactly
+# one quantum, nothing more
+_NYC_FLOAT_TOL = {
+    ("nycQueries.sql", 5): (1e-9, 0.011),   # ROUND(sum(total_amount),2)
+    ("baseTableNYCQueries.sql", 1): (1e-9, 0.0),  # sum(fare/surcharge/tip)
+}
+
+_NYC_ORACLE_SUBSET = {(f, i) for f, i, _ in _NYC_CORPUS + _ROUTING_CORPUS
+                      if (f, i) not in _NYC_ORACLE_EXCLUDE}
 
 
 @pytest.mark.parametrize(
     "src,line,q",
-    [t for t in _NYC_CORPUS if (t[0], t[1]) in _NYC_ORACLE_SUBSET],
+    [t for t in _NYC_CORPUS + _ROUTING_CORPUS
+     if (t[0], t[1]) in _NYC_ORACLE_SUBSET],
     ids=[f"{f.removesuffix('.sql')}:{i}"
-         for f, i, _ in _NYC_CORPUS if (f, i) in _NYC_ORACLE_SUBSET])
-def test_reference_nyc_corpus_matches_oracle(aqp_nyc, duck_nyc, src, line, q):
-    _check_vs_oracle(aqp_nyc, duck_nyc, q)
+         for f, i, _ in _NYC_CORPUS + _ROUTING_CORPUS
+         if (f, i) in _NYC_ORACLE_SUBSET])
+def test_reference_nyc_corpus_matches_oracle(aqp_nyc, duck_nyc, aqp_air,
+                                             duck_air, src, line, q):
+    rtol, atol = _NYC_FLOAT_TOL.get((src, line), (0.0, 0.0))
+    if "airline" in q.lower():
+        _check_vs_oracle(aqp_air, duck_air, q, rtol=rtol, atol=atol)
+    else:
+        _check_vs_oracle(aqp_nyc, duck_nyc, q, rtol=rtol, atol=atol)
 
 
 # ---------------------------------------------------------------------------
@@ -443,11 +488,17 @@ def test_reference_cc_corpus_runs(aqp_cc, src, line, q):
     assert rows is not None
 
 
+# round-7: the whole CC corpus value-checks (the substr(ymd,0,4) texts
+# replay via the _duckify dialect rewrite — DuckDB-side only)
+_CC_ORACLE_EXCLUDE: dict[tuple[str, int], str] = {
+}
+
+
 @pytest.mark.parametrize(
     "src,line,q",
-    [t for t in _CC_CORPUS if (t[0], t[1]) in
-     {("sampleTableCCQueries.sql", 1), ("validationQueriesForCC.sql", 1)}],
-    ids=["sampleTableCCQueries:1", "validationQueriesForCC:1"])
+    [t for t in _CC_CORPUS if (t[0], t[1]) not in _CC_ORACLE_EXCLUDE],
+    ids=[f"{f.removesuffix('.sql')}:{i}" for f, i, _ in _CC_CORPUS
+         if (f, i) not in _CC_ORACLE_EXCLUDE])
 def test_reference_cc_corpus_matches_oracle(aqp_cc, duck_cc, src, line, q):
     _check_vs_oracle(aqp_cc, duck_cc, q)
 
