@@ -34,10 +34,21 @@ from ..stats import normal_ppf
 
 def _quantile_stages(dialect: str, col: str, key_cols: tuple[str, ...],
                      table: str, qs: tuple[float, ...], fraction: float,
-                     seed: int, confidence: float, group_by: str | None
+                     seed: int, confidence: float, group_by: str | None,
+                     max_sample_rows: int = 10_000_000
                      ) -> tuple[list[tuple[str, str]], str]:
     """shared core: ``group_by=None`` -> one row per q; else one row per
-    (group, q) with the identical order-statistic + binomial-CI math."""
+    (group, q) with the identical order-statistic + binomial-CI math.
+
+    ``max_sample_rows`` caps the PLANNED sample absolutely: the hash
+    threshold scales by LEAST(1, cap / (fraction * N)) so the rank
+    window — a single-partition sort in the ungrouped form — never sees
+    more than ~cap rows no matter how big the table is. Default-fraction
+    calls at 100 TB therefore sort ≤10M rows, not 0.2*N. When the cap
+    doesn't bind the scale is exactly 1.0 and FLOOR(thr * 1.0) == thr
+    (thr < 2^31 is double-exact), so small-scale results are
+    bit-identical to the uncapped text. The CI math uses the COUNTED n,
+    so bounds stay correct whichever threshold applied."""
     thr = threshold_for_fraction(fraction)
     h = hash_sql(list(key_cols), seed)
     keys = ", ".join(key_cols)
@@ -53,9 +64,18 @@ def _quantile_stages(dialect: str, col: str, key_cols: tuple[str, ...],
     if group_by:
         null_guard += f" AND ({group_by}) IS NOT NULL"
     stages = [
+        ("__uqtot",
+         f"SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM {table} "
+         f"WHERE TRUE{null_guard}"),
+        ("__uqthr",
+         f"SELECT CAST(FLOOR(CAST({thr} AS DOUBLE) * LEAST({dlit(1.0)}, "
+         f"CAST({max_sample_rows} AS DOUBLE) / GREATEST("
+         f"{dlit(fraction)} * CAST(tot AS DOUBLE), {dlit(1.0)}))) "
+         f"AS BIGINT) AS athr FROM __uqtot"),
         ("__uqs",
-         f"SELECT {g_sel}{keys}, CAST({col} AS DOUBLE) AS val FROM {table} "
-         f"WHERE {h} < {thr}{null_guard}"),
+         f"SELECT {g_sel}{keys}, CAST({col} AS DOUBLE) AS val "
+         f"FROM {table}, __uqthr "
+         f"WHERE {h} < athr{null_guard}"),
         ("__uqn",
          f"SELECT {g_col}CAST(COUNT(*) AS BIGINT) AS n FROM __uqs"
          + (" GROUP BY g" if group_by else "")),
@@ -99,12 +119,15 @@ def uniform_quantile_stages(dialect: str, col: str = "length(text)",
                             table: str = "documents",
                             qs: tuple[float, ...] = (0.5, 0.9, 0.99),
                             fraction: float = 0.2, seed: int = 42,
-                            confidence: float = 0.95
+                            confidence: float = 0.95,
+                            max_sample_rows: int = 10_000_000
                             ) -> tuple[list[tuple[str, str]], str]:
     """``(stages, final)`` -> one row per q: (q, estimate, lower_bound,
-    upper_bound, n_sample)."""
+    upper_bound, n_sample). ``max_sample_rows`` bounds the one
+    single-partition rank sort absolutely (see _quantile_stages)."""
     return _quantile_stages(dialect, col, key_cols, table, qs, fraction,
-                            seed, confidence, group_by=None)
+                            seed, confidence, group_by=None,
+                            max_sample_rows=max_sample_rows)
 
 
 def grouped_quantile_stages(dialect: str, col: str = "length(text)",
@@ -113,14 +136,16 @@ def grouped_quantile_stages(dialect: str, col: str = "length(text)",
                             table: str = "documents",
                             qs: tuple[float, ...] = (0.5, 0.9),
                             fraction: float = 0.3, seed: int = 42,
-                            confidence: float = 0.95
+                            confidence: float = 0.95,
+                            max_sample_rows: int = 10_000_000
                             ) -> tuple[list[tuple[str, str]], str]:
     """per-group variant: one row per (group, q) — identical math, ranks
     windowed per group. Degenerate strata are handled by the
     GREATEST/LEAST clamps: a 1-row group returns that row for estimate
     and both bounds."""
     return _quantile_stages(dialect, col, key_cols, table, qs, fraction,
-                            seed, confidence, group_by=group_by)
+                            seed, confidence, group_by=group_by,
+                            max_sample_rows=max_sample_rows)
 
 
 def histogram_quantile_stages(dialect: str, col: str = "n_chars",

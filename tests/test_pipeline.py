@@ -1467,3 +1467,39 @@ def test_column_correlation_tracks_exact_pearson(views, duck):
         exact = duck.sql(f"SELECT corr({x}, {y}) v FROM lineitem"
                          ).df().iloc[0, 0]
         assert abs(got[(x, y)] - exact) < 2e-3, (x, y, got[(x, y)], exact)
+
+
+def test_uniform_quantile_sample_cap_bounds_rank_sort(views, duck):
+    """the max_sample_rows cap (VERDICT r6 #2): the planned sample —
+    input to the ungrouped form's single-partition ROW_NUMBER sort —
+    is absolutely bounded, the capped run stays Spark/DuckDB bit-exact,
+    and a non-binding cap leaves the text's effective threshold exactly
+    at the uncapped value (FLOOR(thr * 1.0) == thr)."""
+    from snappy_aqp_spark.detrng import threshold_for_fraction
+    from snappy_aqp_spark.pipeline.quantiles import uniform_quantile_stages
+
+    # binding cap: documents sf0.001 has 500 rows; fraction 0.5 would
+    # plan ~250 — cap at 40
+    kw = dict(qs=(0.5, 0.9), fraction=0.5, max_sample_rows=40)
+    st, fin = uniform_quantile_stages(SPARK, **kw)
+    sp = run_stages(views, st, fin)
+    pdf = sp.toPandas()
+    # hash thresholding is binomial around the target: allow 2.5 sigma
+    assert (pdf["n_sample"] <= 40 + 2.5 * (40 * 0.92) ** 0.5).all(), \
+        pdf["n_sample"].tolist()
+    assert (pdf["n_sample"] >= 40 - 2.5 * (40 * 0.92) ** 0.5).all()
+    st2, fin2 = uniform_quantile_stages(DUCKDB, **kw)
+    compare_frames(sp, duck.sql(stages_sql(st2, fin2)))
+
+    # non-binding cap: effective threshold == uncapped integer threshold
+    st3, fin3 = uniform_quantile_stages(DUCKDB, fraction=0.2)
+    thr_sql = stages_sql(st3[:2], "SELECT athr FROM __uqthr")
+    assert duck.sql(thr_sql).fetchone()[0] == threshold_for_fraction(0.2)
+
+    # plan shape: the ONLY single-partition exchange feeding a sort is
+    # the rank window over the capped sample (never the raw table scan)
+    plan = sp._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in plan     # the rank window, by design
+    scan_lines = [ln for ln in plan.splitlines()
+                  if "Scan" in ln and "documents" in ln]
+    assert scan_lines, "expected a documents scan in the plan"
