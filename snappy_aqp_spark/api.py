@@ -428,6 +428,13 @@ class AQPSession:
         self.spark = spark
         self.catalog = SampleCatalog()
         self.tables: dict[str, DataFrame] = {}
+        # names registered via register_table (temp-view backed) — DROP
+        # TABLE must detect these DIRECTLY: spark.catalog.tableExists()
+        # returns True for temp views, so "in tables but not in catalog"
+        # can never distinguish them (round-6 ADVICE: the invalidation
+        # branch was dead and a same-named re-register could be served a
+        # stale cached sample)
+        self._view_backed: set[str] = set()
 
         def conf(key, cast, fallback):
             raw = spark.conf.get(key, None)
@@ -491,6 +498,7 @@ class AQPSession:
 
     def register_table(self, name: str, df: DataFrame) -> None:
         self.tables[name.lower()] = df
+        self._view_backed.add(name.lower())
         df.createOrReplaceTempView(name)
         # record the schema so replay-oracle emission (sample_cte_stages)
         # works for non-builtin relations (external tables, ad-hoc frames)
@@ -645,7 +653,11 @@ class AQPSession:
         persist across sessions in the catalog,
         hive/SnappyAQPSessionCatalog.scala:39,54 addSampleDataFrame)."""
         from .sampling.samplers import read_sample_sidecar
-        stored_name, spec, bounds = read_sample_sidecar(path)
+        return self._attach_read_sidecar(path, read_sample_sidecar(path),
+                                         name)
+
+    def _attach_read_sidecar(self, path, sidecar, name=None) -> DataFrame:
+        stored_name, spec, bounds = sidecar
         name = name or stored_name
         if not name:
             raise ValueError(f"sample sidecar at {path} records no name; "
@@ -660,15 +672,21 @@ class AQPSession:
         and attach every persisted sample found — the fresh-session
         equivalent of the reference's catalog listing all registered
         samples at connect time (SnappyAQPSessionCatalog.scala:39).
-        Returns the attached names."""
+        Returns the attached names. A sidecar recording no name (written
+        through the explicit-path API without one) is SKIPPED, not a
+        walk-aborting error — it remains attachable via
+        ``attach_sample(path, name=...)`` (round-6 ADVICE: one nameless
+        sidecar must not hide every discoverable sample after it)."""
         import os
         from .sampling.samplers import read_sample_sidecar, SIDECAR_NAME
         attached = []
         for dirpath, _dirs, files in sorted(os.walk(root)):
             if SIDECAR_NAME in files:
-                name, _spec, _bounds = read_sample_sidecar(dirpath)
-                self.attach_sample(dirpath)
-                attached.append(name)
+                sidecar = read_sample_sidecar(dirpath)
+                if not sidecar[0]:
+                    continue
+                self._attach_read_sidecar(dirpath, sidecar)
+                attached.append(sidecar[0])
         return attached
 
     def drop_sample_table(self, name: str) -> None:
@@ -906,15 +924,20 @@ class AQPSession:
                 # (NYC demo scripts, create_and_load_NYCTaxiSample_*.sql)
                 self.drop_sample_table(n)
                 return self.spark.range(0)
-            if n in self.tables and not self.spark.catalog.tableExists(name):
+            if n in self._view_backed:
                 # session-registered relation (temp-view backed):
                 # unregister + invalidate samples built over it
                 invalidate_base_table(n, token=self._token)
                 self.tables.pop(n, None)
+                self._view_backed.discard(n)
                 self.spark.catalog.dropTempView(name)
                 return self.spark.range(0)
             if if_exists and not self.spark.catalog.tableExists(name):
                 return self.spark.range(0)     # nothing to drop, no error
+            if n in self.tables:
+                # registered catalog-table base: a cached sample over the
+                # dropped data must not survive into a same-named recreate
+                invalidate_base_table(n, token=self._token)
             self.tables.pop(n, None)
             return self.spark.sql(text)       # regular Spark table/view
         target = fe.parse_mutation_target(text)

@@ -246,12 +246,21 @@ def approx_quantile(sample_df: DataFrame, measure: str,
         guard += f" AND ({group_by}) IS NOT NULL"
         sel.insert(0, f"{group_by} AS g")
     src = sample_df.where(F.expr(guard)).selectExpr(*sel)
-    src.createOrReplaceTempView("__wq")
     cum, tot, spine, final = _wq_frags(measure, list(key_cols), qs, _S,
                                        group_by)
-    spark.sql(cum).createOrReplaceTempView("__wqc")
-    spark.sql(tot).createOrReplaceTempView("__wqt")
-    spark.sql(spine).createOrReplaceTempView("__wqq")
+    # per-call unique view names (round-6 ADVICE): two sessions sharing
+    # one SparkSession must not clobber each other's intermediate views
+    # between createOrReplaceTempView and the final spark.sql
+    import re as _re
+    import uuid as _uuid
+    tok = _uuid.uuid4().hex[:8]
+    ren = _re.compile(r"\b(__wq[ctq]?)\b")
+    cum, tot, spine, final = (ren.sub(rf"\1_{tok}", s)
+                              for s in (cum, tot, spine, final))
+    src.createOrReplaceTempView(f"__wq_{tok}")
+    spark.sql(cum).createOrReplaceTempView(f"__wqc_{tok}")
+    spark.sql(tot).createOrReplaceTempView(f"__wqt_{tok}")
+    spark.sql(spine).createOrReplaceTempView(f"__wqq_{tok}")
     return spark.sql(final)
 
 

@@ -212,8 +212,13 @@ def hll_registers_sql(dialect: str, col: str = "event_id",
 def hll_estimate_sql(registers_table: str, p: int = 6,
                      dialect: str = SPARK) -> str:
     """Scalar estimate over a register relation (__bucket, __r) — the
-    identical integer-lattice harmonic sum as ``hll_distinct_stages``
-    (no libm in the sum path; LC branch included for completeness)."""
+    identical integer-lattice harmonic sum as ``hll_distinct_stages``.
+    NO linear-counting branch (round-6 ADVICE): LC's ``ln`` is
+    libm-dependent and this finalize backs the streaming fixture's
+    EXACTNESS contract (streaming register merge ≡ batch sketch,
+    bit-for-bit) — same policy as ``hll_set_ops_stages``. Callers size
+    ``p`` so estimates sit above the 2.5*m cutoff where LC would
+    matter."""
     m = 1 << p
     maxbits = 60 - p
     sent = f"CAST({1 << (maxbits + 1)} AS BIGINT)"
@@ -227,9 +232,5 @@ def hll_estimate_sql(registers_table: str, p: int = 6,
              f"FROM {registers_table}")
     zeros = f"({m} - __present)"
     z_int = f"(__zp + {zeros} * {sent})"
-    e_raw = f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
-    lc = (f"({dlit(float(m))} * ln({dlit(float(m))} "
-          f"/ CAST({zeros} AS DOUBLE)))")
-    est = (f"CASE WHEN {e_raw} <= {dlit(2.5 * m)} AND {zeros} > 0 "
-           f"THEN {lc} ELSE {e_raw} END")
+    est = f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
     return f"SELECT {est} AS approx_distinct FROM ({inner}) __hz"

@@ -468,15 +468,29 @@ def save_topk(registry: TopKRegistry, name: str, path: str) -> None:
     import dataclasses
     import json
     import os
+    import shutil
+    import uuid
     t = registry.get(name)
-    t.state.write.mode("overwrite").parquet(path)
+    # write-then-rename (round-6 ADVICE): saving back to the very path
+    # the state was LOADED from would have Spark overwrite the parquet
+    # files its own input DataFrame reads (persist() does not pin every
+    # partition) — staging to a sibling temp dir makes attach-then-save-
+    # back safe on any path
+    tmp = f"{path.rstrip('/')}.__tmp_{uuid.uuid4().hex[:8]}"
+    t.state.write.mode("overwrite").parquet(tmp)
     meta = {"format": "snappy-aqp-topk/1",
             "spec": dataclasses.asdict(t.spec),
             "epoch_us": t.epoch_us, "max_level": t.max_level,
             "max_bucket": t.max_bucket,
             "decayed_before": t.decayed_before}
-    with open(os.path.join(path, TOPK_SIDECAR), "w") as f:
+    with open(os.path.join(tmp, TOPK_SIDECAR), "w") as f:
         json.dump(meta, f, indent=1)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    # the in-registry DataFrame may still lazily reference the REPLACED
+    # files (when this save went back to the load path) — rebind it to
+    # the fresh parquet so later ingests/queries read live data
+    t.state = t.state.sparkSession.read.parquet(path)
 
 
 def load_topk(spark: SparkSession, registry: TopKRegistry,

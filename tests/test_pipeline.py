@@ -1503,3 +1503,26 @@ def test_uniform_quantile_sample_cap_bounds_rank_sort(views, duck):
     scan_lines = [ln for ln in plan.splitlines()
                   if "Scan" in ln and "documents" in ln]
     assert scan_lines, "expected a documents scan in the plan"
+
+
+def test_hll_estimates_stay_above_lc_cutoff(views, duck):
+    """round-6 ADVICE guard: hll_distinct_stages keeps a linear-counting
+    branch whose ln() is libm-dependent — assert the raw harmonic
+    estimate sits ABOVE the 2.5*m cutoff at the tested scales (so the
+    LC branch is provably dead wherever the bit-exact contract is
+    claimed), and that the LC-free hll_estimate_sql finalize equals the
+    batch estimator exactly."""
+    from snappy_aqp_spark.pipeline.distinct import (hll_distinct_stages,
+                                                    hll_estimate_sql,
+                                                    hll_registers_sql)
+    p, m = 6, 64
+    st, fin = hll_distinct_stages(SPARK, col="event_id", table="events",
+                                  p=p)
+    est = run_stages(views, st, fin).collect()[0]["approx_distinct"]
+    assert est > 2.5 * m, f"estimate {est} under LC cutoff {2.5 * m}"
+    # LC-free finalize over the register relation == batch estimator
+    views.sql(hll_registers_sql(SPARK, col="event_id", table="events",
+                                p=p)).createOrReplaceTempView("__lcck")
+    est2 = views.sql(
+        hll_estimate_sql("__lcck", p=p)).collect()[0]["approx_distinct"]
+    assert est2 == est

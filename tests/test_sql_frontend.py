@@ -1677,3 +1677,33 @@ def test_explain_aqp_statement(spark):
     # no WITH clause -> exact
     r4 = s.sql("EXPLAIN AQP SELECT count(*) FROM lineitem").collect()[0]
     assert r4["route"] == "exact"
+
+
+def test_drop_table_invalidates_view_backed_relation(spark):
+    """round-6 ADVICE (medium): DROP TABLE on a register_table relation
+    must invalidate cached samples — tableExists() returns True for temp
+    views, so the old 'in tables and not in catalog' test never fired and
+    a same-named re-register could be served the STALE sample."""
+    s = AQPSession(spark, data_token="drop-reregister", error=0.5,
+                   confidence=0.95, behavior="do_nothing")
+    df1 = spark.range(1000).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS g", "CAST(id AS DOUBLE) AS v")
+    s.register_table("dropreg", df1)
+    ddl = ("CREATE SAMPLE TABLE dropreg_s ON dropreg OPTIONS("
+           "qcs 'g', fraction '0.5', method 'hash', seed '42', "
+           "keyColumns 'k')")
+    s.sql(ddl)
+    q = "SELECT count(*) AS c FROM dropreg WITH ERROR 0.9"
+    c1 = s.sql(q).collect()[0]["c"]
+    assert 500 < c1 < 1500
+    s.sql("DROP TABLE dropreg")
+    assert "dropreg" not in s.tables
+    # re-register the SAME name with 5x the rows; same spec, same token —
+    # the estimate must reflect the NEW data, not the cached sample
+    df2 = spark.range(5000).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS g", "CAST(id AS DOUBLE) AS v")
+    s.register_table("dropreg", df2)
+    s.sql(ddl)
+    c2 = s.sql(q).collect()[0]["c"]
+    assert 4000 < c2 < 6000, (c1, c2)
+    s.sql("DROP TABLE dropreg")

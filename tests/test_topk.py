@@ -479,3 +479,34 @@ def test_session_topk_save_attach(spark, events, tmp_path):
                                  start, end, 10).toPandas()
     assert after.equals(before)
     b.drop_topk("persist_api")    # unpersist: shared suite JVM hygiene
+
+
+def test_topk_save_back_to_load_path(spark, events, tmp_path):
+    """round-6 ADVICE: attach-then-save-BACK — saving to the very path
+    the state was loaded from must not corrupt it (save stages to a
+    sibling temp dir, renames, and rebinds the registry DataFrame)."""
+    from snappy_aqp_spark.topk.api import load_topk, save_topk
+    reg = TopKRegistry()
+    spec = _spec("persist_back", epoch_us=1_704_067_200_000_000)
+    create_approx_ts_topk(spark, reg, events, spec)
+    start, end = 1_704_672_000_000_000, 1_705_881_600_000_000
+    p = str(tmp_path / "topk_back")
+    save_topk(reg, "persist_back", p)
+    reg.drop("persist_back")
+    fresh = TopKRegistry()
+    load_topk(spark, fresh, p)
+    before = query_approx_ts_topk(
+        spark, fresh, "persist_back", start, end, 10).toPandas()
+    # ingest more, save back to the SAME path the state came from
+    insert_into_topk(spark, fresh, "persist_back", events.limit(500))
+    save_topk(fresh, "persist_back", p)
+    mid = query_approx_ts_topk(
+        spark, fresh, "persist_back", start, end, 10).toPandas()
+    # a third reload round-trips the post-ingest state byte-identically
+    reg3 = TopKRegistry()
+    load_topk(spark, reg3, p)
+    after = query_approx_ts_topk(
+        spark, reg3, "persist_back", start, end, 10).toPandas()
+    assert after.equals(mid)
+    fresh.drop("persist_back")
+    reg3.drop("persist_back")
