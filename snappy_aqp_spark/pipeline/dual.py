@@ -12,6 +12,15 @@ from __future__ import annotations
 from ..dialect import DUCKDB, SPARK
 
 
+def hint(dialect: str, h: str) -> str:
+    """Spark-only optimizer hint (``/*+ BROADCAST(t) */``); empty text on
+    DuckDB. Purely physical — the two dialects stay semantically identical,
+    Spark just gets told which relations are query-time small (stats over
+    temp-view stages are unknown, so Catalyst otherwise falls back to
+    sort-merge joins for provably tiny probe sides)."""
+    return f"/*+ {h} */ " if dialect == SPARK else ""
+
+
 def explode(dialect: str, arr_sql: str, alias: str) -> str:
     return (f"explode({arr_sql}) AS {alias}" if dialect == SPARK
             else f"unnest({arr_sql}) AS {alias}")
@@ -288,7 +297,13 @@ def run_stages(spark, stages: list[tuple[str, str]], final: str):
     persisted = []
     for i, (name, _) in enumerate(stages):
         later = " ".join(texts[i + 1:])
-        if len(_re.findall(rf"\b{name}\b", later)) > 1:
+        # multi-referenced stages persist (inlining re-evaluates them per
+        # reference); stages named *_ix persist unconditionally — they are
+        # INDEX stages (corpus-side artifacts like posting lists) that a
+        # repeat caller must reuse even when the query path references
+        # them only once
+        if name.endswith("_ix") or len(_re.findall(rf"\b{name}\b",
+                                                   later)) > 1:
             persisted.append(name)
 
     if not persisted:

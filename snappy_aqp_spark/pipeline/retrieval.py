@@ -28,7 +28,7 @@ smaller doc_id, so the output is fully deterministic.
 
 from __future__ import annotations
 
-from .dual import arr_filter, explode, idiv
+from .dual import arr_filter, explode, hint, idiv
 
 K1_C = 120        # k1 = 1.2, in hundredths
 B_C = 75          # b  = 0.75, in hundredths
@@ -64,25 +64,39 @@ def bm25_topk_stages(dialect: str, query_pred: str, topk: int = 5,
         # distinct query terms
         ("__bmq",
          "SELECT DISTINCT doc_id AS qid, w FROM __bmt WHERE is_q = 1"),
-        # posting-list lengths -> integer idf surrogate (broadcast-sized).
-        # Only query terms are ever scored, so the df aggregate is
-        # semi-joined to the (small) query vocabulary up front — the
-        # GROUP BY shrinks from |corpus vocab| to |query vocab| keys
-        ("__bmi",
-         f"SELECT w, {idiv(dialect, '(g.n_docs - df) * 10000', 'df')} "
-         f"AS idf_bp FROM "
-         f"(SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM __bmf "
-         f"WHERE w IN (SELECT w FROM __bmq) "
-         f"GROUP BY w) __df, __bmg g"),
-        # probe the tf table on the term; saturate tf; weight by idf
-        ("__bms",
-         f"SELECT q.qid, f.doc_id, CAST(SUM(i.idf_bp * "
+        # INDEX stages (query-independent; *_ix names persist across
+        # calls): per-term posting-list lengths, and the postings carrying
+        # the ENTIRE doc-side BM25 factor — tf saturation depends only on
+        # (tf, dl, n_docs, tot), all corpus-side, so it is precomputed
+        # into the index. The corpus-sized (doc_id) join between tf and
+        # dl happens ONCE at index-build time; the per-query path below
+        # never joins two corpus-sized relations again.
+        ("__bmdf_ix",
+         "SELECT w, CAST(COUNT(*) AS BIGINT) AS df "
+         "FROM __bmf GROUP BY w"),
+        ("__bmp_ix",
+         f"SELECT f.w, f.doc_id, CAST("
          f"{idiv(dialect, 'f.tf * ' + str((100 + K1_C) * 100) + ' * 10000', 'f.tf * 10000 + ' + idiv(dialect, str(K1_C) + ' * (10000 - ' + str(B_C * 100) + ' + ' + idiv(dialect, str(B_C * 100) + ' * l.dl * g.n_docs', 'g.tot') + ')', '100'))}"
-         f") AS BIGINT) AS score_bp "
-         f"FROM __bmq q JOIN __bmf f ON q.w = f.w "
-         f"JOIN __bml l ON f.doc_id = l.doc_id "
-         f"JOIN __bmi i ON f.w = i.w, __bmg g "
-         f"GROUP BY q.qid, f.doc_id"),
+         f" AS BIGINT) AS sat_bp "
+         f"FROM __bmf f JOIN __bml l ON f.doc_id = l.doc_id, __bmg g"),
+        # QUERY path: idf for the query vocabulary — a broadcast semi-join
+        # of the df index against the (tiny) query term set
+        ("__bmi",
+         f"SELECT {hint(dialect, 'BROADCAST(__qv)')}d.w, "
+         f"{idiv(dialect, '(g.n_docs - d.df) * 10000', 'd.df')} "
+         f"AS idf_bp FROM __bmdf_ix d "
+         f"JOIN (SELECT DISTINCT w FROM __bmq) __qv ON d.w = __qv.w, "
+         f"__bmg g"),
+        # probe: one pass over the cached postings with both query-sized
+        # relations broadcast — no sort-merge exchange anywhere on the
+        # query path; the only shuffle left is the (qid, doc) partial agg
+        ("__bms",
+         f"SELECT {hint(dialect, 'BROADCAST(q, i)')}"
+         f"q.qid, p.doc_id, "
+         f"CAST(SUM(i.idf_bp * p.sat_bp) AS BIGINT) AS score_bp "
+         f"FROM __bmq q JOIN __bmp_ix p ON q.w = p.w "
+         f"JOIN __bmi i ON p.w = i.w "
+         f"GROUP BY q.qid, p.doc_id"),
         ("__bmr",
          "SELECT qid, doc_id, score_bp, ROW_NUMBER() OVER "
          "(PARTITION BY qid ORDER BY score_bp DESC, doc_id ASC) AS rank "
