@@ -285,6 +285,47 @@ def _incremental_append_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
                             cache_token=token)
 
 
+_HLL_CD_Q = ("SELECT COUNT(DISTINCT l_orderkey) AS approx_orders, "
+             "absolute_error(approx_orders) AS abs_err, "
+             "lower_bound(approx_orders) AS lb, "
+             "upper_bound(approx_orders) AS ub "
+             "FROM lineitem WITH ERROR")
+_HLL_CD_GQ = ("SELECT l_returnflag, "
+              "COUNT(DISTINCT l_orderkey) AS approx_orders, "
+              "relative_error(approx_orders) AS rel_err "
+              "FROM lineitem WHERE l_quantity > 10 "
+              "GROUP BY l_returnflag ORDER BY l_returnflag WITH ERROR")
+
+
+def _hll_count_distinct_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in HLL route for COUNT(DISTINCT) under WITH ERROR (extension —
+    the reference routes COUNT(DISTINCT) exact,
+    common/QueryRoutingRules.scala:55-92): SET spark.sql.aqp
+    .hllCountDistinct=true flips the envelope for this shape only; error
+    functions answer from the sketch's 1.04/sqrt(m) standard error. The
+    whole statement is the dual-emitted integer register lattice, so the
+    DuckDB oracle replays it bit-exactly."""
+    aqp = AQPSession(spark, data_token=f"hllcd@{sf_dir}", **_SQL_DEFAULTS)
+    aqp.load_tables(sf_dir, ("lineitem",))
+    aqp.sql("SET spark.sql.aqp.hllCountDistinct=true")
+    # p sized so every tested scale sits above the dropped linear-counting
+    # regime (2.5*m = 160 << 1.5k distinct orderkeys at sf0.001)
+    aqp.sql("SET spark.sql.aqp.hllPrecision=6")
+    return aqp.sql(_HLL_CD_Q)
+
+
+def _hll_count_distinct_grouped_runner(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Grouped + filtered form of the HLL COUNT(DISTINCT) route: WHERE
+    pushes into the register build, group keys partition the (at most
+    m-per-group) register shuffle."""
+    aqp = AQPSession(spark, data_token=f"hllcdg@{sf_dir}", **_SQL_DEFAULTS)
+    aqp.load_tables(sf_dir, ("lineitem",))
+    aqp.sql("SET spark.sql.aqp.hllCountDistinct=true")
+    aqp.sql("SET spark.sql.aqp.hllPrecision=5")
+    return aqp.sql(_HLL_CD_GQ)
+
+
 def _sql_topk_plain_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """plain TopKCMS (no timeSeriesColumn — reference TopKCMS class, one
     sketch per partition, no dyadic levels) through the DDL + scan
@@ -1180,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cf_incremental_append"] = _incremental_append_runner
     out["sql_create_topk"] = _sql_create_topk_runner
     out["sql_topk_plain"] = _sql_topk_plain_runner
+    out["sql_count_distinct_hll"] = _hll_count_distinct_runner
+    out["sql_count_distinct_hll_grouped"] = _hll_count_distinct_grouped_runner
     out["streaming_topk_ingest"] = _streaming_topk_ingest_runner
     out["topk_persist_reattach"] = _topk_persist_reattach_runner
     out = {name: _memoized(name, fn) for name, fn in out.items()}
@@ -1395,6 +1438,20 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_real_video"] = mm.multimodal_ppm_oracle_sql(
         _DK, width=8, height=8, n_frames=6, sample_every=2)
     out["sql_attach_sidecar"] = _sql_fixture_oracle(_SIDECAR_FX)
+    # HLL COUNT(DISTINCT) route: the oracle is the identical register
+    # lattice emitted in the DuckDB dialect (params mirror the runners'
+    # SET statements + query text)
+    from snappy_aqp_spark.pipeline.distinct import hll_count_distinct_query_sql
+    out["sql_count_distinct_hll"] = hll_count_distinct_query_sql(
+        _DK, col="l_orderkey", table="lineitem", p=6,
+        alias="approx_orders",
+        err_cols=(("absolute_error", "abs_err"), ("lower_bound", "lb"),
+                  ("upper_bound", "ub")), confidence=0.95)
+    out["sql_count_distinct_hll_grouped"] = hll_count_distinct_query_sql(
+        _DK, col="l_orderkey", table="lineitem", p=5,
+        where="l_quantity > 10", group_keys=("l_returnflag",),
+        alias="approx_orders", err_cols=(("relative_error", "rel_err"),),
+        confidence=0.95, order_by=("l_returnflag",))
     from snappy_aqp_spark.fixtures import (INCR_APPEND_SPEC, TOPK_DDL_SPEC,
                                            TOPK_DDL_WINDOW)
     out["cf_incremental_append"] = oracle_sql_for(INCR_APPEND_SPEC)

@@ -356,6 +356,23 @@ def apply_aqp_property(defaults: dict, key: str, raw: str) -> None:
         if b not in fe.BEHAVIORS:
             raise fe.SQLFrontendError(f"unknown behavior '{raw}'")
         defaults["behavior"] = b
+    elif key == "hllCountDistinct":
+        # extension beyond the reference (which routes COUNT(DISTINCT)
+        # exact, common/QueryRoutingRules.scala:55-92): opt-in HLL sketch
+        # route for COUNT(DISTINCT) under a WITH clause. Off by default so
+        # the out-of-the-box routing envelope stays reference-identical.
+        low = raw.lower()
+        if low not in ("true", "false", "1", "0", "on", "off"):
+            raise fe.SQLFrontendError(
+                f"spark.sql.aqp.hllCountDistinct: boolean required, "
+                f"got {raw!r}")
+        defaults["hll_count_distinct"] = low in ("true", "1", "on")
+    elif key == "hllPrecision":
+        val = num(int, "an integer")
+        if not 4 <= val <= 16:
+            raise fe.SQLFrontendError(
+                f"hllPrecision within range of 4 to 16 required, got {val}")
+        defaults["hll_p"] = val
     else:  # numBootStrapTrials
         val = num(int, "an integer")
         if val <= 0:
@@ -420,6 +437,10 @@ class AQPSession:
     CONF_CONFIDENCE = "spark.sql.aqp.confidence"
     CONF_BEHAVIOR = "spark.sql.aqp.behavior"
     CONF_TRIALS = "spark.sql.aqp.numBootStrapTrials"
+    # extension properties (no reference analog): opt-in HLL route for
+    # COUNT(DISTINCT) under WITH ERROR + its register precision p (m=2^p)
+    CONF_HLL_CD = "spark.sql.aqp.hllCountDistinct"
+    CONF_HLL_P = "spark.sql.aqp.hllPrecision"
 
     def __init__(self, spark: SparkSession, error: float | None = None,
                  confidence: float | None = None, behavior: str | None = None,
@@ -460,6 +481,10 @@ class AQPSession:
             "trials": (num_bootstrap_trials if num_bootstrap_trials is not None
                        else conf(self.CONF_TRIALS, int, 100)),
             "col_bounds": self.col_bounds,
+            "hll_count_distinct": conf(
+                self.CONF_HLL_CD,
+                lambda r: str(r).lower() in ("true", "1", "on"), False),
+            "hll_p": conf(self.CONF_HLL_P, int, 12),
         }
         # AQP-285 (AQPConnectionPropertySetTest): plain queries (no WITH
         # clause) route through AQP only when the error PROPERTY is present
@@ -870,8 +895,19 @@ class AQPSession:
                 row = ("exact", None, None, None, None, None, None,
                        "no WITH clause")
             elif an.spec is None:
-                row = ("exact", None, None, None, None, None, None,
-                       an.reason or "unsupported aggregate shape")
+                hinfo = self._hll_route_info(mexp.group("q"))
+                if hinfo is not None:
+                    from .stats import normal_ppf
+                    import math as _math
+                    rel = (normal_ppf((1 + hinfo["confidence"]) / 2)
+                           * 1.04 / _math.sqrt(1 << hinfo["p"]))
+                    row = ("approx", hinfo["table"],
+                           ",".join(hinfo["group_keys"]),
+                           f"hll(p={hinfo['p']})", "hll_count_distinct",
+                           self.defaults["behavior"], float(rel), None)
+                else:
+                    row = ("exact", None, None, None, None, None, None,
+                           an.reason or "unsupported aggregate shape")
             else:
                 s = an.spec
                 row = ("approx", s.sample.base_table,
@@ -1049,6 +1085,9 @@ class AQPSession:
                 return self.spark.sql(fe.fold_error_functions(text, None))
             return self.spark.sql(text)
         if analyzed.spec is None:
+            hll = self._try_hll_count_distinct(text)
+            if hll is not None:
+                return hll
             derived = self._try_approx_derived(text)
             if derived is not None:
                 return derived
@@ -1144,6 +1183,104 @@ class AQPSession:
             for view in views:
                 self.spark.catalog.dropTempView(view)
         return out
+
+    _CD_AGG_RE = re.compile(r"^COUNT\s*\(\s*DISTINCT\s+(?P<arg>.+)\)$",
+                            re.IGNORECASE | re.DOTALL)
+
+    def _hll_route_info(self, text: str) -> dict | None:
+        """Shape check for the opt-in HLL COUNT(DISTINCT) route (extension
+        beyond the reference, which routes COUNT(DISTINCT) exact —
+        common/QueryRoutingRules.scala:55-92). Routable iff
+        ``spark.sql.aqp.hllCountDistinct`` is on AND the query is
+        ``SELECT [keys,] COUNT(DISTINCT col) [, error fns] FROM one_table
+        [WHERE ..] [GROUP BY keys] [ORDER BY ..] [LIMIT n] WITH ERROR
+        ..`` — exactly one COUNT(DISTINCT), no joins/HAVING, every group
+        key selected. Anything else falls through to the reference-parity
+        exact route. Returns the builder kwargs or None."""
+        if not self.defaults.get("hll_count_distinct"):
+            return None
+        try:
+            stripped, wc = fe.strip_with_clause(text)
+        except fe.SQLFrontendError:
+            return None
+        if wc is None:
+            return None
+        try:
+            parsed = fe.parse_select(stripped)
+        except fe.SQLFrontendError:
+            return None
+        if parsed.joins or parsed.having:
+            return None
+        table = parsed.from_table
+        quals = {q.lower() for q in (parsed.from_alias, table) if q}
+
+        def dq(s):
+            return fe._strip_qualifiers(s, quals)
+
+        def norm(s: str) -> str:
+            return re.sub(r"\s+", " ", s.strip()).lower()
+
+        gkeys = [dq(g).strip() for g in parsed.group_by]
+        gset = {norm(g) for g in gkeys}
+        cd_arg = cd_alias = cd_text = None
+        err_raw: list[tuple[str, str, str | None]] = []
+        sel_keys: list[str] = []
+        for expr, alias in parsed.select_items:
+            e = dq(expr).strip()
+            m = self._CD_AGG_RE.match(e)
+            if m and fe._balanced(m.group("arg")):
+                if cd_arg is not None:
+                    return None           # one sketch per query
+                cd_arg, cd_alias, cd_text = m.group("arg").strip(), alias, e
+                continue
+            if norm(e) in gset:
+                if alias is not None and norm(alias) != norm(e):
+                    return None
+                sel_keys.append(e)
+                continue
+            me = fe._ERRFN_RE.match(e)
+            if me:
+                err_raw.append((me.group(1).lower(),
+                                dq(me.group(2)).strip(), alias))
+                continue
+            return None
+        if cd_arg is None or gset != {norm(k) for k in sel_keys}:
+            return None
+        out_alias = cd_alias or "approx_count_distinct"
+        err_cols: list[tuple[str, str]] = []
+        for fn, target, alias in err_raw:
+            t = norm(target)
+            if t != norm(out_alias) and t != norm(cd_text):
+                return None               # errfn targets something else
+            out = alias or fn
+            if any(o == out for _, o in err_cols):
+                return None
+            err_cols.append((fn, out))
+        legal = ({norm(k) for k in sel_keys} | {norm(out_alias)}
+                 | {norm(o) for _, o in err_cols})
+        order = []
+        for o in parsed.order_by:
+            oo = dq(o).strip()
+            base = re.sub(r"\s+(ASC|DESC)\s*$", "", oo, flags=re.IGNORECASE)
+            if norm(base) not in legal:
+                return None
+            order.append(oo)
+        conf = (wc.confidence if wc.confidence is not None
+                else self.defaults["confidence"])
+        p = self.defaults["hll_p"]
+        return {"col": cd_arg, "table": table, "p": p,
+                "where": dq(parsed.where), "group_keys": tuple(sel_keys),
+                "alias": out_alias, "err_cols": tuple(err_cols),
+                "confidence": conf, "order_by": tuple(order),
+                "limit": parsed.limit}
+
+    def _try_hll_count_distinct(self, text: str) -> DataFrame | None:
+        info = self._hll_route_info(text)
+        if info is None:
+            return None
+        from .dialect import SPARK
+        from .pipeline.distinct import hll_count_distinct_query_sql
+        return self.spark.sql(hll_count_distinct_query_sql(SPARK, **info))
 
     def analyze_sql(self, text: str):
         """Routing decision without execution (plan-shape introspection —

@@ -52,10 +52,17 @@ def _alpha(m: int) -> float:
 
 def hll_distinct_stages(dialect: str, col: str = "doc_id",
                         table: str = "documents", p: int = 6,
-                        group_by: str | None = None
+                        group_by: str | None = None,
+                        where: str | None = None,
+                        linear_counting: bool = True
                         ) -> tuple[list[tuple[str, str]], str]:
     """``(stages, final)`` estimating ``COUNT(DISTINCT col)`` [per
-    ``group_by``] with m = 2**p registers (rel. error ~ 1.04/sqrt(m))."""
+    ``group_by``] with m = 2**p registers (rel. error ~ 1.04/sqrt(m)).
+
+    ``linear_counting=False`` drops the small-range LC correction — its
+    ``ln`` is libm-dependent (module docstring), so callers holding a
+    bit-exact replay contract (the SQL COUNT(DISTINCT) route) disable it
+    and size ``p`` below the cardinalities they care about instead."""
     m = 1 << p
     # hash suffix width after the bucket split: hex15_to_long yields a
     # 60-bit hash, the low p bits pick the bucket, so rho ranges over
@@ -72,9 +79,10 @@ def hll_distinct_stages(dialect: str, col: str = "doc_id",
     g = [group_by] if group_by else []
     g_sql = ", ".join(g)
     g_pre = (g_sql + ", ") if g else ""
+    pred = f"{col} IS NOT NULL" + (f" AND ({where})" if where else "")
     stages = [
         ("__hll_h",
-         f"SELECT {g_pre}{h} AS __hh FROM {table} WHERE {col} IS NOT NULL"),
+         f"SELECT {g_pre}{h} AS __hh FROM {table} WHERE {pred}"),
         ("__hll_w",
          f"SELECT {g_pre}__hh % {m} AS __bucket, {w} AS __hw FROM __hll_h"),
         # rho = trailing zeros + 1; log2 of (w & -w) is exact (power of two)
@@ -100,13 +108,68 @@ def hll_distinct_stages(dialect: str, col: str = "doc_id",
              f"{dual.shiftleft(dialect, 'CAST(1 AS BIGINT)', str(maxbits + 1))})")
     num = _alpha(m) * m * m * float(1 << (maxbits + 1))
     e_raw = f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
-    lc = (f"({dlit(float(m))} * ln({dlit(float(m))} "
-          f"/ CAST({zeros} AS DOUBLE)))")
-    est = (f"CASE WHEN {e_raw} <= {dlit(2.5 * m)} AND {zeros} > 0 "
-           f"THEN {lc} ELSE {e_raw} END")
+    if linear_counting:
+        lc = (f"({dlit(float(m))} * ln({dlit(float(m))} "
+              f"/ CAST({zeros} AS DOUBLE)))")
+        est = (f"CASE WHEN {e_raw} <= {dlit(2.5 * m)} AND {zeros} > 0 "
+               f"THEN {lc} ELSE {e_raw} END")
+    else:
+        est = e_raw
     final = (f"SELECT {g_pre}{est} AS approx_distinct FROM __hll_z"
              + (f" ORDER BY {g_sql}" if g else ""))
     return stages, final
+
+
+def hll_count_distinct_query_sql(dialect: str, col: str, table: str,
+                                 p: int = 12, where: str | None = None,
+                                 group_keys: tuple[str, ...] = (),
+                                 alias: str = "approx_count_distinct",
+                                 err_cols: tuple[tuple[str, str], ...] = (),
+                                 confidence: float = 0.95,
+                                 order_by: tuple[str, ...] = (),
+                                 limit: int | None = None) -> str:
+    """One SQL statement answering ``SELECT [keys,] COUNT(DISTINCT col)
+    [, error fns] FROM table [WHERE ...] [GROUP BY keys]`` through the
+    HLL register lattice — the engine text behind the opt-in
+    ``spark.sql.aqp.hllCountDistinct`` SQL route (the reference routes
+    COUNT(DISTINCT) exact, common/QueryRoutingRules.scala:55-92; at
+    corpus scale an exact distinct shuffles every key, so this is the
+    sketch escape hatch, off by default for reference parity).
+
+    ``err_cols``: (fn, out_alias) pairs, fn in {absolute_error,
+    relative_error, lower_bound, upper_bound}. HLL's standard error is
+    1.04/sqrt(m); bounds use the normal quantile at ``confidence`` as a
+    Python-side literal, so the whole statement stays bit-exact across
+    engines (no LC branch, no SQL-side libm — IEEE ±*/ only)."""
+    from ..stats import normal_ppf
+    m = 1 << p
+    stages, _ = hll_distinct_stages(
+        dialect, col=col, table=table, p=p,
+        group_by=", ".join(group_keys) or None, where=where,
+        linear_counting=False)
+    maxbits = 60 - p
+    zeros = f"({m} - __present)"
+    z_int = (f"(__zp + {zeros} * "
+             f"{dual.shiftleft(dialect, 'CAST(1 AS BIGINT)', str(maxbits + 1))})")
+    num = _alpha(m) * m * m * float(1 << (maxbits + 1))
+    est = f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
+    rel = normal_ppf((1.0 + confidence) / 2.0) * 1.04 / math.sqrt(m)
+    fns = {"absolute_error": f"({dlit(rel)} * {est})",
+           "relative_error": dlit(rel),
+           "lower_bound": f"({est} - ({dlit(rel)} * {est}))",
+           "upper_bound": f"({est} + ({dlit(rel)} * {est}))"}
+    items = list(group_keys)
+    items.append(f"{est} AS {alias}")
+    for fn, out in err_cols:
+        items.append(f"{fns[fn.lower()]} AS {out}")
+    final = f"SELECT {', '.join(items)} FROM __hll_z"
+    if order_by:
+        final += f" ORDER BY {', '.join(order_by)}"
+    elif group_keys:
+        final += f" ORDER BY {', '.join(group_keys)}"
+    if limit is not None:
+        final += f" LIMIT {limit}"
+    return dual.stages_sql(stages, final)
 
 
 def hll_set_ops_stages(dialect: str, col: str = "doc_id",

@@ -1213,7 +1213,8 @@ _DROP_TABLE_RE = re.compile(
 
 _SET_AQP_RE = re.compile(
     r"^\s*SET\s+spark\.sql\.aqp\.(?P<key>error|confidence|behavior|"
-    r"numBootStrapTrials)\s*=\s*(?P<val>'[^']*'|\S+)\s*;?\s*$",
+    r"numBootStrapTrials|hllCountDistinct|hllPrecision)"
+    r"\s*=\s*(?P<val>'[^']*'|\S+)\s*;?\s*$",
     re.IGNORECASE)
 
 
@@ -1226,7 +1227,9 @@ def parse_set_aqp(sql: str) -> tuple[str, str] | None:
     if not m:
         return None
     canon = {"error": "error", "confidence": "confidence",
-             "behavior": "behavior", "numbootstraptrials": "numBootStrapTrials"}
+             "behavior": "behavior", "numbootstraptrials": "numBootStrapTrials",
+             "hllcountdistinct": "hllCountDistinct",
+             "hllprecision": "hllPrecision"}
     return canon[m.group("key").lower()], m.group("val").strip("'")
 
 

@@ -1,0 +1,135 @@
+"""Opt-in HLL route for ``COUNT(DISTINCT) ... WITH ERROR``.
+
+Extension beyond the reference: snappy-aqp routes COUNT(DISTINCT) to the
+exact path unconditionally (common/QueryRoutingRules.scala:55-92). The
+``spark.sql.aqp.hllCountDistinct`` session property flips exactly that one
+shape onto the dual-emitted HLL register lattice (pipeline/distinct.py),
+with error functions answering from the sketch's 1.04/sqrt(m) standard
+error. Off by default — these tests pin BOTH sides of the switch, the
+bit-exact DuckDB replay, the EXPLAIN AQP introspection row, and the
+fall-through of every unsupported shape back to the exact route.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as entrymod
+from snappy_aqp_spark.api import AQPSession
+from snappy_aqp_spark.sql import frontend as fe
+from snappy_aqp_spark.stats import normal_ppf
+from tests.conftest import SF_SMALL, compare_frames
+
+Q = ("SELECT COUNT(DISTINCT o_custkey) AS approx_customers, "
+     "absolute_error(approx_customers) AS abs_err, "
+     "lower_bound(approx_customers) AS lb, "
+     "upper_bound(approx_customers) AS ub "
+     "FROM orders WITH ERROR")
+
+
+def _session(spark, token, on=True, p=9):
+    aqp = AQPSession(spark, error=0.2, confidence=0.95,
+                     behavior="do_nothing", data_token=token)
+    aqp.load_tables(SF_SMALL, ("orders", "lineitem"))
+    if on:
+        aqp.sql("SET spark.sql.aqp.hllCountDistinct=true")
+        aqp.sql(f"SET spark.sql.aqp.hllPrecision={p}")
+    return aqp
+
+
+def test_off_by_default_routes_exact(spark):
+    aqp = _session(spark, "hlloff", on=False)
+    exact = spark.sql(
+        "SELECT COUNT(DISTINCT o_custkey) c FROM orders").collect()[0][0]
+    row = aqp.sql(Q).collect()[0]
+    assert row[0] == exact                       # reference-parity exact
+    assert row["abs_err"] == 0.0                 # errfns fold on exact route
+
+
+def test_on_routes_to_sketch_with_bounds(spark):
+    aqp = _session(spark, "hllon")
+    exact = spark.sql(
+        "SELECT COUNT(DISTINCT o_custkey) c FROM orders").collect()[0][0]
+    row = aqp.sql(Q).collect()[0]
+    m = 1 << 9
+    rel = normal_ppf(0.975) * 1.04 / math.sqrt(m)
+    est = row["approx_customers"]
+    assert est != exact                          # it IS an estimate
+    assert row["abs_err"] == pytest.approx(rel * est)
+    assert row["lb"] == pytest.approx(est - rel * est)
+    assert row["ub"] == pytest.approx(est + rel * est)
+    # the exact-route property flip is dynamic: turning it back off
+    # returns the exact answer mid-session (AQP-285 semantics)
+    aqp.sql("SET spark.sql.aqp.hllCountDistinct=false")
+    assert aqp.sql(Q).collect()[0][0] == exact
+
+
+def test_estimate_accuracy_above_lc_regime(spark):
+    """Accuracy holds where the route is meant to run: cardinality well
+    above the (deliberately dropped) linear-counting cutoff 2.5*m.
+    sf0.001 lineitem has ~1.5k distinct orderkeys >> 160 = 2.5*64."""
+    aqp = _session(spark, "hllacc", p=6)
+    exact = spark.sql(
+        "SELECT COUNT(DISTINCT l_orderkey) c FROM lineitem").collect()[0][0]
+    est = aqp.sql("SELECT COUNT(DISTINCT l_orderkey) AS a "
+                  "FROM lineitem WITH ERROR").collect()[0][0]
+    assert 2.5 * 64 < exact                      # above the LC cutoff
+    assert abs(est - exact) / exact < 4 * 1.04 / math.sqrt(64)
+
+
+def test_explain_aqp_reports_route(spark):
+    aqp = _session(spark, "hllexp")
+    row = aqp.sql("EXPLAIN AQP " + Q).collect()[0]
+    assert row["route"] == "approx"
+    assert row["estimator"] == "hll_count_distinct"
+    assert row["sample_method"] == "hll(p=9)"
+    assert row["base_table"] == "orders"
+    aqp.sql("SET spark.sql.aqp.hllCountDistinct=false")
+    row = aqp.sql("EXPLAIN AQP " + Q).collect()[0]
+    assert row["route"] == "exact"
+
+
+def test_fixture_matches_duckdb_oracle(spark, duck):
+    oracles = entrymod.oracle_sql()
+    qs = entrymod.queries()
+    for name in ("sql_count_distinct_hll", "sql_count_distinct_hll_grouped"):
+        compare_frames(qs[name](spark, SF_SMALL), duck.sql(oracles[name]))
+
+
+@pytest.mark.parametrize("text", [
+    # two sketches in one query
+    "SELECT COUNT(DISTINCT o_custkey) a, COUNT(DISTINCT o_orderstatus) b "
+    "FROM orders WITH ERROR",
+    # join
+    "SELECT COUNT(DISTINCT o_custkey) a FROM orders o "
+    "JOIN lineitem l ON o.o_orderkey = l.l_orderkey WITH ERROR",
+    # HAVING
+    "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) a FROM orders "
+    "GROUP BY o_orderpriority HAVING COUNT(*) > 10 WITH ERROR",
+    # extra non-distinct aggregate alongside
+    "SELECT COUNT(DISTINCT o_custkey) a, SUM(o_totalprice) s "
+    "FROM orders WITH ERROR",
+])
+def test_unsupported_shapes_fall_through(spark, text):
+    aqp = _session(spark, "hllfall")
+    assert aqp._hll_route_info(text) is None
+    aqp.sql(text)                                # exact route still works
+
+
+def test_no_with_clause_never_routes(spark):
+    aqp = _session(spark, "hllplain")
+    exact = spark.sql(
+        "SELECT COUNT(DISTINCT o_custkey) c FROM orders").collect()[0][0]
+    got = aqp.sql(
+        "SELECT COUNT(DISTINCT o_custkey) AS c FROM orders").collect()[0][0]
+    assert got == exact
+
+
+def test_set_property_validation(spark):
+    aqp = _session(spark, "hllval", on=False)
+    with pytest.raises(fe.SQLFrontendError, match="boolean"):
+        aqp.sql("SET spark.sql.aqp.hllCountDistinct=maybe")
+    with pytest.raises(fe.SQLFrontendError, match="hllPrecision"):
+        aqp.sql("SET spark.sql.aqp.hllPrecision=99")
