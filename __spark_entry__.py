@@ -326,6 +326,43 @@ def _hll_count_distinct_grouped_runner(spark: SparkSession,
     return aqp.sql(_HLL_CD_GQ)
 
 
+_HQ_Q = ("SELECT APPROX_PERCENTILE(n_chars, 0.5) AS med, "
+         "APPROX_PERCENTILE(n_chars, 0.9) AS p90, "
+         "absolute_error(med) AS abs_err, "
+         "lower_bound(med) AS lb, upper_bound(med) AS ub "
+         "FROM documents WITH ERROR")
+_HQ_GQ = ("SELECT source, APPROX_PERCENTILE(n_chars, 0.5) AS med, "
+          "relative_error(med) AS rel_err "
+          "FROM documents WHERE n_chars > 100 "
+          "GROUP BY source ORDER BY source WITH ERROR")
+
+
+def _hq_route_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in histogram route for APPROX_PERCENTILE under WITH ERROR
+    (extension — the reference approximates only SUM/AVG/COUNT): SET
+    spark.sql.aqp.histogramQuantile=true routes the percentile shape
+    through the mergeable fixed-width bin lattice; error functions
+    answer from the bin envelope (abs = width/2, bounds = the bin).
+    Dual-emitted integer ranking -> the DuckDB oracle replays it
+    bit-exactly."""
+    aqp = AQPSession(spark, data_token=f"hq@{sf_dir}", **_SQL_DEFAULTS)
+    aqp.load_tables(sf_dir, ("documents",))
+    aqp.sql("SET spark.sql.aqp.histogramQuantile=true")
+    aqp.sql("SET spark.sql.aqp.histogramBinWidth=50")
+    return aqp.sql(_HQ_Q)
+
+
+def _hq_route_grouped_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped + filtered form: WHERE pushes into the bin build, the
+    cumulative window partitions on the group key (no single-partition
+    stage)."""
+    aqp = AQPSession(spark, data_token=f"hqg@{sf_dir}", **_SQL_DEFAULTS)
+    aqp.load_tables(sf_dir, ("documents",))
+    aqp.sql("SET spark.sql.aqp.histogramQuantile=true")
+    aqp.sql("SET spark.sql.aqp.histogramBinWidth=50")
+    return aqp.sql(_HQ_GQ)
+
+
 def _sql_topk_plain_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """plain TopKCMS (no timeSeriesColumn — reference TopKCMS class, one
     sketch per partition, no dyadic levels) through the DDL + scan
@@ -1223,6 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sql_topk_plain"] = _sql_topk_plain_runner
     out["sql_count_distinct_hll"] = _hll_count_distinct_runner
     out["sql_count_distinct_hll_grouped"] = _hll_count_distinct_grouped_runner
+    out["sql_histogram_quantile_route"] = _hq_route_runner
+    out["sql_histogram_quantile_route_grouped"] = _hq_route_grouped_runner
     out["streaming_topk_ingest"] = _streaming_topk_ingest_runner
     out["topk_persist_reattach"] = _topk_persist_reattach_runner
     out = {name: _memoized(name, fn) for name, fn in out.items()}
@@ -1452,6 +1491,21 @@ def oracle_sql() -> dict[str, str]:
         where="l_quantity > 10", group_keys=("l_returnflag",),
         alias="approx_orders", err_cols=(("relative_error", "rel_err"),),
         confidence=0.95, order_by=("l_returnflag",))
+    # histogram APPROX_PERCENTILE route: same dual-emission policy
+    from snappy_aqp_spark.pipeline.quantiles import (
+        histogram_quantile_query_sql)
+    out["sql_histogram_quantile_route"] = histogram_quantile_query_sql(
+        _DK, col="n_chars", table="documents", width=50,
+        pcts=((0.5, "med"), (0.9, "p90")),
+        err_cols=(("absolute_error", 0.5, "abs_err"),
+                  ("lower_bound", 0.5, "lb"), ("upper_bound", 0.5, "ub")))
+    out["sql_histogram_quantile_route_grouped"] = (
+        histogram_quantile_query_sql(
+            _DK, col="n_chars", table="documents", width=50,
+            pcts=((0.5, "med"),),
+            err_cols=(("relative_error", 0.5, "rel_err"),),
+            where="n_chars > 100", group_keys=("source",),
+            order_by=("source",)))
     from snappy_aqp_spark.fixtures import (INCR_APPEND_SPEC, TOPK_DDL_SPEC,
                                            TOPK_DDL_WINDOW)
     out["cf_incremental_append"] = oracle_sql_for(INCR_APPEND_SPEC)

@@ -373,6 +373,22 @@ def apply_aqp_property(defaults: dict, key: str, raw: str) -> None:
             raise fe.SQLFrontendError(
                 f"hllPrecision within range of 4 to 16 required, got {val}")
         defaults["hll_p"] = val
+    elif key == "histogramQuantile":
+        # extension: opt-in mergeable-histogram route for
+        # APPROX_PERCENTILE under a WITH clause (same policy as
+        # hllCountDistinct — off by default for reference parity)
+        low = raw.lower()
+        if low not in ("true", "false", "1", "0", "on", "off"):
+            raise fe.SQLFrontendError(
+                f"spark.sql.aqp.histogramQuantile: boolean required, "
+                f"got {raw!r}")
+        defaults["hist_quantile"] = low in ("true", "1", "on")
+    elif key == "histogramBinWidth":
+        val = num(int, "an integer")
+        if val < 1:
+            raise fe.SQLFrontendError(
+                f"histogramBinWidth must be >= 1, got {val}")
+        defaults["hist_bin_width"] = val
     else:  # numBootStrapTrials
         val = num(int, "an integer")
         if val <= 0:
@@ -441,6 +457,8 @@ class AQPSession:
     # COUNT(DISTINCT) under WITH ERROR + its register precision p (m=2^p)
     CONF_HLL_CD = "spark.sql.aqp.hllCountDistinct"
     CONF_HLL_P = "spark.sql.aqp.hllPrecision"
+    CONF_HQ = "spark.sql.aqp.histogramQuantile"
+    CONF_HQ_W = "spark.sql.aqp.histogramBinWidth"
 
     def __init__(self, spark: SparkSession, error: float | None = None,
                  confidence: float | None = None, behavior: str | None = None,
@@ -485,6 +503,10 @@ class AQPSession:
                 self.CONF_HLL_CD,
                 lambda r: str(r).lower() in ("true", "1", "on"), False),
             "hll_p": conf(self.CONF_HLL_P, int, 12),
+            "hist_quantile": conf(
+                self.CONF_HQ,
+                lambda r: str(r).lower() in ("true", "1", "on"), False),
+            "hist_bin_width": conf(self.CONF_HQ_W, int, 50),
         }
         # AQP-285 (AQPConnectionPropertySetTest): plain queries (no WITH
         # clause) route through AQP only when the error PROPERTY is present
@@ -896,6 +918,7 @@ class AQPSession:
                        "no WITH clause")
             elif an.spec is None:
                 hinfo = self._hll_route_info(mexp.group("q"))
+                qinfo = self._hq_route_info(mexp.group("q"))
                 if hinfo is not None:
                     from .stats import normal_ppf
                     import math as _math
@@ -905,6 +928,13 @@ class AQPSession:
                            ",".join(hinfo["group_keys"]),
                            f"hll(p={hinfo['p']})", "hll_count_distinct",
                            self.defaults["behavior"], float(rel), None)
+                elif qinfo is not None:
+                    row = ("approx", qinfo["table"],
+                           ",".join(qinfo["group_keys"]),
+                           f"histogram(width={qinfo['width']})",
+                           "histogram_quantile",
+                           self.defaults["behavior"],
+                           float(qinfo["width"]) / 2.0, None)
                 else:
                     row = ("exact", None, None, None, None, None, None,
                            an.reason or "unsupported aggregate shape")
@@ -1088,6 +1118,9 @@ class AQPSession:
             hll = self._try_hll_count_distinct(text)
             if hll is not None:
                 return hll
+            hq = self._try_histogram_quantile(text)
+            if hq is not None:
+                return hq
             derived = self._try_approx_derived(text)
             if derived is not None:
                 return derived
@@ -1281,6 +1314,111 @@ class AQPSession:
         from .dialect import SPARK
         from .pipeline.distinct import hll_count_distinct_query_sql
         return self.spark.sql(hll_count_distinct_query_sql(SPARK, **info))
+
+    _PCT_AGG_RE = re.compile(
+        r"^(?:APPROX_PERCENTILE|PERCENTILE_APPROX)\s*\(\s*(?P<col>\w+)\s*,"
+        r"\s*(?P<q>[0-9]*\.?[0-9]+)\s*\)$", re.IGNORECASE)
+
+    def _hq_route_info(self, text: str) -> dict | None:
+        """Shape check for the opt-in histogram-quantile route (extension —
+        the reference approximates only SUM/AVG/COUNT). Routable iff
+        ``spark.sql.aqp.histogramQuantile`` is on AND the query is
+        ``SELECT [keys,] APPROX_PERCENTILE(col, q) AS a [, more
+        percentiles of the SAME col] [, error fns] FROM one_table
+        [WHERE ..] [GROUP BY keys] WITH ERROR ..`` — every percentile
+        item aliased, no joins/HAVING. Returns builder kwargs or None
+        (fall through to the exact route, where Spark's native
+        approx_percentile still answers, just without bounds)."""
+        if not self.defaults.get("hist_quantile"):
+            return None
+        try:
+            stripped, wc = fe.strip_with_clause(text)
+        except fe.SQLFrontendError:
+            return None
+        if wc is None:
+            return None
+        try:
+            parsed = fe.parse_select(stripped)
+        except fe.SQLFrontendError:
+            return None
+        if parsed.joins or parsed.having:
+            return None
+        table = parsed.from_table
+        quals = {q.lower() for q in (parsed.from_alias, table) if q}
+
+        def dq(s):
+            return fe._strip_qualifiers(s, quals)
+
+        def norm(s: str) -> str:
+            return re.sub(r"\s+", " ", s.strip()).lower()
+
+        gkeys = [dq(g).strip() for g in parsed.group_by]
+        gset = {norm(g) for g in gkeys}
+        col = None
+        pcts: list[tuple[float, str]] = []       # (q, out_alias)
+        by_target: dict[str, float] = {}         # norm(alias|text) -> q
+        err_raw: list[tuple[str, str, str | None]] = []
+        sel_keys: list[str] = []
+        for expr, alias in parsed.select_items:
+            e = dq(expr).strip()
+            m = self._PCT_AGG_RE.match(e)
+            if m:
+                if alias is None:                # unaliased estimate column
+                    return None
+                c, q = m.group("col"), float(m.group("q"))
+                if not 0.0 < q < 1.0:
+                    return None
+                if col is not None and c.lower() != col.lower():
+                    return None                  # one histogram per query
+                col = col or c
+                pcts.append((q, alias))
+                by_target[norm(alias)] = q
+                by_target[norm(e)] = q
+                continue
+            if norm(e) in gset:
+                if alias is not None and norm(alias) != norm(e):
+                    return None
+                sel_keys.append(e)
+                continue
+            me = fe._ERRFN_RE.match(e)
+            if me:
+                err_raw.append((me.group(1).lower(),
+                                dq(me.group(2)).strip(), alias))
+                continue
+            return None
+        if col is None or gset != {norm(k) for k in sel_keys}:
+            return None
+        err_cols: list[tuple[str, float, str]] = []
+        for fn, target, alias in err_raw:
+            if norm(target) not in by_target:
+                return None
+            out = alias or fn
+            if any(o == out for _, _, o in err_cols):
+                return None
+            err_cols.append((fn, by_target[norm(target)], out))
+        legal = ({norm(k) for k in sel_keys}
+                 | {norm(a) for _, a in pcts}
+                 | {norm(o) for _, _, o in err_cols})
+        order = []
+        for o in parsed.order_by:
+            oo = dq(o).strip()
+            base = re.sub(r"\s+(ASC|DESC)\s*$", "", oo, flags=re.IGNORECASE)
+            if norm(base) not in legal:
+                return None
+            order.append(oo)
+        return {"col": col, "table": table,
+                "width": self.defaults["hist_bin_width"],
+                "pcts": tuple(pcts), "err_cols": tuple(err_cols),
+                "where": dq(parsed.where), "group_keys": tuple(sel_keys),
+                "order_by": tuple(order), "limit": parsed.limit}
+
+    def _try_histogram_quantile(self, text: str) -> DataFrame | None:
+        info = self._hq_route_info(text)
+        if info is None:
+            return None
+        from .dialect import SPARK
+        from .pipeline.quantiles import histogram_quantile_query_sql
+        return self.spark.sql(histogram_quantile_query_sql(SPARK, **info))
 
     def analyze_sql(self, text: str):
         """Routing decision without execution (plan-shape introspection —

@@ -202,6 +202,88 @@ def histogram_quantile_stages(dialect: str, col: str = "n_chars",
     return stages, final
 
 
+def histogram_quantile_query_sql(dialect: str, col: str, table: str,
+                                 width: int = 50,
+                                 pcts: tuple[tuple[float, str], ...] = (),
+                                 err_cols: tuple[tuple[str, float, str],
+                                                 ...] = (),
+                                 where: str | None = None,
+                                 group_keys: tuple[str, ...] = (),
+                                 order_by: tuple[str, ...] = (),
+                                 limit: int | None = None) -> str:
+    """One SQL statement answering ``SELECT [keys,] APPROX_PERCENTILE(col,
+    q) [, error fns] FROM t [WHERE ..] [GROUP BY keys]`` through the
+    mergeable fixed-width histogram — the engine text behind the opt-in
+    ``spark.sql.aqp.histogramQuantile`` SQL route. The reference
+    approximates only SUM/AVG/COUNT; this is the percentile extension a
+    corpus pipeline needs, wired into the same WITH ERROR surface.
+
+    ``pcts``: (q, out_alias) per percentile select item — all over the
+    SAME column (one histogram build). ``err_cols``: (fn, q, out_alias)
+    with fn in {absolute_error, relative_error, lower_bound,
+    upper_bound}; the deterministic error envelope IS the bin: abs =
+    width/2, bounds = the bin's [lo, hi). Estimates pivot into COLUMNS
+    (one output row per group), unlike ``histogram_quantile_stages``'
+    long (q, est) rows — the SQL surface shape demands it.
+
+    Contract: ``col`` must be integer-valued (the bin key is
+    ``CAST(col AS BIGINT)``; Spark truncates doubles while DuckDB rounds
+    them, so a fractional column would break the bit-exact replay —
+    pre-scale fractional measures into integer units instead). All
+    ranking is integer arithmetic; the only doubles are the q*total rank
+    target and the midpoint/error scaling, identical literal text on
+    both engines. 100 TB shape: one scan, one map-side-combined GROUP BY
+    over ~(range/width) bins per group, a cumulative window over that
+    tiny relation, one row out per group."""
+    from . import dual
+    bin_expr = dual.fdiv(dialect, f"CAST({col} AS BIGINT)", str(width))
+    g_csv = ", ".join(group_keys)
+    g_pre = (g_csv + ", ") if group_keys else ""
+    part = f"PARTITION BY {g_csv} " if group_keys else ""
+    pred = f"({col}) IS NOT NULL" + (f" AND ({where})" if where else "")
+    if group_keys:
+        pred += "".join(f" AND ({g}) IS NOT NULL" for g in group_keys)
+    stages = [
+        ("__hrq_b", f"SELECT {g_pre}{bin_expr} AS bin FROM {table} "
+                    f"WHERE {pred}"),
+        ("__hrq_c", f"SELECT {g_pre}bin, CAST(COUNT(*) AS BIGINT) AS n "
+                    f"FROM __hrq_b GROUP BY {g_pre}bin"),
+        ("__hrq_r",
+         f"SELECT {g_pre}bin, SUM(n) OVER ({part}ORDER BY bin) AS cum, "
+         f"SUM(n) OVER ({part.rstrip() or 'PARTITION BY 1'}) AS total "
+         f"FROM __hrq_c"),
+    ]
+
+    def min_bin(q: float) -> str:
+        return (f"MIN(CASE WHEN CAST(cum AS DOUBLE) >= "
+                f"CEIL({dlit(q)} * CAST(total AS DOUBLE)) "
+                f"THEN bin END)")
+
+    def est(q: float) -> str:
+        return f"((CAST({min_bin(q)} AS DOUBLE) + {dlit(0.5)}) * {width})"
+
+    half = dlit(width / 2.0)
+    fns = {"absolute_error": lambda q: half,
+           "relative_error": lambda q: f"({half} / {est(q)})",
+           "lower_bound": lambda q: (f"(CAST({min_bin(q)} AS DOUBLE) "
+                                     f"* {width})"),
+           "upper_bound": lambda q: (f"((CAST({min_bin(q)} AS DOUBLE) "
+                                     f"+ {dlit(1.0)}) * {width})")}
+    items = list(group_keys)
+    items += [f"{est(q)} AS {alias}" for q, alias in pcts]
+    items += [f"{fns[fn.lower()](q)} AS {alias}" for fn, q, alias in err_cols]
+    final = f"SELECT {', '.join(items)} FROM __hrq_r"
+    if group_keys:
+        final += f" GROUP BY {g_csv}"
+    if order_by:
+        final += f" ORDER BY {', '.join(order_by)}"
+    elif group_keys:
+        final += f" ORDER BY {g_csv}"
+    if limit is not None:
+        final += f" LIMIT {limit}"
+    return dual.stages_sql(stages, final)
+
+
 def histogram_bins_sql(dialect: str, col: str = "n_chars",
                        width: int = 50, table: str = "documents") -> str:
     """One statement -> the mergeable bin-count relation (bin, n) for

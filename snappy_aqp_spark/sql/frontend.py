@@ -1213,7 +1213,8 @@ _DROP_TABLE_RE = re.compile(
 
 _SET_AQP_RE = re.compile(
     r"^\s*SET\s+spark\.sql\.aqp\.(?P<key>error|confidence|behavior|"
-    r"numBootStrapTrials|hllCountDistinct|hllPrecision)"
+    r"numBootStrapTrials|hllCountDistinct|hllPrecision|"
+    r"histogramQuantile|histogramBinWidth)"
     r"\s*=\s*(?P<val>'[^']*'|\S+)\s*;?\s*$",
     re.IGNORECASE)
 
@@ -1229,7 +1230,9 @@ def parse_set_aqp(sql: str) -> tuple[str, str] | None:
     canon = {"error": "error", "confidence": "confidence",
              "behavior": "behavior", "numbootstraptrials": "numBootStrapTrials",
              "hllcountdistinct": "hllCountDistinct",
-             "hllprecision": "hllPrecision"}
+             "hllprecision": "hllPrecision",
+             "histogramquantile": "histogramQuantile",
+             "histogrambinwidth": "histogramBinWidth"}
     return canon[m.group("key").lower()], m.group("val").strip("'")
 
 

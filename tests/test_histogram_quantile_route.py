@@ -1,0 +1,100 @@
+"""Opt-in histogram route for ``APPROX_PERCENTILE ... WITH ERROR``.
+
+Extension beyond the reference (which approximates only SUM/AVG/COUNT):
+``spark.sql.aqp.histogramQuantile`` routes the percentile shape through
+the mergeable fixed-width bin lattice
+(pipeline/quantiles.py::histogram_quantile_query_sql); error functions
+answer from the deterministic bin envelope (abs = width/2, bounds = the
+bin's [lo, hi)). Off by default — when off, Spark's native
+approx_percentile answers on the exact route with error functions
+constant-folded, same as any other exact plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from snappy_aqp_spark.api import AQPSession
+from snappy_aqp_spark.sql import frontend as fe
+from tests.conftest import SF_SMALL, compare_frames
+
+Q = ("SELECT APPROX_PERCENTILE(n_chars, 0.5) AS med, "
+     "absolute_error(med) AS abs_err, "
+     "lower_bound(med) AS lb, upper_bound(med) AS ub "
+     "FROM documents WITH ERROR")
+
+
+def _session(spark, token, on=True, width=50):
+    aqp = AQPSession(spark, error=0.2, confidence=0.95,
+                     behavior="do_nothing", data_token=token)
+    aqp.load_tables(SF_SMALL, ("documents",))
+    if on:
+        aqp.sql("SET spark.sql.aqp.histogramQuantile=true")
+        aqp.sql(f"SET spark.sql.aqp.histogramBinWidth={width}")
+    return aqp
+
+
+def test_off_by_default_runs_native(spark):
+    aqp = _session(spark, "hqoff", on=False)
+    row = aqp.sql(Q).collect()[0]
+    native = spark.sql("SELECT APPROX_PERCENTILE(n_chars, 0.5) "
+                       "FROM documents").collect()[0][0]
+    assert row["med"] == native                  # exact route, native agg
+    assert row["abs_err"] == 0.0 and row["lb"] is None
+
+
+def test_on_bin_envelope_contains_true_quantile(spark):
+    aqp = _session(spark, "hqon")
+    row = aqp.sql(Q).collect()[0]
+    true_med = spark.sql("SELECT percentile(n_chars, 0.5) "
+                         "FROM documents").collect()[0][0]
+    assert row["lb"] <= true_med <= row["ub"]    # envelope is REAL
+    assert row["ub"] - row["lb"] == 50.0         # one bin wide
+    assert row["abs_err"] == 25.0
+    assert row["med"] == (row["lb"] + row["ub"]) / 2
+    # dynamic flip back off mid-session
+    aqp.sql("SET spark.sql.aqp.histogramQuantile=false")
+    assert aqp.sql(Q).collect()[0]["abs_err"] == 0.0
+
+
+def test_explain_aqp_reports_route(spark):
+    aqp = _session(spark, "hqexp")
+    row = aqp.sql("EXPLAIN AQP " + Q).collect()[0]
+    assert row["route"] == "approx"
+    assert row["estimator"] == "histogram_quantile"
+    assert row["sample_method"] == "histogram(width=50)"
+    assert row["error"] == 25.0
+
+
+def test_fixture_matches_duckdb_oracle(spark, duck):
+    oracles = entrymod.oracle_sql()
+    qs = entrymod.queries()
+    for name in ("sql_histogram_quantile_route",
+                 "sql_histogram_quantile_route_grouped"):
+        compare_frames(qs[name](spark, SF_SMALL), duck.sql(oracles[name]))
+
+
+@pytest.mark.parametrize("text", [
+    # two different columns -> two histograms: falls through
+    "SELECT APPROX_PERCENTILE(n_chars, 0.5) a, "
+    "APPROX_PERCENTILE(doc_id, 0.5) b FROM documents WITH ERROR",
+    # unaliased estimate column
+    "SELECT APPROX_PERCENTILE(n_chars, 0.5) FROM documents WITH ERROR",
+    # q outside (0, 1)
+    "SELECT APPROX_PERCENTILE(n_chars, 1.5) a FROM documents WITH ERROR",
+    # mixed with another aggregate
+    "SELECT APPROX_PERCENTILE(n_chars, 0.5) a, SUM(n_chars) s "
+    "FROM documents WITH ERROR",
+])
+def test_unsupported_shapes_fall_through(spark, text):
+    aqp = _session(spark, "hqfall")
+    assert aqp._hq_route_info(text) is None
+
+
+def test_set_property_validation(spark):
+    aqp = _session(spark, "hqval", on=False)
+    with pytest.raises(fe.SQLFrontendError, match="boolean"):
+        aqp.sql("SET spark.sql.aqp.histogramQuantile=definitely")
+    with pytest.raises(fe.SQLFrontendError, match="histogramBinWidth"):
+        aqp.sql("SET spark.sql.aqp.histogramBinWidth=0")
