@@ -42,7 +42,11 @@ FIXTURES = [a for a in sys.argv[1:] if not a.startswith("--")] or [
     # mergeable + weighted-sample quantiles, streaming register merge
     "zorder_layout", "hll_set_ops", "histogram_quantile",
     "histogram_quantile_grouped", "sample_weighted_quantile",
-    "sample_weighted_quantile_grouped", "streaming_hll_distinct"]
+    "sample_weighted_quantile_grouped", "streaming_hll_distinct",
+    # round-7 additions: the opt-in WITH ERROR sketch routes — register
+    # lattice and bin lattice must stay bit-exact under 10x volume + AQE
+    "sql_count_distinct_hll", "sql_count_distinct_hll_grouped",
+    "sql_histogram_quantile_route", "sql_histogram_quantile_route_grouped"]
 
 
 def build_scratch(spark) -> None:

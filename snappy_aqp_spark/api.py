@@ -1301,6 +1301,26 @@ class AQPSession:
         conf = (wc.confidence if wc.confidence is not None
                 else self.defaults["confidence"])
         p = self.defaults["hll_p"]
+        # HAC contract (SampleTablePlan behaviors, reference
+        # QueryProcessingRules.scala:50): the sketch's relative error is
+        # known A PRIORI (z * 1.04/sqrt(m)), so the error contract
+        # resolves at PLAN time — strict raises, the reroute behaviors
+        # fall through to the exact route (which IS the full-table
+        # answer), do_nothing/local_omit proceed on the sketch
+        import math as _math
+        from .stats import normal_ppf as _ppf
+        rel = _ppf((1.0 + conf) / 2.0) * 1.04 / _math.sqrt(1 << p)
+        err = wc.error if wc.error is not None else self.defaults["error"]
+        beh = wc.behavior or self.defaults["behavior"]
+        if err is not None and 0 < err < rel:
+            if beh == "strict":
+                from .operators.closedform import ErrorLimitExceededException
+                raise ErrorLimitExceededException(
+                    f"hll route relative error {rel:.4f} exceeds contract "
+                    f"{err} (behavior=strict; raise hllPrecision or the "
+                    f"error bound)")
+            if beh in ("run_on_full_table", "partial_routing"):
+                return None              # exact route = full-table answer
         return {"col": cd_arg, "table": table, "p": p,
                 "where": dq(parsed.where), "group_keys": tuple(sel_keys),
                 "alias": out_alias, "err_cols": tuple(err_cols),
@@ -1406,6 +1426,18 @@ class AQPSession:
             if norm(base) not in legal:
                 return None
             order.append(oo)
+        # HAC contract: unlike the HLL route, the bin envelope's RELATIVE
+        # error is data-dependent (width/2 over the estimate), so an
+        # explicit error bound cannot be certified at plan time. Under a
+        # certifying/rerouting behavior (strict, run_on_full_table,
+        # partial_routing) an EXPLICIT error value therefore falls
+        # through to the exact route — the user demanded a certified
+        # bound, the exact answer is the only one that satisfies it.
+        # do_nothing/local_omit (and bare WITH ERROR) stay on the sketch.
+        beh = wc.behavior or self.defaults["behavior"]
+        if wc.error is not None and beh in ("strict", "run_on_full_table",
+                                            "partial_routing"):
+            return None
         return {"col": col, "table": table,
                 "width": self.defaults["hist_bin_width"],
                 "pcts": tuple(pcts), "err_cols": tuple(err_cols),

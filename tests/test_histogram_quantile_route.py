@@ -92,6 +92,22 @@ def test_unsupported_shapes_fall_through(spark, text):
     assert aqp._hq_route_info(text) is None
 
 
+def test_hac_explicit_error_with_certifying_behavior_goes_exact(spark):
+    """The bin envelope's relative error is data-dependent, so an
+    EXPLICIT error bound under strict / run_on_full_table cannot be
+    certified at plan time — those queries take the exact route (errors
+    fold to 0, the only certified answer); bare WITH ERROR stays on the
+    sketch."""
+    aqp = _session(spark, "hqhac")
+    q = ("SELECT APPROX_PERCENTILE(n_chars, 0.5) AS med, "
+         "absolute_error(med) AS abs_err FROM documents "
+         "WITH ERROR 0.05 BEHAVIOR 'strict'")
+    row = aqp.sql(q).collect()[0]
+    assert row["abs_err"] == 0.0                 # exact route, folded
+    row = aqp.sql(Q).collect()[0]                # bare WITH ERROR
+    assert row["abs_err"] == 25.0                # sketch envelope
+
+
 def test_set_property_validation(spark):
     aqp = _session(spark, "hqval", on=False)
     with pytest.raises(fe.SQLFrontendError, match="boolean"):

@@ -127,6 +127,34 @@ def test_no_with_clause_never_routes(spark):
     assert got == exact
 
 
+def test_hac_contract_strict_raises(spark):
+    """The sketch's relative error is known a priori, so the WITH ERROR
+    contract resolves at plan time: p=9 -> rel ~0.092 > 0.05 demanded."""
+    from snappy_aqp_spark.operators.closedform import (
+        ErrorLimitExceededException)
+    aqp = _session(spark, "hllstrict")
+    q = ("SELECT COUNT(DISTINCT o_custkey) AS a FROM orders "
+         "WITH ERROR 0.05 BEHAVIOR 'strict'")
+    with pytest.raises(ErrorLimitExceededException, match="hll route"):
+        aqp.sql(q)
+    # satisfiable contract proceeds on the sketch
+    ok = aqp.sql("SELECT COUNT(DISTINCT o_custkey) AS a FROM orders "
+                 "WITH ERROR 0.2 BEHAVIOR 'strict'").collect()[0][0]
+    assert ok != int(ok) or ok > 0               # sketch double came back
+
+
+def test_hac_contract_reroutes_to_exact(spark):
+    """run_on_full_table under an unsatisfiable contract = the exact
+    answer (the fall-through exact route IS the full-table reroute)."""
+    aqp = _session(spark, "hllreroute")
+    exact = spark.sql(
+        "SELECT COUNT(DISTINCT o_custkey) c FROM orders").collect()[0][0]
+    got = aqp.sql("SELECT COUNT(DISTINCT o_custkey) AS a FROM orders "
+                  "WITH ERROR 0.05 BEHAVIOR 'run_on_full_table'"
+                  ).collect()[0][0]
+    assert got == exact
+
+
 def test_set_property_validation(spark):
     aqp = _session(spark, "hllval", on=False)
     with pytest.raises(fe.SQLFrontendError, match="boolean"):

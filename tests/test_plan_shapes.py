@@ -81,3 +81,33 @@ def test_join_strategy_snapshot(spark, name):
         assert c["bhj"] == shape["exact_bhj"], (name, c)
     else:
         assert c["bhj"] >= shape["min_bhj"], (name, c)
+
+
+def test_hll_route_shuffle_is_register_bounded(spark):
+    """The HLL COUNT(DISTINCT) route's plan must be scan -> partial agg
+    -> m-bounded register exchange -> finalize: NO join operator at all,
+    and the register aggregation map-side combines (a partial_max
+    HashAggregate below the exchange) so the shuffle carries at most
+    m rows per group regardless of input size."""
+    plan = _executed_plan(
+        entrymod.queries()["sql_count_distinct_hll"](spark, SF_SMALL))
+    c = _counts(plan)
+    assert sum(c.values()) == 0, c               # pure aggregate pipeline
+    assert "partial_max" in plan                 # map-side register combine
+
+
+def test_histogram_route_window_partitions_on_group(spark):
+    """The grouped percentile route's cumulative window must PARTITION BY
+    the group key — a global ORDER BY window would be a single-partition
+    sort of the bin relation at scale."""
+    plan = _executed_plan(
+        entrymod.queries()["sql_histogram_quantile_route_grouped"](
+            spark, SF_SMALL))
+    # every windowspecdefinition opens with the group key -> the
+    # cumulative sums distribute across groups
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs and all(s.startswith("source") for s in specs), specs
+    # bin build map-side combines before the bin exchange
+    assert "partial_count" in plan
+    c = _counts(plan)
+    assert c["cartesian"] == 0 and c["smj"] == 0, c

@@ -226,7 +226,9 @@ def test_session_conf_property_surface(spark):
         s = AQPSession(spark)
         assert s.defaults == {"error": 0.07, "confidence": 0.9,
                               "behavior": "local_omit", "trials": 37,
-                              "col_bounds": {}, "error_conf_set": True}
+                              "col_bounds": {}, "error_conf_set": True,
+                              "hll_count_distinct": False, "hll_p": 12,
+                              "hist_quantile": False, "hist_bin_width": 50}
         # explicit constructor args override the conf
         s2 = AQPSession(spark, error=0.2, behavior="strict")
         assert s2.defaults["error"] == 0.2
@@ -243,7 +245,9 @@ def test_session_conf_property_surface(spark):
     s3 = AQPSession(spark)
     assert s3.defaults == {"error": 0.2, "confidence": 0.95,
                            "behavior": "do_nothing", "trials": 100,
-                           "col_bounds": {}, "error_conf_set": False}
+                           "col_bounds": {}, "error_conf_set": False,
+                           "hll_count_distinct": False, "hll_p": 12,
+                           "hist_quantile": False, "hist_bin_width": 50}
 
 
 def test_bare_confidence_and_behavior_clauses(aqp):
