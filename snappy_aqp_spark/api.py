@@ -917,7 +917,18 @@ class AQPSession:
                 row = ("exact", None, None, None, None, None, None,
                        "no WITH clause")
             elif an.spec is None:
-                hinfo = self._hll_route_info(mexp.group("q"))
+                from .operators.closedform import ErrorLimitExceededException
+                try:
+                    hinfo = self._hll_route_info(mexp.group("q"))
+                except ErrorLimitExceededException as exc:
+                    # introspection must REPORT the strict outcome, never
+                    # raise it — executing the query is what raises
+                    return self.spark.createDataFrame(
+                        [("strict_throw", None, None, None,
+                          "hll_count_distinct", "strict", None, str(exc))],
+                        "route string, base_table string, qcs string, "
+                        "sample_method string, estimator string, "
+                        "behavior string, error double, reason string")
                 qinfo = self._hq_route_info(mexp.group("q"))
                 if hinfo is not None:
                     from .stats import normal_ppf

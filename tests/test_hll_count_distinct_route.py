@@ -143,6 +143,17 @@ def test_hac_contract_strict_raises(spark):
     assert ok != int(ok) or ok > 0               # sketch double came back
 
 
+def test_explain_aqp_reports_strict_throw_without_raising(spark):
+    """EXPLAIN AQP introspects — it must report the strict outcome as a
+    row, not raise it."""
+    aqp = _session(spark, "hllexpstrict")
+    row = aqp.sql("EXPLAIN AQP SELECT COUNT(DISTINCT o_custkey) AS a "
+                  "FROM orders WITH ERROR 0.05 BEHAVIOR 'strict'"
+                  ).collect()[0]
+    assert row["route"] == "strict_throw"
+    assert "exceeds contract" in row["reason"]
+
+
 def test_hac_contract_reroutes_to_exact(spark):
     """run_on_full_table under an unsatisfiable contract = the exact
     answer (the fall-through exact route IS the full-table reroute)."""
