@@ -962,6 +962,11 @@ class AQPSession:
         if sprop:
             self._set_aqp_property(*sprop)
             return self.spark.range(0)
+        show = fe.parse_show_aqp(text)
+        if show == "sample":
+            return self.list_sample_tables()
+        if show == "topk":
+            return self.list_topk_tables()
         scmd = fe.parse_streaming_cmd(text)
         if scmd:
             op, dur = scmd
@@ -1265,6 +1270,11 @@ class AQPSession:
             return re.sub(r"\s+", " ", s.strip()).lower()
 
         gkeys = [dq(g).strip() for g in parsed.group_by]
+        # group keys thread through every lattice stage BY TEXT, so they
+        # must be plain columns (an expression key would be re-applied to
+        # a view that no longer carries its inputs)
+        if any(not re.fullmatch(r"\w+", g) for g in gkeys):
+            return None
         gset = {norm(g) for g in gkeys}
         cd_arg = cd_alias = cd_text = None
         err_raw: list[tuple[str, str, str | None]] = []
@@ -1384,6 +1394,10 @@ class AQPSession:
             return re.sub(r"\s+", " ", s.strip()).lower()
 
         gkeys = [dq(g).strip() for g in parsed.group_by]
+        # same plain-column contract as the HLL route: key text threads
+        # through the bin/window stages
+        if any(not re.fullmatch(r"\w+", g) for g in gkeys):
+            return None
         gset = {norm(g) for g in gkeys}
         col = None
         pcts: list[tuple[float, str]] = []       # (q, out_alias)
@@ -1462,6 +1476,33 @@ class AQPSession:
         from .dialect import SPARK
         from .pipeline.quantiles import histogram_quantile_query_sql
         return self.spark.sql(histogram_quantile_query_sql(SPARK, **info))
+
+    def list_sample_tables(self) -> DataFrame:
+        """The sample registry as a relation (``SHOW SAMPLE TABLES``):
+        one row per registered sample with its spec essentials and the
+        materialized path when persisted — the rebuild's face of the
+        reference's catalog metadata for sampling relations
+        (SnappyAQPSessionCatalog / ColumnFormatSamplingRelation)."""
+        rows = [(i.name, i.spec.base_table, ",".join(i.spec.qcs),
+                 i.spec.method, float(i.spec.fraction),
+                 i.spec.reservoir_size, i.path)
+                for i in sorted(self.catalog.samples.values(),
+                                key=lambda s: s.name)]
+        return self.spark.createDataFrame(
+            rows, "name string, base_table string, qcs string, "
+                  "method string, fraction double, "
+                  "strata_reservoir_size int, path string")
+
+    def list_topk_tables(self) -> DataFrame:
+        """The TopK registry as a relation (``SHOW TOPK TABLES``)."""
+        rows = [(n, t.spec.key, t.spec.time_col,
+                 t.spec.time_interval_us, t.spec.size, t.spec.depth,
+                 t.spec.width, bool(t.spec.stream_summary))
+                for n, t in sorted(self.topk.tables.items())]
+        return self.spark.createDataFrame(
+            rows, "name string, key string, time_col string, "
+                  "time_interval_us bigint, size int, depth int, "
+                  "width int, stream_summary boolean")
 
     def analyze_sql(self, text: str):
         """Routing decision without execution (plan-shape introspection —

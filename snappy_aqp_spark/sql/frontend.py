@@ -1236,6 +1236,18 @@ def parse_set_aqp(sql: str) -> tuple[str, str] | None:
     return canon[m.group("key").lower()], m.group("val").strip("'")
 
 
+_SHOW_AQP_RE = re.compile(
+    r"^\s*SHOW\s+(?P<kind>SAMPLE|TOPK)\s+TABLES\s*;?\s*$", re.IGNORECASE)
+
+
+def parse_show_aqp(sql: str) -> str | None:
+    """``SHOW SAMPLE TABLES`` / ``SHOW TOPK TABLES`` -> 'sample' | 'topk'
+    — registry listing as a relation (the SQL face of the reference's
+    catalog metadata; plain ``SHOW TABLES`` passes through to Spark)."""
+    m = _SHOW_AQP_RE.match(sql)
+    return m.group("kind").lower() if m else None
+
+
 def parse_streaming_cmd(sql: str) -> tuple[str, str | None] | None:
     """('init', '2secs') | ('start', None) | ('stop', None) | None."""
     m = _STREAMING_CMD_RE.match(sql)

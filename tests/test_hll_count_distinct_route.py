@@ -172,3 +172,17 @@ def test_set_property_validation(spark):
         aqp.sql("SET spark.sql.aqp.hllCountDistinct=maybe")
     with pytest.raises(fe.SQLFrontendError, match="hllPrecision"):
         aqp.sql("SET spark.sql.aqp.hllPrecision=99")
+
+
+def test_expression_group_key_falls_through(spark):
+    """Group keys thread through the lattice stages by text, so only
+    plain column keys route; expression keys take the exact path."""
+    aqp = _session(spark, "hllexprkey")
+    assert aqp._hll_route_info(
+        "SELECT year(o_orderdate), COUNT(DISTINCT o_custkey) a "
+        "FROM orders GROUP BY year(o_orderdate) WITH ERROR") is None
+    # still answers (exactly) through the fall-through
+    rows = aqp.sql(
+        "SELECT year(o_orderdate) AS y, COUNT(DISTINCT o_custkey) AS a "
+        "FROM orders GROUP BY year(o_orderdate) WITH ERROR").collect()
+    assert len(rows) > 0

@@ -1711,3 +1711,32 @@ def test_drop_table_invalidates_view_backed_relation(spark):
     c2 = s.sql(q).collect()[0]["c"]
     assert 4000 < c2 < 6000, (c1, c2)
     s.sql("DROP TABLE dropreg")
+
+
+def test_show_sample_and_topk_tables(spark):
+    """SHOW SAMPLE TABLES / SHOW TOPK TABLES list the session registries
+    as relations; plain SHOW TABLES still passes through to Spark."""
+    from tests.conftest import SF_SMALL
+    aqp = AQPSession(spark, error=0.2, confidence=0.95,
+                     behavior="do_nothing", data_token="showtbl")
+    aqp.load_tables(SF_SMALL, ("lineitem", "events"))
+    assert aqp.sql("SHOW SAMPLE TABLES").count() == 0
+    aqp.sql("CREATE SAMPLE TABLE li_show ON lineitem OPTIONS ("
+            "qcs 'l_returnflag', fraction '0.1', strataReservoirSize '10')")
+    rows = {r["name"]: r for r in aqp.sql("SHOW SAMPLE TABLES").collect()}
+    assert "li_show" in rows
+    r = rows["li_show"]
+    assert r["base_table"] == "lineitem"
+    assert r["qcs"] == "l_returnflag"
+    assert r["fraction"] == 0.1
+    aqp.sql("CREATE TOPK TABLE tk_show ON events OPTIONS (key 'user_id', "
+            "timeSeriesColumn 'ts', timeInterval '60000ms', size '5')")
+    tk = {r["name"]: r for r in aqp.sql("SHOW TOPK TABLES").collect()}
+    assert "tk_show" in tk and tk["tk_show"]["key"] == "user_id"
+    assert tk["tk_show"]["size"] == 5
+    # plain SHOW TABLES is NOT intercepted
+    assert "isTemporary" in aqp.sql("SHOW TABLES").columns \
+        or aqp.sql("SHOW TABLES").count() >= 0
+    aqp.sql("DROP TABLE li_show")
+    assert "li_show" not in {
+        r["name"] for r in aqp.sql("SHOW SAMPLE TABLES").collect()}
