@@ -326,6 +326,42 @@ def _hll_count_distinct_grouped_runner(spark: SparkSession,
     return aqp.sql(_HLL_CD_GQ)
 
 
+# multi-sample single-scan build: the RUNNER builds both samples through
+# multi_hash_sample_build (two scans total); the ORACLE derives from the
+# equivalent per-sample DDL — sample content is a pure function of the
+# spec, so gate-green means the fan-out build is row/weight-identical to
+# the spec-replayed sample
+_MB_DDL = [
+    "CREATE SAMPLE TABLE mb_fix_rf ON lineitem OPTIONS ("
+    "qcs 'l_returnflag', fraction '0.2', method 'hash', seed '7')",
+    "CREATE SAMPLE TABLE mb_fix_ls ON lineitem OPTIONS ("
+    "qcs 'l_linestatus', fraction '0.1', method 'hash', seed '11')",
+]
+_MB_QUERY = ("SELECT l_returnflag, SUM(l_quantity) AS sum_qty, "
+             "absolute_error(sum_qty) AS abs_err "
+             "FROM lineitem GROUP BY l_returnflag "
+             "ORDER BY l_returnflag WITH ERROR")
+
+
+def _multi_sample_build_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch fan-out parity with the streaming populator: N hash samples
+    of one base built in TWO scans (samplers.multi_hash_sample_build),
+    then an approx query routes through the QCS-matching one."""
+    import tempfile
+    from snappy_aqp_spark.specs import SampleSpec
+    aqp = AQPSession(spark, data_token=f"mb@{sf_dir}", **_SQL_DEFAULTS)
+    aqp.load_tables(sf_dir, ("lineitem",))
+    keys = ("l_orderkey", "l_linenumber")
+    specs = [
+        ("mb_fix_rf", SampleSpec("lineitem", keys, ("l_returnflag",),
+                                 method="hash", fraction=0.2, seed=7)),
+        ("mb_fix_ls", SampleSpec("lineitem", keys, ("l_linestatus",),
+                                 method="hash", fraction=0.1, seed=11)),
+    ]
+    aqp.create_sample_tables(specs, tempfile.mkdtemp(prefix="aqp_mb_"))
+    return aqp.sql(_MB_QUERY)
+
+
 _HQ_Q = ("SELECT APPROX_PERCENTILE(n_chars, 0.5) AS med, "
          "APPROX_PERCENTILE(n_chars, 0.9) AS p90, "
          "absolute_error(med) AS abs_err, "
@@ -1262,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sql_count_distinct_hll_grouped"] = _hll_count_distinct_grouped_runner
     out["sql_histogram_quantile_route"] = _hq_route_runner
     out["sql_histogram_quantile_route_grouped"] = _hq_route_grouped_runner
+    out["sql_multi_sample_build"] = _multi_sample_build_runner
     out["streaming_topk_ingest"] = _streaming_topk_ingest_runner
     out["topk_persist_reattach"] = _topk_persist_reattach_runner
     out = {name: _memoized(name, fn) for name, fn in out.items()}
@@ -1477,6 +1514,8 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_real_video"] = mm.multimodal_ppm_oracle_sql(
         _DK, width=8, height=8, n_frames=6, sample_every=2)
     out["sql_attach_sidecar"] = _sql_fixture_oracle(_SIDECAR_FX)
+    out["sql_multi_sample_build"] = _sql_fixture_oracle(
+        {"ddl": _MB_DDL, "query": _MB_QUERY})
     # HLL COUNT(DISTINCT) route: the oracle is the identical register
     # lattice emitted in the DuckDB dialect (params mirror the runners'
     # SET statements + query text)

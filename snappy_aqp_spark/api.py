@@ -597,6 +597,35 @@ class AQPSession:
         return self.create_sample_table_from_spec(name, spec, path=path,
                                                   materialize=materialize)
 
+    def create_sample_tables(self, named_specs: list[tuple[str, SampleSpec]],
+                             path: str) -> dict[str, DataFrame]:
+        """Build SEVERAL hash-method samples of one base table in TWO
+        scans total and register them all — the batch analog of the
+        streaming populator's one-pass fan-out (aqpTablePopulator,
+        SnappyContextAQPFunctions.scala:390-442). Per-spec builds cost
+        2 scans EACH; at 100 TB the base scans dominate, and the
+        reference's own perf setup maintains three samples with
+        different QCS over one 157M-row table. Output per sample is
+        row- and weight-identical to ``create_sample_table_from_spec``
+        (see sampling/samplers.py::multi_hash_sample_build)."""
+        from .sampling.samplers import multi_hash_sample_build
+        bases = {sp.base_table for _, sp in named_specs}
+        if len(bases) != 1:
+            raise ValueError(f"one shared base table required, got {bases}")
+        base_df = self.tables[bases.pop()]
+        for _, sp in named_specs:
+            self._derive_col_bounds(base_df, sp)
+        subdirs = multi_hash_sample_build(self.spark, base_df,
+                                          named_specs, path)
+        out = {}
+        for n, sp in named_specs:
+            sdf = self.spark.read.parquet(subdirs[n])
+            _SAMPLE_CACHE[(sp, self._token)] = sdf
+            self.catalog.register(SampleInfo(n, sp, subdirs[n]))
+            sdf.createOrReplaceTempView(n)
+            out[n] = sdf
+        return out
+
     def _derive_col_bounds(self, base_df: DataFrame, spec: SampleSpec,
                            force: bool = False) -> None:
         """Observe max(abs(col)) for numeric non-key columns without a

@@ -216,6 +216,97 @@ def create_sample_table(spark, df: DataFrame, spec: SampleSpec, path: str,
     return spark.read.parquet(path)
 
 
+# NULL stratum sentinel for the multi-build composite key: QCS values are
+# string-cast into one shared key column, and NULL is a real stratum
+_NULL_STRATUM = "\x00<null>"
+
+
+def multi_hash_sample_build(spark, df: DataFrame,
+                            named_specs: list[tuple[str, SampleSpec]],
+                            path: str) -> dict[str, str]:
+    """Build N hash-method samples of ONE base table in TWO scans total
+    (the batch analog of the streaming populator's fan-out,
+    SnappyContextAQPFunctions.scala:390-442 aqpTablePopulator: one pass
+    over the data feeds every AQP structure). Building N samples
+    separately costs 2N scans of the base (per-stratum counts + the
+    pick); at 100 TB that dominates everything else, and the reference's
+    own perf setup builds three NYC samples over a 157M-row table.
+
+    Scan 1 (counts): each row map-side EXPLODES into one tiny
+    (sample_id, stratum_key) entry per spec — pure CPU inside one
+    whole-stage-codegen pass, partial-aggregated immediately, so the
+    shuffle carries only strata counts. Scan 2 (pick): rows explode into
+    the specs that include them (inclusion is a pure predicate of the
+    key hash — the hash method's defining property), join the broadcast
+    counts for their weight columns, and ONE partitionBy('__sample')
+    write materializes every sample.
+
+    The composite stratum key is the QCS tuple string-cast (NULL kept as
+    a distinct stratum) — identical strata to the per-spec build
+    whenever the string cast is injective over the data (ints, strings,
+    dates; the normal QCS types). Output per sample is row- and
+    weight-identical to ``stratified_sample(df, spec)``.
+
+    Only hash/hash_rand specs qualify: ranked methods (reservoir /
+    fraction floor / error_limit) need per-stratum windows whose
+    partitioning differs per spec, so they keep their own builds."""
+    import os
+    for n, sp in named_specs:
+        if sp.method not in ("hash", "hash_rand"):
+            raise ValueError(f"{n}: multi-build supports hash methods only,"
+                             f" got {sp.method!r}")
+
+    def skey(sp: SampleSpec):
+        return F.array(*[F.coalesce(F.expr(q).cast("string"),
+                                    F.lit(_NULL_STRATUM)) for q in sp.qcs])
+
+    def live(sp: SampleSpec):
+        return (F.expr(sp.base_filter) if sp.base_filter else F.lit(True))
+
+    def included(sp: SampleSpec):
+        thr = threshold_for_fraction(sp.fraction)
+        return live(sp) & (F.expr(priority_sql(sp)) < F.lit(thr))
+
+    specs = [sp for _, sp in named_specs]
+    names = [n for n, _ in named_specs]
+    # scan 1: all per-spec stratum counts from one pass
+    entries = [F.struct(F.lit(i).alias("__sid"), skey(sp).alias("__sk"),
+                        live(sp).cast("int").alias("__live"),
+                        included(sp).cast("int").alias("__in"))
+               for i, sp in enumerate(specs)]
+    counts = (df.select(F.explode(F.array(*entries)).alias("e"))
+              .select("e.*").where(F.col("__live") == 1)
+              .groupBy("__sid", "__sk")
+              .agg(F.count(F.lit(1)).alias("__ntot"),
+                   F.sum("__in").alias("__nsmp"))
+              .where(F.col("__nsmp") > 0))
+    # scan 2: explode rows into the specs that picked them, weight, write
+    picks = F.filter(
+        F.array(*[F.when(included(sp),
+                         F.struct(F.lit(i).alias("__sid"),
+                                  skey(sp).alias("__sk")))
+                  for i, sp in enumerate(specs)]),
+        lambda x: x.isNotNull())
+    rows = (df.withColumn("__e", F.explode(picks))
+            .select(*df.columns, F.col("__e.__sid").alias("__sid"),
+                    F.col("__e.__sk").alias("__sk")))
+    out = (rows.join(F.broadcast(counts), ["__sid", "__sk"])
+           .select(*df.columns,
+                   F.col("__nsmp").cast("bigint").alias(STRATA_SAMPLED_COL),
+                   F.col("__ntot").cast("bigint").alias(STRATA_TOTAL_COL),
+                   (F.col("__ntot").cast("double")
+                    / F.col("__nsmp").cast("double")).alias(WEIGHT_COL),
+                   F.element_at(F.array(*[F.lit(n) for n in names]),
+                                F.col("__sid") + 1).alias("__sample")))
+    out.write.mode("overwrite").partitionBy("__sample").parquet(path)
+    subdirs = {}
+    for n, sp in named_specs:
+        sub = os.path.join(path, f"__sample={n}")
+        write_sample_sidecar(sub, sp, name=n)
+        subdirs[n] = sub
+    return subdirs
+
+
 # self-describing sample persistence: the spec (and any column bounds the
 # estimators derived at creation time) ride next to the parquet as an
 # underscore-prefixed file parquet readers ignore — a FRESH session can

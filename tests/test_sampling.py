@@ -152,3 +152,55 @@ def test_session_approx_quantile_surface(spark):
     grouped = s.approx_quantile("li_aq", "l_extendedprice",
                                 group_by="l_returnflag").collect()
     assert len(grouped) == 9 and {r["g"] for r in grouped} == {"A", "N", "R"}
+
+
+def test_multi_sample_single_scan_build_matches_per_spec(spark, tmp_path):
+    """multi_hash_sample_build (two scans for N samples) must be row- and
+    weight-identical to building each sample separately, and the built
+    samples must route + persist like any other sample table."""
+    import pandas as pd
+
+    from snappy_aqp_spark.api import AQPSession
+    from snappy_aqp_spark.sampling.samplers import read_sample_sidecar
+
+    aqp = AQPSession(spark, error=0.2, confidence=0.95,
+                     behavior="do_nothing", data_token="multibuild")
+    aqp.load_tables(SF_SMALL, ("lineitem",))
+    li = aqp.tables["lineitem"]
+    keys = ("l_orderkey", "l_linenumber")
+    specs = [
+        ("mb_rf", SampleSpec("lineitem", keys, ("l_returnflag",),
+                             method="hash", fraction=0.2, seed=7)),
+        ("mb_ls", SampleSpec("lineitem", keys, ("l_linestatus",),
+                             method="hash", fraction=0.1, seed=11)),
+        # expression QCS + a base filter, different seed
+        ("mb_yr", SampleSpec("lineitem", keys, ("year(l_shipdate)",),
+                             method="hash", fraction=0.3, seed=13,
+                             base_filter="l_quantity > 5")),
+    ]
+    built = aqp.create_sample_tables(specs, str(tmp_path / "multi"))
+    for name, spec in specs:
+        solo = stratified_sample(li, spec).toPandas()
+        multi = built[name].toPandas()
+        cols = sorted(solo.columns)
+        assert sorted(multi.columns) == cols
+        a = solo[cols].sort_values(cols).reset_index(drop=True)
+        b = multi[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        # sidecar rides with each partition dir (attachable later)
+        n2, spec2, _ = read_sample_sidecar(
+            str(tmp_path / "multi" / f"__sample={name}"))
+        assert n2 == name and spec2 == spec
+    # the registered samples route approx queries (catalog pick by QCS)
+    est = aqp.sql("SELECT l_returnflag, SUM(l_quantity) AS s FROM lineitem "
+                  "GROUP BY l_returnflag WITH ERROR").collect()
+    assert len(est) == 3
+    an = aqp.analyze_sql("SELECT l_returnflag, SUM(l_quantity) AS s "
+                         "FROM lineitem GROUP BY l_returnflag WITH ERROR")
+    assert an.spec is not None                    # routed, not exact
+    # a fresh session re-attaches from the sidecars alone
+    a2 = AQPSession(spark, error=0.2, confidence=0.95,
+                    behavior="do_nothing", data_token="multibuild2")
+    a2.load_tables(SF_SMALL, ("lineitem",))
+    found = a2.discover_samples(str(tmp_path / "multi"))
+    assert set(found) >= {"mb_rf", "mb_ls", "mb_yr"}
