@@ -46,7 +46,9 @@ FIXTURES = [a for a in sys.argv[1:] if not a.startswith("--")] or [
     # round-7 additions: the opt-in WITH ERROR sketch routes — register
     # lattice and bin lattice must stay bit-exact under 10x volume + AQE
     "sql_count_distinct_hll", "sql_count_distinct_hll_grouped",
-    "sql_histogram_quantile_route", "sql_histogram_quantile_route_grouped"]
+    "sql_histogram_quantile_route", "sql_histogram_quantile_route_grouped",
+    # two-scan multi-sample fan-out vs the spec-replayed DDL oracle
+    "sql_multi_sample_build"]
 
 
 def build_scratch(spark) -> None:

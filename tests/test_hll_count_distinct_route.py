@@ -186,3 +186,44 @@ def test_expression_group_key_falls_through(spark):
         "SELECT year(o_orderdate) AS y, COUNT(DISTINCT o_custkey) AS a "
         "FROM orders GROUP BY year(o_orderdate) WITH ERROR").collect()
     assert len(rows) > 0
+
+
+def test_route_works_over_a_stream_table(spark, tmp_path):
+    """The route is plain SQL generation over a named relation, so it
+    composes with the streaming surface: COUNT(DISTINCT) WITH ERROR on a
+    stream table answers from the sketch over the rows ingested so far
+    and equals the identical sketch computed in batch."""
+    import json
+    aqp = AQPSession(spark, error=0.2, confidence=0.95,
+                     behavior="do_nothing", data_token="hllstream")
+    src = tmp_path / "src"
+    src.mkdir()
+    aqp.sql("STREAMING INIT 1secs")
+    aqp.sql("CREATE STREAM TABLE hll_stream (uid long, v long) "
+            f"USING file_stream OPTIONS (path '{src}', format 'json')")
+    aqp.sql("STREAMING START")
+    with open(src / "b1.json", "w") as f:
+        for i in range(500):
+            f.write(json.dumps({"uid": i % 311, "v": i}) + "\n")
+    aqp.streaming.process_all()
+    aqp.sql("SET spark.sql.aqp.hllCountDistinct=true")
+    aqp.sql("SET spark.sql.aqp.hllPrecision=5")
+    q = "SELECT COUNT(DISTINCT uid) AS u FROM hll_stream WITH ERROR"
+    est1 = aqp.sql(q).collect()[0][0]
+    # identical sketch over the same rows computed in batch
+    from snappy_aqp_spark.dialect import SPARK
+    from snappy_aqp_spark.pipeline.distinct import (
+        hll_count_distinct_query_sql)
+    batch = spark.sql(hll_count_distinct_query_sql(
+        SPARK, col="uid", table="hll_stream", p=5, alias="u")
+    ).collect()[0][0]
+    assert est1 == batch
+    # more data moves the estimate (the stream table grew)
+    with open(src / "b2.json", "w") as f:
+        for i in range(400, 900):
+            f.write(json.dumps({"uid": i, "v": i}) + "\n")
+    aqp.streaming.process_all()
+    est2 = aqp.sql(q).collect()[0][0]
+    assert est2 > est1
+    aqp.sql("STREAMING STOP")
+    aqp.sql("DROP TABLE IF EXISTS hll_stream")
