@@ -865,6 +865,29 @@ class AQPSession:
                                key_cols=info.spec.key_cols,
                                group_by=group_by)
 
+    def approx_count_distinct(self, table: str, col: str,
+                              group_by: str | None = None,
+                              p: int | None = None,
+                              where: str | None = None,
+                              confidence: float | None = None) -> DataFrame:
+        """DataFrame-API face of the HLL COUNT(DISTINCT) route (always on
+        when called explicitly — the session property only gates the SQL
+        surface): (group keys,) approx_count_distinct, absolute_error,
+        lower_bound, upper_bound from the register lattice's a-priori
+        1.04/sqrt(m) standard error."""
+        from .dialect import SPARK
+        from .pipeline.distinct import hll_count_distinct_query_sql
+        return self.spark.sql(hll_count_distinct_query_sql(
+            SPARK, col=col, table=table,
+            p=p if p is not None else self.defaults["hll_p"],
+            where=where,
+            group_keys=(group_by,) if group_by else (),
+            err_cols=(("absolute_error", "absolute_error"),
+                      ("lower_bound", "lower_bound"),
+                      ("upper_bound", "upper_bound")),
+            confidence=(confidence if confidence is not None
+                        else self.defaults["confidence"])))
+
     def error_estimate_average(self, sample_name: str, measure: str,
                                confidence: float = 0.95) -> DataFrame:
         """single-row weighted average with CI

@@ -227,3 +227,25 @@ def test_route_works_over_a_stream_table(spark, tmp_path):
     assert est2 > est1
     aqp.sql("STREAMING STOP")
     aqp.sql("DROP TABLE IF EXISTS hll_stream")
+
+
+def test_session_approx_count_distinct_api(spark):
+    """DataFrame-API face: explicit calls bypass the SQL-surface gate and
+    agree with the routed SQL bit-for-bit."""
+    aqp = _session(spark, "hllapi")           # property ON at p=9
+    via_sql = aqp.sql(Q).collect()[0]
+    via_api = aqp.approx_count_distinct("orders", "o_custkey", p=9
+                                        ).collect()[0]
+    assert via_api["approx_count_distinct"] == via_sql["approx_customers"]
+    assert via_api["lower_bound"] == via_sql["lb"]
+    # grouped + filtered form
+    rows = aqp.approx_count_distinct(
+        "orders", "o_custkey", group_by="o_orderpriority", p=6,
+        where="o_totalprice > 1000").collect()
+    assert len(rows) >= 2
+    assert all(r["lower_bound"] <= r["approx_count_distinct"]
+               <= r["upper_bound"] for r in rows)
+    # explicit API works even with the SQL-surface property OFF
+    off = _session(spark, "hllapioff", on=False)
+    assert off.approx_count_distinct("orders", "o_custkey", p=9
+                                     ).count() == 1
