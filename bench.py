@@ -94,6 +94,11 @@ PIPELINE = (
     "bucketed_colocated_join", "partition_pruned_scan",
     "zorder_layout", "column_correlation",
     "histogram_quantile_grouped",
+    # round-7 opt-in sketch routes + the multi-sample build (the build
+    # itself amortizes through the fixture memo like every sample
+    # fixture; iterations time the routed query over the built sample)
+    "sql_count_distinct_hll", "sql_histogram_quantile_route_grouped",
+    "sql_multi_sample_build",
     # ingest layer (jsonl write cached per session) + the
     # source-level diversity rollup; compaction re-writes its
     # files every iteration by design (it IS a write job)

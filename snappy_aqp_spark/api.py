@@ -616,7 +616,8 @@ class AQPSession:
         for _, sp in named_specs:
             self._derive_col_bounds(base_df, sp)
         subdirs = multi_hash_sample_build(self.spark, base_df,
-                                          named_specs, path)
+                                          named_specs, path,
+                                          col_bounds=self.col_bounds)
         out = {}
         for n, sp in named_specs:
             sdf = self.spark.read.parquet(subdirs[n])
@@ -1467,6 +1468,8 @@ class AQPSession:
                     return None
                 if col is not None and c.lower() != col.lower():
                     return None                  # one histogram per query
+                if any(a == alias for _, a in pcts):
+                    return None                  # duplicate output alias
                 col = col or c
                 pcts.append((q, alias))
                 by_target[norm(alias)] = q

@@ -223,7 +223,9 @@ _NULL_STRATUM = "\x00<null>"
 
 def multi_hash_sample_build(spark, df: DataFrame,
                             named_specs: list[tuple[str, SampleSpec]],
-                            path: str) -> dict[str, str]:
+                            path: str,
+                            col_bounds: dict[str, float] | None = None
+                            ) -> dict[str, str]:
     """Build N hash-method samples of ONE base table in TWO scans total
     (the batch analog of the streaming populator's fan-out,
     SnappyContextAQPFunctions.scala:390-442 aqpTablePopulator: one pass
@@ -251,6 +253,11 @@ def multi_hash_sample_build(spark, df: DataFrame,
     fraction floor / error_limit) need per-stratum windows whose
     partitioning differs per spec, so they keep their own builds."""
     import os
+    if not named_specs:
+        raise ValueError("multi-build needs at least one (name, spec)")
+    seen = [n for n, _ in named_specs]
+    if len(set(seen)) != len(seen):
+        raise ValueError(f"duplicate sample names: {seen}")
     for n, sp in named_specs:
         if sp.method not in ("hash", "hash_rand"):
             raise ValueError(f"{n}: multi-build supports hash methods only,"
@@ -300,9 +307,11 @@ def multi_hash_sample_build(spark, df: DataFrame,
                                 F.col("__sid") + 1).alias("__sample")))
     out.write.mode("overwrite").partitionBy("__sample").parquet(path)
     subdirs = {}
+    cols = {c.lower() for c in df.columns}
+    bounds = {c: v for c, v in (col_bounds or {}).items() if c in cols}
     for n, sp in named_specs:
         sub = os.path.join(path, f"__sample={n}")
-        write_sample_sidecar(sub, sp, name=n)
+        write_sample_sidecar(sub, sp, name=n, col_bounds=bounds)
         subdirs[n] = sub
     return subdirs
 
