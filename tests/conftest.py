@@ -19,12 +19,13 @@ def spark():
          .config("spark.sql.shuffle.partitions", "8")
          .config("spark.ui.enabled", "false")
          .config("spark.ui.showConsoleProgress", "false")
-         # one JVM hosts the WHOLE ~1100-test suite: cached samples,
+         # one JVM hosts the WHOLE ~1200-test suite: cached samples,
          # persisted TopK state, and streaming state accumulate across
-         # modules, and 4g died at the suite tail (accumulator-server
-         # ConnectionRefused cascade) once round 6 added persistence
-         # tests — 8g holds with wide margin on this 128G box
-         .config("spark.driver.memory", "8g")
+         # modules. 4g died at the suite tail (accumulator-server
+         # ConnectionRefused cascade) when round 6 added persistence
+         # tests; 8g died the same way when round 7 added the sketch
+         # routes + multi-build tests — 12g on this 128G box
+         .config("spark.driver.memory", "12g")
          .appName("snappy-aqp-spark-tests").getOrCreate())
     s.sparkContext.setLogLevel("ERROR")
     yield s
