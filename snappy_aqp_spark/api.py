@@ -599,25 +599,27 @@ class AQPSession:
 
     def create_sample_tables(self, named_specs: list[tuple[str, SampleSpec]],
                              path: str) -> dict[str, DataFrame]:
-        """Build SEVERAL hash-method samples of one base table in TWO
-        scans total and register them all — the batch analog of the
+        """Build SEVERAL samples of one base table — any mix of hash and
+        ranked (reservoir / fraction) specs — in a constant number of
+        base scans and register them all: the batch analog of the
         streaming populator's one-pass fan-out (aqpTablePopulator,
-        SnappyContextAQPFunctions.scala:390-442). Per-spec builds cost
-        2 scans EACH; at 100 TB the base scans dominate, and the
-        reference's own perf setup maintains three samples with
-        different QCS over one 157M-row table. Output per sample is
-        row- and weight-identical to ``create_sample_table_from_spec``
-        (see sampling/samplers.py::multi_hash_sample_build)."""
-        from .sampling.samplers import multi_hash_sample_build
+        SnappyContextAQPFunctions.scala:390-442), covering the
+        reference's canonical scenario of three ranked NYC samples with
+        different QCS over one 157M-row table. Per-spec builds cost
+        several scans EACH; at 100 TB the base scans dominate. Output
+        per sample is row- and weight-identical to
+        ``create_sample_table_from_spec`` (see
+        sampling/samplers.py::multi_sample_build)."""
+        from .sampling.samplers import multi_sample_build
         bases = {sp.base_table for _, sp in named_specs}
         if len(bases) != 1:
             raise ValueError(f"one shared base table required, got {bases}")
         base_df = self.tables[bases.pop()]
         for _, sp in named_specs:
             self._derive_col_bounds(base_df, sp)
-        subdirs = multi_hash_sample_build(self.spark, base_df,
-                                          named_specs, path,
-                                          col_bounds=self.col_bounds)
+        subdirs = multi_sample_build(self.spark, base_df,
+                                     named_specs, path,
+                                     col_bounds=self.col_bounds)
         out = {}
         for n, sp in named_specs:
             sdf = self.spark.read.parquet(subdirs[n])

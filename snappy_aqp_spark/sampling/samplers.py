@@ -139,13 +139,21 @@ def _ranked_sample(df: DataFrame, spec: SampleSpec, use_prefilter: bool = True) 
         )
         counts_thr = counts.withColumn("__cthr", cand_thr)
         with_n = _nullsafe_join(tagged, counts_thr, qcs)
-        cands = with_n.where(F.col("__h") < F.col("__cthr"))
-        # exactness check: a stratum's prefilter is valid iff it kept >= k rows
-        cand_counts = cands.groupBy(*qcs).agg(F.count(F.lit(1)).alias("__cn"))
-        ok = cand_counts.where(F.col("__cn") >= F.lit(k)).drop("__cn")
-        bad = cand_counts.where(F.col("__cn") < F.lit(k)).drop("__cn")
-        pool = _nullsafe_join(cands, ok, qcs, how="leftsemi").unionByName(
-            _nullsafe_join(with_n, bad, qcs, how="leftsemi"))
+        # exactness check: a stratum's prefilter is valid iff it kept
+        # >= k candidates; decided PER ROW from the broadcast candidate
+        # counts (left join + coalesce 0), so (a) with_n is scanned once,
+        # not once per ok/bad branch, and (b) a stratum with ZERO
+        # candidates — absent from cand_counts entirely — correctly keeps
+        # all its rows instead of vanishing (the old two-semi-join form
+        # dropped it: a theoretical-only corner at _OVERSAMPLE=8, but a
+        # real one the moment the oversample factor shrinks)
+        cand_counts = (with_n.where(F.col("__h") < F.col("__cthr"))
+                       .groupBy(*qcs).agg(F.count(F.lit(1)).alias("__cn")))
+        cn = F.coalesce(F.col("__cn"), F.lit(0))
+        pool = (_nullsafe_join(with_n, cand_counts, qcs, how="left")
+                .where(((cn >= F.lit(k)) & (F.col("__h") < F.col("__cthr")))
+                       | (cn < F.lit(k)))
+                .drop("__cn"))
     else:
         pool = _nullsafe_join(tagged, counts, qcs)
 
@@ -221,37 +229,43 @@ def create_sample_table(spark, df: DataFrame, spec: SampleSpec, path: str,
 _NULL_STRATUM = "\x00<null>"
 
 
-def multi_hash_sample_build(spark, df: DataFrame,
-                            named_specs: list[tuple[str, SampleSpec]],
-                            path: str,
-                            col_bounds: dict[str, float] | None = None
-                            ) -> dict[str, str]:
-    """Build N hash-method samples of ONE base table in TWO scans total
-    (the batch analog of the streaming populator's fan-out,
-    SnappyContextAQPFunctions.scala:390-442 aqpTablePopulator: one pass
-    over the data feeds every AQP structure). Building N samples
-    separately costs 2N scans of the base (per-stratum counts + the
-    pick); at 100 TB that dominates everything else, and the reference's
-    own perf setup builds three NYC samples over a 157M-row table.
+def multi_sample_build(spark, df: DataFrame,
+                       named_specs: list[tuple[str, SampleSpec]],
+                       path: str,
+                       col_bounds: dict[str, float] | None = None
+                       ) -> dict[str, str]:
+    """Build N stratified samples of ONE base table — ANY mix of hash and
+    ranked (reservoir / fraction-with-floor) specs — in a constant number
+    of base scans (the batch analog of the streaming populator's one-pass
+    fan-out, SnappyContextAQPFunctions.scala:390-442). The reference's
+    canonical multi-sample scenario is exactly this shape: three NYC
+    samples with different QCS at fraction 0.01 / reservoir 50 over one
+    157M-row table (create_and_load_NYCTaxiCol_table.sql:17-35); built
+    separately they cost several scans EACH.
 
-    Scan 1 (counts): each row map-side EXPLODES into one tiny
-    (sample_id, stratum_key) entry per spec — pure CPU inside one
-    whole-stage-codegen pass, partial-aggregated immediately, so the
-    shuffle carries only strata counts. Scan 2 (pick): rows explode into
-    the specs that include them (inclusion is a pure predicate of the
-    key hash — the hash method's defining property), join the broadcast
-    counts for their weight columns, and ONE partitionBy('__sample')
-    write materializes every sample.
+      scan 1  every row map-side-explodes into one tiny (sample, stratum)
+              entry per spec -> ONE partial-aggregated shuffle yields all
+              per-spec stratum counts;
+      scan 2  rows explode into per-spec candidates — hash specs by their
+              inclusion predicate, ranked specs by the oversampled
+              per-stratum prefilter (counts broadcast back, exactly
+              _ranked_sample's cand_thr formula; strata the prefilter
+              cannot certify keep ALL rows, decided per-row from the
+              broadcast candidate counts, so no second base scan) — then
+              ONE window over (sample, stratum) ranks every ranked spec's
+              candidates in a single shuffle, and ONE
+              partitionBy('__sample') write materializes everything.
+              (The window's candidate-count re-aggregation recomputes the
+              explode once more inside the same action — still O(1) scans
+              overall.)
 
-    The composite stratum key is the QCS tuple string-cast (NULL kept as
-    a distinct stratum) — identical strata to the per-spec build
-    whenever the string cast is injective over the data (ints, strings,
-    dates; the normal QCS types). Output per sample is row- and
-    weight-identical to ``stratified_sample(df, spec)``.
-
-    Only hash/hash_rand specs qualify: ranked methods (reservoir /
-    fraction floor / error_limit) need per-stratum windows whose
-    partitioning differs per spec, so they keep their own builds."""
+    Output per sample is row- and weight-identical to
+    ``stratified_sample(df, spec)`` (pinned by pytest). Stratum identity
+    uses the QCS tuple string-cast (NULL kept as a distinct stratum) —
+    identical strata whenever the cast is injective over the data (ints,
+    strings, dates; the normal QCS types). ``error_limit`` specs are
+    rejected (their per-stratum CLT sizing needs spec-specific moment
+    aggregates)."""
     import os
     if not named_specs:
         raise ValueError("multi-build needs at least one (name, spec)")
@@ -259,9 +273,12 @@ def multi_hash_sample_build(spark, df: DataFrame,
     if len(set(seen)) != len(seen):
         raise ValueError(f"duplicate sample names: {seen}")
     for n, sp in named_specs:
-        if sp.method not in ("hash", "hash_rand"):
-            raise ValueError(f"{n}: multi-build supports hash methods only,"
-                             f" got {sp.method!r}")
+        if sp.method == "error_limit":
+            raise ValueError(f"{n}: error_limit specs need per-stratum "
+                             f"moment aggregates — build separately")
+    specs = [sp for _, sp in named_specs]
+    names = [n for n, _ in named_specs]
+    is_hash = [sp.method in ("hash", "hash_rand") for sp in specs]
 
     def skey(sp: SampleSpec):
         return F.array(*[F.coalesce(F.expr(q).cast("string"),
@@ -270,34 +287,102 @@ def multi_hash_sample_build(spark, df: DataFrame,
     def live(sp: SampleSpec):
         return (F.expr(sp.base_filter) if sp.base_filter else F.lit(True))
 
-    def included(sp: SampleSpec):
-        thr = threshold_for_fraction(sp.fraction)
-        return live(sp) & (F.expr(priority_sql(sp)) < F.lit(thr))
+    def hcol(sp: SampleSpec):
+        return F.expr(priority_sql(sp))
 
-    specs = [sp for _, sp in named_specs]
-    names = [n for n, _ in named_specs]
-    # scan 1: all per-spec stratum counts from one pass
+    def frac_thr(sp: SampleSpec) -> int:
+        # fraction threshold: the hash method's inclusion cut, and the
+        # ranked fraction method's floor-OR cut; 0 for reservoir (h < 0
+        # never holds, so the unified pick condition degrades exactly)
+        if sp.method in ("hash", "hash_rand", "fraction"):
+            return threshold_for_fraction(sp.fraction)
+        return 0
+
+    def hash_included(sp: SampleSpec):
+        return live(sp) & (hcol(sp) < F.lit(frac_thr(sp)))
+
+    # ---- scan 1: all per-spec stratum counts from one pass -------------
     entries = [F.struct(F.lit(i).alias("__sid"), skey(sp).alias("__sk"),
                         live(sp).cast("int").alias("__live"),
-                        included(sp).cast("int").alias("__in"))
+                        (hash_included(sp) if is_hash[i] else F.lit(False)
+                         ).cast("int").alias("__in"))
                for i, sp in enumerate(specs)]
     counts = (df.select(F.explode(F.array(*entries)).alias("e"))
               .select("e.*").where(F.col("__live") == 1)
               .groupBy("__sid", "__sk")
               .agg(F.count(F.lit(1)).alias("__ntot"),
-                   F.sum("__in").alias("__nsmp"))
-              .where(F.col("__nsmp") > 0))
-    # scan 2: explode rows into the specs that picked them, weight, write
-    picks = F.filter(
-        F.array(*[F.when(included(sp),
-                         F.struct(F.lit(i).alias("__sid"),
-                                  skey(sp).alias("__sk")))
-                  for i, sp in enumerate(specs)]),
-        lambda x: x.isNotNull())
-    rows = (df.withColumn("__e", F.explode(picks))
+                   F.sum("__in").alias("__nsmp_h")))
+
+    # per-sid constant lookups (element_at is 1-based)
+    def arr(vals):
+        return F.array(*[F.lit(v) for v in vals])
+
+    sid1 = F.col("__sid") + 1
+    k_i = F.element_at(arr([sp.reservoir_size for sp in specs]), sid1)
+    thr_i = F.element_at(arr([frac_thr(sp) for sp in specs]), sid1)
+    hash_i = F.element_at(arr(is_hash), sid1)
+
+    # ---- scan 2: candidates for every spec in one explode --------------
+    cand_entries = []
+    for i, sp in enumerate(specs):
+        if is_hash[i]:
+            e = F.when(hash_included(sp),
+                       F.struct(F.lit(i).alias("__sid"),
+                                skey(sp).alias("__sk"),
+                                hcol(sp).alias("__h")))
+        else:
+            # ranked: every live row is a potential candidate; the
+            # per-stratum prefilter threshold needs the broadcast counts,
+            # so the cut happens right after the counts join below
+            e = F.when(live(sp),
+                       F.struct(F.lit(i).alias("__sid"),
+                                skey(sp).alias("__sk"),
+                                hcol(sp).alias("__h")))
+        cand_entries.append(e)
+    rows = (df.withColumn("__e", F.explode(F.filter(
+                F.array(*cand_entries), lambda x: x.isNotNull())))
             .select(*df.columns, F.col("__e.__sid").alias("__sid"),
-                    F.col("__e.__sk").alias("__sk")))
-    out = (rows.join(F.broadcast(counts), ["__sid", "__sk"])
+                    F.col("__e.__sk").alias("__sk"),
+                    F.col("__e.__h").alias("__h")))
+    wn = rows.join(F.broadcast(counts), ["__sid", "__sk"])
+    # _ranked_sample's cand_thr, verbatim (per-sid constants via lookup)
+    cand_thr = F.when(
+        F.col("__ntot") <= F.lit(_PREFILTER_MIN_STRATUM), F.lit(MODULUS)
+    ).otherwise(
+        F.greatest(
+            thr_i.cast("bigint"),
+            F.least(
+                F.lit(MODULUS),
+                F.ceil(F.lit(float(MODULUS * _OVERSAMPLE)) *
+                       (k_i.cast("double") + F.lit(32.0)) /
+                       F.col("__ntot").cast("double")).cast("bigint"),
+            ),
+        )
+    )
+    # hash rows pass through (their cut already happened in the explode);
+    # ranked rows keep the candidate cut OR their whole stratum when the
+    # prefilter cannot certify k candidates (decided per-row from the
+    # broadcast per-stratum candidate counts — no second base scan)
+    cands = wn.where(hash_i | (F.col("__h") < cand_thr))
+    cand_counts = (cands.where(~hash_i)
+                   .groupBy("__sid", "__sk")
+                   .agg(F.count(F.lit(1)).alias("__cn")))
+    pool = (wn.join(F.broadcast(cand_counts), ["__sid", "__sk"], "left")
+            .where(hash_i
+                   | ((F.coalesce(F.col("__cn"), F.lit(0)) >= k_i)
+                      & (F.col("__h") < cand_thr))
+                   | (F.coalesce(F.col("__cn"), F.lit(0)) < k_i)))
+    # one window ranks every ranked spec's pool; hash rows skip ranking
+    order = [F.col("__h").asc()] + [F.col(c).asc() for c in df.columns]
+    w = Window.partitionBy("__sid", "__sk").orderBy(*order)
+    ranked = pool.withColumn(
+        "__rn", F.when(hash_i, F.lit(0)).otherwise(F.row_number().over(w)))
+    picked = ranked.where(hash_i | (F.col("__rn") <= k_i)
+                          | (F.col("__h") < thr_i.cast("bigint")))
+    nsmp = F.when(hash_i, F.col("__nsmp_h")).otherwise(
+        F.count(F.lit(1)).over(Window.partitionBy("__sid", "__sk")))
+    out = (picked.withColumn("__nsmp", nsmp)
+           .where(F.col("__nsmp") > 0)
            .select(*df.columns,
                    F.col("__nsmp").cast("bigint").alias(STRATA_SAMPLED_COL),
                    F.col("__ntot").cast("bigint").alias(STRATA_TOTAL_COL),
@@ -314,6 +399,22 @@ def multi_hash_sample_build(spark, df: DataFrame,
         write_sample_sidecar(sub, sp, name=n, col_bounds=bounds)
         subdirs[n] = sub
     return subdirs
+
+
+def multi_hash_sample_build(spark, df: DataFrame,
+                            named_specs: list[tuple[str, SampleSpec]],
+                            path: str,
+                            col_bounds: dict[str, float] | None = None
+                            ) -> dict[str, str]:
+    """Hash-only validating wrapper over ``multi_sample_build`` (the
+    original two-scan entry point; kept for callers that want the
+    stricter method contract)."""
+    for n, sp in named_specs:
+        if sp.method not in ("hash", "hash_rand"):
+            raise ValueError(f"{n}: multi-build supports hash methods only,"
+                             f" got {sp.method!r}")
+    return multi_sample_build(spark, df, named_specs, path,
+                              col_bounds=col_bounds)
 
 
 # self-describing sample persistence: the spec (and any column bounds the

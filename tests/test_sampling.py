@@ -204,3 +204,81 @@ def test_multi_sample_single_scan_build_matches_per_spec(spark, tmp_path):
     a2.load_tables(SF_SMALL, ("lineitem",))
     found = a2.discover_samples(str(tmp_path / "multi"))
     assert set(found) >= {"mb_rf", "mb_ls", "mb_yr"}
+
+
+def test_multi_sample_build_ranked_methods_match_per_spec(spark, tmp_path):
+    """The generalized multi-build (any hash/ranked mix in one fan-out)
+    must equal the per-spec builders exactly — including the reference's
+    canonical shape: fraction-with-floor and reservoir specs with
+    different QCS (create_and_load_NYCTaxiCol_table.sql:17-35 builds
+    three such samples over one table)."""
+    import pandas as pd
+
+    from snappy_aqp_spark.api import AQPSession
+
+    aqp = AQPSession(spark, error=0.2, confidence=0.95,
+                     behavior="do_nothing", data_token="multibuild-ranked")
+    aqp.load_tables(SF_SMALL, ("lineitem",))
+    li = aqp.tables["lineitem"]
+    keys = ("l_orderkey", "l_linenumber")
+    specs = [
+        # the NYC shape: fraction + per-stratum floor
+        ("mr_frac", SampleSpec("lineitem", keys, ("l_returnflag",),
+                               method="fraction", fraction=0.05,
+                               reservoir_size=25, seed=42)),
+        # pure reservoir, different QCS + seed
+        ("mr_res", SampleSpec("lineitem", keys, ("l_linestatus",),
+                              method="reservoir", reservoir_size=40,
+                              seed=9)),
+        # seeded Algorithm-R variant over an expression QCS
+        ("mr_resr", SampleSpec("lineitem", keys, ("year(l_shipdate)",),
+                               method="reservoir_rand", reservoir_size=15,
+                               seed=3)),
+        # hash spec mixed into the same fan-out
+        ("mr_hash", SampleSpec("lineitem", keys, ("l_shipdate",),
+                               method="hash", fraction=0.1, seed=5)),
+    ]
+    built = aqp.create_sample_tables(specs, str(tmp_path / "mr"))
+    for name, spec in specs:
+        solo = stratified_sample(li, spec).toPandas()
+        multi = built[name].toPandas()
+        cols = sorted(solo.columns)
+        assert sorted(multi.columns) == cols, name
+        a = solo[cols].sort_values(cols).reset_index(drop=True)
+        b = multi[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, obj=name)
+
+
+def test_multi_sample_build_prefilter_and_fallback_branches(spark, tmp_path,
+                                                            monkeypatch):
+    """Large strata (> _PREFILTER_MIN_STRATUM) exercise the oversampled
+    candidate prefilter; forcing _OVERSAMPLE=0 starves every stratum of
+    candidates and exercises the keep-whole-stratum fallback. Both
+    branches must stay identical between the shared fan-out build and
+    the per-spec builder."""
+    import pandas as pd
+
+    from snappy_aqp_spark import api as api_mod
+    from snappy_aqp_spark.api import AQPSession
+    from snappy_aqp_spark.sampling import samplers as S
+
+    df = spark.range(20000).selectExpr(
+        "id AS k1", "id % 2 AS grp", "id * 3 AS v")
+    aqp = AQPSession(spark, error=0.2, confidence=0.95,
+                     behavior="do_nothing", data_token="multibuild-pf")
+    aqp.register_table("pf_base", df)
+    spec = SampleSpec("pf_base", ("k1",), ("grp",),
+                      method="reservoir", reservoir_size=50, seed=4)
+    for label, oversample in (("prefilter-ok", S._OVERSAMPLE),
+                              ("fallback", 0)):
+        monkeypatch.setattr(S, "_OVERSAMPLE", oversample)
+        solo = stratified_sample(df, spec).toPandas()
+        api_mod._SAMPLE_CACHE.clear()
+        built = aqp.create_sample_tables(
+            [("pf_s", spec)], str(tmp_path / f"pf_{label}"))
+        multi = built["pf_s"].toPandas()
+        cols = sorted(solo.columns)
+        a = solo[cols].sort_values(cols).reset_index(drop=True)
+        b = multi[cols].sort_values(cols).reset_index(drop=True)
+        assert len(a) == 100, (label, len(a))      # 2 strata x k=50
+        pd.testing.assert_frame_equal(a, b, obj=label)
