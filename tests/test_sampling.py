@@ -282,3 +282,36 @@ def test_multi_sample_build_prefilter_and_fallback_branches(spark, tmp_path,
         b = multi[cols].sort_values(cols).reset_index(drop=True)
         assert len(a) == 100, (label, len(a))      # 2 strata x k=50
         pd.testing.assert_frame_equal(a, b, obj=label)
+
+
+def test_multi_sample_build_null_strata(spark, tmp_path):
+    """NULL QCS values are real strata (the sentinel-keyed composite must
+    group and weight them exactly like the per-spec null-safe joins)."""
+    import pandas as pd
+
+    from snappy_aqp_spark.api import AQPSession
+
+    df = spark.range(3000).selectExpr(
+        "id AS k1",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE CAST(id % 3 AS STRING) END "
+        "AS grp", "id * 7 AS v")
+    aqp = AQPSession(spark, error=0.2, confidence=0.95,
+                     behavior="do_nothing", data_token="multibuild-null")
+    aqp.register_table("nul_base", df)
+    specs = [
+        ("nul_h", SampleSpec("nul_base", ("k1",), ("grp",),
+                             method="hash", fraction=0.2, seed=2)),
+        ("nul_r", SampleSpec("nul_base", ("k1",), ("grp",),
+                             method="reservoir", reservoir_size=20,
+                             seed=6)),
+    ]
+    built = aqp.create_sample_tables(specs, str(tmp_path / "nul"))
+    for name, spec in specs:
+        solo = stratified_sample(df, spec).toPandas()
+        multi = built[name].toPandas()
+        cols = sorted(solo.columns)
+        a = solo[cols].sort_values(cols).reset_index(drop=True)
+        b = multi[cols].sort_values(cols).reset_index(drop=True)
+        # the NULL stratum is present and weighted on both sides
+        assert a["grp"].isna().any() and b["grp"].isna().any(), name
+        pd.testing.assert_frame_equal(a, b, obj=name)
