@@ -332,8 +332,11 @@ def _hll_count_distinct_grouped_runner(spark: SparkSession,
 # spec, so gate-green means the fan-out build is row/weight-identical to
 # the spec-replayed sample
 _MB_DDL = [
+    # the NYC shape (fraction + per-stratum floor) exercises the RANKED
+    # fan-out path; the second spec keeps the hash path in the same build
     "CREATE SAMPLE TABLE mb_fix_rf ON lineitem OPTIONS ("
-    "qcs 'l_returnflag', fraction '0.2', method 'hash', seed '7')",
+    "qcs 'l_returnflag', fraction '0.2', method 'fraction', "
+    "strataReservoirSize '25', seed '7')",
     "CREATE SAMPLE TABLE mb_fix_ls ON lineitem OPTIONS ("
     "qcs 'l_linestatus', fraction '0.1', method 'hash', seed '11')",
 ]
@@ -354,7 +357,8 @@ def _multi_sample_build_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = ("l_orderkey", "l_linenumber")
     specs = [
         ("mb_fix_rf", SampleSpec("lineitem", keys, ("l_returnflag",),
-                                 method="hash", fraction=0.2, seed=7)),
+                                 method="fraction", fraction=0.2,
+                                 reservoir_size=25, seed=7)),
         ("mb_fix_ls", SampleSpec("lineitem", keys, ("l_linestatus",),
                                  method="hash", fraction=0.1, seed=11)),
     ]
