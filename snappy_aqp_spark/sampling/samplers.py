@@ -263,22 +263,21 @@ def multi_sample_build(spark, df: DataFrame,
     ``stratified_sample(df, spec)`` (pinned by pytest). Stratum identity
     uses the QCS tuple string-cast (NULL kept as a distinct stratum) —
     identical strata whenever the cast is injective over the data (ints,
-    strings, dates; the normal QCS types). ``error_limit`` specs are
-    rejected (their per-stratum CLT sizing needs spec-specific moment
-    aggregates)."""
+    strings, dates; the normal QCS types). ``error_limit`` specs ride
+    the same two passes: their quantized measure travels inside the
+    scan-1 explode entries (the moment sums land in the same tiny counts
+    aggregate), the CLT ``n_req`` derives per (sample, stratum) on that
+    relation, and the shared window ranks with the per-stratum k."""
     import os
     if not named_specs:
         raise ValueError("multi-build needs at least one (name, spec)")
     seen = [n for n, _ in named_specs]
     if len(set(seen)) != len(seen):
         raise ValueError(f"duplicate sample names: {seen}")
-    for n, sp in named_specs:
-        if sp.method == "error_limit":
-            raise ValueError(f"{n}: error_limit specs need per-stratum "
-                             f"moment aggregates — build separately")
     specs = [sp for _, sp in named_specs]
     names = [n for n, _ in named_specs]
     is_hash = [sp.method in ("hash", "hash_rand") for sp in specs]
+    is_el = [sp.method == "error_limit" for sp in specs]
 
     def skey(sp: SampleSpec):
         return F.array(*[F.coalesce(F.expr(q).cast("string"),
@@ -302,16 +301,52 @@ def multi_sample_build(spark, df: DataFrame,
         return live(sp) & (hcol(sp) < F.lit(frac_thr(sp)))
 
     # ---- scan 1: all per-spec stratum counts from one pass -------------
+    def el_measure(i: int, sp: SampleSpec):
+        # the error_limit spec's quantized measure (error_limit.stats_frags
+        # mq) rides the explode entry so its moment sums fall out of the
+        # SAME counts aggregate; 0 for every other method (unused)
+        if not is_el[i]:
+            return F.lit(0).cast("bigint")
+        from ..quant import measure_scale, pow2_literal
+        m = measure_scale(sp.error_limit_max_abs)
+        return F.expr(f"CAST(FLOOR(({sp.error_limit_col}) * "
+                      f"{pow2_literal(m)}) AS BIGINT)")
+
     entries = [F.struct(F.lit(i).alias("__sid"), skey(sp).alias("__sk"),
                         live(sp).cast("int").alias("__live"),
                         (hash_included(sp) if is_hash[i] else F.lit(False)
-                         ).cast("int").alias("__in"))
+                         ).cast("int").alias("__in"),
+                        el_measure(i, sp).alias("__m"))
                for i, sp in enumerate(specs)]
     counts = (df.select(F.explode(F.array(*entries)).alias("e"))
               .select("e.*").where(F.col("__live") == 1)
               .groupBy("__sid", "__sk")
               .agg(F.count(F.lit(1)).alias("__ntot"),
-                   F.sum("__in").alias("__nsmp_h")))
+                   F.sum("__in").alias("__nsmp_h"),
+                   F.sum("__m").alias("__esx"),
+                   F.sum(F.col("__m") * F.col("__m")).alias("__esxx")))
+    if any(is_el):
+        # per-stratum CLT size for the error_limit specs, derived on the
+        # TINY counts relation (nreq_frag carries spec-specific z/scale/
+        # pct literals, so each spec projects its own slice)
+        from .error_limit import nreq_frag
+        rest = counts.where(~F.col("__sid").isin(
+            [i for i, e in enumerate(is_el) if e])).withColumn(
+            "__nreq", F.lit(None).cast("bigint"))
+        parts = [rest]
+        for i, sp in enumerate(specs):
+            if not is_el[i]:
+                continue
+            part = (counts.where(F.col("__sid") == i)
+                    .withColumn("__eN", F.col("__ntot"))
+                    .withColumn("__nreq", F.expr(nreq_frag(sp)))
+                    .drop("__eN"))
+            parts.append(part)
+        counts = parts[0]
+        for p in parts[1:]:
+            counts = counts.unionByName(p)
+    else:
+        counts = counts.withColumn("__nreq", F.lit(None).cast("bigint"))
 
     # per-sid constant lookups (element_at is 1-based)
     def arr(vals):
@@ -345,6 +380,9 @@ def multi_sample_build(spark, df: DataFrame,
                     F.col("__e.__sk").alias("__sk"),
                     F.col("__e.__h").alias("__h")))
     wn = rows.join(F.broadcast(counts), ["__sid", "__sk"])
+    # effective per-stratum k: the spec's reservoir size, or the CLT
+    # n_req for error_limit specs (a per-stratum COLUMN, not a constant)
+    eff_k = F.coalesce(F.col("__nreq"), k_i.cast("bigint"))
     # _ranked_sample's cand_thr, verbatim (per-sid constants via lookup)
     cand_thr = F.when(
         F.col("__ntot") <= F.lit(_PREFILTER_MIN_STRATUM), F.lit(MODULUS)
@@ -354,7 +392,7 @@ def multi_sample_build(spark, df: DataFrame,
             F.least(
                 F.lit(MODULUS),
                 F.ceil(F.lit(float(MODULUS * _OVERSAMPLE)) *
-                       (k_i.cast("double") + F.lit(32.0)) /
+                       (eff_k.cast("double") + F.lit(32.0)) /
                        F.col("__ntot").cast("double")).cast("bigint"),
             ),
         )
@@ -369,15 +407,15 @@ def multi_sample_build(spark, df: DataFrame,
                    .agg(F.count(F.lit(1)).alias("__cn")))
     pool = (wn.join(F.broadcast(cand_counts), ["__sid", "__sk"], "left")
             .where(hash_i
-                   | ((F.coalesce(F.col("__cn"), F.lit(0)) >= k_i)
+                   | ((F.coalesce(F.col("__cn"), F.lit(0)) >= eff_k)
                       & (F.col("__h") < cand_thr))
-                   | (F.coalesce(F.col("__cn"), F.lit(0)) < k_i)))
+                   | (F.coalesce(F.col("__cn"), F.lit(0)) < eff_k)))
     # one window ranks every ranked spec's pool; hash rows skip ranking
     order = [F.col("__h").asc()] + [F.col(c).asc() for c in df.columns]
     w = Window.partitionBy("__sid", "__sk").orderBy(*order)
     ranked = pool.withColumn(
         "__rn", F.when(hash_i, F.lit(0)).otherwise(F.row_number().over(w)))
-    picked = ranked.where(hash_i | (F.col("__rn") <= k_i)
+    picked = ranked.where(hash_i | (F.col("__rn") <= eff_k)
                           | (F.col("__h") < thr_i.cast("bigint")))
     nsmp = F.when(hash_i, F.col("__nsmp_h")).otherwise(
         F.count(F.lit(1)).over(Window.partitionBy("__sid", "__sk")))

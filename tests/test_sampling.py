@@ -315,3 +315,44 @@ def test_multi_sample_build_null_strata(spark, tmp_path):
         # the NULL stratum is present and weighted on both sides
         assert a["grp"].isna().any() and b["grp"].isna().any(), name
         pd.testing.assert_frame_equal(a, b, obj=name)
+
+
+def test_multi_sample_build_error_limit_matches_per_spec(spark, tmp_path):
+    """error_limit specs ride the shared fan-out: the quantized measure
+    travels inside the scan-1 explode, n_req derives per stratum on the
+    tiny counts relation, and the shared window ranks with the
+    per-stratum k — identical rows and weights to the per-spec CLT
+    builder, alongside specs of every other method in one build."""
+    import pandas as pd
+
+    from snappy_aqp_spark.api import AQPSession
+
+    aqp = AQPSession(spark, error=0.2, confidence=0.95,
+                     behavior="do_nothing", data_token="multibuild-el")
+    aqp.load_tables(SF_SMALL, ("lineitem",))
+    li = aqp.tables["lineitem"]
+    keys = ("l_orderkey", "l_linenumber")
+    specs = [
+        ("mel_el", SampleSpec("lineitem", keys, ("l_returnflag",),
+                              method="error_limit", reservoir_size=30,
+                              seed=42, error_limit_col="l_extendedprice",
+                              error_limit_pct=0.05,
+                              error_limit_conf=0.95,
+                              error_limit_max_abs=2.0 ** 20)),
+        ("mel_res", SampleSpec("lineitem", keys, ("l_linestatus",),
+                               method="reservoir", reservoir_size=25,
+                               seed=9)),
+        ("mel_hash", SampleSpec("lineitem", keys, ("l_shipdate",),
+                                method="hash", fraction=0.1, seed=5)),
+    ]
+    built = aqp.create_sample_tables(specs, str(tmp_path / "mel"))
+    for name, spec in specs:
+        solo = stratified_sample(li, spec).toPandas()
+        multi = built[name].toPandas()
+        cols = sorted(solo.columns)
+        a = solo[cols].sort_values(cols).reset_index(drop=True)
+        b = multi[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, obj=name)
+    # the error-limit sample actually sized strata adaptively (not all k)
+    el = built["mel_el"].toPandas()
+    assert el["sampler_strata_sampled"].nunique() >= 2
