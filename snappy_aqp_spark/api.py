@@ -1534,6 +1534,77 @@ class AQPSession:
         from .pipeline.quantiles import histogram_quantile_query_sql
         return self.spark.sql(histogram_quantile_query_sql(SPARK, **info))
 
+    @staticmethod
+    def _split_statements(script: str) -> list[str]:
+        """';'-separated statements; full-line '--' comments stripped;
+        semicolons inside single-quoted literals respected."""
+        lines = [ln for ln in script.splitlines()
+                 if not ln.strip().startswith("--")]
+        text = "\n".join(lines)
+        out, cur, in_str = [], [], False
+        for ch in text:
+            if ch == "'":
+                in_str = not in_str
+                cur.append(ch)
+            elif ch == ";" and not in_str:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        out.append("".join(cur))
+        return [s.strip() for s in out if s.strip()]
+
+    def run_script(self, script: str, batch_sample_builds: bool = True,
+                   sample_path_root: str | None = None) -> list[DataFrame]:
+        """Execute a multi-statement SQL script through this session.
+
+        With ``batch_sample_builds`` (default), runs of ADJACENT
+        ``CREATE SAMPLE TABLE`` statements over the SAME base table build
+        through the one-pass fan-out (``create_sample_tables``) instead
+        of one multi-scan build each — the reference's own sample scripts
+        declare several samples of one table back to back (three NYC
+        samples with different QCS,
+        create_and_load_NYCTaxiCol_table.sql:17-35), and at 100 TB the
+        repeated base scans are the dominant cost. Statements carrying
+        their own ``path`` option (persist/attach semantics) are never
+        batched. Results are identical to statement-by-statement
+        execution (pinned by pytest); returns one DataFrame per
+        statement in script order."""
+        import tempfile
+        stmts = self._split_statements(script)
+        results: list[DataFrame] = []
+        group: list[tuple[str, SampleSpec]] = []
+
+        def flush() -> None:
+            if not group:
+                return
+            if len(group) == 1:
+                name, spec = group[0]
+                results.append(
+                    self.create_sample_table_from_spec(name, spec))
+                group.clear()
+                return
+            root = (sample_path_root
+                    or tempfile.mkdtemp(prefix="aqp_script_build_"))
+            built = self.create_sample_tables(list(group), root)
+            results.extend(built[n] for n, _ in group)
+            group.clear()
+
+        for stmt in stmts:
+            ddl = fe.parse_create_sample(stmt) if batch_sample_builds \
+                else None
+            if ddl and not ddl[2].get("path"):
+                name, base, opts, as_sql = ddl
+                spec = spec_from_ddl(base, opts, as_sql=as_sql)
+                if group and group[-1][1].base_table != spec.base_table:
+                    flush()
+                group.append((name, spec))
+                continue
+            flush()
+            results.append(self.sql(stmt))
+        flush()
+        return results
+
     def list_sample_tables(self) -> DataFrame:
         """The sample registry as a relation (``SHOW SAMPLE TABLES``):
         one row per registered sample with its spec essentials and the

@@ -356,3 +356,53 @@ def test_multi_sample_build_error_limit_matches_per_spec(spark, tmp_path):
     # the error-limit sample actually sized strata adaptively (not all k)
     el = built["mel_el"].toPandas()
     assert el["sampler_strata_sampled"].nunique() >= 2
+
+
+def test_run_script_batches_adjacent_sample_creates(spark, monkeypatch):
+    """run_script builds ADJACENT CREATE SAMPLE TABLE statements over one
+    base through a single fan-out (the reference's NYC script shape:
+    three samples of one table back to back), with results identical to
+    statement-by-statement execution."""
+    from snappy_aqp_spark import api as api_mod
+    from snappy_aqp_spark.api import AQPSession
+    from snappy_aqp_spark.sampling import samplers as S
+
+    script = """
+    -- three samples of one base, back to back (NYC script shape)
+    CREATE SAMPLE TABLE rs_a ON lineitem OPTIONS (qcs 'l_returnflag',
+        fraction '0.05', method 'fraction', strataReservoirSize '20',
+        seed '42');
+    CREATE SAMPLE TABLE rs_b ON lineitem OPTIONS (qcs 'l_linestatus',
+        method 'reservoir', strataReservoirSize '30', seed '7');
+    CREATE SAMPLE TABLE rs_c ON lineitem OPTIONS (qcs 'l_shipdate',
+        fraction '0.1', method 'hash', seed '5');
+    SELECT l_returnflag, SUM(l_quantity) AS sq FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag WITH ERROR;
+    """
+    calls = {"multi": 0}
+    orig = S.multi_sample_build
+
+    def counting(*a, **kw):
+        calls["multi"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(S, "multi_sample_build", counting)
+    a1 = AQPSession(spark, error=0.2, confidence=0.95,
+                    behavior="do_nothing", data_token="script-batched")
+    a1.load_tables(SF_SMALL, ("lineitem",))
+    res = a1.run_script(script)
+    assert calls["multi"] == 1                  # ONE fan-out for 3 creates
+    assert len(res) == 4                        # one result per statement
+    # statement-by-statement control session
+    a2 = AQPSession(spark, error=0.2, confidence=0.95,
+                    behavior="do_nothing", data_token="script-control")
+    a2.load_tables(SF_SMALL, ("lineitem",))
+    ctl = a2.run_script(script, batch_sample_builds=False)
+    assert calls["multi"] == 1                  # control did NOT batch
+    import pandas as pd
+    for i, name in enumerate(("rs_a", "rs_b", "rs_c")):
+        cols = sorted(res[i].columns)
+        x = res[i].toPandas()[cols].sort_values(cols).reset_index(drop=True)
+        y = ctl[i].toPandas()[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(x, y, obj=name)
+    pd.testing.assert_frame_equal(res[3].toPandas(), ctl[3].toPandas())
