@@ -28,8 +28,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
              .config("spark.ui.enabled", "false")
              .config("spark.ui.showConsoleProgress", "false")
              # the TopK sketch build runs Arrow applyInPandas batches;
-             # Spark's 1g default heap is too tight for local mode
-             .config("spark.driver.memory", "4g")
+             # Spark's 1g default heap is too tight for local mode (and
+             # 4g OOMs on the sf0.01 events table)
+             .config("spark.driver.memory", "8g")
              .appName("snappy-aqp-spark-quickstart").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -65,9 +66,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
             "FROM documents WITH ERROR").show()
 
     print("== 4. approximate time-series TopK ==")
+    # size the bucket interval to the data's time span: each bucket holds
+    # a depth x width CMS, so a 60s interval over a month of events would
+    # be ~43k sketches (GBs) — 3-day buckets match the 30-day test range
     aqp.sql("CREATE TOPK TABLE top_users ON events OPTIONS ("
             "key 'user_id', timeSeriesColumn 'ts', "
-            "timeInterval '60000ms', size '5')")
+            "timeInterval '259200s', size '5', intKey 'true')")
     aqp.sql("SELECT * FROM top_users LIMIT 5").show()
 
     print("== 5. multi-sample single-scan build ==")
