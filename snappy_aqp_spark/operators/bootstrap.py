@@ -17,18 +17,25 @@ finalize ``evalApproxColumn`` (bootstrap/BootstrapFunctions.scala:143-216):
     absErr = (ub-lb)/2;  relErr = |(ub-lb)/(2·safeEst)| with
     safeEst = est if |est|>1 else est±1;  LOCAL_OMIT -> all NULL.
 
-Instead of the reference's per-row R-vector columns (custom mutable rows +
-codegen), we CROSS JOIN a tiny trial relation and reuse the grouped-
-aggregation machinery: multiplicities come from the deterministic key hash
-(detrng.py) salted by trial, so the whole thing replays exactly in DuckDB.
-Scale note: this multiplies the *sample* (not the base table) by R before
-the first partial aggregation — the same volume the reference shuffles as
-R-vectors; map-side combine reduces it to groups x strata x trials.
+Like the reference's per-row R-vector columns (bootstrap/
+DeclarativeBootstrapAggregateFunction.scala — R aggregation buffer slots
+updated per input row), the Spark execution path unrolls the R trials into
+R projection columns sharing one key-hash base (``wide_trial_columns``) and
+aggregates them in a single pass at (group, stratum); the trial dimension
+is exploded only AFTER aggregation, on groups x strata rows
+(plans/approx_query.py ``_bs_wide_inner_rel``). Multiplicities come from
+the deterministic key hash (detrng.py) salted by trial, so the whole thing
+replays exactly in DuckDB — the oracle replays the equivalent (bit-exact,
+integer-sum) CROSS JOIN of a trial relation, which is also the form the
+per-row ``multiplicity_sql`` serves. Scale note: the sample is scanned
+once regardless of R; the pre-shuffle volume is groups x strata x R
+buffer cells, never rows x R (A/B at 10x sf0.1: 102.9 s cross-join ->
+22.9 s wide, bit-identical — PLANS.md round-8 audit).
 """
 
 from __future__ import annotations
 
-from ..detrng import MODULUS, hash_sql
+from ..detrng import _MIX, _MUL, MODULUS, hash_sql
 from ..dialect import dlit, nan_literal
 from ..quant import pow2_literal
 from ..specs import ApproxAgg, ApproxQuerySpec, SampleSpec
@@ -36,6 +43,7 @@ from ..stats import poisson1_cdf_thresholds
 from .closedform import AggScales, quantized_measure
 
 TRIAL_COL = "__trial"
+BASE_HASH_COL = "__bsb"          # wide form: per-row key-hash, salt-free
 
 
 def multiplicity_sql(sample: SampleSpec) -> str:
@@ -47,15 +55,53 @@ def multiplicity_sql(sample: SampleSpec) -> str:
     return f"(CASE WHEN {TRIAL_COL} = 0 THEN 1 {branches} ELSE {len(th)} END)"
 
 
-def inner_frags(agg: ApproxAgg, sc: AggScales, sample: SampleSpec) -> dict[str, str]:
-    """per (group, stratum, trial): integer-exact resampled sums."""
+def wide_trial_columns(sample: SampleSpec, trials: int) -> dict[str, str]:
+    """Projection fragments for the trial-unrolled (wide) bootstrap form:
+    ``__bsb`` = the salt-free polynomial key hash (computed ONCE per row),
+    then ``__bsm{t}`` = the Poisson(1) multiplicity for trial t with the
+    trial salt folded to a Python-computed constant.
+
+    Arithmetic is bit-identical to ``multiplicity_sql`` evaluated with
+    ``__trial = t``: ``hash_sql``'s expression-salt path computes
+    ``((keys_hash + ((salt)*MIX + 777) % M) * MUL + 99991) % M`` and
+    ``hash_sql(salt=0)`` IS the bare ``keys_hash``, so folding
+    ``(t*MIX + 777) % M`` in Python reproduces the identical BIGINT values
+    (all intermediates < 2^63, same as the per-row form). This is the
+    reference's per-row R-vector layout (bootstrap/
+    DeclarativeBootstrapAggregateFunction.scala) re-expressed as R
+    projection columns feeding one hash aggregate, instead of a CROSS JOIN
+    that multiplies the sample by R before the first partial aggregation.
+    """
+    base = hash_sql(list(sample.key_cols), seed=sample.seed * 31 + 1709, salt=0)
+    th = poisson1_cdf_thresholds(MODULUS)
+    cols: dict[str, str] = {BASE_HASH_COL: base}
+    for t in range(trials):
+        if t == 0:
+            # trial 0 is the actual sample: multiplicity 1 everywhere
+            cols["__bsm0"] = "1"
+            continue
+        salt_c = (t * _MIX + 777) % MODULUS
+        h = f"((({BASE_HASH_COL} + {salt_c}) * {_MUL} + 99991) % {MODULUS})"
+        branches = " ".join(
+            f"WHEN {h} < {c} THEN {k}" for k, c in enumerate(th))
+        cols[f"__bsm{t}"] = f"(CASE {branches} ELSE {len(th)} END)"
+    return cols
+
+
+def inner_frags(agg: ApproxAgg, sc: AggScales, sample: SampleSpec,
+                m_sql: str | None = None) -> dict[str, str]:
+    """per (group, stratum, trial): integer-exact resampled sums.
+
+    ``m_sql`` overrides the multiplicity expression (the wide form passes a
+    precomputed ``__bsm{t}`` column); default is the per-row ``__trial``
+    CASE used by the oracle's CROSS JOIN replay."""
     a = agg.alias
     if agg.func in ("min", "max"):
         # bypass aggregate (ByPassErrorCalc): extremum over the ACTUAL
         # sample rows — resampling multiplicities are ignored, the trial
         # dimension just carries the value through unchanged
         return {f"__bmm_{a}": f"CAST({agg.func.upper()}({agg.measure}) AS DOUBLE)"}
-    m = multiplicity_sql(sample)
+    m = m_sql or multiplicity_sql(sample)
     out: dict[str, str] = {}
     if agg.func == "count_star":
         out[f"__bm_{a}"] = f"CAST(SUM({m}) AS BIGINT)"
@@ -72,9 +118,9 @@ MASK_FRAG = ("__bmask",
              None)  # filled in mask_frag() — needs the multiplicity expr
 
 
-def mask_frag(sample: SampleSpec) -> dict[str, str]:
+def mask_frag(sample: SampleSpec, m_sql: str | None = None) -> dict[str, str]:
     """group-nonempty indicator per trial (BootstrapMultiplicityAggregate)."""
-    m = multiplicity_sql(sample)
+    m = m_sql or multiplicity_sql(sample)
     return {"__bmask": f"MAX(CASE WHEN ({m}) > 0 THEN 1 ELSE 0 END)"}
 
 

@@ -534,13 +534,61 @@ def _closedform_fin_rel(spec: ApproxQuerySpec, df: DataFrame) -> DataFrame:
                                  for n, s in _fin_rel_frags(spec).items()])
 
 
+def _bs_wide_inner_rel(spec: ApproxQuerySpec, df: DataFrame) -> DataFrame:
+    """Trial-unrolled inner stage: ONE hash aggregate over the sample at
+    (group, stratum) computing all R per-trial integer sums as separate
+    columns, then a posexplode of the tiny groups x strata relation back
+    to (group, stratum, trial) rows with the exact schema the cross-join
+    form produced.
+
+    vs the previous ``df.crossJoin(broadcast(trials))``: the sample is no
+    longer multiplied by R before the first partial aggregation — each
+    input row is scanned once, evaluates the shared key hash once
+    (``__bsb``), and updates R aggregation buffers after a single group
+    lookup instead of making R hash-map probes on R materialized copies.
+    Row expansion now happens AFTER aggregation, on groups x strata rows.
+    The per-trial integer sums are exact, so results are bit-identical to
+    the cross-join form (which remains the oracle's replay shape).
+    Reference analog: the per-row R-vector DeclarativeAggregate
+    (bootstrap/DeclarativeBootstrapAggregateFunction.scala)."""
+    gcols, qcols = _gcols(spec), _qcols(spec)
+    sc = _scales(spec)
+    dfm = df.select("*", *[F.expr(s).alias(n) for n, s in
+                           bs.wide_trial_columns(spec.sample,
+                                                 spec.trials).items()])
+    static = {"__sns": f"MAX({cf.STRATA_SAMPLED_COL})",
+              "__snt": f"MAX({cf.STRATA_TOTAL_COL})"}
+    per_trial: list[dict[str, str]] = []
+    for t in range(spec.trials):
+        ft = bs.mask_frag(spec.sample, m_sql=f"__bsm{t}")
+        for a in spec.aggs:
+            for n, s in bs.inner_frags(a, sc[a.alias], spec.sample,
+                                       m_sql=f"__bsm{t}").items():
+                if n.startswith("__bmm_"):
+                    # min/max ignore resampling: trial-invariant, one copy
+                    static.setdefault(n, s)
+                else:
+                    ft[n] = s
+        per_trial.append(ft)
+    wide = dict(static)
+    for t, ft in enumerate(per_trial):
+        for n, s in ft.items():
+            wide[f"{n}__t{t}"] = s
+    agged = _agg_frags(dfm, gcols + qcols, wide)
+    trial_names = list(per_trial[0].keys())
+    structs = [F.struct(F.lit(t).cast("bigint").alias(bs.TRIAL_COL),
+                        *[F.col(f"{n}__t{t}").alias(n) for n in trial_names])
+               for t in range(spec.trials)]
+    keep = gcols + qcols + list(static.keys())
+    return (agged
+            .select(*keep, F.explode(F.array(*structs)).alias("__w"))
+            .select(*keep, "__w.*"))
+
+
 def _bootstrap_fin_rel(spark: SparkSession, spec: ApproxQuerySpec,
                        df: DataFrame) -> DataFrame:
     gcols, qcols = _gcols(spec), _qcols(spec)
-    trials = spark.range(spec.trials).select(
-        F.col("id").cast("bigint").alias(bs.TRIAL_COL))
-    dfb = df.crossJoin(F.broadcast(trials))
-    inner = _agg_frags(dfb, gcols + qcols + [bs.TRIAL_COL], _bs_inner_frags(spec))
+    inner = _bs_wide_inner_rel(spec, df)
     outer = _agg_frags(inner, gcols + [bs.TRIAL_COL], _bs_outer_frags(spec))
     trialv = _select_frags(outer, gcols + [bs.TRIAL_COL, "__bmask"],
                            _bs_trial_frags(spec))
