@@ -1566,40 +1566,61 @@ class AQPSession:
         samples with different QCS,
         create_and_load_NYCTaxiCol_table.sql:17-35), and at 100 TB the
         repeated base scans are the dominant cost. Statements carrying
-        their own ``path`` option (persist/attach semantics) are never
-        batched. Results are identical to statement-by-statement
-        execution (pinned by pytest); returns one DataFrame per
-        statement in script order."""
+        their own ``path`` or ``rebuild`` option (persist/attach/
+        force-resample semantics) are never batched — they go through the
+        ordinary DDL path so those options take effect. ``DROP TABLE`` /
+        ``DROP SAMPLE TABLE`` statements whose target is unrelated to the
+        pending batch pass through WITHOUT breaking adjacency (the
+        reference's canonical script interleaves ``DROP TABLE IF EXISTS``
+        between its CREATEs, create_and_load_NYCTaxiCol_table.sql).
+        Results are identical to statement-by-statement execution (pinned
+        by pytest); returns one DataFrame per statement in script order."""
         import tempfile
         stmts = self._split_statements(script)
-        results: list[DataFrame] = []
-        group: list[tuple[str, SampleSpec]] = []
+        results: list[DataFrame | None] = []
+        group: list[tuple[int, str, SampleSpec]] = []
 
         def flush() -> None:
             if not group:
                 return
             if len(group) == 1:
-                name, spec = group[0]
-                results.append(
-                    self.create_sample_table_from_spec(name, spec))
+                idx, name, spec = group[0]
+                results[idx] = self.create_sample_table_from_spec(name, spec)
                 group.clear()
                 return
             root = (sample_path_root
                     or tempfile.mkdtemp(prefix="aqp_script_build_"))
-            built = self.create_sample_tables(list(group), root)
-            results.extend(built[n] for n, _ in group)
+            built = self.create_sample_tables(
+                [(n, sp) for _, n, sp in group], root)
+            for idx, n, _ in group:
+                results[idx] = built[n]
             group.clear()
 
         for stmt in stmts:
             ddl = fe.parse_create_sample(stmt) if batch_sample_builds \
                 else None
-            if ddl and not ddl[2].get("path"):
+            if (ddl and not ddl[2].get("path")
+                    and ddl[2].get("rebuild", "").lower() != "true"):
                 name, base, opts, as_sql = ddl
                 spec = spec_from_ddl(base, opts, as_sql=as_sql)
-                if group and group[-1][1].base_table != spec.base_table:
+                if group and group[-1][2].base_table != spec.base_table:
                     flush()
-                group.append((name, spec))
+                results.append(None)
+                group.append((len(results) - 1, name, spec))
                 continue
+            if group:
+                # a drop of a table unrelated to the batch (not a pending
+                # sample name, not the shared base) executes in place; a
+                # drop touching the batch flushes first — the
+                # create-then-drop order is observable
+                dt = fe.parse_drop_table(stmt)
+                dname = (fe.parse_drop_sample(stmt)
+                         or (dt[0] if dt else None))
+                pending = ({n.lower() for _, n, _ in group}
+                           | {sp.base_table.lower() for _, _, sp in group})
+                if dname is not None and dname.lower() not in pending:
+                    results.append(self.sql(stmt))
+                    continue
             flush()
             results.append(self.sql(stmt))
         flush()

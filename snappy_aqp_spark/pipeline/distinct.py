@@ -164,9 +164,9 @@ def hll_count_distinct_query_sql(dialect: str, col: str, table: str,
         items.append(f"{fns[fn.lower()]} AS {out}")
     final = f"SELECT {', '.join(items)} FROM __hll_z"
     if order_by:
-        final += f" ORDER BY {', '.join(order_by)}"
+        final += f" ORDER BY {dual.order_nulls(order_by)}"
     elif group_keys:
-        final += f" ORDER BY {', '.join(group_keys)}"
+        final += f" ORDER BY {dual.order_nulls(group_keys)}"
     if limit is not None:
         final += f" LIMIT {limit}"
     return dual.stages_sql(stages, final)

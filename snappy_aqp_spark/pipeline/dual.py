@@ -21,6 +21,24 @@ def hint(dialect: str, h: str) -> str:
     return f"/*+ {h} */ " if dialect == SPARK else ""
 
 
+def order_nulls(items) -> str:
+    """ORDER BY item list with the NULL placement made EXPLICIT (Spark
+    defaults to NULLS FIRST on ASC / NULLS LAST on DESC; DuckDB defaults
+    the other way around on both) — a nullable sort key would otherwise
+    break the bit-exact dual-replay contract. Emits Spark's defaults as
+    explicit suffixes, which both engines accept."""
+    import re as _re
+    out = []
+    for o in items:
+        if _re.search(r"NULLS\s+(FIRST|LAST)\s*$", o, _re.IGNORECASE):
+            out.append(o)
+        elif _re.search(r"\bDESC\s*$", o, _re.IGNORECASE):
+            out.append(f"{o} NULLS LAST")
+        else:
+            out.append(f"{o} NULLS FIRST")
+    return ", ".join(out)
+
+
 def explode(dialect: str, arr_sql: str, alias: str) -> str:
     return (f"explode({arr_sql}) AS {alias}" if dialect == SPARK
             else f"unnest({arr_sql}) AS {alias}")
@@ -273,8 +291,34 @@ def stages_sql(stages: list[tuple[str, str]], final: str,
 # pipeline evicts the old one first, so the block manager never
 # accumulates more than one pipeline's intermediates (previously a
 # single sf0.1 shingle explosion parked GBs forever).
+#
+# INDEX stages (*_ix — query-independent corpus artifacts like BM25
+# posting lists) cache PER STAGE instead: keyed by the stage's transitive
+# SQL closure, so a NEW query over the same index reuses it (round-8
+# ADVICE — the whole-pipeline key evicted the index on every new
+# query_pred, defeating the 'build once, probe many' split). One entry
+# per index name; a changed closure unpersists the stale one.
 _PREV_PERSISTED: list = []
 _PREV_KEY: list = [None]
+_IX_CACHE: dict[str, tuple] = {}     # name -> (closure_key, persisted df)
+
+
+def _ix_closure_key(stages: list[tuple[str, str]], i: int) -> tuple:
+    """The (name, sql) set stage i transitively depends on, including
+    itself — equality means the index's defining SQL chain is unchanged."""
+    import re as _re
+    seen: set[int] = set()
+
+    def rec(j: int) -> None:
+        if j in seen:
+            return
+        seen.add(j)
+        for k in range(j):
+            if _re.search(rf"\b{stages[k][0]}\b", stages[j][1]):
+                rec(k)
+
+    rec(i)
+    return tuple(sorted(stages[j] for j in seen))
 
 
 def run_stages(spark, stages: list[tuple[str, str]], final: str):
@@ -309,7 +353,19 @@ def run_stages(spark, stages: list[tuple[str, str]], final: str):
     if not persisted:
         return spark.sql(stages_sql(stages, final))
 
-    for name, sql in stages:
+    for i, (name, sql) in enumerate(stages):
+        if name.endswith("_ix"):
+            ck = _ix_closure_key(stages, i)
+            hit = _IX_CACHE.get(name)
+            if hit is not None and hit[0] == ck:
+                hit[1].createOrReplaceTempView(name)
+                continue
+            if hit is not None:
+                hit[1].unpersist()
+            df = spark.sql(sql).persist()
+            _IX_CACHE[name] = (ck, df)
+            df.createOrReplaceTempView(name)
+            continue
         df = spark.sql(sql)            # references earlier stages as views
         if name in persisted:
             df = df.persist()

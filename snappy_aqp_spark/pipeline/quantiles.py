@@ -240,9 +240,10 @@ def histogram_quantile_query_sql(dialect: str, col: str, table: str,
     g_csv = ", ".join(group_keys)
     g_pre = (g_csv + ", ") if group_keys else ""
     part = f"PARTITION BY {g_csv} " if group_keys else ""
+    # NULL-keyed groups are KEPT (GROUP BY and window PARTITION BY treat
+    # NULL as one group identically on both engines) — the exact route
+    # returns that group, so the sketch route must too
     pred = f"({col}) IS NOT NULL" + (f" AND ({where})" if where else "")
-    if group_keys:
-        pred += "".join(f" AND ({g}) IS NOT NULL" for g in group_keys)
     stages = [
         ("__hrq_b", f"SELECT {g_pre}{bin_expr} AS bin FROM {table} "
                     f"WHERE {pred}"),
@@ -276,9 +277,9 @@ def histogram_quantile_query_sql(dialect: str, col: str, table: str,
     if group_keys:
         final += f" GROUP BY {g_csv}"
     if order_by:
-        final += f" ORDER BY {', '.join(order_by)}"
+        final += f" ORDER BY {dual.order_nulls(order_by)}"
     elif group_keys:
-        final += f" ORDER BY {g_csv}"
+        final += f" ORDER BY {dual.order_nulls(group_keys)}"
     if limit is not None:
         final += f" LIMIT {limit}"
     return dual.stages_sql(stages, final)

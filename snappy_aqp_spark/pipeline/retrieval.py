@@ -45,57 +45,69 @@ def bm25_topk_stages(dialect: str, query_pred: str, topk: int = 5,
                      ) -> tuple[list[tuple[str, str]], str]:
     """``(stages, final)`` -> top-``topk`` corpus docs per query doc:
     (qid, rank, doc_id, score_bp). Query documents (``query_pred``) are
-    excluded from the scored corpus; their distinct tokens are the query
-    terms."""
+    excluded from the RESULTS; corpus statistics (tf, dl, df, n_docs,
+    total tokens) cover the whole indexed table — standard BM25, where
+    the index never depends on the query. That independence is what lets
+    every ``*_ix`` stage survive across different queries:
+    dual.run_stages keys its index cache on the stage's transitive SQL
+    closure, so a NEW ``query_pred`` probes the already-persisted
+    postings instead of rebuilding them (round-8 ADVICE)."""
     stages = [
-        ("__bmt",
-         f"SELECT doc_id, CASE WHEN {query_pred} THEN 1 ELSE 0 END AS is_q, "
-         f"{explode(dialect, _tokens(dialect, col), 'w')} FROM {table}"),
-        # corpus term frequencies + document lengths
-        ("__bmf",
-         "SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf "
-         "FROM __bmt WHERE is_q = 0 GROUP BY doc_id, w"),
-        ("__bml",
+        # INDEX stages (query-independent; *_ix persists across calls):
+        # term frequencies, doc lengths, global stats, posting-list
+        # lengths, and the postings carrying the ENTIRE doc-side BM25
+        # factor — tf saturation depends only on (tf, dl, n_docs, tot),
+        # all corpus-side, so it is precomputed into the index. The
+        # corpus-sized (doc_id) join between tf and dl happens ONCE at
+        # index-build time; the per-query path below never joins two
+        # corpus-sized relations again.
+        ("__bmf_ix",
+         f"SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM "
+         f"(SELECT doc_id, {explode(dialect, _tokens(dialect, col), 'w')} "
+         f"FROM {table}) __bmtok GROUP BY doc_id, w"),
+        ("__bml_ix",
          "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl "
-         "FROM __bmf GROUP BY doc_id"),
-        ("__bmg",
+         "FROM __bmf_ix GROUP BY doc_id"),
+        ("__bmg_ix",
          "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
-         "CAST(SUM(dl) AS BIGINT) AS tot FROM __bml"),
-        # distinct query terms
-        ("__bmq",
-         "SELECT DISTINCT doc_id AS qid, w FROM __bmt WHERE is_q = 1"),
-        # INDEX stages (query-independent; *_ix names persist across
-        # calls): per-term posting-list lengths, and the postings carrying
-        # the ENTIRE doc-side BM25 factor — tf saturation depends only on
-        # (tf, dl, n_docs, tot), all corpus-side, so it is precomputed
-        # into the index. The corpus-sized (doc_id) join between tf and
-        # dl happens ONCE at index-build time; the per-query path below
-        # never joins two corpus-sized relations again.
+         "CAST(SUM(dl) AS BIGINT) AS tot FROM __bml_ix"),
         ("__bmdf_ix",
          "SELECT w, CAST(COUNT(*) AS BIGINT) AS df "
-         "FROM __bmf GROUP BY w"),
+         "FROM __bmf_ix GROUP BY w"),
         ("__bmp_ix",
          f"SELECT f.w, f.doc_id, CAST("
          f"{idiv(dialect, 'f.tf * ' + str((100 + K1_C) * 100) + ' * 10000', 'f.tf * 10000 + ' + idiv(dialect, str(K1_C) + ' * (10000 - ' + str(B_C * 100) + ' + ' + idiv(dialect, str(B_C * 100) + ' * l.dl * g.n_docs', 'g.tot') + ')', '100'))}"
          f" AS BIGINT) AS sat_bp "
-         f"FROM __bmf f JOIN __bml l ON f.doc_id = l.doc_id, __bmg g"),
-        # QUERY path: idf for the query vocabulary — a broadcast semi-join
-        # of the df index against the (tiny) query term set
+         f"FROM __bmf_ix f JOIN __bml_ix l ON f.doc_id = l.doc_id, "
+         f"__bmg_ix g"),
+        # QUERY path: the query docs and their distinct terms come from a
+        # predicate-pushed scan of the base table (tiny by construction)
+        ("__bmqd",
+         f"SELECT DISTINCT doc_id AS qid FROM {table} WHERE {query_pred}"),
+        ("__bmq",
+         f"SELECT DISTINCT doc_id AS qid, w FROM "
+         f"(SELECT doc_id, {explode(dialect, _tokens(dialect, col), 'w')} "
+         f"FROM {table} WHERE {query_pred}) __bmqt"),
+        # idf for the query vocabulary — a broadcast semi-join of the df
+        # index against the (tiny) query term set
         ("__bmi",
          f"SELECT {hint(dialect, 'BROADCAST(__qv)')}d.w, "
          f"{idiv(dialect, '(g.n_docs - d.df) * 10000', 'd.df')} "
          f"AS idf_bp FROM __bmdf_ix d "
          f"JOIN (SELECT DISTINCT w FROM __bmq) __qv ON d.w = __qv.w, "
-         f"__bmg g"),
-        # probe: one pass over the cached postings with both query-sized
-        # relations broadcast — no sort-merge exchange anywhere on the
-        # query path; the only shuffle left is the (qid, doc) partial agg
+         f"__bmg_ix g"),
+        # probe: one pass over the cached postings with every query-sized
+        # relation broadcast (q, i, and the query-doc anti side x) — no
+        # sort-merge exchange anywhere on the query path; the only
+        # shuffle left is the (qid, doc) partial agg
         ("__bms",
-         f"SELECT {hint(dialect, 'BROADCAST(q, i)')}"
+         f"SELECT {hint(dialect, 'BROADCAST(q, i, x)')}"
          f"q.qid, p.doc_id, "
          f"CAST(SUM(i.idf_bp * p.sat_bp) AS BIGINT) AS score_bp "
          f"FROM __bmq q JOIN __bmp_ix p ON q.w = p.w "
          f"JOIN __bmi i ON p.w = i.w "
+         f"LEFT JOIN __bmqd x ON x.qid = p.doc_id "
+         f"WHERE x.qid IS NULL "
          f"GROUP BY q.qid, p.doc_id"),
         ("__bmr",
          "SELECT qid, doc_id, score_bp, ROW_NUMBER() OVER "

@@ -432,8 +432,16 @@ def multi_sample_build(spark, df: DataFrame,
     subdirs = {}
     cols = {c.lower() for c in df.columns}
     bounds = {c: v for c, v in (col_bounds or {}).items() if c in cols}
+    empty_schema = out.drop("__sample").schema
     for n, sp in named_specs:
         sub = os.path.join(path, f"__sample={n}")
+        if not os.path.isdir(sub):
+            # a spec that picked zero rows (tiny fraction / restrictive
+            # base_filter) produces no partition directory — write a real
+            # empty parquet with the sample schema so the sidecar lands
+            # and readers / discover_samples see a valid empty sample,
+            # matching the per-spec build path
+            spark.createDataFrame([], empty_schema).write.parquet(sub)
         write_sample_sidecar(sub, sp, name=n, col_bounds=bounds)
         subdirs[n] = sub
     return subdirs

@@ -249,3 +249,29 @@ def test_session_approx_count_distinct_api(spark):
     off = _session(spark, "hllapioff", on=False)
     assert off.approx_count_distinct("orders", "o_custkey", p=9
                                      ).count() == 1
+
+
+def test_null_group_key_kept_and_replays(spark):
+    """A NULL group key is a real group on the exact route, so the sketch
+    route must return it too (round-8 ADVICE) — and its ORDER BY must pin
+    NULL placement explicitly, since Spark and DuckDB default opposite
+    ways. Checked against a fresh DuckDB replay of the identical rows."""
+    import duckdb
+    import pandas as pd
+    from snappy_aqp_spark.dialect import DUCKDB, SPARK
+    from snappy_aqp_spark.pipeline.distinct import \
+        hll_count_distinct_query_sql
+    pdf = pd.DataFrame({
+        "k": ["a", "a", None, "b", None, "b", None],
+        "v": [1, 2, 3, 4, 5, 1, 3]})
+    spark.createDataFrame(pdf).createOrReplaceTempView("hll_nulls_t")
+    con = duckdb.connect()
+    con.register("hll_nulls_t", pdf)
+    kw = dict(col="v", table="hll_nulls_t", p=9, group_keys=("k",),
+              alias="acd")
+    sp = spark.sql(hll_count_distinct_query_sql(SPARK, **kw))
+    dk = con.sql(hll_count_distinct_query_sql(DUCKDB, **kw))
+    # the NULL-keyed group exists, alongside a and b
+    rows = sp.collect()
+    assert len(rows) == 3 and any(r["k"] is None for r in rows)
+    compare_frames(sp, dk)

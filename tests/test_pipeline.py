@@ -1135,14 +1135,17 @@ def test_bm25_retrieval_matches_reference_scoring(spark):
     got = {(r.qid, r.doc_id): (r.rank, r.score_bp)
            for r in run_stages(spark, st, fin).collect()}
 
-    corpus = {d: [t for t in _re.split(r"[^a-z0-9]+", txt.lower()) if t]
-              for d, txt in docs if d != 1}
+    # corpus statistics over the WHOLE indexed table (standard BM25 — the
+    # index is query-independent); query docs are excluded from RESULTS
+    toks = {d: [t for t in _re.split(r"[^a-z0-9]+", txt.lower()) if t]
+            for d, txt in docs}
     qterms = set(t for t in _re.split(
         r"[^a-z0-9]+", docs[0][1].lower()) if t)
-    tf = {d: Counter(ts) for d, ts in corpus.items()}
-    dl = {d: len(ts) for d, ts in corpus.items()}
-    n_docs, tot = len(corpus), sum(dl.values())
-    df = Counter(t for d in corpus for t in set(corpus[d]))
+    tf = {d: Counter(ts) for d, ts in toks.items()}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n_docs, tot = len(toks), sum(dl.values())
+    df = Counter(t for d in toks for t in set(toks[d]))
+    corpus = {d: ts for d, ts in toks.items() if d != 1}
     expect = {}
     for d in corpus:
         s = 0
@@ -1526,3 +1529,37 @@ def test_hll_estimates_stay_above_lc_cutoff(views, duck):
     est2 = views.sql(
         hll_estimate_sql("__lcck", p=p)).collect()[0]["approx_distinct"]
     assert est2 == est
+
+
+def test_bm25_index_stages_survive_new_queries(spark):
+    """The *_ix postings/df/length stages are query-independent, so a NEW
+    query_pred must reuse the persisted index (round-8 ADVICE: the
+    whole-pipeline cache key evicted them on every new query), and the
+    reused-index answer must equal a cold-cache answer bit for bit."""
+    import pandas as pd
+    from snappy_aqp_spark.pipeline import dual
+    from snappy_aqp_spark.pipeline.retrieval import bm25_topk_stages
+
+    docs = [(i, f"alpha beta gamma token{i % 7} token{i % 3} delta")
+            for i in range(40)]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .createOrReplaceTempView("__bm_reuse_docs")
+
+    def run(pred):
+        st, fin = bm25_topk_stages("spark", query_pred=pred, topk=3,
+                                   table="__bm_reuse_docs")
+        return dual.run_stages(spark, st, fin).toPandas()
+
+    run("doc_id = 0")
+    cached = {n: id(e[1]) for n, e in dual._IX_CACHE.items()
+              if "__bm" in n}
+    assert cached                                   # index stages cached
+    warm = run("doc_id = 5")                        # DIFFERENT query
+    after = {n: id(e[1]) for n, e in dual._IX_CACHE.items()
+             if "__bm" in n}
+    assert after == cached                          # reused, not rebuilt
+    # cold control: drop the index cache and recompute from scratch
+    for n in list(dual._IX_CACHE):
+        dual._IX_CACHE.pop(n)[1].unpersist()
+    cold = run("doc_id = 5")
+    pd.testing.assert_frame_equal(warm, cold)

@@ -406,3 +406,120 @@ def test_run_script_batches_adjacent_sample_creates(spark, monkeypatch):
         y = ctl[i].toPandas()[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(x, y, obj=name)
     pd.testing.assert_frame_equal(res[3].toPandas(), ctl[3].toPandas())
+
+
+def test_multi_sample_build_empty_spec_gets_valid_empty_sample(spark,
+                                                               tmp_path):
+    """A spec whose sample is empty (restrictive base_filter) must still
+    produce a readable partition + sidecar from the fan-out (round-8
+    ADVICE: the partitioned write emits no directory for it), identical
+    to what the per-spec path would persist: a valid empty parquet."""
+    from snappy_aqp_spark.api import AQPSession
+    from snappy_aqp_spark.sampling.samplers import read_sample_sidecar
+
+    aqp = AQPSession(spark, error=0.2, confidence=0.95,
+                     behavior="do_nothing", data_token="multiempty")
+    aqp.load_tables(SF_SMALL, ("lineitem",))
+    keys = ("l_orderkey", "l_linenumber")
+    specs = [
+        ("me_ok", SampleSpec("lineitem", keys, ("l_returnflag",),
+                             method="hash", fraction=0.2, seed=7)),
+        # no lineitem has negative quantity: zero rows survive
+        ("me_empty", SampleSpec("lineitem", keys, ("l_linestatus",),
+                                method="hash", fraction=0.5, seed=11,
+                                base_filter="l_quantity < 0")),
+    ]
+    built = aqp.create_sample_tables(specs, str(tmp_path / "me"))
+    assert built["me_ok"].count() > 0
+    assert built["me_empty"].count() == 0
+    # schema carries the hidden sample columns even when empty
+    cols = set(built["me_empty"].columns)
+    assert {"snappy_sampler_weightage"} & cols or len(cols) > 3
+    # the sidecar landed and a fresh session can re-attach both
+    n2, spec2, _ = read_sample_sidecar(str(tmp_path / "me" /
+                                           "__sample=me_empty"))
+    assert n2 == "me_empty" and spec2 == specs[1][1]
+    a2 = AQPSession(spark, error=0.2, confidence=0.95,
+                    behavior="do_nothing", data_token="multiempty2")
+    a2.load_tables(SF_SMALL, ("lineitem",))
+    found = a2.discover_samples(str(tmp_path / "me"))
+    assert set(found) >= {"me_ok", "me_empty"}
+
+
+def test_run_script_nyc_shape_drop_interleave_still_batches(spark,
+                                                            monkeypatch):
+    """The reference's canonical NYC script interleaves DROP TABLE IF
+    EXISTS between its CREATE SAMPLE TABLEs — drops of tables unrelated
+    to the pending batch must NOT break adjacency (round-8 ADVICE), so
+    the three creates still build through ONE fan-out, with results
+    identical to unbatched execution."""
+    import pandas as pd
+    from snappy_aqp_spark.api import AQPSession
+    from snappy_aqp_spark.sampling import samplers as S
+
+    script = """
+    DROP TABLE IF EXISTS ny_a;
+    CREATE SAMPLE TABLE ny_a ON lineitem OPTIONS (qcs 'l_returnflag',
+        fraction '0.05', method 'hash', seed '42');
+    DROP TABLE IF EXISTS ny_b;
+    CREATE SAMPLE TABLE ny_b ON lineitem OPTIONS (qcs 'l_linestatus',
+        fraction '0.1', method 'hash', seed '7');
+    DROP TABLE IF EXISTS ny_c;
+    CREATE SAMPLE TABLE ny_c ON lineitem OPTIONS (qcs 'l_shipdate',
+        fraction '0.1', method 'hash', seed '5');
+    """
+    calls = {"multi": 0}
+    orig = S.multi_sample_build
+
+    def counting(*a, **kw):
+        calls["multi"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(S, "multi_sample_build", counting)
+    a1 = AQPSession(spark, error=0.2, confidence=0.95,
+                    behavior="do_nothing", data_token="nyc-batched")
+    a1.load_tables(SF_SMALL, ("lineitem",))
+    res = a1.run_script(script)
+    assert calls["multi"] == 1                  # drops did not split it
+    assert len(res) == 6
+    a2 = AQPSession(spark, error=0.2, confidence=0.95,
+                    behavior="do_nothing", data_token="nyc-control")
+    a2.load_tables(SF_SMALL, ("lineitem",))
+    ctl = a2.run_script(script, batch_sample_builds=False)
+    for i in (1, 3, 5):                         # the CREATE results
+        cols = sorted(res[i].columns)
+        x = res[i].toPandas()[cols].sort_values(cols).reset_index(drop=True)
+        y = ctl[i].toPandas()[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(x, y)
+    # a drop that TOUCHES the batch flushes first: create-then-drop ends
+    # with the table gone
+    a1.run_script("""
+    CREATE SAMPLE TABLE ny_d ON lineitem OPTIONS (qcs 'l_returnflag',
+        fraction '0.05', method 'hash', seed '9');
+    DROP TABLE IF EXISTS ny_d;
+    """)
+    assert "ny_d" not in a1.catalog.samples
+
+
+def test_run_script_forwards_rebuild(spark):
+    """A pathless ``CREATE ... OPTIONS(rebuild 'true')`` through
+    run_script must actually re-sample (round-8 ADVICE: the batching path
+    dropped the option and reused the cached sample)."""
+    from snappy_aqp_spark.api import AQPSession
+
+    aqp = AQPSession(spark, error=0.2, confidence=0.95,
+                     behavior="do_nothing", data_token="script-rebuild")
+    aqp.load_tables(SF_SMALL, ("lineitem",))
+    create = ("CREATE SAMPLE TABLE rb_s ON lineitem OPTIONS ("
+              "qcs 'l_returnflag', fraction '0.2', method 'hash', "
+              "seed '42'{extra});")
+    [df1] = aqp.run_script(create.format(extra=""))
+    tot1 = df1.toPandas()["sampler_strata_total"].max()
+    # the base relation shrinks under the same name/session token: only a
+    # REBUILD sees the change (the sample cache is content-keyed by spec)
+    aqp.tables["lineitem"] = aqp.tables["lineitem"].where("l_quantity > 25")
+    [df2] = aqp.run_script(create.format(extra=""))
+    assert df2.toPandas()["sampler_strata_total"].max() == tot1  # cached
+    [df3] = aqp.run_script(create.format(extra=", rebuild 'true'"))
+    tot3 = df3.toPandas()["sampler_strata_total"].max()
+    assert tot3 < tot1                         # actually re-sampled
