@@ -295,6 +295,11 @@ _HLL_CD_GQ = ("SELECT l_returnflag, "
               "relative_error(approx_orders) AS rel_err "
               "FROM lineitem WHERE l_quantity > 10 "
               "GROUP BY l_returnflag ORDER BY l_returnflag WITH ERROR")
+_HLL_CD_EKQ = ("SELECT year(l_shipdate) AS yr, "
+               "COUNT(DISTINCT l_orderkey) AS approx_orders, "
+               "relative_error(approx_orders) AS rel_err "
+               "FROM lineitem GROUP BY year(l_shipdate) "
+               "ORDER BY yr WITH ERROR")
 
 
 def _hll_count_distinct_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,6 +329,20 @@ def _hll_count_distinct_grouped_runner(spark: SparkSession,
     aqp.sql("SET spark.sql.aqp.hllCountDistinct=true")
     aqp.sql("SET spark.sql.aqp.hllPrecision=5")
     return aqp.sql(_HLL_CD_GQ)
+
+
+def _hll_count_distinct_exprkey_runner(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """EXPRESSION group key on the HLL route (round-8: ``GROUP BY
+    year(l_shipdate)`` keeps the sketch route — the builder pre-projects
+    the expression to a generated column before the register lattice,
+    the same trick the main rewrite uses for expression QCS; reference
+    generality analog: stratifiedSampling.scala:311-327)."""
+    aqp = AQPSession(spark, data_token=f"hllcdek@{sf_dir}", **_SQL_DEFAULTS)
+    aqp.load_tables(sf_dir, ("lineitem",))
+    aqp.sql("SET spark.sql.aqp.hllCountDistinct=true")
+    aqp.sql("SET spark.sql.aqp.hllPrecision=5")
+    return aqp.sql(_HLL_CD_EKQ)
 
 
 # multi-sample single-scan build: the RUNNER builds both samples through
@@ -1300,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sql_topk_plain"] = _sql_topk_plain_runner
     out["sql_count_distinct_hll"] = _hll_count_distinct_runner
     out["sql_count_distinct_hll_grouped"] = _hll_count_distinct_grouped_runner
+    out["sql_count_distinct_hll_exprkey"] = _hll_count_distinct_exprkey_runner
     out["sql_histogram_quantile_route"] = _hq_route_runner
     out["sql_histogram_quantile_route_grouped"] = _hq_route_grouped_runner
     out["sql_multi_sample_build"] = _multi_sample_build_runner
@@ -1534,6 +1554,11 @@ def oracle_sql() -> dict[str, str]:
         where="l_quantity > 10", group_keys=("l_returnflag",),
         alias="approx_orders", err_cols=(("relative_error", "rel_err"),),
         confidence=0.95, order_by=("l_returnflag",))
+    out["sql_count_distinct_hll_exprkey"] = hll_count_distinct_query_sql(
+        _DK, col="l_orderkey", table="lineitem", p=5,
+        group_keys=("year(l_shipdate)",), group_out=("yr",),
+        alias="approx_orders", err_cols=(("relative_error", "rel_err"),),
+        confidence=0.95, order_by=("yr",))
     # histogram APPROX_PERCENTILE route: same dual-emission policy
     from snappy_aqp_spark.pipeline.quantiles import (
         histogram_quantile_query_sql)

@@ -1325,15 +1325,18 @@ class AQPSession:
             return re.sub(r"\s+", " ", s.strip()).lower()
 
         gkeys = [dq(g).strip() for g in parsed.group_by]
-        # group keys thread through every lattice stage BY TEXT, so they
-        # must be plain columns (an expression key would be re-applied to
-        # a view that no longer carries its inputs)
-        if any(not re.fullmatch(r"\w+", g) for g in gkeys):
+        # expression group keys route too: the builder pre-projects them
+        # to generated plain columns before the lattice stages (the same
+        # trick the main rewrite uses for expression QCS), so the only
+        # requirements are balanced text and an output alias when the
+        # selected key is not a plain column
+        if any(not fe._balanced(g) for g in gkeys):
             return None
         gset = {norm(g) for g in gkeys}
         cd_arg = cd_alias = cd_text = None
         err_raw: list[tuple[str, str, str | None]] = []
         sel_keys: list[str] = []
+        sel_outs: list[str] = []
         for expr, alias in parsed.select_items:
             e = dq(expr).strip()
             m = self._CD_AGG_RE.match(e)
@@ -1343,9 +1346,13 @@ class AQPSession:
                 cd_arg, cd_alias, cd_text = m.group("arg").strip(), alias, e
                 continue
             if norm(e) in gset:
-                if alias is not None and norm(alias) != norm(e):
+                if alias is None and not re.fullmatch(r"\w+", e):
+                    return None       # expression key needs an output name
+                out = alias or e
+                if any(norm(out) == norm(o) for o in sel_outs):
                     return None
                 sel_keys.append(e)
+                sel_outs.append(out)
                 continue
             me = fe._ERRFN_RE.match(e)
             if me:
@@ -1365,7 +1372,7 @@ class AQPSession:
             if any(o == out for _, o in err_cols):
                 return None
             err_cols.append((fn, out))
-        legal = ({norm(k) for k in sel_keys} | {norm(out_alias)}
+        legal = ({norm(k) for k in sel_outs} | {norm(out_alias)}
                  | {norm(o) for _, o in err_cols})
         order = []
         for o in parsed.order_by:
@@ -1399,6 +1406,7 @@ class AQPSession:
                 return None              # exact route = full-table answer
         return {"col": cd_arg, "table": table, "p": p,
                 "where": dq(parsed.where), "group_keys": tuple(sel_keys),
+                "group_out": tuple(sel_outs),
                 "alias": out_alias, "err_cols": tuple(err_cols),
                 "confidence": conf, "order_by": tuple(order),
                 "limit": parsed.limit}
@@ -1449,9 +1457,9 @@ class AQPSession:
             return re.sub(r"\s+", " ", s.strip()).lower()
 
         gkeys = [dq(g).strip() for g in parsed.group_by]
-        # same plain-column contract as the HLL route: key text threads
-        # through the bin/window stages
-        if any(not re.fullmatch(r"\w+", g) for g in gkeys):
+        # expression keys route like the HLL route: the builder
+        # pre-projects them to generated plain columns
+        if any(not fe._balanced(g) for g in gkeys):
             return None
         gset = {norm(g) for g in gkeys}
         col = None
@@ -1459,6 +1467,7 @@ class AQPSession:
         by_target: dict[str, float] = {}         # norm(alias|text) -> q
         err_raw: list[tuple[str, str, str | None]] = []
         sel_keys: list[str] = []
+        sel_outs: list[str] = []
         for expr, alias in parsed.select_items:
             e = dq(expr).strip()
             m = self._PCT_AGG_RE.match(e)
@@ -1478,9 +1487,13 @@ class AQPSession:
                 by_target[norm(e)] = q
                 continue
             if norm(e) in gset:
-                if alias is not None and norm(alias) != norm(e):
+                if alias is None and not re.fullmatch(r"\w+", e):
+                    return None       # expression key needs an output name
+                out = alias or e
+                if any(norm(out) == norm(o) for o in sel_outs):
                     return None
                 sel_keys.append(e)
+                sel_outs.append(out)
                 continue
             me = fe._ERRFN_RE.match(e)
             if me:
@@ -1498,7 +1511,7 @@ class AQPSession:
             if any(o == out for _, _, o in err_cols):
                 return None
             err_cols.append((fn, by_target[norm(target)], out))
-        legal = ({norm(k) for k in sel_keys}
+        legal = ({norm(k) for k in sel_outs}
                  | {norm(a) for _, a in pcts}
                  | {norm(o) for _, _, o in err_cols})
         order = []
@@ -1524,6 +1537,7 @@ class AQPSession:
                 "width": self.defaults["hist_bin_width"],
                 "pcts": tuple(pcts), "err_cols": tuple(err_cols),
                 "where": dq(parsed.where), "group_keys": tuple(sel_keys),
+                "group_out": tuple(sel_outs),
                 "order_by": tuple(order), "limit": parsed.limit}
 
     def _try_histogram_quantile(self, text: str) -> DataFrame | None:

@@ -127,7 +127,8 @@ def hll_count_distinct_query_sql(dialect: str, col: str, table: str,
                                  err_cols: tuple[tuple[str, str], ...] = (),
                                  confidence: float = 0.95,
                                  order_by: tuple[str, ...] = (),
-                                 limit: int | None = None) -> str:
+                                 limit: int | None = None,
+                                 group_out: tuple[str, ...] = ()) -> str:
     """One SQL statement answering ``SELECT [keys,] COUNT(DISTINCT col)
     [, error fns] FROM table [WHERE ...] [GROUP BY keys]`` through the
     HLL register lattice — the engine text behind the opt-in
@@ -140,13 +141,37 @@ def hll_count_distinct_query_sql(dialect: str, col: str, table: str,
     relative_error, lower_bound, upper_bound}. HLL's standard error is
     1.04/sqrt(m); bounds use the normal quantile at ``confidence`` as a
     Python-side literal, so the whole statement stays bit-exact across
-    engines (no LC branch, no SQL-side libm — IEEE ±*/ only)."""
+    engines (no LC branch, no SQL-side libm — IEEE ±*/ only).
+
+    ``group_out``: output names for the group keys (default: the keys
+    themselves). When any key is an EXPRESSION (``GROUP BY hour(ts)``) or
+    is renamed, the keys are pre-projected to generated ``__gk{i}``
+    columns in a source stage so the lattice threads plain columns, then
+    renamed back in the final select — the same pre-projection trick the
+    main sample rewrite uses for expression QCS (reference generality:
+    stratifiedSampling.scala:311-327)."""
+    import re as _re
+
     from ..stats import normal_ppf
     m = 1 << p
+    group_out = tuple(group_out) or tuple(group_keys)
+    pre: list[tuple[str, str]] = []
+    keys = tuple(group_keys)
+    if group_keys and (keys != group_out
+                       or any(not _re.fullmatch(r"\w+", k) for k in keys)):
+        keys = tuple(f"__gk{i}" for i in range(len(group_keys)))
+        sel = ", ".join(f"{k} AS __gk{i}"
+                        for i, k in enumerate(group_keys))
+        src = f"SELECT {sel}, ({col}) AS __hv FROM {table}"
+        if where:
+            src += f" WHERE {where}"
+        pre = [("__hll_src", src)]
+        table, col, where = "__hll_src", "__hv", None
     stages, _ = hll_distinct_stages(
         dialect, col=col, table=table, p=p,
-        group_by=", ".join(group_keys) or None, where=where,
+        group_by=", ".join(keys) or None, where=where,
         linear_counting=False)
+    stages = pre + stages
     maxbits = 60 - p
     zeros = f"({m} - __present)"
     z_int = (f"(__zp + {zeros} * "
@@ -158,7 +183,8 @@ def hll_count_distinct_query_sql(dialect: str, col: str, table: str,
            "relative_error": dlit(rel),
            "lower_bound": f"({est} - ({dlit(rel)} * {est}))",
            "upper_bound": f"({est} + ({dlit(rel)} * {est}))"}
-    items = list(group_keys)
+    items = [k if k == out else f"{k} AS {out}"
+             for k, out in zip(keys, group_out)]
     items.append(f"{est} AS {alias}")
     for fn, out in err_cols:
         items.append(f"{fns[fn.lower()]} AS {out}")
@@ -166,7 +192,7 @@ def hll_count_distinct_query_sql(dialect: str, col: str, table: str,
     if order_by:
         final += f" ORDER BY {dual.order_nulls(order_by)}"
     elif group_keys:
-        final += f" ORDER BY {dual.order_nulls(group_keys)}"
+        final += f" ORDER BY {dual.order_nulls(group_out)}"
     if limit is not None:
         final += f" LIMIT {limit}"
     return dual.stages_sql(stages, final)

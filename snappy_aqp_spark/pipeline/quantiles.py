@@ -210,7 +210,8 @@ def histogram_quantile_query_sql(dialect: str, col: str, table: str,
                                  where: str | None = None,
                                  group_keys: tuple[str, ...] = (),
                                  order_by: tuple[str, ...] = (),
-                                 limit: int | None = None) -> str:
+                                 limit: int | None = None,
+                                 group_out: tuple[str, ...] = ()) -> str:
     """One SQL statement answering ``SELECT [keys,] APPROX_PERCENTILE(col,
     q) [, error fns] FROM t [WHERE ..] [GROUP BY keys]`` through the
     mergeable fixed-width histogram — the engine text behind the opt-in
@@ -235,16 +236,35 @@ def histogram_quantile_query_sql(dialect: str, col: str, table: str,
     both engines. 100 TB shape: one scan, one map-side-combined GROUP BY
     over ~(range/width) bins per group, a cumulative window over that
     tiny relation, one row out per group."""
+    import re as _re
+
     from . import dual
+    group_out = tuple(group_out) or tuple(group_keys)
+    pre: list[tuple[str, str]] = []
+    keys = tuple(group_keys)
+    if group_keys and (keys != group_out
+                       or any(not _re.fullmatch(r"\w+", k) for k in keys)):
+        # expression / renamed keys: pre-project to generated plain
+        # columns so the bin + window stages thread column names (the
+        # expression-QCS pre-projection trick; see
+        # hll_count_distinct_query_sql)
+        keys = tuple(f"__gk{i}" for i in range(len(group_keys)))
+        sel = ", ".join(f"{k} AS __gk{i}"
+                        for i, k in enumerate(group_keys))
+        src = f"SELECT {sel}, ({col}) AS __hqv FROM {table}"
+        if where:
+            src += f" WHERE {where}"
+        pre = [("__hrq_src", src)]
+        table, col, where = "__hrq_src", "__hqv", None
     bin_expr = dual.fdiv(dialect, f"CAST({col} AS BIGINT)", str(width))
-    g_csv = ", ".join(group_keys)
-    g_pre = (g_csv + ", ") if group_keys else ""
-    part = f"PARTITION BY {g_csv} " if group_keys else ""
+    g_csv = ", ".join(keys)
+    g_pre = (g_csv + ", ") if keys else ""
+    part = f"PARTITION BY {g_csv} " if keys else ""
     # NULL-keyed groups are KEPT (GROUP BY and window PARTITION BY treat
     # NULL as one group identically on both engines) — the exact route
     # returns that group, so the sketch route must too
     pred = f"({col}) IS NOT NULL" + (f" AND ({where})" if where else "")
-    stages = [
+    stages = pre + [
         ("__hrq_b", f"SELECT {g_pre}{bin_expr} AS bin FROM {table} "
                     f"WHERE {pred}"),
         ("__hrq_c", f"SELECT {g_pre}bin, CAST(COUNT(*) AS BIGINT) AS n "
@@ -270,16 +290,17 @@ def histogram_quantile_query_sql(dialect: str, col: str, table: str,
                                      f"* {width})"),
            "upper_bound": lambda q: (f"((CAST({min_bin(q)} AS DOUBLE) "
                                      f"+ {dlit(1.0)}) * {width})")}
-    items = list(group_keys)
+    items = [k if k == out else f"{k} AS {out}"
+             for k, out in zip(keys, group_out)]
     items += [f"{est(q)} AS {alias}" for q, alias in pcts]
     items += [f"{fns[fn.lower()](q)} AS {alias}" for fn, q, alias in err_cols]
     final = f"SELECT {', '.join(items)} FROM __hrq_r"
-    if group_keys:
+    if keys:
         final += f" GROUP BY {g_csv}"
     if order_by:
         final += f" ORDER BY {dual.order_nulls(order_by)}"
-    elif group_keys:
-        final += f" ORDER BY {dual.order_nulls(group_keys)}"
+    elif keys:
+        final += f" ORDER BY {dual.order_nulls(group_out)}"
     if limit is not None:
         final += f" LIMIT {limit}"
     return dual.stages_sql(stages, final)

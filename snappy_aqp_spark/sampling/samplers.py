@@ -262,9 +262,14 @@ def multi_sample_build(spark, df: DataFrame,
     Output per sample is row- and weight-identical to
     ``stratified_sample(df, spec)`` (pinned by pytest). Stratum identity
     uses the QCS tuple string-cast (NULL kept as a distinct stratum) —
-    identical strata whenever the cast is injective over the data (ints,
-    strings, dates; the normal QCS types). ``error_limit`` specs ride
-    the same two passes: their quantized measure travels inside the
+    injective for the normal QCS types (int, string, date, boolean),
+    and ENFORCED: a spec whose QCS evaluates to any other type (double,
+    where ``-0.0``/``0.0`` group together natively but string-cast to
+    distinct strata; timestamp; binary; ...) falls back to a per-spec
+    ``stratified_sample`` build, so the equivalence contract holds for
+    every QCS type the single-spec samplers accept (reference QCS
+    generality: stratifiedSampling.scala:311-327). ``error_limit`` specs
+    ride the same two passes: their quantized measure travels inside the
     scan-1 explode entries (the moment sums land in the same tiny counts
     aggregate), the CLT ``n_req`` derives per (sample, stratum) on that
     relation, and the shared window ranks with the per-stratum k."""
@@ -274,6 +279,34 @@ def multi_sample_build(spark, df: DataFrame,
     seen = [n for n, _ in named_specs]
     if len(set(seen)) != len(seen):
         raise ValueError(f"duplicate sample names: {seen}")
+
+    from pyspark.sql.types import (BooleanType, ByteType, DateType,
+                                   IntegerType, LongType, ShortType,
+                                   StringType)
+    _cast_injective = (ByteType, ShortType, IntegerType, LongType,
+                       StringType, DateType, BooleanType)
+
+    def _qcs_fanout_safe(sp: SampleSpec) -> bool:
+        fields = df.select(*[F.expr(q) for q in sp.qcs]).schema.fields
+        return all(isinstance(f.dataType, _cast_injective) for f in fields)
+
+    unsafe = [(n, sp) for n, sp in named_specs
+              if not _qcs_fanout_safe(sp)]
+    if unsafe:
+        unsafe_names = {n for n, _ in unsafe}
+        safe = [(n, sp) for n, sp in named_specs
+                if n not in unsafe_names]
+        subdirs = (multi_sample_build(spark, df, safe, path,
+                                      col_bounds=col_bounds)
+                   if safe else {})
+        lcols = {c.lower() for c in df.columns}
+        bnds = {c: v for c, v in (col_bounds or {}).items() if c in lcols}
+        for n, sp in unsafe:
+            sub = os.path.join(path, f"__sample={n}")
+            stratified_sample(df, sp).write.mode("overwrite").parquet(sub)
+            write_sample_sidecar(sub, sp, name=n, col_bounds=bnds)
+            subdirs[n] = sub
+        return subdirs
     specs = [sp for _, sp in named_specs]
     names = [n for n, _ in named_specs]
     is_hash = [sp.method in ("hash", "hash_rand") for sp in specs]

@@ -144,3 +144,26 @@ def test_null_group_key_kept_and_replays(spark):
     nul = [r for r in rows if r["k"] is None][0]
     assert nul["p50"] == 175.0
     compare_frames(sp, dk)
+
+
+def test_expression_group_key_routes(spark):
+    """Expression group keys route through the histogram builder's
+    pre-projection (round-8), mirroring the HLL route."""
+    from snappy_aqp_spark.api import AQPSession
+    from tests.conftest import SF_SMALL
+    aqp = AQPSession(spark, error=0.2, confidence=0.95,
+                     behavior="do_nothing", data_token="hqexprkey")
+    aqp.load_tables(SF_SMALL, ("documents",))
+    aqp.sql("SET spark.sql.aqp.histogramQuantile=true")
+    info = aqp._hq_route_info(
+        "SELECT doc_id % 3 AS b, APPROX_PERCENTILE(n_chars, 0.5) AS med "
+        "FROM documents GROUP BY doc_id % 3 WITH ERROR")
+    assert info is not None
+    assert info["group_keys"] == ("doc_id % 3",)
+    assert info["group_out"] == ("b",)
+    rows = aqp.sql(
+        "SELECT doc_id % 3 AS b, APPROX_PERCENTILE(n_chars, 0.5) AS med "
+        "FROM documents GROUP BY doc_id % 3 ORDER BY b WITH ERROR"
+    ).collect()
+    assert len(rows) == 3 and [r["b"] for r in rows] == [0, 1, 2]
+    assert all(r["med"] % 50 == 25.0 for r in rows)   # bin midpoints

@@ -174,18 +174,35 @@ def test_set_property_validation(spark):
         aqp.sql("SET spark.sql.aqp.hllPrecision=99")
 
 
-def test_expression_group_key_falls_through(spark):
-    """Group keys thread through the lattice stages by text, so only
-    plain column keys route; expression keys take the exact path."""
+def test_expression_group_key_routes(spark):
+    """An EXPRESSION group key keeps the sketch route (round-8: the
+    builder pre-projects it to a generated column before the register
+    lattice) — but only when the selected key carries an output alias;
+    an unaliased expression key still falls through."""
     aqp = _session(spark, "hllexprkey")
+    info = aqp._hll_route_info(
+        "SELECT year(o_orderdate) AS y, COUNT(DISTINCT o_custkey) a "
+        "FROM orders GROUP BY year(o_orderdate) WITH ERROR")
+    assert info is not None
+    assert info["group_keys"] == ("year(o_orderdate)",)
+    assert info["group_out"] == ("y",)
+    rows = aqp.sql(
+        "SELECT year(o_orderdate) AS y, COUNT(DISTINCT o_custkey) AS a "
+        "FROM orders GROUP BY year(o_orderdate) ORDER BY y WITH ERROR"
+    ).collect()
+    exact = {r["y"]: r["c"] for r in spark.sql(
+        "SELECT year(o_orderdate) AS y, COUNT(DISTINCT o_custkey) c "
+        "FROM orders GROUP BY year(o_orderdate)").collect()}
+    assert {r["y"] for r in rows} == set(exact)
+    # the answers are sketch ESTIMATES (float, not the exact integers —
+    # accuracy above the LC regime is pinned elsewhere; this fixture's
+    # per-year cardinalities sit below 2.5*m at p=9)
+    assert all(isinstance(r["a"], float) and r["a"] > 0 for r in rows)
+    assert any(r["a"] != exact[r["y"]] for r in rows)
+    # unaliased expression key: no output column name -> exact path
     assert aqp._hll_route_info(
         "SELECT year(o_orderdate), COUNT(DISTINCT o_custkey) a "
         "FROM orders GROUP BY year(o_orderdate) WITH ERROR") is None
-    # still answers (exactly) through the fall-through
-    rows = aqp.sql(
-        "SELECT year(o_orderdate) AS y, COUNT(DISTINCT o_custkey) AS a "
-        "FROM orders GROUP BY year(o_orderdate) WITH ERROR").collect()
-    assert len(rows) > 0
 
 
 def test_route_works_over_a_stream_table(spark, tmp_path):

@@ -523,3 +523,52 @@ def test_run_script_forwards_rebuild(spark):
     [df3] = aqp.run_script(create.format(extra=", rebuild 'true'"))
     tot3 = df3.toPandas()["sampler_strata_total"].max()
     assert tot3 < tot1                         # actually re-sampled
+
+
+def test_multi_sample_build_type_gates_stratum_identity(spark, tmp_path):
+    """The fan-out keys strata on string-cast QCS tuples, injective only
+    for int/string/date/boolean — a DOUBLE QCS (-0.0 and 0.0 group
+    together natively but cast to distinct strings) or TIMESTAMP QCS
+    must fall back to the per-spec build so multi-build stays
+    row- and weight-identical to stratified_sample (round-8 VERDICT #2)."""
+    import datetime
+
+    import pandas as pd
+    from snappy_aqp_spark.sampling.samplers import (multi_sample_build,
+                                                    stratified_sample)
+
+    rows = []
+    for i in range(400):
+        rows.append((
+            i,
+            # doubles with BOTH zero signs in the same stratum
+            [-0.0, 0.0, 1.5, 2.5][i % 4],
+            datetime.datetime(2024, 1, 1 + i % 5, 12, 30, i % 60),
+            ["x", "y"][i % 2]))
+    df = spark.createDataFrame(
+        rows, "k long, d double, ts timestamp, s string")
+    specs = [
+        ("tg_d", SampleSpec("t", ("k",), ("d",),
+                            method="hash", fraction=0.5, seed=3)),
+        ("tg_ts", SampleSpec("t", ("k",), ("ts",),
+                             method="fraction", fraction=0.3, seed=5,
+                             reservoir_size=10)),
+        # a safe spec rides the fan-out alongside the fallbacks
+        ("tg_s", SampleSpec("t", ("k",), ("s",),
+                            method="hash", fraction=0.4, seed=7)),
+    ]
+    built = multi_sample_build(spark, df, specs, str(tmp_path / "tg"))
+    for name, sp in specs:
+        got = spark.read.parquet(built[name]).toPandas()
+        want = stratified_sample(df, sp).toPandas()
+        cols = sorted(want.columns)
+        assert sorted(got.columns) == cols, name
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, obj=name)
+    # the double spec's -0.0/0.0 rows share ONE stratum (native identity)
+    dsm = spark.read.parquet(built["tg_d"]).toPandas()
+    zero = dsm[dsm["d"] == 0.0]
+    if len(zero):
+        assert zero["sampler_strata_total"].nunique() == 1
+        assert (zero["sampler_strata_total"] == 200).all()
