@@ -203,3 +203,54 @@ def test_closed_form_se_matches_empirical_sd(runs):
     emp_sd = statistics.stdev(e for e, _, _ in runs)
     pred_se = statistics.mean((hi - lo) / (2 * z975) for _, lo, hi in runs)
     assert 0.65 < emp_sd / pred_se < 1.5, (emp_sd, pred_se)
+
+
+# --- reference-protocol coverage at sf0.01 (round-8 VERDICT #5) -------------
+# BootStrapAccuracySuite.scala:309-318 averages bounds over 150 reruns
+# against the exact answer; this is the scaled equivalent: 50 independent
+# sampler seeds at the driver's t2 scale, one closed-form and one
+# bootstrap harness, asserting the 95% CI covers the exact answer in
+# >= ~90% of runs. Randomness is key-hash-derived, so each seed's outcome
+# is deterministic — the thresholds are exact regression pins, not flaky
+# statistical gates.
+
+N_SEEDS_REF = 50
+
+
+@pytest.fixture(scope="module")
+def exact_sum_medium(duck_medium):
+    return float(duck_medium.sql(
+        "SELECT SUM(CAST(FLOOR(l_extendedprice * 4.0) AS BIGINT)) / 4.0 "
+        "FROM lineitem").fetchone()[0])
+
+
+@pytest.fixture(scope="module")
+def medium_tables(spark):
+    from tests.conftest import SF_MEDIUM
+    return load_tables(spark, SF_MEDIUM, ("lineitem",))
+
+
+def _coverage(spark, tables, exact, estimator):
+    covered = 0
+    for seed in range(N_SEEDS_REF):
+        row = run_approx_query(spark, _spec(seed, estimator),
+                               tables).collect()[0]
+        if row["s_lower_bound"] <= exact <= row["s_upper_bound"]:
+            covered += 1
+    return covered
+
+
+@pytest.mark.slow
+def test_reference_protocol_ci_coverage_closed_form(spark, medium_tables,
+                                                    exact_sum_medium):
+    covered = _coverage(spark, medium_tables, exact_sum_medium,
+                        "closed_form")
+    # binomial(50, 0.95): P(covered < 44) < 4e-3
+    assert covered >= 44, f"coverage {covered}/{N_SEEDS_REF}"
+
+
+@pytest.mark.slow
+def test_reference_protocol_ci_coverage_bootstrap(spark, medium_tables,
+                                                  exact_sum_medium):
+    covered = _coverage(spark, medium_tables, exact_sum_medium, "bootstrap")
+    assert covered >= 44, f"coverage {covered}/{N_SEEDS_REF}"
