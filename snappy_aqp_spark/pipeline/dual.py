@@ -293,32 +293,18 @@ def stages_sql(stages: list[tuple[str, str]], final: str,
 # single sf0.1 shingle explosion parked GBs forever).
 #
 # INDEX stages (*_ix — query-independent corpus artifacts like BM25
-# posting lists) cache PER STAGE instead: keyed by the stage's transitive
-# SQL closure, so a NEW query over the same index reuses it (round-8
-# ADVICE — the whole-pipeline key evicted the index on every new
-# query_pred, defeating the 'build once, probe many' split). One entry
-# per index name; a changed closure unpersists the stale one.
+# posting lists) cache PER STAGE instead: keyed by the stage's
+# ``semanticHash()`` — the canonicalized ANALYZED plan, which resolves
+# transitively through the current temp-view bindings down to the file
+# locations — so a NEW query over the same index reuses it (round-8
+# ADVICE: the whole-pipeline key evicted the index on every new
+# query_pred, defeating the 'build once, probe many' split), while a
+# REBOUND source table (same SQL text, different sf_dir) misses and
+# rebuilds instead of serving stale rows. One entry per index name; a
+# changed binding unpersists the stale one.
 _PREV_PERSISTED: list = []
 _PREV_KEY: list = [None]
-_IX_CACHE: dict[str, tuple] = {}     # name -> (closure_key, persisted df)
-
-
-def _ix_closure_key(stages: list[tuple[str, str]], i: int) -> tuple:
-    """The (name, sql) set stage i transitively depends on, including
-    itself — equality means the index's defining SQL chain is unchanged."""
-    import re as _re
-    seen: set[int] = set()
-
-    def rec(j: int) -> None:
-        if j in seen:
-            return
-        seen.add(j)
-        for k in range(j):
-            if _re.search(rf"\b{stages[k][0]}\b", stages[j][1]):
-                rec(k)
-
-    rec(i)
-    return tuple(sorted(stages[j] for j in seen))
+_IX_CACHE: dict[str, tuple] = {}     # name -> (semantic_hash, persisted df)
 
 
 def run_stages(spark, stages: list[tuple[str, str]], final: str):
@@ -353,21 +339,19 @@ def run_stages(spark, stages: list[tuple[str, str]], final: str):
     if not persisted:
         return spark.sql(stages_sql(stages, final))
 
-    for i, (name, sql) in enumerate(stages):
+    for name, sql in stages:
+        df = spark.sql(sql)            # references earlier stages as views
         if name.endswith("_ix"):
-            ck = _ix_closure_key(stages, i)
+            ck = df.semanticHash()     # binding-sensitive: views + files
             hit = _IX_CACHE.get(name)
             if hit is not None and hit[0] == ck:
                 hit[1].createOrReplaceTempView(name)
                 continue
             if hit is not None:
                 hit[1].unpersist()
-            df = spark.sql(sql).persist()
+            df = df.persist()
             _IX_CACHE[name] = (ck, df)
-            df.createOrReplaceTempView(name)
-            continue
-        df = spark.sql(sql)            # references earlier stages as views
-        if name in persisted:
+        elif name in persisted:
             df = df.persist()
             _PREV_PERSISTED.append(df)
         df.createOrReplaceTempView(name)

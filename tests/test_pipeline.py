@@ -1563,3 +1563,28 @@ def test_bm25_index_stages_survive_new_queries(spark):
         dual._IX_CACHE.pop(n)[1].unpersist()
     cold = run("doc_id = 5")
     pd.testing.assert_frame_equal(warm, cold)
+
+
+def test_bm25_index_cache_is_binding_sensitive(spark):
+    """Same stage TEXT over a rebound source table must MISS the index
+    cache (semanticHash keys resolve through the current view bindings),
+    never serve rows from the previous table."""
+    from snappy_aqp_spark.pipeline import dual
+    from snappy_aqp_spark.pipeline.retrieval import bm25_topk_stages
+
+    def load(docs, view):
+        spark.createDataFrame(docs, "doc_id long, text string") \
+            .createOrReplaceTempView(view)
+
+    def run():
+        st, fin = bm25_topk_stages("spark", query_pred="doc_id = 0",
+                                   topk=5, table="__bm_bind_docs")
+        return {r.doc_id for r in dual.run_stages(spark, st, fin).collect()}
+
+    load([(0, "rare zebra quark"), (1, "rare zebra quark boson"),
+          (2, "other words entirely")], "__bm_bind_docs")
+    assert run() == {1}
+    # rebind the SAME view name to different rows: doc 2 now matches
+    load([(0, "rare zebra quark"), (2, "rare zebra quark lepton"),
+          (3, "unrelated text")], "__bm_bind_docs")
+    assert run() == {2}
