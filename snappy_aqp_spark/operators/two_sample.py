@@ -107,22 +107,66 @@ def two_sample_join_sum_stages(dialect: str, spec_a: SampleSpec,
         f"SELECT {group_by} AS __g, {keys_a}, {keys_b}, {q} AS __q "
         f"FROM __tsj_a a JOIN __tsj_b b ON {join_on}"
         + (f" WHERE {where}" if where else "")))
-    # BIGINT trial index: the multiplicity hash multiplies it by a large
-    # prime, which overflows int32 under Spark 4 ANSI mode
-    stages.append((
-        "__tsj_trials",
-        f"SELECT CAST(__ti AS BIGINT) AS {TRIAL_COL} FROM ("
-        f"SELECT {explode(dialect, sequence(dialect, '0', str(trials)), '__ti')}"
-        + (" FROM (SELECT 1 AS __one) __d" if dialect == "spark" else "")
-        + ") __tix"))
-    m_a = _multiplicity(spec_a, 11, "__a_")
-    m_b = _multiplicity(spec_b, 23, "__b_")
-    stages.append((
-        "__tsj_tsum",
-        f"SELECT __g, {TRIAL_COL}, "
-        f"SUM({m_a} * {m_b} * __q) AS __tq "
-        f"FROM __tsj_join CROSS JOIN __tsj_trials "
-        f"GROUP BY __g, {TRIAL_COL}"))
+    if dialect == "spark":
+        # trial-unrolled wide aggregate (operators/bootstrap.py::
+        # wide_trial_columns, same argument): each side's salt-free key
+        # hash is projected ONCE per joined row, the per-trial Poisson
+        # multiplicities fold their trial salt to Python constants, and
+        # one hash aggregate computes all R+1 integer trial sums — the
+        # join relation is scanned once instead of materializing
+        # rows x (R+1) into the first aggregate. Trial sums are integer-
+        # exact, so this matches the oracle's CROSS JOIN replay bit for
+        # bit (pinned by the two_sample fixtures + 10x stress).
+        from ..detrng import _MIX, _MUL
+        from ..stats import poisson1_cdf_thresholds as _th
+        th = _th(MODULUS)
+
+        def base(spec: SampleSpec, side_salt: int, prefix: str) -> str:
+            return hash_sql([f"{prefix}{k}" for k in spec.key_cols],
+                            seed=spec.seed * 31 + 1709 + side_salt, salt=0)
+
+        def mcase(base_col: str, t: int) -> str:
+            if t == 0:
+                return "1"
+            salt_c = (t * _MIX + 777) % MODULUS
+            h = (f"((({base_col} + {salt_c}) * {_MUL} + 99991) "
+                 f"% {MODULUS})")
+            branches = " ".join(f"WHEN {h} < {c} THEN {k}"
+                                for k, c in enumerate(th))
+            return f"(CASE {branches} ELSE {len(th)} END)"
+
+        stages.append((
+            "__tsj_hb",
+            f"SELECT __g, __q, {base(spec_a, 11, '__a_')} AS __hba, "
+            f"{base(spec_b, 23, '__b_')} AS __hbb FROM __tsj_join"))
+        sums = ", ".join(
+            f"SUM({mcase('__hba', t)} * {mcase('__hbb', t)} * __q) "
+            f"AS __tq{t}" for t in range(trials + 1))
+        stages.append((
+            "__tsj_wide",
+            f"SELECT __g, {sums} FROM __tsj_hb GROUP BY __g"))
+        pairs = ", ".join(f"CAST({t} AS BIGINT), __tq{t}"
+                          for t in range(trials + 1))
+        stages.append((
+            "__tsj_tsum",
+            f"SELECT __g, stack({trials + 1}, {pairs}) "
+            f"AS ({TRIAL_COL}, __tq) FROM __tsj_wide"))
+    else:
+        # BIGINT trial index: the multiplicity hash multiplies it by a
+        # large prime, which overflows int32 under Spark 4 ANSI mode
+        stages.append((
+            "__tsj_trials",
+            f"SELECT CAST(__ti AS BIGINT) AS {TRIAL_COL} FROM ("
+            f"SELECT {explode(dialect, sequence(dialect, '0', str(trials)), '__ti')}"
+            + ") __tix"))
+        m_a = _multiplicity(spec_a, 11, "__a_")
+        m_b = _multiplicity(spec_b, 23, "__b_")
+        stages.append((
+            "__tsj_tsum",
+            f"SELECT __g, {TRIAL_COL}, "
+            f"SUM({m_a} * {m_b} * __q) AS __tq "
+            f"FROM __tsj_join CROSS JOIN __tsj_trials "
+            f"GROUP BY __g, {TRIAL_COL}"))
     coll = collect_list(dialect, "__tq")
     stages.append((
         "__tsj_grp",
