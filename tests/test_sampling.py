@@ -374,7 +374,7 @@ def test_run_script_batches_adjacent_sample_creates(spark, monkeypatch):
         seed '42');
     CREATE SAMPLE TABLE rs_b ON lineitem OPTIONS (qcs 'l_linestatus',
         method 'reservoir', strataReservoirSize '30', seed '7');
-    CREATE SAMPLE TABLE rs_c ON lineitem OPTIONS (qcs 'l_shipdate',
+    CREATE SAMPLE TABLE rs_c ON lineitem OPTIONS (qcs 'l_suppkey',
         fraction '0.1', method 'hash', seed '5');
     SELECT l_returnflag, SUM(l_quantity) AS sq FROM lineitem
         GROUP BY l_returnflag ORDER BY l_returnflag WITH ERROR;
@@ -465,7 +465,10 @@ def test_run_script_nyc_shape_drop_interleave_still_batches(spark,
     CREATE SAMPLE TABLE ny_b ON lineitem OPTIONS (qcs 'l_linestatus',
         fraction '0.1', method 'hash', seed '7');
     DROP TABLE IF EXISTS ny_c;
-    CREATE SAMPLE TABLE ny_c ON lineitem OPTIONS (qcs 'l_shipdate',
+    -- NOTE: qcs must be a fan-out-safe type (int/string/date/bool);
+    -- a TIMESTAMP qcs like l_shipdate correctly falls back to a
+    -- per-spec build and would split the batch (see the type-gate test)
+    CREATE SAMPLE TABLE ny_c ON lineitem OPTIONS (qcs 'l_suppkey',
         fraction '0.1', method 'hash', seed '5');
     """
     calls = {"multi": 0}
