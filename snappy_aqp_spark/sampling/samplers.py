@@ -120,7 +120,17 @@ def _ranked_sample(df: DataFrame, spec: SampleSpec, use_prefilter: bool = True) 
     thr = threshold_for_fraction(spec.fraction) if spec.method == "fraction" else 0
     qcs = _qcs_cols(spec)
     tagged = _tag(df, spec)
-    counts = tagged.groupBy(*qcs).agg(F.count(F.lit(1)).alias("__ntot"))
+    aggs = [F.count(F.lit(1)).alias("__ntot")]
+    if spec.method == "fraction":
+        # per-stratum count under the fraction threshold: a stratum with
+        # >= k such rows never needs ranking (the k smallest priorities
+        # are all under thr, so (rn <= k) OR (h < thr) == (h < thr)) —
+        # at scale this removes nearly every row from the window, whose
+        # partition count is the (small) stratum count and would
+        # otherwise serialize a fraction-sized sort per stratum
+        aggs.append(F.sum((F.col("__h") < F.lit(thr)).cast("long"))
+                    .alias("__nthr"))
+    counts = tagged.groupBy(*qcs).agg(*aggs)
 
     if use_prefilter:
         # candidate threshold per stratum: oversampled k/N (and at least the
@@ -157,6 +167,14 @@ def _ranked_sample(df: DataFrame, spec: SampleSpec, use_prefilter: bool = True) 
     else:
         pool = _nullsafe_join(tagged, counts, qcs)
 
+    # fraction no-rank fast path: strata with >= k rows under thr pick
+    # exactly {h < thr} (set-equal to the windowed pick, see counts above)
+    direct = None
+    if spec.method == "fraction":
+        direct = pool.where((F.col("__nthr") >= F.lit(k))
+                            & (F.col("__h") < F.lit(thr)))
+        pool = pool.where(F.col("__nthr") < F.lit(k))
+
     # tiebreak by every base column: key columns may not be unique in the
     # wild, and rows identical in all columns are interchangeable — this
     # keeps the ranked pick deterministic across engines and partitionings
@@ -167,6 +185,9 @@ def _ranked_sample(df: DataFrame, spec: SampleSpec, use_prefilter: bool = True) 
         picked = ranked.where(F.col("__rn") <= F.lit(k))
     else:
         picked = ranked.where((F.col("__rn") <= F.lit(k)) | (F.col("__h") < F.lit(thr)))
+    picked = picked.drop("__rn")
+    if direct is not None:
+        picked = picked.unionByName(direct)
     n_per = picked.groupBy(*qcs).agg(F.count(F.lit(1)).alias("__nsmp"))
     out = _nullsafe_join(picked, n_per, qcs)
     return _finish(out, df.columns)
@@ -345,10 +366,13 @@ def multi_sample_build(spark, df: DataFrame,
         return F.expr(f"CAST(FLOOR(({sp.error_limit_col}) * "
                       f"{pow2_literal(m)}) AS BIGINT)")
 
+    # __in counts rows under the spec's fraction threshold for EVERY
+    # method (hash: the inclusion cut itself; ranked fraction: the
+    # no-rank fast path's per-stratum count; reservoir/error_limit:
+    # threshold 0, always false)
     entries = [F.struct(F.lit(i).alias("__sid"), skey(sp).alias("__sk"),
                         live(sp).cast("int").alias("__live"),
-                        (hash_included(sp) if is_hash[i] else F.lit(False)
-                         ).cast("int").alias("__in"),
+                        hash_included(sp).cast("int").alias("__in"),
                         el_measure(i, sp).alias("__m"))
                for i, sp in enumerate(specs)]
     counts = (df.select(F.explode(F.array(*entries)).alias("e"))
@@ -407,11 +431,14 @@ def multi_sample_build(spark, df: DataFrame,
                                 skey(sp).alias("__sk"),
                                 hcol(sp).alias("__h")))
         cand_entries.append(e)
-    rows = (df.withColumn("__e", F.explode(F.filter(
-                F.array(*cand_entries), lambda x: x.isNotNull())))
-            .select(*df.columns, F.col("__e.__sid").alias("__sid"),
-                    F.col("__e.__sk").alias("__sk"),
-                    F.col("__e.__h").alias("__h")))
+    def explode_rows(*keep: str) -> DataFrame:
+        return (df.withColumn("__e", F.explode(F.filter(
+                    F.array(*cand_entries), lambda x: x.isNotNull())))
+                .select(*keep, F.col("__e.__sid").alias("__sid"),
+                        F.col("__e.__sk").alias("__sk"),
+                        F.col("__e.__h").alias("__h")))
+
+    rows = explode_rows(*df.columns)
     wn = rows.join(F.broadcast(counts), ["__sid", "__sk"])
     # effective per-stratum k: the spec's reservoir size, or the CLT
     # n_req for error_limit specs (a per-stratum COLUMN, not a constant)
@@ -433,26 +460,46 @@ def multi_sample_build(spark, df: DataFrame,
     # hash rows pass through (their cut already happened in the explode);
     # ranked rows keep the candidate cut OR their whole stratum when the
     # prefilter cannot certify k candidates (decided per-row from the
-    # broadcast per-stratum candidate counts — no second base scan)
-    cands = wn.where(hash_i | (F.col("__h") < cand_thr))
-    cand_counts = (cands.where(~hash_i)
+    # broadcast per-stratum candidate counts). The candidate COUNT pass
+    # runs on a NARROW explode — (sid, stratum, hash) only, so its scan
+    # prunes to the key/qcs columns instead of dragging every base
+    # column through a second full-width explode.
+    cand_counts = (explode_rows()
+                   .join(F.broadcast(counts), ["__sid", "__sk"])
+                   .where((~hash_i) & (F.col("__h") < cand_thr))
                    .groupBy("__sid", "__sk")
                    .agg(F.count(F.lit(1)).alias("__cn")))
+    # the pool (≈ union of the specs' samples + top-up candidates, i.e.
+    # fraction-sized) is consumed by BOTH sides of the no-rank split
+    # below — persist it so the base scan + explode lineage executes
+    # once for them, not once per side
     pool = (wn.join(F.broadcast(cand_counts), ["__sid", "__sk"], "left")
             .where(hash_i
                    | ((F.coalesce(F.col("__cn"), F.lit(0)) >= eff_k)
                       & (F.col("__h") < cand_thr))
-                   | (F.coalesce(F.col("__cn"), F.lit(0)) < eff_k)))
-    # one window ranks every ranked spec's pool; hash rows skip ranking
+                   | (F.coalesce(F.col("__cn"), F.lit(0)) < eff_k))
+            .persist())
+    # fraction no-rank fast path (same set-equality proof as
+    # _ranked_sample): a ranked-fraction stratum whose under-threshold
+    # count already reaches the floor picks exactly {h < thr} with
+    # nsmp = that count — no ranking, no count window. Only floor
+    # top-up strata and reservoir / error_limit specs enter the window,
+    # so at scale its input is candidate-sized, not fraction-sized.
+    no_rank = ((~hash_i) & (thr_i.cast("bigint") > F.lit(0))
+               & (F.col("__nsmp_h") >= eff_k))
+    heavy = (pool.where(no_rank & (F.col("__h") < thr_i.cast("bigint")))
+             .withColumn("__nsmp", F.col("__nsmp_h")))
+    # one window ranks every remaining ranked pool; hash rows skip ranking
     order = [F.col("__h").asc()] + [F.col(c).asc() for c in df.columns]
     w = Window.partitionBy("__sid", "__sk").orderBy(*order)
-    ranked = pool.withColumn(
+    ranked = pool.where(~no_rank).withColumn(
         "__rn", F.when(hash_i, F.lit(0)).otherwise(F.row_number().over(w)))
     picked = ranked.where(hash_i | (F.col("__rn") <= eff_k)
                           | (F.col("__h") < thr_i.cast("bigint")))
     nsmp = F.when(hash_i, F.col("__nsmp_h")).otherwise(
         F.count(F.lit(1)).over(Window.partitionBy("__sid", "__sk")))
-    out = (picked.withColumn("__nsmp", nsmp)
+    out = (picked.withColumn("__nsmp", nsmp).drop("__rn")
+           .unionByName(heavy)
            .where(F.col("__nsmp") > 0)
            .select(*df.columns,
                    F.col("__nsmp").cast("bigint").alias(STRATA_SAMPLED_COL),
@@ -462,6 +509,7 @@ def multi_sample_build(spark, df: DataFrame,
                    F.element_at(F.array(*[F.lit(n) for n in names]),
                                 F.col("__sid") + 1).alias("__sample")))
     out.write.mode("overwrite").partitionBy("__sample").parquet(path)
+    pool.unpersist()
     subdirs = {}
     cols = {c.lower() for c in df.columns}
     bounds = {c: v for c, v in (col_bounds or {}).items() if c in cols}
