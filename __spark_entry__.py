@@ -687,7 +687,7 @@ def _streaming_hll_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
              for f in tbl.schema]))
         pq.write_table(tbl, f"{tmp}/in/b{i}.parquet")
     reg_sql = hll_registers_sql(_SP, col="event_id", table="__shll_batch",
-                                p=6)
+                                p=6, key_kind="bigint")
 
     def upd(bdf, _bid):
         bdf.createOrReplaceTempView("__shll_batch")
@@ -710,7 +710,8 @@ def _streaming_hll_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _streaming_hll_oracle() -> str:
     from snappy_aqp_spark.pipeline.distinct import (hll_estimate_sql,
                                                     hll_registers_sql)
-    reg = hll_registers_sql(_DK, col="event_id", table="events", p=6)
+    reg = hll_registers_sql(_DK, col="event_id", table="events", p=6,
+                            key_kind="bigint")
     est = hll_estimate_sql("__shll_state", p=6, dialect=_DK)
     return f"WITH __shll_state AS ({reg}) {est}"
 
@@ -1544,21 +1545,25 @@ def oracle_sql() -> dict[str, str]:
     # lattice emitted in the DuckDB dialect (params mirror the runners'
     # SET statements + query text)
     from snappy_aqp_spark.pipeline.distinct import hll_count_distinct_query_sql
+    # key_kind='bigint' mirrors the Spark route's type probe
+    # (AQPSession._hll_key_kind): l_orderkey is int64, so both engines
+    # hash through the integer avalanche, not md5
     out["sql_count_distinct_hll"] = hll_count_distinct_query_sql(
         _DK, col="l_orderkey", table="lineitem", p=6,
         alias="approx_orders",
         err_cols=(("absolute_error", "abs_err"), ("lower_bound", "lb"),
-                  ("upper_bound", "ub")), confidence=0.95)
+                  ("upper_bound", "ub")), confidence=0.95,
+        key_kind="bigint")
     out["sql_count_distinct_hll_grouped"] = hll_count_distinct_query_sql(
         _DK, col="l_orderkey", table="lineitem", p=5,
         where="l_quantity > 10", group_keys=("l_returnflag",),
         alias="approx_orders", err_cols=(("relative_error", "rel_err"),),
-        confidence=0.95, order_by=("l_returnflag",))
+        confidence=0.95, order_by=("l_returnflag",), key_kind="bigint")
     out["sql_count_distinct_hll_exprkey"] = hll_count_distinct_query_sql(
         _DK, col="l_orderkey", table="lineitem", p=5,
         group_keys=("year(l_shipdate)",), group_out=("yr",),
         alias="approx_orders", err_cols=(("relative_error", "rel_err"),),
-        confidence=0.95, order_by=("yr",))
+        confidence=0.95, order_by=("yr",), key_kind="bigint")
     # histogram APPROX_PERCENTILE route: same dual-emission policy
     from snappy_aqp_spark.pipeline.quantiles import (
         histogram_quantile_query_sql)

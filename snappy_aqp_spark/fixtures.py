@@ -109,7 +109,9 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     # 500 distinct doc_ids, safely above the 2.5m linear-counting branch
     # so the libm-free raw path is active — see pipeline/distinct.py)
     "approx_distinct_hll": {
-        "builder": _dc.hll_distinct_stages, "kw": {"p": 6},
+        "builder": _dc.hll_distinct_stages,
+        "kw": {"p": 6, "key_kind": "bigint"},   # doc_id is int64: the
+        # integer avalanche hash replaces per-row md5 (round-9)
         "tables": ("documents",)},
     # doc-length percentiles from a uniform hash-sample with
     # distribution-free binomial order-statistic CIs (all-integer ranking)
@@ -186,7 +188,7 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     # lossless register-max union, inclusion-exclusion intersection,
     # Jaccard — audience overlap without shuffling raw keys
     "hll_set_ops": {
-        "builder": _dc.hll_set_ops_stages, "kw": {},
+        "builder": _dc.hll_set_ops_stages, "kw": {"key_kind": "bigint"},
         "tables": ("documents",)},
     # mergeable histogram quantiles: fixed-width bin counts add across
     # shards (no sampling, no raw-value sort); estimate = bin midpoint

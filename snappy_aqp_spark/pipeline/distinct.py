@@ -9,8 +9,13 @@ doc ids per shard) as a first-class dual-dialect operator.
 
 Design for bit-exact Spark/DuckDB replay (the driver's hash-match gate):
 
-  * the 60-bit row hash comes from ``md5`` (identical in both engines)
-    via ``dual.hex15_to_long`` — no engine RNG anywhere;
+  * the 60-bit row hash is engine-identical with no RNG anywhere: for
+    string (or otherwise non-integral) keys it comes from ``md5`` via
+    ``dual.hex15_to_long``; for integral/timestamp/date keys
+    (``key_kind``) it is the integer-only Mersenne-61 avalanche
+    (``dual.avalanche60_steps``) — same 60-bit range, ~10x cheaper per
+    scanned row (round-8 VERDICT: the per-row ``md5(CAST(col AS
+    STRING))`` was the route's dominant 100-TB CPU cost);
   * register rank rho = trailing zeros of the hash suffix + 1. Trailing
     zeros are extracted with ``w & -w`` (exact power of two), and
     ``log2`` of an exact power of two is exact in IEEE — no correctly-
@@ -50,11 +55,48 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def _md5_hash60(dialect: str, col: str) -> str:
+    return dual.hex15_to_long(f"md5(CAST({col} AS VARCHAR))"
+                              if dialect == DUCKDB
+                              else f"md5(CAST({col} AS STRING))")
+
+
+def _hash_stages(dialect: str, col: str, table: str, pred: str,
+                 carry_first: str, carry_rest: str, key_kind: str,
+                 prefix: str) -> list[tuple[str, str]]:
+    """Stages projecting ``{carry}__hh`` — the 60-bit row hash of ``col``
+    over ``table`` rows passing ``pred``. ``key_kind='string'`` keeps the
+    md5 path (any type, one stage); integer kinds ('bigint', 'timestamp',
+    'date') use the Mersenne-61 avalanche chain (dual.avalanche60_steps) —
+    integer-only per-row work, ~an order of magnitude cheaper at scan
+    scale (round-8 VERDICT #1: the md5 row hash was the HLL route's
+    100-TB CPU bill). ``carry_first`` projects pass-through columns in the
+    first stage (may compute them); ``carry_rest`` re-references them."""
+    if key_kind == "string":
+        return [(f"{prefix}_h",
+                 f"SELECT {carry_first}{_md5_hash60(dialect, col)} AS __hh "
+                 f"FROM {table} WHERE {pred}")]
+    steps = dual.avalanche60_steps(
+        dialect, dual.to_bigint_key(dialect, col, key_kind))
+    out: list[tuple[str, str]] = []
+    src = table
+    for i, (cname, expr) in enumerate(steps):
+        last = i == len(steps) - 1
+        name = f"{prefix}_h" if last else f"{prefix}_a{i}"
+        alias = "__hh" if last else cname
+        carry = carry_first if i == 0 else carry_rest
+        w = f" WHERE {pred}" if i == 0 else ""
+        out.append((name, f"SELECT {carry}{expr} AS {alias} FROM {src}{w}"))
+        src = name
+    return out
+
+
 def hll_distinct_stages(dialect: str, col: str = "doc_id",
                         table: str = "documents", p: int = 6,
                         group_by: str | None = None,
                         where: str | None = None,
-                        linear_counting: bool = True
+                        linear_counting: bool = True,
+                        key_kind: str = "string"
                         ) -> tuple[list[tuple[str, str]], str]:
     """``(stages, final)`` estimating ``COUNT(DISTINCT col)`` [per
     ``group_by``] with m = 2**p registers (rel. error ~ 1.04/sqrt(m)).
@@ -62,27 +104,28 @@ def hll_distinct_stages(dialect: str, col: str = "doc_id",
     ``linear_counting=False`` drops the small-range LC correction — its
     ``ln`` is libm-dependent (module docstring), so callers holding a
     bit-exact replay contract (the SQL COUNT(DISTINCT) route) disable it
-    and size ``p`` below the cardinalities they care about instead."""
+    and size ``p`` below the cardinalities they care about instead.
+
+    ``key_kind``: 'string' (default) hashes via md5 — works for any type;
+    'bigint'/'timestamp'/'date' use the integer Mersenne-61 avalanche
+    (same 60-bit range, same lattice, ~10x cheaper per scanned row)."""
     m = 1 << p
-    # hash suffix width after the bucket split: hex15_to_long yields a
-    # 60-bit hash, the low p bits pick the bucket, so rho ranges over
-    # [1, 60-p] with the all-zero sentinel at 61-p. Contributions scale by
-    # 2^(maxbits+1) so the smallest shift (sentinel) is exactly 0 — a
-    # fixed 52 went NEGATIVE for rho > 52 (reachable at p < 8: DuckDB
-    # raises on negative shifts, Spark wraps mod 64)
+    # hash suffix width after the bucket split: the row hash (md5-derived
+    # or avalanche) is 60-bit, the low p bits pick the bucket, so rho
+    # ranges over [1, 60-p] with the all-zero sentinel at 61-p.
+    # Contributions scale by 2^(maxbits+1) so the smallest shift
+    # (sentinel) is exactly 0 — a fixed 52 went NEGATIVE for rho > 52
+    # (reachable at p < 8: DuckDB raises on negative shifts, Spark wraps
+    # mod 64)
     maxbits = 60 - p
-    h = dual.hex15_to_long(f"md5(CAST({col} AS VARCHAR))"
-                           if dialect == DUCKDB
-                           else f"md5(CAST({col} AS STRING))")
     w = dual.idiv(dialect, "__hh", str(m))
     lowbit = dual.band(dialect, "__hw", "-__hw")
     g = [group_by] if group_by else []
     g_sql = ", ".join(g)
     g_pre = (g_sql + ", ") if g else ""
     pred = f"{col} IS NOT NULL" + (f" AND ({where})" if where else "")
-    stages = [
-        ("__hll_h",
-         f"SELECT {g_pre}{h} AS __hh FROM {table} WHERE {pred}"),
+    stages = _hash_stages(dialect, col, table, pred, g_pre, g_pre,
+                          key_kind, "__hll") + [
         ("__hll_w",
          f"SELECT {g_pre}__hh % {m} AS __bucket, {w} AS __hw FROM __hll_h"),
         # rho = trailing zeros + 1; log2 of (w & -w) is exact (power of two)
@@ -128,7 +171,8 @@ def hll_count_distinct_query_sql(dialect: str, col: str, table: str,
                                  confidence: float = 0.95,
                                  order_by: tuple[str, ...] = (),
                                  limit: int | None = None,
-                                 group_out: tuple[str, ...] = ()) -> str:
+                                 group_out: tuple[str, ...] = (),
+                                 key_kind: str = "string") -> str:
     """One SQL statement answering ``SELECT [keys,] COUNT(DISTINCT col)
     [, error fns] FROM table [WHERE ...] [GROUP BY keys]`` through the
     HLL register lattice — the engine text behind the opt-in
@@ -170,7 +214,7 @@ def hll_count_distinct_query_sql(dialect: str, col: str, table: str,
     stages, _ = hll_distinct_stages(
         dialect, col=col, table=table, p=p,
         group_by=", ".join(keys) or None, where=where,
-        linear_counting=False)
+        linear_counting=False, key_kind=key_kind)
     stages = pre + stages
     maxbits = 60 - p
     zeros = f"({m} - __present)"
@@ -202,7 +246,8 @@ def hll_set_ops_stages(dialect: str, col: str = "doc_id",
                        table: str = "documents",
                        filter_a: str = "n_chars < 300",
                        filter_b: str = "n_chars >= 200",
-                       p: int = 5) -> tuple[list[tuple[str, str]], str]:
+                       p: int = 5, key_kind: str = "string"
+                       ) -> tuple[list[tuple[str, str]], str]:
     """``(stages, final)`` -> one row of set-cardinality estimates for two
     (possibly overlapping) populations: est_a, est_b, est_union,
     est_intersect, jaccard. The union is EXACT at the sketch level —
@@ -215,9 +260,6 @@ def hll_set_ops_stages(dialect: str, col: str = "doc_id",
     LC branch's ``ln`` is libm-dependent — see module docstring)."""
     m = 1 << p
     maxbits = 60 - p
-    h = dual.hex15_to_long(f"md5(CAST({col} AS VARCHAR))"
-                           if dialect == DUCKDB
-                           else f"md5(CAST({col} AS STRING))")
     w = dual.idiv(dialect, "__hh", str(m))
     lowbit = dual.band(dialect, "__hw", "-__hw")
     one = "CAST(1 AS BIGINT)"
@@ -234,12 +276,11 @@ def hll_set_ops_stages(dialect: str, col: str = "doc_id",
                 f"CAST(SUM(CASE WHEN __r_{side} IS NOT NULL THEN 1 ELSE 0 "
                 f"END) AS BIGINT) AS __present_{side}")
 
-    stages = [
-        ("__hso_h",
-         f"SELECT CASE WHEN ({filter_a}) THEN 1 ELSE 0 END AS __in_a, "
-         f"CASE WHEN ({filter_b}) THEN 1 ELSE 0 END AS __in_b, "
-         f"{h} AS __hh FROM {table} WHERE {col} IS NOT NULL "
-         f"AND (({filter_a}) OR ({filter_b}))"),
+    in_first = (f"CASE WHEN ({filter_a}) THEN 1 ELSE 0 END AS __in_a, "
+                f"CASE WHEN ({filter_b}) THEN 1 ELSE 0 END AS __in_b, ")
+    pred = (f"{col} IS NOT NULL AND (({filter_a}) OR ({filter_b}))")
+    stages = _hash_stages(dialect, col, table, pred, in_first,
+                          "__in_a, __in_b, ", key_kind, "__hso") + [
         ("__hso_w",
          f"SELECT __in_a, __in_b, __hh % {m} AS __bucket, {w} AS __hw "
          f"FROM __hso_h"),
@@ -277,25 +318,35 @@ def hll_set_ops_stages(dialect: str, col: str = "doc_id",
 
 
 def hll_registers_sql(dialect: str, col: str = "event_id",
-                      table: str = "events", p: int = 6) -> str:
+                      table: str = "events", p: int = 6,
+                      key_kind: str = "string") -> str:
     """One SQL statement -> the HLL register relation (__bucket, __r) for
     ``table`` — the mergeable sketch state itself (per-bucket MAX is the
     associative merge, so shard/batch register relations combine into
     exactly the full-data registers). Same hash/rho derivation as
-    ``hll_distinct_stages``."""
+    ``hll_distinct_stages`` (``key_kind`` likewise)."""
     m = 1 << p
     maxbits = 60 - p
-    h = dual.hex15_to_long(f"md5(CAST({col} AS VARCHAR))"
-                           if dialect == DUCKDB
-                           else f"md5(CAST({col} AS STRING))")
     w = dual.idiv(dialect, "__hh", str(m))
+    if key_kind == "string":
+        hash_src = (f"(SELECT {_md5_hash60(dialect, col)} AS __hh "
+                    f"FROM {table} WHERE {col} IS NOT NULL) __hr")
+    else:
+        # nest one subquery per avalanche round (mulmod61 expands its
+        # input ~16x — composing the rounds textually would blow up)
+        steps = dual.avalanche60_steps(
+            dialect, dual.to_bigint_key(dialect, col, key_kind))
+        hash_src = f"(SELECT {steps[0][1]} AS {steps[0][0]} FROM {table} " \
+                   f"WHERE {col} IS NOT NULL) __hr0"
+        for i, (cname, expr) in enumerate(steps[1:], start=1):
+            alias = "__hh" if i == len(steps) - 1 else cname
+            hash_src = f"(SELECT {expr} AS {alias} FROM {hash_src}) __hr{i}"
     return (
         f"SELECT __bucket, MAX(__rho) AS __r FROM ("
         f"SELECT __hh % {m} AS __bucket, CASE WHEN {w} = 0 "
         f"THEN {maxbits + 1} "
         f"ELSE CAST(log2({dual.band(dialect, f'({w})', f'-({w})')}) AS BIGINT) + 1 END AS __rho "
-        f"FROM (SELECT {h} AS __hh FROM {table} "
-        f"WHERE {col} IS NOT NULL) __hr) __hb GROUP BY __bucket")
+        f"FROM {hash_src}) __hb GROUP BY __bucket")
 
 
 def hll_estimate_sql(registers_table: str, p: int = 6,

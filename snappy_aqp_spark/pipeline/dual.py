@@ -237,6 +237,93 @@ def hex15_to_long(hex_sql: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# ---- Mersenne-61 avalanche row hash (portable, integer-only) ----------
+#
+# The md5-based row hash (hex15_to_long(md5(CAST(col AS STRING)))) is
+# bit-exact across engines but pays a cryptographic hash + a string cast +
+# 15 substring/instr digit extractions PER ROW — at 100-TB scan scale that
+# is the dominant CPU bill of the HLL route (round-8 VERDICT: grouped HLL
+# 2.7x slower than the DuckDB oracle, almost all hash CPU). For keys that
+# render as BIGINT the chain below replaces it with pure * + % & ^ >>
+# arithmetic in the Mersenne field 2^61-1, mirroring splitmix64's
+# finalizer (two multiply rounds with interleaved xor-shifts). Every
+# intermediate stays below 2^63, so it is safe under Spark 4 ANSI mode and
+# evaluates verbatim (via the tiny shims) on DuckDB. Empirical avalanche
+# 0.46-0.55 per output bit; HLL error at the 1.04/sqrt(m) bound (pinned
+# by the statistical sweep in tests/test_accuracy.py).
+
+M61 = (1 << 61) - 1
+_AV_MUL1 = 0x6C8E9CF5            # odd 31-bit multipliers (measured
+_AV_MUL2 = 0x2545F491            # avalanche 0.46-0.55 with the shifts below)
+
+
+def xorshr(dialect: str, x: str, n: int) -> str:
+    """x XOR (x >> n). ``x`` is referenced twice — pass a plain column."""
+    return xor(dialect, f"({x})", shiftright(dialect, f"({x})", str(n)))
+
+
+def mulmod61(dialect: str, x: str, c: int) -> str:
+    """(x * c) mod (2^61 - 1) for x in [0, 2^61) and constant c < 2^31.
+
+    Limb derivation: x = xh*2^31 + xl gives x*c = (xh*c)*2^31 + xl*c, and
+    for t = xh*c < 2^61, t*2^31 ≡ (t mod 2^30)*2^31 + (t >> 30) (mod M)
+    because 2^61 ≡ 1 (mod M). Max intermediate < 2^63 (ANSI-safe).
+    ``x`` is referenced ~16 times after textual expansion — pass a plain
+    column reference (stage the expression first, as avalanche60_steps
+    does)."""
+    if not 0 < c < (1 << 31):
+        raise ValueError(f"multiplier out of 31-bit range: {c}")
+    xh = shiftright(dialect, f"({x})", "31")
+    xl = f"((({x}) & {(1 << 31) - 1}))"
+    t = f"({xh} * {c})"
+    th = shiftright(dialect, t, "30")
+    tl = f"(({t} & {(1 << 30) - 1}))"
+    s = f"({th} + {shiftleft(dialect, tl, '31')} + {xl} * {c})"
+    s1 = f"(({s} & {M61}) + {shiftright(dialect, s, '61')})"
+    return f"(CASE WHEN {s1} >= {M61} THEN {s1} - {M61} ELSE {s1} END)"
+
+
+def avalanche60_steps(dialect: str, key_sql: str) -> list[tuple[str, str]]:
+    """Chained projection steps computing a 60-bit avalanche hash of a
+    BIGINT-valued ``key_sql``: ``[(col, expr)]`` where the first expr
+    references ``key_sql`` and each later expr references the PREVIOUS
+    step's column; the last column holds the hash in [0, 2^60) — the same
+    range contract as ``hex15_to_long``, so the HLL lattice math is
+    unchanged. Callers must emit each step as its own projection (CTE
+    stage or nested subquery): mulmod61 expands its input ~16x, so
+    composing the rounds textually would blow up the SQL."""
+    fold = f"(((({key_sql}) % {M61}) + {M61}) % {M61})"
+    return [
+        ("__av0", fold),
+        ("__av1", mulmod61(dialect, xorshr(dialect, "__av0", 30), _AV_MUL1)),
+        ("__av2", mulmod61(dialect, xorshr(dialect, "__av1", 27), _AV_MUL2)),
+        ("__av3", f"({xorshr(dialect, '__av2', 31)} & {(1 << 60) - 1})"),
+    ]
+
+
+def to_bigint_key(dialect: str, expr: str, kind: str) -> str:
+    """Portable BIGINT rendering of a hashable key expression, by type
+    kind: 'bigint' (any integral/boolean), 'timestamp' / 'timestamp_ntz'
+    (epoch micros), 'date' (epoch days). Identical values on Spark and
+    DuckDB (NTZ goes through timestampdiff from the NTZ epoch —
+    timezone-independent, matching DuckDB's naive epoch_us; same policy
+    as topk.api._time_us)."""
+    if kind == "bigint":
+        return f"CAST({expr} AS BIGINT)"
+    if kind == "timestamp":
+        return (f"unix_micros({expr})" if dialect == SPARK
+                else f"epoch_us({expr})")
+    if kind == "timestamp_ntz":
+        return (f"timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ'1970-01-01 00:00:00', ({expr}))"
+                if dialect == SPARK else f"epoch_us({expr})")
+    if kind == "date":
+        if dialect == SPARK:
+            return f"CAST(datediff({expr}, DATE '1970-01-01') AS BIGINT)"
+        return f"CAST(datediff('day', DATE '1970-01-01', {expr}) AS BIGINT)"
+    raise ValueError(f"not an integer-key kind: {kind!r}")
+
+
 def idiv(dialect: str, a: str, b: str) -> str:
     """integer division (both operands BIGINT)."""
     return f"(({a}) DIV ({b}))" if dialect == SPARK else f"(({a}) // ({b}))"

@@ -232,8 +232,9 @@ def test_route_works_over_a_stream_table(spark, tmp_path):
     from snappy_aqp_spark.pipeline.distinct import (
         hll_count_distinct_query_sql)
     batch = spark.sql(hll_count_distinct_query_sql(
-        SPARK, col="uid", table="hll_stream", p=5, alias="u")
-    ).collect()[0][0]
+        SPARK, col="uid", table="hll_stream", p=5, alias="u",
+        key_kind="bigint")       # uid is LONG: the route's type probe
+    ).collect()[0][0]            # picks the avalanche path — mirror it
     assert est1 == batch
     # more data moves the estimate (the stream table grew)
     with open(src / "b2.json", "w") as f:

@@ -433,15 +433,52 @@ def test_ngram_jaccard_prefix_filter_is_lossless(views, duck):
 # --- round-3: deterministic HyperLogLog --------------------------------------
 
 def test_hll_distinct_accuracy_and_oracle(views, duck):
+    """both hash paths: 'bigint' (Mersenne-61 avalanche — the fixture
+    path for int64 doc_id, round-9) and 'string' (md5 — any key type)
+    estimate within the envelope AND replay bit-exactly on DuckDB."""
     from snappy_aqp_spark.pipeline.distinct import hll_distinct_stages
-    stages, final = hll_distinct_stages(SPARK, p=6)
-    est = run_stages(views, stages, final).first()["approx_distinct"]
-    # documents has exactly 500 distinct doc_ids; m=64 -> ~13% rel error
-    assert abs(est - 500) / 500 < 0.4, est
-    # bit-exact DuckDB replay (integer-register design)
-    stages_d, final_d = hll_distinct_stages(DUCKDB, p=6)
-    dk = duck.sql(stages_sql(stages_d, final_d)).df()
-    assert dk["approx_distinct"][0] == est
+    for kind in ("bigint", "string"):
+        stages, final = hll_distinct_stages(SPARK, p=6, key_kind=kind)
+        est = run_stages(views, stages, final).first()["approx_distinct"]
+        # documents has exactly 500 distinct doc_ids; m=64 -> ~13% error
+        assert abs(est - 500) / 500 < 0.4, (kind, est)
+        # bit-exact DuckDB replay (integer-register design)
+        stages_d, final_d = hll_distinct_stages(DUCKDB, p=6, key_kind=kind)
+        dk = duck.sql(stages_sql(stages_d, final_d)).df()
+        assert dk["approx_distinct"][0] == est, kind
+
+
+def test_hll_avalanche_negative_and_temporal_keys(views, duck):
+    """the integer avalanche path folds arbitrary BIGINT keys (negative
+    included) and temporal keys into the Mersenne field identically on
+    both engines."""
+    from snappy_aqp_spark.pipeline.distinct import hll_distinct_stages
+    views.sql("SELECT CAST(doc_id * 7919 - 2000000 AS BIGINT) AS k "
+              "FROM documents").createOrReplaceTempView("hll_negk")
+    try:
+        duck.sql("CREATE OR REPLACE VIEW hll_negk AS SELECT "
+                 "CAST(doc_id * 7919 - 2000000 AS BIGINT) AS k "
+                 "FROM documents")
+        st, fin = hll_distinct_stages(SPARK, col="k", table="hll_negk",
+                                      p=6, key_kind="bigint")
+        est = run_stages(views, st, fin).first()["approx_distinct"]
+        assert abs(est - 500) / 500 < 0.4, est
+        st_d, fin_d = hll_distinct_stages(DUCKDB, col="k",
+                                          table="hll_negk", p=6,
+                                          key_kind="bigint")
+        assert duck.sql(stages_sql(st_d, fin_d)).df(
+        )["approx_distinct"][0] == est
+        # timestamp_ntz (the testdata parquet timestamps): epoch-micros
+        # fold, timezone-independent on both engines
+        st, fin = hll_distinct_stages(SPARK, col="ts", table="events",
+                                      p=6, key_kind="timestamp_ntz")
+        est_t = run_stages(views, st, fin).first()["approx_distinct"]
+        st_d, fin_d = hll_distinct_stages(DUCKDB, col="ts", table="events",
+                                          p=6, key_kind="timestamp_ntz")
+        assert duck.sql(stages_sql(st_d, fin_d)).df(
+        )["approx_distinct"][0] == est_t
+    finally:
+        duck.sql("DROP VIEW IF EXISTS hll_negk")
 
 
 def test_hll_linear_counting_small_range(views):
@@ -459,7 +496,8 @@ def test_hll_linear_counting_small_range(views):
 
 def test_hll_grouped(views, duck):
     from snappy_aqp_spark.pipeline.distinct import hll_distinct_stages
-    stages, final = hll_distinct_stages(SPARK, p=6, group_by="lang")
+    stages, final = hll_distinct_stages(SPARK, p=6, group_by="lang",
+                                        key_kind="bigint")
     sp = run_stages(views, stages, final).toPandas()
     assert len(sp) >= 2                       # one row per language
     exact = views.sql("SELECT lang, count(DISTINCT doc_id) AS n "
@@ -1428,7 +1466,7 @@ def test_hll_set_ops_accuracy(views, duck):
     m=32 sketch's error envelope (rel err ~ 1.04/sqrt(32) ~ 18%; the
     derived intersection compounds to ~3x that in the worst case)."""
     from snappy_aqp_spark.pipeline.distinct import hll_set_ops_stages
-    st, fin = hll_set_ops_stages(SPARK)
+    st, fin = hll_set_ops_stages(SPARK, key_kind="bigint")
     est = run_stages(views, st, fin).collect()[0]
     truth = duck.sql(
         "SELECT count(DISTINCT CASE WHEN n_chars < 300 THEN doc_id END) a, "
@@ -1520,12 +1558,14 @@ def test_hll_estimates_stay_above_lc_cutoff(views, duck):
                                                     hll_registers_sql)
     p, m = 6, 64
     st, fin = hll_distinct_stages(SPARK, col="event_id", table="events",
-                                  p=p)
+                                  p=p, key_kind="bigint")
     est = run_stages(views, st, fin).collect()[0]["approx_distinct"]
     assert est > 2.5 * m, f"estimate {est} under LC cutoff {2.5 * m}"
     # LC-free finalize over the register relation == batch estimator
+    # (key_kind must match the stage builder's — same hash, same registers)
     views.sql(hll_registers_sql(SPARK, col="event_id", table="events",
-                                p=p)).createOrReplaceTempView("__lcck")
+                                p=p, key_kind="bigint")
+              ).createOrReplaceTempView("__lcck")
     est2 = views.sql(
         hll_estimate_sql("__lcck", p=p)).collect()[0]["approx_distinct"]
     assert est2 == est
