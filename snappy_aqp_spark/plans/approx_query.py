@@ -304,6 +304,12 @@ def invalidate_base_table(name: str, token: str | None = None) -> None:
 
     for key in [k for k in _PLAN_CACHE if tok_ok(k) and touches(k[0])]:
         _PLAN_CACHE.pop(key)
+    # the bootstrap form-pick memo caches the prepared sample's row count
+    # under the same (spec, token) key shape — a mutated base table could
+    # otherwise pin a stale size (wrong FORM, never wrong results: both
+    # forms are bit-identical)
+    for key in [k for k in _BS_ROWS_MEMO if tok_ok(k) and touches(k[0])]:
+        _BS_ROWS_MEMO.pop(key)
 
 
 def get_sample(base: DataFrame, sample, cache_token: str | None) -> DataFrame:
@@ -585,10 +591,47 @@ def _bs_wide_inner_rel(spec: ApproxQuerySpec, df: DataFrame) -> DataFrame:
             .select(*keep, "__w.*"))
 
 
-def _bootstrap_fin_rel(spark: SparkSession, spec: ApproxQuerySpec,
-                       df: DataFrame) -> DataFrame:
+# sample-size memo for the bootstrap form pick: one count() per
+# (spec, token) — the prepared sample relation is cached, so the count is
+# a cheap cached-scan job, paid once per plan-cache entry
+_BS_ROWS_MEMO: dict[tuple, int] = {}
+
+# form-pick threshold in aggregation CELLS (sample rows x trials): below
+# it the legacy cross-join form wins (stays inside WholeStageCodegen —
+# the wide form's ~3R-column aggregate exceeds codegen's field limits and
+# runs interpreted, round-8 PLANS.md); above it the wide form wins (the
+# cross-join multiplies the sample by R BEFORE the first partial
+# aggregation — 102.9 s vs 22.9 s at 10x sf0.1). Both forms are
+# bit-identical (integer trial sums), so this is purely a physical pick.
+_BS_XJOIN_MAX_CELLS = 20_000_000
+
+
+def _bs_xjoin_inner_rel(spark: SparkSession, spec: ApproxQuerySpec,
+                        df: DataFrame) -> DataFrame:
+    """Legacy cross-join inner stage (also the oracle's replay shape):
+    sample x broadcast(trial relation), one hash aggregate at
+    (group, stratum, trial) with the per-row ``__trial``-salted
+    multiplicity CASE. Bit-identical to ``_bs_wide_inner_rel`` — kept as
+    the small-sample fast path (see _BS_XJOIN_MAX_CELLS)."""
     gcols, qcols = _gcols(spec), _qcols(spec)
-    inner = _bs_wide_inner_rel(spec, df)
+    trials = spark.range(spec.trials).select(
+        F.col("id").cast("bigint").alias(bs.TRIAL_COL))
+    dfm = df.crossJoin(F.broadcast(trials))
+    return _agg_frags(dfm, gcols + qcols + [bs.TRIAL_COL],
+                      _bs_inner_frags(spec))
+
+
+def _bootstrap_fin_rel(spark: SparkSession, spec: ApproxQuerySpec,
+                       df: DataFrame,
+                       cache_token: str | None = None) -> DataFrame:
+    gcols, qcols = _gcols(spec), _qcols(spec)
+    mkey = (spec, cache_token)
+    if mkey not in _BS_ROWS_MEMO:
+        _BS_ROWS_MEMO[mkey] = df.count()
+    if _BS_ROWS_MEMO[mkey] * spec.trials <= _BS_XJOIN_MAX_CELLS:
+        inner = _bs_xjoin_inner_rel(spark, spec, df)
+    else:
+        inner = _bs_wide_inner_rel(spec, df)
     outer = _agg_frags(inner, gcols + [bs.TRIAL_COL], _bs_outer_frags(spec))
     trialv = _select_frags(outer, gcols + [bs.TRIAL_COL, "__bmask"],
                            _bs_trial_frags(spec))
@@ -626,7 +669,7 @@ def run_approx_query(spark: SparkSession, spec: ApproxQuerySpec,
         pkey = (spec, cache_token)
         if pkey not in _PLAN_CACHE:
             df = _prepare(spec, tables, sampled=True, cache_token=cache_token)
-            fin_rel = (_bootstrap_fin_rel(spark, spec, df)
+            fin_rel = (_bootstrap_fin_rel(spark, spec, df, cache_token)
                        if spec.estimator == "bootstrap"
                        else _closedform_fin_rel(spec, df))
             _PLAN_CACHE[pkey] = _project_visible(spec, _apply_tail(
@@ -636,7 +679,7 @@ def run_approx_query(spark: SparkSession, spec: ApproxQuerySpec,
     df = _prepare(spec, tables, sampled=True, cache_token=cache_token)
     gcols = _gcols(spec)
     if spec.estimator == "bootstrap":
-        fin_rel = _bootstrap_fin_rel(spark, spec, df)
+        fin_rel = _bootstrap_fin_rel(spark, spec, df, cache_token)
     else:
         fin_rel = _closedform_fin_rel(spec, df)
 
