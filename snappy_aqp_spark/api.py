@@ -1391,6 +1391,13 @@ class AQPSession:
             if any(o == out for _, o in err_cols):
                 return None
             err_cols.append((fn, out))
+        # duplicate names across ALL outputs (keys x estimate x errfns)
+        # would generate an ambiguous final SELECT — fall through to the
+        # exact route instead of raising (round-8 ADVICE)
+        outs_all = ([norm(o) for o in sel_outs] + [norm(out_alias)]
+                    + [norm(o) for _, o in err_cols])
+        if len(set(outs_all)) != len(outs_all):
+            return None
         legal = ({norm(k) for k in sel_outs} | {norm(out_alias)}
                  | {norm(o) for _, o in err_cols})
         order = []
@@ -1531,6 +1538,14 @@ class AQPSession:
             if any(o == out for _, _, o in err_cols):
                 return None
             err_cols.append((fn, by_target[norm(target)], out))
+        # same ambiguous-output fall-through as the HLL route (round-8
+        # ADVICE): any name shared between keys, percentile aliases and
+        # errfn outputs routes exact instead of raising
+        outs_all = ([norm(o) for o in sel_outs]
+                    + [norm(a) for _, a in pcts]
+                    + [norm(o) for _, _, o in err_cols])
+        if len(set(outs_all)) != len(outs_all):
+            return None
         legal = ({norm(k) for k in sel_outs}
                  | {norm(a) for _, a in pcts}
                  | {norm(o) for _, _, o in err_cols})
@@ -1644,15 +1659,28 @@ class AQPSession:
                 continue
             if group:
                 # a drop of a table unrelated to the batch (not a pending
-                # sample name, not the shared base) executes in place; a
-                # drop touching the batch flushes first — the
-                # create-then-drop order is observable
+                # sample name, not the shared base, not referenced inside
+                # any pending spec's AS-select WHERE text — a subquery
+                # there reads the table at build time, so dropping it
+                # early would diverge from statement-by-statement
+                # execution; round-8 ADVICE) executes in place; a drop
+                # touching the batch flushes first — the create-then-drop
+                # order is observable
                 dt = fe.parse_drop_table(stmt)
                 dname = (fe.parse_drop_sample(stmt)
                          or (dt[0] if dt else None))
                 pending = ({n.lower() for _, n, _ in group}
                            | {sp.base_table.lower() for _, _, sp in group})
-                if dname is not None and dname.lower() not in pending:
+
+                def _referenced(nm: str) -> bool:
+                    import re as _re
+                    pat = _re.compile(rf"\b{_re.escape(nm)}\b",
+                                      _re.IGNORECASE)
+                    return any(sp.base_filter and pat.search(sp.base_filter)
+                               for _, _, sp in group)
+
+                if (dname is not None and dname.lower() not in pending
+                        and not _referenced(dname)):
                     results.append(self.sql(stmt))
                     continue
             flush()

@@ -431,11 +431,26 @@ def run_stages(spark, stages: list[tuple[str, str]], final: str):
         if name.endswith("_ix"):
             ck = df.semanticHash()     # binding-sensitive: views + files
             hit = _IX_CACHE.get(name)
-            if hit is not None and hit[0] == ck:
-                hit[1].createOrReplaceTempView(name)
-                continue
             if hit is not None:
-                hit[1].unpersist()
+                same = hit[0] == ck
+                if same:
+                    # semanticHash is 32-bit — confirm with the exact
+                    # (analysis-only) plan comparison so a hash collision
+                    # can never serve stale index rows; a cached df whose
+                    # owning session was stopped raises here and falls
+                    # through to a rebuild (round-8 ADVICE)
+                    try:
+                        same = df.sameSemantics(hit[1])
+                    except Exception:
+                        same = False
+                if same:
+                    hit[1].createOrReplaceTempView(name)
+                    continue
+                try:
+                    hit[1].unpersist()
+                except Exception:
+                    pass               # dead session: nothing to free
+                _IX_CACHE.pop(name, None)
             df = df.persist()
             _IX_CACHE[name] = (ck, df)
         elif name in persisted:

@@ -38,7 +38,8 @@ def cross_corpus_dedup_stages(dialect: str, new_pred: str,
                               threshold: float = 0.5, k: int = 5,
                               n_hashes: int = 32, bands: int = 8,
                               table: str = "documents", col: str = "text",
-                              max_band_df: int = 100_000
+                              max_band_df: int = 100_000,
+                              max_candidates_per_doc: int | None = 24
                               ) -> tuple[list[tuple[str, str]], str]:
     """``(stages, final)`` -> one row per NEW document:
     (doc_id, status 'exact'|'near'|'unique', match_id nullable,
@@ -52,7 +53,25 @@ def cross_corpus_dedup_stages(dialect: str, new_pred: str,
     costs recall only for pairs whose EVERY other band also misses
     (recall loss is (hot_bands/bands)-powered); the default is far above
     any bucket at the fixture scales, so fixture semantics are the
-    uncapped definition while the guard stays driver-verified."""
+    uncapped definition while the guard stays driver-verified.
+
+    ``max_candidates_per_doc``: deterministic per-new-doc verify budget
+    (round-8 VERDICT #4 — the duplication-DENSITY guard). The exact
+    shingle-verify join costs ~|shingles| rows per candidate pair, and a
+    corpus where every document has D near-duplicates makes that volume
+    linear in D per new doc — a pathologically duplicated corpus (the
+    100x stress replicates every doc 100 ways) turned it into a ~4G-row
+    spill that outran local disk. Candidates are therefore ranked per new
+    doc by (number of agreeing LSH bands DESC, corpus doc_id ASC) — band
+    agreement is a monotone Jaccard proxy, so the top-C keeps the
+    high-similarity family — and only the top C are exactly verified.
+    Deterministic and engine-portable, so the DuckDB oracle replays it
+    bit-for-bit. The default (24 = 3x bands) exceeds every candidate
+    multiplicity at the driver's fixture scales (capped == uncapped there,
+    pinned by pytest); corpora with >C-way duplication families may
+    report a different (still >= threshold) best match and, for pairs
+    whose agreement rank falls below C, 'unique' instead of 'near' —
+    the standard LSH top-C verify trade. ``None`` disables the cap."""
     rows = n_hashes // bands
     (pa, pb) = _minhash_exprs(1)[0]
     cpows = [pow(1299721, j, P31) for j in range(rows)]
@@ -96,14 +115,26 @@ def cross_corpus_dedup_stages(dialect: str, new_pred: str,
          f"SELECT bv FROM __ccv GROUP BY bv "
          f"HAVING COUNT(*) > {max_band_df}"),
         # asymmetric candidate join: new x corpus, exact tier excluded,
-        # hot buckets skipped (NOT EXISTS plans as a plain anti join)
-        ("__ccand",
-         "SELECT DISTINCT a.doc_id AS idn, b.doc_id AS idc "
+        # hot buckets skipped (NOT EXISTS plans as a plain anti join).
+        # Aggregated per pair so the band-agreement count (nb) is free —
+        # the ranking key of the verify budget below
+        ("__ccand0",
+         "SELECT a.doc_id AS idn, b.doc_id AS idc, "
+         "CAST(COUNT(*) AS BIGINT) AS nb "
          "FROM __ccv a JOIN __ccv b ON a.bv = b.bv "
          "AND a.is_new = 1 AND b.is_new = 0 "
          "LEFT JOIN __cce e ON a.doc_id = e.doc_id "
          "WHERE e.doc_id IS NULL "
-         "AND NOT EXISTS (SELECT 1 FROM __cchot h WHERE h.bv = a.bv)"),
+         "AND NOT EXISTS (SELECT 1 FROM __cchot h WHERE h.bv = a.bv) "
+         "GROUP BY a.doc_id, b.doc_id"),
+        # per-new-doc verify budget: keep the top candidates by band
+        # agreement (deterministic ties), see max_candidates_per_doc
+        ("__ccand",
+         "SELECT idn, idc FROM __ccand0" if max_candidates_per_doc is None
+         else
+         f"SELECT idn, idc FROM (SELECT idn, idc, ROW_NUMBER() OVER "
+         f"(PARTITION BY idn ORDER BY nb DESC, idc ASC) AS rk "
+         f"FROM __ccand0) __rkd WHERE rk <= {max_candidates_per_doc}"),
         ("__ccdoc", "SELECT idn AS doc_id FROM __ccand "
                     "UNION SELECT idc AS doc_id FROM __ccand"),
         ("__ccsh", "SELECT s.doc_id, s.sh FROM __ccs s "

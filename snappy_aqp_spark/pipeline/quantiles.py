@@ -142,7 +142,16 @@ def grouped_quantile_stages(dialect: str, col: str = "length(text)",
     """per-group variant: one row per (group, q) — identical math, ranks
     windowed per group. Degenerate strata are handled by the
     GREATEST/LEAST clamps: a 1-row group returns that row for estimate
-    and both bounds."""
+    and both bounds.
+
+    CONTRACT NOTE (round-8 VERDICT #4): rows with a NULL group key are
+    EXCLUDED — the per-group rank lookup is an equi-join on the key,
+    which can never match NULL, so keeping them would silently burn
+    sample budget and return no row anyway. This deliberately differs
+    from the mergeable-histogram operators (``histogram_quantile_stages``
+    / ``histogram_quantile_query_sql``), which never join on the key and
+    report the NULL-keyed stratum like the exact route does; use those
+    when NULL is a population you need quantiles for."""
     return _quantile_stages(dialect, col, key_cols, table, qs, fraction,
                             seed, confidence, group_by=group_by,
                             max_sample_rows=max_sample_rows)
@@ -165,18 +174,25 @@ def histogram_quantile_stages(dialect: str, col: str = "n_chars",
     window over that tiny relation, and a rank probe. All ranking is
     integer arithmetic (``fdiv`` floor-bins negatives correctly); the only
     doubles are the q*n rank target and the midpoint scaling — identical
-    literal text on both engines."""
+    literal text on both engines.
+
+    A NULL ``group_by`` key is a real group (round-8 VERDICT #4 /
+    round-8 ADVICE alignment: same contract as the exact route and
+    ``histogram_quantile_query_sql``) — nothing here equi-joins on the
+    key, so NULL flows through the window partition and the GROUP BY;
+    the ORDER BY pins NULLS FIRST explicitly (the engines default
+    opposite ways). NULL MEASURES stay excluded: a NULL cannot be
+    binned."""
     from . import dual
     bin_expr = dual.fdiv(dialect, f"CAST({col} AS BIGINT)", str(width))
     q_arr = dual.array_lit(dialect, [dlit(q) for q in qs])
     g_sel = f"{group_by} AS g, " if group_by else ""
     g_col = "g, " if group_by else ""
     part = "PARTITION BY g " if group_by else ""
-    null_guard = f" AND ({group_by}) IS NOT NULL" if group_by else ""
     stages = [
         ("__hqb",
          f"SELECT {g_sel}{bin_expr} AS bin FROM {table} "
-         f"WHERE ({col}) IS NOT NULL{null_guard}"),
+         f"WHERE ({col}) IS NOT NULL"),
         ("__hqc",
          f"SELECT {g_col}bin, CAST(COUNT(*) AS BIGINT) AS n FROM __hqb "
          f"GROUP BY {g_col}bin"),
@@ -198,7 +214,7 @@ def histogram_quantile_stages(dialect: str, col: str = "n_chars",
              f"ON CAST(r.cum AS DOUBLE) >= CEIL(q.q * "
              f"CAST(r.total AS DOUBLE)) "
              f"GROUP BY {('r.g, ' if group_by else '')}q.q "
-             f"ORDER BY {('r.g, ' if group_by else '')}q.q")
+             f"ORDER BY {('r.g NULLS FIRST, ' if group_by else '')}q.q")
     return stages, final
 
 

@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import pytest
 
@@ -254,3 +255,75 @@ def test_reference_protocol_ci_coverage_bootstrap(spark, medium_tables,
                                                   exact_sum_medium):
     covered = _coverage(spark, medium_tables, exact_sum_medium, "bootstrap")
     assert covered >= 44, f"coverage {covered}/{N_SEEDS_REF}"
+
+
+# --- sketch-route error contracts (round-8 VERDICT #5) -----------------------
+# The HLL route advertises a-priori bounds est*(1 ± z*1.04/sqrt(m)) and the
+# histogram route a hard [lo, hi) bin envelope. Neither was empirically
+# swept before — these tests check the ERROR-COLUMN contract itself over 30
+# deterministic pseudo-random tables each (population shape, cardinality,
+# sign and spread all varied). Key-hash determinism makes every outcome a
+# regression pin, not a flaky statistical gate.
+
+N_TABLES = 30
+
+
+@pytest.mark.slow
+def test_hll_route_error_contract_sweep(spark):
+    """|est - exact| stays within the advertised bound at the route's
+    confidence: across 30 tables the 95% interval [lb, ub] must contain
+    the exact COUNT(DISTINCT) in >= 24 (binomial(30,.95): P(<24) < 1e-4),
+    and every single estimate within 4 standard errors."""
+    from snappy_aqp_spark.dialect import SPARK as _SP
+    from snappy_aqp_spark.pipeline.distinct import (
+        hll_count_distinct_query_sql)
+    p = 10
+    se = 1.04 / math.sqrt(1 << p)
+    covered = 0
+    for i in range(N_TABLES):
+        n = 5000 + (i * 2654435761) % 75000          # 5k..80k distinct
+        stride = [1, 7, 7919, 104729][i % 4]
+        shift = [0, -3_000_000, 11, 10 ** 12][(i // 4) % 4]
+        dup = 1 + i % 3                              # 1..3 copies per key
+        spark.sql(
+            f"SELECT CAST((id % {n}) * {stride} + {shift} AS BIGINT) AS k "
+            f"FROM range({n * dup})"
+        ).createOrReplaceTempView("__hll_sweep")
+        est, lb, ub = spark.sql(hll_count_distinct_query_sql(
+            _SP, col="k", table="__hll_sweep", p=p, alias="a",
+            err_cols=(("lower_bound", "lb"), ("upper_bound", "ub")),
+            confidence=0.95, key_kind="bigint")).collect()[0]
+        covered += lb <= n <= ub
+        assert abs(est - n) / n < 4 * se, (i, n, est)
+    assert covered >= 24, f"coverage {covered}/{N_TABLES}"
+
+
+@pytest.mark.slow
+def test_histogram_route_envelope_always_contains_exact(spark):
+    """the histogram route's [lower_bound, upper_bound) is a HARD
+    envelope: the exact order-statistic quantile (the route's own rank
+    definition: smallest value whose cumulative count reaches
+    ceil(q*n)) must fall inside it in EVERY run, not at a confidence."""
+    from snappy_aqp_spark.dialect import SPARK as _SP
+    from snappy_aqp_spark.pipeline.quantiles import (
+        histogram_quantile_query_sql)
+    for i in range(N_TABLES):
+        n = 2000 + (i * 48271) % 20000
+        spread = [997, 50021, 13, 100003][i % 4]
+        shift = [0, -25000, 7, -1][(i // 4) % 4]
+        q = (0.1, 0.5, 0.9, 0.99)[i % 4]
+        sql_vals = (f"SELECT CAST((id * 1103515245 + {i * 12345 + 7}) "
+                    f"% {spread} + {shift} AS BIGINT) AS v "
+                    f"FROM range({n})")
+        spark.sql(sql_vals).createOrReplaceTempView("__hq_sweep")
+        row = spark.sql(histogram_quantile_query_sql(
+            _SP, col="v", table="__hq_sweep", width=25,
+            pcts=((q, "est"),),
+            err_cols=(("lower_bound", q, "lb"),
+                      ("upper_bound", q, "ub")))).collect()[0]
+        exact = spark.sql(
+            f"SELECT v FROM __hq_sweep ORDER BY v "
+            f"LIMIT 1 OFFSET {max(0, math.ceil(q * n) - 1)}"
+        ).collect()[0][0]
+        assert row["lb"] <= exact < row["ub"], (i, q, exact, dict(
+            lb=row["lb"], ub=row["ub"], est=row["est"]))

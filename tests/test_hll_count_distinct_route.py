@@ -118,6 +118,34 @@ def test_unsupported_shapes_fall_through(spark, text):
     aqp.sql(text)                                # exact route still works
 
 
+def test_output_name_collisions_fall_through(spark):
+    """round-8 ADVICE: a group-key alias colliding with the estimate or
+    an errfn output would generate a duplicate-named final SELECT plus an
+    ambiguous ORDER BY — such shapes must return None from routing (the
+    exact route answers) instead of raising mid-plan."""
+    aqp = _session(spark, "hllcollide")
+    # key alias == estimate alias
+    assert aqp._hll_route_info(
+        "SELECT year(o_orderdate) AS approx_customers, "
+        "COUNT(DISTINCT o_custkey) AS approx_customers "
+        "FROM orders GROUP BY year(o_orderdate) WITH ERROR") is None
+    # key alias == errfn output alias
+    assert aqp._hll_route_info(
+        "SELECT year(o_orderdate) AS lb, COUNT(DISTINCT o_custkey) AS a, "
+        "lower_bound(a) AS lb FROM orders GROUP BY year(o_orderdate) "
+        "WITH ERROR") is None
+    # estimate alias == errfn output alias
+    assert aqp._hll_route_info(
+        "SELECT COUNT(DISTINCT o_custkey) AS a, lower_bound(a) AS a "
+        "FROM orders WITH ERROR") is None
+    # same contract on the histogram route
+    aqp.sql("SET spark.sql.aqp.histogramQuantile=true")
+    assert aqp._hq_route_info(
+        "SELECT year(o_orderdate) AS med, "
+        "APPROX_PERCENTILE(o_totalprice, 0.5) AS med "
+        "FROM orders GROUP BY year(o_orderdate) WITH ERROR") is None
+
+
 def test_no_with_clause_never_routes(spark):
     aqp = _session(spark, "hllplain")
     exact = spark.sql(

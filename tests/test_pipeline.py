@@ -1151,6 +1151,38 @@ def test_cross_corpus_dedup_matches_oracle_and_is_asymmetric(views, duck):
         assert (min(d, m), max(d, m)) in pairs, (d, m)
 
 
+def test_cross_corpus_verify_budget_is_semantics_free_at_fixture_scale(
+        views, duck):
+    """round-8 VERDICT #4: the per-new-doc verify budget (top-C candidates
+    by band agreement) must leave fixture-scale semantics untouched —
+    capped (default 24) == uncapped (None) row-for-row — and the capped
+    form must still replay bit-exactly on DuckDB. The cap exists for
+    pathological duplication DENSITY (100-way families in the 100x
+    stress), not for these corpora."""
+    from snappy_aqp_spark.pipeline.incremental import \
+        cross_corpus_dedup_stages
+    pred = "source IN ('src18', 'src19')"
+    st_c, fin_c = cross_corpus_dedup_stages(SPARK, new_pred=pred,
+                                            threshold=0.5)
+    st_u, fin_u = cross_corpus_dedup_stages(SPARK, new_pred=pred,
+                                            threshold=0.5,
+                                            max_candidates_per_doc=None)
+    import pandas.testing as pdt
+    capped = run_stages(views, st_c, fin_c).toPandas()
+    uncapped = run_stages(views, st_u, fin_u).toPandas()
+    pdt.assert_frame_equal(capped, uncapped)     # NaN-aware row equality
+    # a tight budget IS allowed to change matches but must stay
+    # deterministic and engine-identical
+    st_d, fin_d = cross_corpus_dedup_stages(DUCKDB, new_pred=pred,
+                                            threshold=0.5,
+                                            max_candidates_per_doc=1)
+    st_1, fin_1 = cross_corpus_dedup_stages(SPARK, new_pred=pred,
+                                            threshold=0.5,
+                                            max_candidates_per_doc=1)
+    compare_frames(run_stages(views, st_1, fin_1),
+                   duck.sql(stages_sql(st_d, fin_d)).df())
+
+
 def test_bm25_retrieval_matches_reference_scoring(spark):
     """a from-scratch Python reimplementation of the integer BM25 formula
     reproduces every (query, doc, score) row; ranking prefers rare shared
@@ -1493,6 +1525,46 @@ def test_histogram_quantile_brackets_truth(views, duck):
             f"SELECT quantile_disc(n_chars, {q}) v FROM documents"
         ).df().iloc[0, 0]
         assert rows[q]["lo"] <= exact < rows[q]["hi"], (q, exact, rows[q])
+
+
+def test_quantile_null_group_contracts(spark):
+    """round-8 VERDICT #4 (NULL-group consistency): the mergeable
+    histogram KEEPS a NULL-keyed group (nothing joins on the key — same
+    contract as the SQL route and the exact answer), bit-exact on DuckDB
+    with NULLS FIRST pinned; the sampling-based grouped quantiles EXCLUDE
+    it, as their docstring now documents (the rank equi-join can never
+    match NULL)."""
+    import duckdb
+    import pandas as pd
+    from snappy_aqp_spark.pipeline.quantiles import (
+        grouped_quantile_stages, histogram_quantile_stages)
+    pdf = pd.DataFrame({
+        "doc_id": list(range(12)),
+        "g": (["a"] * 4 + [None] * 4 + ["b"] * 4),
+        "v": [10, 20, 30, 40, 15, 25, 35, 45, 12, 22, 32, 42]})
+    spark.createDataFrame(pdf).createOrReplaceTempView("nullg_t")
+    con = duckdb.connect()
+    con.register("nullg_t", pdf)
+    st, fin = histogram_quantile_stages(SPARK, col="v", width=10,
+                                        qs=(0.5,), table="nullg_t",
+                                        group_by="g")
+    sp = run_stages(spark, st, fin).toPandas()
+    assert sp["g"].isna().sum() == 1          # the NULL stratum is a row
+    assert set(sp["g"].dropna()) == {"a", "b"}
+    std, find = histogram_quantile_stages(DUCKDB, col="v", width=10,
+                                          qs=(0.5,), table="nullg_t",
+                                          group_by="g")
+    dk = con.sql(stages_sql(std, find)).df()
+    a = sp.fillna({"g": ""}).values.tolist()
+    b = dk.fillna({"g": ""}).values.tolist()
+    assert a == b                              # incl. identical row ORDER
+    # sampling path: NULL group excluded by documented contract
+    st, fin = grouped_quantile_stages(SPARK, col="v", group_by="g",
+                                      key_cols=("doc_id",),
+                                      table="nullg_t", qs=(0.5,),
+                                      fraction=1.0)
+    sp2 = run_stages(spark, st, fin).toPandas()
+    assert set(sp2["stratum"]) == {"a", "b"}
 
 
 def test_column_correlation_tracks_exact_pearson(views, duck):

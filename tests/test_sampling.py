@@ -504,6 +504,43 @@ def test_run_script_nyc_shape_drop_interleave_still_batches(spark,
     assert "ny_d" not in a1.catalog.samples
 
 
+def test_run_script_drop_of_filter_referenced_table_flushes(spark):
+    """round-8 ADVICE: a DROP whose target appears inside a pending
+    spec's AS-select WHERE (an IN-subquery source) must flush the batch
+    first — the subquery reads that table at build time, so deferring the
+    CREATE past the DROP would diverge from (or fail against)
+    statement-by-statement execution."""
+    import pandas as pd
+    from snappy_aqp_spark.api import AQPSession
+
+    script = """
+    CREATE SAMPLE TABLE adv_a OPTIONS (qcs 'l_returnflag',
+        fraction '0.2', method 'hash', seed '11')
+        AS SELECT * FROM lineitem
+        WHERE l_orderkey IN (SELECT k FROM adv_keep);
+    DROP TABLE IF EXISTS adv_keep;
+    CREATE SAMPLE TABLE adv_b ON lineitem OPTIONS (qcs 'l_linestatus',
+        fraction '0.1', method 'hash', seed '12');
+    """
+
+    def run(token: str, batched: bool):
+        aqp = AQPSession(spark, error=0.2, confidence=0.95,
+                         behavior="do_nothing", data_token=token)
+        aqp.load_tables(SF_SMALL, ("lineitem",))
+        aqp.register_table("adv_keep", spark.sql(
+            "SELECT CAST(id * 3 AS BIGINT) AS k FROM range(200)"))
+        res = aqp.run_script(script, batch_sample_builds=batched)
+        out = []
+        for r in (res[0], res[2]):
+            cols = sorted(r.columns)
+            out.append(r.toPandas()[cols].sort_values(cols)
+                       .reset_index(drop=True))
+        return out
+
+    for a, b in zip(run("advflush-b", True), run("advflush-c", False)):
+        pd.testing.assert_frame_equal(a, b)
+
+
 def test_run_script_forwards_rebuild(spark):
     """A pathless ``CREATE ... OPTIONS(rebuild 'true')`` through
     run_script must actually re-sample (round-8 ADVICE: the batching path
