@@ -300,6 +300,10 @@ _HLL_CD_EKQ = ("SELECT year(l_shipdate) AS yr, "
                "relative_error(approx_orders) AS rel_err "
                "FROM lineitem GROUP BY year(l_shipdate) "
                "ORDER BY yr WITH ERROR")
+_HLL_CD_TSQ = ("SELECT COUNT(DISTINCT l_shipdate) AS approx_ship_ts, "
+               "lower_bound(approx_ship_ts) AS lb, "
+               "upper_bound(approx_ship_ts) AS ub "
+               "FROM lineitem WITH ERROR")
 
 
 def _hll_count_distinct_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,6 +333,21 @@ def _hll_count_distinct_grouped_runner(spark: SparkSession,
     aqp.sql("SET spark.sql.aqp.hllCountDistinct=true")
     aqp.sql("SET spark.sql.aqp.hllPrecision=5")
     return aqp.sql(_HLL_CD_GQ)
+
+
+def _hll_count_distinct_tskey_runner(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """TEMPORAL key on the HLL route (round-9): the route's type probe
+    maps the TIMESTAMP_NTZ parquet column onto the integer avalanche's
+    epoch-micros fold (dual.to_bigint_key 'timestamp_ntz' — timezone-
+    independent, identical to DuckDB's naive epoch_us; same policy as
+    topk.api._time_us), so even a timestamp COUNT(DISTINCT) scan pays
+    integer hashing instead of md5(CAST(ts AS STRING))."""
+    aqp = AQPSession(spark, data_token=f"hllcdts@{sf_dir}", **_SQL_DEFAULTS)
+    aqp.load_tables(sf_dir, ("lineitem",))
+    aqp.sql("SET spark.sql.aqp.hllCountDistinct=true")
+    aqp.sql("SET spark.sql.aqp.hllPrecision=6")
+    return aqp.sql(_HLL_CD_TSQ)
 
 
 def _hll_count_distinct_exprkey_runner(spark: SparkSession,
@@ -1321,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sql_count_distinct_hll"] = _hll_count_distinct_runner
     out["sql_count_distinct_hll_grouped"] = _hll_count_distinct_grouped_runner
     out["sql_count_distinct_hll_exprkey"] = _hll_count_distinct_exprkey_runner
+    out["sql_count_distinct_hll_tskey"] = _hll_count_distinct_tskey_runner
     out["sql_histogram_quantile_route"] = _hq_route_runner
     out["sql_histogram_quantile_route_grouped"] = _hq_route_grouped_runner
     out["sql_multi_sample_build"] = _multi_sample_build_runner
@@ -1564,6 +1584,13 @@ def oracle_sql() -> dict[str, str]:
         group_keys=("year(l_shipdate)",), group_out=("yr",),
         alias="approx_orders", err_cols=(("relative_error", "rel_err"),),
         confidence=0.95, order_by=("yr",), key_kind="bigint")
+    # temporal key -> the probe maps TIMESTAMP_NTZ onto the avalanche's
+    # epoch-micros fold; DuckDB's epoch_us is the identical integer
+    out["sql_count_distinct_hll_tskey"] = hll_count_distinct_query_sql(
+        _DK, col="l_shipdate", table="lineitem", p=6,
+        alias="approx_ship_ts",
+        err_cols=(("lower_bound", "lb"), ("upper_bound", "ub")),
+        confidence=0.95, key_kind="timestamp_ntz")
     # histogram APPROX_PERCENTILE route: same dual-emission policy
     from snappy_aqp_spark.pipeline.quantiles import (
         histogram_quantile_query_sql)

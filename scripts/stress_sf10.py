@@ -40,8 +40,11 @@ FIXTURES = [a for a in sys.argv[1:] if not a.startswith("--")] or [
     "cf_group_multi", "cf_partial_route", "bs_sum_group",
     "sql_multi_sample_build",
     # pipeline: banded-LSH cross-corpus dedup over 600k near-duplicate
-    # docs, and the mergeable-histogram quantiles
-    "cross_corpus_dedup", "histogram_quantile"]
+    # docs (bounded by the round-9 per-doc verify budget — green at this
+    # scale since then), the mergeable-histogram quantiles, and the
+    # grouped HLL route (round-9: integer avalanche row hash)
+    "cross_corpus_dedup", "histogram_quantile",
+    "sql_count_distinct_hll_grouped"]
 
 
 def _replicate(spark, df, shift_cols: dict[str, int], suffix_col: str | None,

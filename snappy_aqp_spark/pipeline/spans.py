@@ -19,8 +19,10 @@ This finds precisely the spans the suffix-array method finds (a span of
 length L >= k duplicates iff all its L-k+1 grams duplicate), with only
 equi-shuffles: one groupBy on the gram for counting, a semi-join back, and
 a per-document window. At 100 TB the gram *strings* in the shuffle can be
-replaced by 60-bit rolling codes (``dual.hex15_to_long(md5(...))``) to cut
-payload ~5x at a ~2^-60 collision rate; the string form here keeps the
+replaced by 60-bit codes to cut payload ~5x at a ~2^-60 collision rate —
+``dual.avalanche60_steps`` over a token-code fold is the cheap
+integer-only form (round-9; ``hex15_to_long(md5(...))`` works too but
+pays a cryptographic hash per gram). The string form here keeps the
 count exact and the oracle replay byte-identical.
 
 Output rows are the spans themselves — the actionable artifact: a cleaner
