@@ -445,6 +445,16 @@ def auto_weighted_spec(name: str, columns) -> "SampleSpec":
                       method="hash", fraction=1.0, seed=0)
 
 
+def _drop_touches_filters(name: str, group: list) -> bool:
+    """True when a DROP target is referenced inside any pending batched
+    spec's AS-select WHERE text (a subquery source reads that table at
+    build time, so the batch must flush before the drop — round-8
+    ADVICE; see run_script)."""
+    pat = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
+    return any(sp.base_filter and pat.search(sp.base_filter)
+               for _, _, sp in group)
+
+
 class AQPSession:
     # Spark-conf property surface (reference SnappyAQPSessionState.scala:222:
     # spark.sql.aqp.{error,confidence,behavior,numBootStrapTrials}).
@@ -1671,16 +1681,8 @@ class AQPSession:
                          or (dt[0] if dt else None))
                 pending = ({n.lower() for _, n, _ in group}
                            | {sp.base_table.lower() for _, _, sp in group})
-
-                def _referenced(nm: str) -> bool:
-                    import re as _re
-                    pat = _re.compile(rf"\b{_re.escape(nm)}\b",
-                                      _re.IGNORECASE)
-                    return any(sp.base_filter and pat.search(sp.base_filter)
-                               for _, _, sp in group)
-
                 if (dname is not None and dname.lower() not in pending
-                        and not _referenced(dname)):
+                        and not _drop_touches_filters(dname, group)):
                     results.append(self.sql(stmt))
                     continue
             flush()

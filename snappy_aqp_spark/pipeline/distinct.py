@@ -61,6 +61,34 @@ def _md5_hash60(dialect: str, col: str) -> str:
                               else f"md5(CAST({col} AS STRING))")
 
 
+def _avalanche_chain(dialect: str, col: str, key_kind: str
+                     ) -> list[tuple[str, str]]:
+    """``[(out_alias, expr)]`` for the avalanche rounds — the ONE place
+    the step-aliasing rule lives (each intermediate round keeps its
+    step-column name so the next round's expr resolves; the final round
+    is aliased ``__hh``, the lattice's hash column). Consumed by both
+    renderings: CTE stages (_hash_stages) and nested subqueries
+    (_avalanche_nested_src)."""
+    steps = dual.avalanche60_steps(
+        dialect, dual.to_bigint_key(dialect, col, key_kind))
+    return [("__hh" if i == len(steps) - 1 else cname, expr)
+            for i, (cname, expr) in enumerate(steps)]
+
+
+def _avalanche_nested_src(dialect: str, col: str, table: str, pred: str,
+                          key_kind: str) -> str:
+    """Nested-subquery rendering of the avalanche chain (for single-
+    statement emitters): innermost projection applies ``pred``, each
+    round nests one level (mulmod61 expands its input ~16x textually, so
+    the rounds must never compose in one expression)."""
+    chain = _avalanche_chain(dialect, col, key_kind)
+    alias0, expr0 = chain[0]
+    src = f"(SELECT {expr0} AS {alias0} FROM {table} WHERE {pred}) __hr0"
+    for i, (alias, expr) in enumerate(chain[1:], start=1):
+        src = f"(SELECT {expr} AS {alias} FROM {src}) __hr{i}"
+    return src
+
+
 def _hash_stages(dialect: str, col: str, table: str, pred: str,
                  carry_first: str, carry_rest: str, key_kind: str,
                  prefix: str) -> list[tuple[str, str]]:
@@ -76,14 +104,12 @@ def _hash_stages(dialect: str, col: str, table: str, pred: str,
         return [(f"{prefix}_h",
                  f"SELECT {carry_first}{_md5_hash60(dialect, col)} AS __hh "
                  f"FROM {table} WHERE {pred}")]
-    steps = dual.avalanche60_steps(
-        dialect, dual.to_bigint_key(dialect, col, key_kind))
+    chain = _avalanche_chain(dialect, col, key_kind)
     out: list[tuple[str, str]] = []
     src = table
-    for i, (cname, expr) in enumerate(steps):
-        last = i == len(steps) - 1
+    for i, (alias, expr) in enumerate(chain):
+        last = i == len(chain) - 1
         name = f"{prefix}_h" if last else f"{prefix}_a{i}"
-        alias = "__hh" if last else cname
         carry = carry_first if i == 0 else carry_rest
         w = f" WHERE {pred}" if i == 0 else ""
         out.append((name, f"SELECT {carry}{expr} AS {alias} FROM {src}{w}"))
@@ -332,15 +358,8 @@ def hll_registers_sql(dialect: str, col: str = "event_id",
         hash_src = (f"(SELECT {_md5_hash60(dialect, col)} AS __hh "
                     f"FROM {table} WHERE {col} IS NOT NULL) __hr")
     else:
-        # nest one subquery per avalanche round (mulmod61 expands its
-        # input ~16x — composing the rounds textually would blow up)
-        steps = dual.avalanche60_steps(
-            dialect, dual.to_bigint_key(dialect, col, key_kind))
-        hash_src = f"(SELECT {steps[0][1]} AS {steps[0][0]} FROM {table} " \
-                   f"WHERE {col} IS NOT NULL) __hr0"
-        for i, (cname, expr) in enumerate(steps[1:], start=1):
-            alias = "__hh" if i == len(steps) - 1 else cname
-            hash_src = f"(SELECT {expr} AS {alias} FROM {hash_src}) __hr{i}"
+        hash_src = _avalanche_nested_src(dialect, col, table,
+                                         f"{col} IS NOT NULL", key_kind)
     return (
         f"SELECT __bucket, MAX(__rho) AS __r FROM ("
         f"SELECT __hh % {m} AS __bucket, CASE WHEN {w} = 0 "

@@ -307,7 +307,17 @@ def to_bigint_key(dialect: str, expr: str, kind: str) -> str:
     (epoch micros), 'date' (epoch days). Identical values on Spark and
     DuckDB (NTZ goes through timestampdiff from the NTZ epoch —
     timezone-independent, matching DuckDB's naive epoch_us; same policy
-    as topk.api._time_us)."""
+    as topk.api._time_us).
+
+    CAVEAT ('timestamp', i.e. TIMESTAMP_LTZ): the fold hashes the
+    ABSOLUTE instant (unix_micros). That is the right Spark-side
+    semantic, but a bit-exact DuckDB replay additionally requires the
+    oracle to read the same instants — naive parquet timestamps read as
+    LTZ (NTZ inference disabled) under a non-UTC session timezone would
+    shift Spark's instants relative to DuckDB's naive epoch_us. The
+    repo's fixtures read naive parquet under Spark 4's default NTZ
+    inference, which lands on the 'timestamp_ntz' kind and is
+    timezone-independent by construction."""
     if kind == "bigint":
         return f"CAST({expr} AS BIGINT)"
     if kind == "timestamp":

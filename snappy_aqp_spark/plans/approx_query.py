@@ -593,7 +593,12 @@ def _bs_wide_inner_rel(spec: ApproxQuerySpec, df: DataFrame) -> DataFrame:
 
 # sample-size memo for the bootstrap form pick: one count() per
 # (spec, token) — the prepared sample relation is cached, so the count is
-# a cheap cached-scan job, paid once per plan-cache entry
+# a cheap cached-scan job, paid once per plan-cache entry. Token-less
+# calls are NEVER memoized or counted (same policy as _SAMPLE_CACHE:
+# without a token the data location isn't pinned, so a cached count
+# could silently pick the wrong form for different data — and the count
+# itself would derive the un-cached sample once just to throw it away);
+# they take the wide form, the scale-safe default.
 _BS_ROWS_MEMO: dict[tuple, int] = {}
 
 # form-pick threshold in aggregation CELLS (sample rows x trials): below
@@ -625,13 +630,16 @@ def _bootstrap_fin_rel(spark: SparkSession, spec: ApproxQuerySpec,
                        df: DataFrame,
                        cache_token: str | None = None) -> DataFrame:
     gcols, qcols = _gcols(spec), _qcols(spec)
-    mkey = (spec, cache_token)
-    if mkey not in _BS_ROWS_MEMO:
-        _BS_ROWS_MEMO[mkey] = df.count()
-    if _BS_ROWS_MEMO[mkey] * spec.trials <= _BS_XJOIN_MAX_CELLS:
-        inner = _bs_xjoin_inner_rel(spark, spec, df)
+    if cache_token is None:
+        inner = _bs_wide_inner_rel(spec, df)       # see _BS_ROWS_MEMO note
     else:
-        inner = _bs_wide_inner_rel(spec, df)
+        mkey = (spec, cache_token)
+        if mkey not in _BS_ROWS_MEMO:
+            _BS_ROWS_MEMO[mkey] = df.count()
+        if _BS_ROWS_MEMO[mkey] * spec.trials <= _BS_XJOIN_MAX_CELLS:
+            inner = _bs_xjoin_inner_rel(spark, spec, df)
+        else:
+            inner = _bs_wide_inner_rel(spec, df)
     outer = _agg_frags(inner, gcols + [bs.TRIAL_COL], _bs_outer_frags(spec))
     trialv = _select_frags(outer, gcols + [bs.TRIAL_COL, "__bmask"],
                            _bs_trial_frags(spec))

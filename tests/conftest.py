@@ -50,29 +50,36 @@ def _trim_spark_caches():
     s = SparkSession.getActiveSession()
     if s is None:
         return
-    try:
-        from snappy_aqp_spark.pipeline import dual
-        from snappy_aqp_spark.plans import approx_query as aq
-        for df in aq._SAMPLE_CACHE.values():
-            df.unpersist()
-        aq._SAMPLE_CACHE.clear()
-        aq._PLAN_CACHE.clear()
-        aq._BS_ROWS_MEMO.clear()
-        aq._evict_hac_persisted()
-        for df in dual._PREV_PERSISTED:
-            df.unpersist()
-        dual._PREV_PERSISTED.clear()
-        dual._PREV_KEY[0] = None
-        for _, df in dual._IX_CACHE.values():
-            df.unpersist()
-        dual._IX_CACHE.clear()
-        from snappy_aqp_spark.pipeline import clusters
-        for df in clusters._LABEL_CACHE.values():
-            df.unpersist()
-        clusters._LABEL_CACHE.clear()
-        s.catalog.clearCache()
-    except Exception:
-        pass          # a torn-down JVM at session end is fine
+
+    def _safe(fn):
+        # isolate each eviction: one dead entry (e.g. a df from a
+        # stopped session) must not skip the remaining registries or
+        # the final clearCache — that would quietly disable the OOM
+        # mitigation this fixture exists for
+        try:
+            fn()
+        except Exception:
+            pass
+
+    from snappy_aqp_spark.pipeline import clusters, dual
+    from snappy_aqp_spark.plans import approx_query as aq
+    for df in list(aq._SAMPLE_CACHE.values()):
+        _safe(df.unpersist)
+    aq._SAMPLE_CACHE.clear()
+    aq._PLAN_CACHE.clear()
+    aq._BS_ROWS_MEMO.clear()
+    _safe(aq._evict_hac_persisted)
+    for df in list(dual._PREV_PERSISTED):
+        _safe(df.unpersist)
+    dual._PREV_PERSISTED.clear()
+    dual._PREV_KEY[0] = None
+    for _, df in list(dual._IX_CACHE.values()):
+        _safe(df.unpersist)
+    dual._IX_CACHE.clear()
+    for df in list(clusters._LABEL_CACHE.values()):
+        _safe(df.unpersist)
+    clusters._LABEL_CACHE.clear()
+    _safe(s.catalog.clearCache)
 
 
 def _duck_con(sf_dir: str):

@@ -88,29 +88,23 @@ def test_bootstrap_form_pick_bit_identical(spark, duck):
     cross-join (whole-stage-codegen) below _BS_XJOIN_MAX_CELLS, the
     trial-unrolled wide aggregate above. Both forms must be bit-identical
     (integer trial sums) and both must match the DuckDB oracle replay."""
-    import dataclasses
-
     from snappy_aqp_spark.plans import approx_query as aq
     spec = APPROX_SPECS["bs_sum_group"]
     tables = load_tables(spark, SF_SMALL, _tables_for(spec))
-    oracle = duck.sql(oracle_sql_for(spec)).df()
 
-    # sf0.001 sample is tiny -> the cross-join branch fires
-    res_x = run_approx_query(spark, spec, tables)
-    n = aq._BS_ROWS_MEMO[(spec, None)]
+    # token-less call: no memo entry, no count job — the WIDE (scale-
+    # safe default) branch runs (same no-token policy as _SAMPLE_CACHE)
+    aq._BS_ROWS_MEMO.pop((spec, SF_SMALL), None)
+    res_w = run_approx_query(spark, spec, tables)
+    assert (spec, None) not in aq._BS_ROWS_MEMO
+    compare_frames(res_w, duck.sql(oracle_sql_for(spec)))
+
+    # token'd call at sf0.001: the memoized count is tiny -> the
+    # cross-join branch fires on the SAME data
+    res_x = run_approx_query(spark, spec, tables, cache_token=SF_SMALL)
+    n = aq._BS_ROWS_MEMO[(spec, SF_SMALL)]
     assert n * spec.trials <= aq._BS_XJOIN_MAX_CELLS
     compare_frames(res_x, duck.sql(oracle_sql_for(spec)))
-
-    # force the WIDE branch on the same data (a distinct spec so neither
-    # the rows memo nor any plan cache can serve the cross-join result)
-    spec_w = dataclasses.replace(spec, confidence=spec.confidence + 1e-12)
-    old = aq._BS_XJOIN_MAX_CELLS
-    aq._BS_XJOIN_MAX_CELLS = 0
-    try:
-        res_w = run_approx_query(spark, spec_w, tables)
-        compare_frames(res_w, duck.sql(oracle_sql_for(spec)))
-    finally:
-        aq._BS_XJOIN_MAX_CELLS = old
     assert res_x.toPandas().values.tolist() == \
         res_w.toPandas().values.tolist()
 
