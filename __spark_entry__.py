@@ -317,8 +317,9 @@ def _hll_count_distinct_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     aqp = AQPSession(spark, data_token=f"hllcd@{sf_dir}", **_SQL_DEFAULTS)
     aqp.load_tables(sf_dir, ("lineitem",))
     aqp.sql("SET spark.sql.aqp.hllCountDistinct=true")
-    # p sized so every tested scale sits above the dropped linear-counting
-    # regime (2.5*m = 160 << 1.5k distinct orderkeys at sf0.001)
+    # p sized so every tested scale sits above the linear-counting
+    # cutoff (2.5*m = 160 << 1.5k distinct orderkeys at sf0.001) — this
+    # fixture pins the RAW-estimator branch; the _lowcard fixture pins LC
     aqp.sql("SET spark.sql.aqp.hllPrecision=6")
     return aqp.sql(_HLL_CD_Q)
 
@@ -348,6 +349,61 @@ def _hll_count_distinct_tskey_runner(spark: SparkSession,
     aqp.sql("SET spark.sql.aqp.hllCountDistinct=true")
     aqp.sql("SET spark.sql.aqp.hllPrecision=6")
     return aqp.sql(_HLL_CD_TSQ)
+
+
+_HLL_CD_LCQ = ("SELECT COUNT(DISTINCT l_returnflag) AS approx_flags, "
+               "absolute_error(approx_flags) AS abs_err, "
+               "lower_bound(approx_flags) AS lb, "
+               "upper_bound(approx_flags) AS ub "
+               "FROM lineitem WITH ERROR")
+_HLL_CD_LTZQ = ("SELECT COUNT(DISTINCT l_shipdate) AS approx_ship_ltz, "
+                "relative_error(approx_ship_ltz) AS rel_err "
+                "FROM lineitem WITH ERROR")
+
+
+def _hll_count_distinct_lowcard_runner(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """LOW-cardinality key through the HLL route (round-9 VERDICT #1):
+    l_returnflag has 3 distinct values << 2.5*m, so the deterministic
+    linear-counting branch (pipeline/distinct._lc_lookup — m*ln(m/V) as
+    a driver-computed literal lookup, no SQL-side libm) answers instead
+    of the biased raw estimator, and the DuckDB oracle still replays the
+    statement bit-exactly (reference analog: the small-n switch
+    discipline, closedform/closedFormError.scala:132-138)."""
+    aqp = AQPSession(spark, data_token=f"hllcdlc@{sf_dir}", **_SQL_DEFAULTS)
+    aqp.load_tables(sf_dir, ("lineitem",))
+    aqp.sql("SET spark.sql.aqp.hllCountDistinct=true")
+    aqp.sql("SET spark.sql.aqp.hllPrecision=6")
+    return aqp.sql(_HLL_CD_LCQ)
+
+
+def _hll_count_distinct_ltz_runner(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """TIMESTAMP_LTZ key through the HLL route (round-9 VERDICT #2): the
+    parquet timestamps are loaded with NTZ inference DISABLED so
+    l_shipdate reads as TIMESTAMP_LTZ (raw micros as UTC instants — the
+    legacy-writer shape), and the session timezone is pinned to UTC for
+    the plan build, which is exactly the condition under which the
+    route's type probe admits LTZ onto the avalanche's instant fold
+    (api._hll_key_kind; any other timezone falls back to md5). The plan
+    itself hashes unix_micros — timezone-independent — so restoring the
+    session confs after the build cannot change the result."""
+    ntz_conf = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    tz_conf = "spark.sql.session.timeZone"
+    old_ntz = spark.conf.get(ntz_conf)
+    old_tz = spark.conf.get(tz_conf)
+    try:
+        spark.conf.set(ntz_conf, "false")
+        spark.conf.set(tz_conf, "UTC")
+        aqp = AQPSession(spark, data_token=f"hllcdltz@{sf_dir}",
+                         **_SQL_DEFAULTS)
+        aqp.load_tables(sf_dir, ("lineitem",))
+        aqp.sql("SET spark.sql.aqp.hllCountDistinct=true")
+        aqp.sql("SET spark.sql.aqp.hllPrecision=6")
+        return aqp.sql(_HLL_CD_LTZQ)
+    finally:
+        spark.conf.set(ntz_conf, old_ntz)
+        spark.conf.set(tz_conf, old_tz)
 
 
 def _hll_count_distinct_exprkey_runner(spark: SparkSession,
@@ -1341,6 +1397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sql_count_distinct_hll_grouped"] = _hll_count_distinct_grouped_runner
     out["sql_count_distinct_hll_exprkey"] = _hll_count_distinct_exprkey_runner
     out["sql_count_distinct_hll_tskey"] = _hll_count_distinct_tskey_runner
+    out["sql_count_distinct_hll_lowcard"] = _hll_count_distinct_lowcard_runner
+    out["sql_count_distinct_hll_ltz_key"] = _hll_count_distinct_ltz_runner
     out["sql_histogram_quantile_route"] = _hq_route_runner
     out["sql_histogram_quantile_route_grouped"] = _hq_route_grouped_runner
     out["sql_multi_sample_build"] = _multi_sample_build_runner
@@ -1591,6 +1649,23 @@ def oracle_sql() -> dict[str, str]:
         alias="approx_ship_ts",
         err_cols=(("lower_bound", "lb"), ("upper_bound", "ub")),
         confidence=0.95, key_kind="timestamp_ntz")
+    # low-cardinality key (3 flags << 2.5*m): the deterministic
+    # linear-counting branch answers on BOTH engines (literal lookup —
+    # the oracle text contains the identical literals)
+    out["sql_count_distinct_hll_lowcard"] = hll_count_distinct_query_sql(
+        _DK, col="l_returnflag", table="lineitem", p=6,
+        alias="approx_flags",
+        err_cols=(("absolute_error", "abs_err"), ("lower_bound", "lb"),
+                  ("upper_bound", "ub")), confidence=0.95,
+        key_kind="string")
+    # TIMESTAMP_LTZ key under a UTC-pinned session: Spark hashes
+    # unix_micros of the LTZ read (raw parquet micros), DuckDB hashes
+    # epoch_us of the same naive parquet — identical integers
+    out["sql_count_distinct_hll_ltz_key"] = hll_count_distinct_query_sql(
+        _DK, col="l_shipdate", table="lineitem", p=6,
+        alias="approx_ship_ltz",
+        err_cols=(("relative_error", "rel_err"),), confidence=0.95,
+        key_kind="timestamp")
     # histogram APPROX_PERCENTILE route: same dual-emission policy
     from snappy_aqp_spark.pipeline.quantiles import (
         histogram_quantile_query_sql)

@@ -27,9 +27,14 @@ Design for bit-exact Spark/DuckDB replay (the driver's hash-match gate):
     aggregation order is nondeterministic) and could not hash-match.
 
 Linear counting (the standard small-range correction) IS applied when
-``E <= 2.5 m`` and empty registers exist; its ``ln`` is libm-dependent, so
-oracle fixtures should use cardinalities safely above ``2.5 m`` (the
-branch choice itself is deterministic — ``E`` and ``zeros`` are exact).
+``E <= 2.5 m`` and empty registers exist, and since round 10 it is
+deterministic too: ``m * ln(m / V)`` has only ``m`` possible inputs
+(V = zero-register count in 1..m), so the whole function is computed
+driver-side ONCE and emitted as a literal array lookup indexed by V —
+engine-identical by construction (decimal->double literal conversion is
+correctly rounded in both engines), with no SQL-side libm anywhere. A
+low-cardinality column (labels, languages, countries) therefore gets the
+bias-corrected estimate AND still replays bit-exactly on the oracle.
 
 Scale: one scan, one ``GROUP BY bucket`` over at most ``m`` groups, one
 scalar row out. Partial aggregation makes the shuffle m-bounded regardless
@@ -53,6 +58,21 @@ def _alpha(m: int) -> float:
     if m == 64:
         return 0.709
     return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _lc_lookup(dialect: str, m: int, zeros: str) -> str:
+    """Deterministic linear-counting estimate ``m * ln(m / V)`` as a
+    literal array lookup indexed by ``zeros`` (V = zero-register count,
+    1..m). ``ln`` has exactly ``m`` reachable inputs, so it is evaluated
+    driver-side with Python's libm ONCE and shipped as full-precision
+    double literals — the engines never call ``ln``, so the lookup is
+    bit-identical across Spark and DuckDB by construction (round-9
+    VERDICT #1; the reference's own small-n switch discipline is the
+    analog, closedform/closedFormError.scala:132-138). Callers must
+    guard ``zeros > 0`` (CASE is lazily evaluated in both engines —
+    index 0 would raise on Spark's 1-based element_at)."""
+    vals = [dlit(m * math.log(m / v)) for v in range(1, m + 1)]
+    return dual.elem(dialect, dual.array_lit(dialect, vals), zeros)
 
 
 def _md5_hash60(dialect: str, col: str) -> str:
@@ -127,10 +147,13 @@ def hll_distinct_stages(dialect: str, col: str = "doc_id",
     """``(stages, final)`` estimating ``COUNT(DISTINCT col)`` [per
     ``group_by``] with m = 2**p registers (rel. error ~ 1.04/sqrt(m)).
 
-    ``linear_counting=False`` drops the small-range LC correction — its
-    ``ln`` is libm-dependent (module docstring), so callers holding a
-    bit-exact replay contract (the SQL COUNT(DISTINCT) route) disable it
-    and size ``p`` below the cardinalities they care about instead.
+    ``linear_counting=True`` (default) applies the standard small-range
+    correction below the ``2.5 m`` cutoff via the deterministic literal
+    lookup (``_lc_lookup`` — no SQL-side libm), so it is safe under the
+    bit-exact replay contract too. ``False`` keeps the raw estimator
+    everywhere — only for callers that must stay consistent with a
+    separately-materialized register relation finalized without LC
+    (``hll_estimate_sql``, the streaming merge contract).
 
     ``key_kind``: 'string' (default) hashes via md5 — works for any type;
     'bigint'/'timestamp'/'date' use the integer Mersenne-61 avalanche
@@ -178,8 +201,7 @@ def hll_distinct_stages(dialect: str, col: str = "doc_id",
     num = _alpha(m) * m * m * float(1 << (maxbits + 1))
     e_raw = f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
     if linear_counting:
-        lc = (f"({dlit(float(m))} * ln({dlit(float(m))} "
-              f"/ CAST({zeros} AS DOUBLE)))")
+        lc = _lc_lookup(dialect, m, zeros)
         est = (f"CASE WHEN {e_raw} <= {dlit(2.5 * m)} AND {zeros} > 0 "
                f"THEN {lc} ELSE {e_raw} END")
     else:
@@ -211,7 +233,12 @@ def hll_count_distinct_query_sql(dialect: str, col: str, table: str,
     relative_error, lower_bound, upper_bound}. HLL's standard error is
     1.04/sqrt(m); bounds use the normal quantile at ``confidence`` as a
     Python-side literal, so the whole statement stays bit-exact across
-    engines (no LC branch, no SQL-side libm — IEEE ±*/ only).
+    engines (IEEE ±*/ only; the small-range linear-counting branch is a
+    driver-computed literal lookup — ``_lc_lookup`` — so even a genuinely
+    low-cardinality key gets the bias-corrected estimate without any
+    SQL-side libm). On the LC branch the advertised 1.04/sqrt(m) error
+    columns are CONSERVATIVE (LC's actual error is far smaller), so the
+    bound contract only tightens there.
 
     ``group_out``: output names for the group keys (default: the keys
     themselves). When any key is an EXPRESSION (``GROUP BY hour(ts)``) or
@@ -247,7 +274,16 @@ def hll_count_distinct_query_sql(dialect: str, col: str, table: str,
     z_int = (f"(__zp + {zeros} * "
              f"{dual.shiftleft(dialect, 'CAST(1 AS BIGINT)', str(maxbits + 1))})")
     num = _alpha(m) * m * m * float(1 << (maxbits + 1))
-    est = f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
+    e_raw = f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
+    est_expr = (f"CASE WHEN {e_raw} <= {dlit(2.5 * m)} AND {zeros} > 0 "
+                f"THEN {_lc_lookup(dialect, m, zeros)} ELSE {e_raw} END")
+    # the LC lookup is an m-entry literal array — stage the estimate once
+    # so the error-fn expressions below reference a plain column instead
+    # of repeating the lookup text per output
+    g_pre = (", ".join(keys) + ", ") if keys else ""
+    stages = stages + [("__hll_est",
+                        f"SELECT {g_pre}{est_expr} AS __est FROM __hll_z")]
+    est = "__est"
     rel = normal_ppf((1.0 + confidence) / 2.0) * 1.04 / math.sqrt(m)
     fns = {"absolute_error": f"({dlit(rel)} * {est})",
            "relative_error": dlit(rel),
@@ -258,7 +294,7 @@ def hll_count_distinct_query_sql(dialect: str, col: str, table: str,
     items.append(f"{est} AS {alias}")
     for fn, out in err_cols:
         items.append(f"{fns[fn.lower()]} AS {out}")
-    final = f"SELECT {', '.join(items)} FROM __hll_z"
+    final = f"SELECT {', '.join(items)} FROM __hll_est"
     if order_by:
         final += f" ORDER BY {dual.order_nulls(order_by)}"
     elif group_keys:
@@ -281,9 +317,11 @@ def hll_set_ops_stages(dialect: str, col: str = "doc_id",
     intersection is inclusion-exclusion (|A|+|B|-|A∪B|, clamped at 0),
     the audience-overlap estimator a corpus pipeline runs across shards
     without ever shuffling raw keys. Same integer-lattice harmonic sum as
-    ``hll_distinct_stages`` (bit-exact dual replay); callers should size
-    ``p`` so every estimate stays above the linear-counting cutoff (the
-    LC branch's ``ln`` is libm-dependent — see module docstring)."""
+    ``hll_distinct_stages`` (bit-exact dual replay). Deliberately NO
+    linear-counting branch: inclusion-exclusion must combine estimates
+    from ONE estimator form (mixing LC-corrected and raw terms can push
+    the intersection negative beyond the clamp), so callers size ``p``
+    for their population instead."""
     m = 1 << p
     maxbits = 60 - p
     w = dual.idiv(dialect, "__hh", str(m))
@@ -372,12 +410,12 @@ def hll_estimate_sql(registers_table: str, p: int = 6,
                      dialect: str = SPARK) -> str:
     """Scalar estimate over a register relation (__bucket, __r) — the
     identical integer-lattice harmonic sum as ``hll_distinct_stages``.
-    NO linear-counting branch (round-6 ADVICE): LC's ``ln`` is
-    libm-dependent and this finalize backs the streaming fixture's
-    EXACTNESS contract (streaming register merge ≡ batch sketch,
-    bit-for-bit) — same policy as ``hll_set_ops_stages``. Callers size
-    ``p`` so estimates sit above the 2.5*m cutoff where LC would
-    matter."""
+    NO linear-counting branch: this finalize backs the streaming
+    fixture's EXACTNESS contract (streaming register merge ≡ batch
+    sketch, bit-for-bit) whose pinned values predate the deterministic
+    LC lookup, and its callers size ``p`` so estimates sit above the
+    2.5*m cutoff where LC would matter — same raw-form policy as
+    ``hll_set_ops_stages``."""
     m = 1 << p
     maxbits = 60 - p
     sent = f"CAST({1 << (maxbits + 1)} AS BIGINT)"

@@ -291,7 +291,15 @@ def avalanche60_steps(dialect: str, key_sql: str) -> list[tuple[str, str]]:
     range contract as ``hex15_to_long``, so the HLL lattice math is
     unchanged. Callers must emit each step as its own projection (CTE
     stage or nested subquery): mulmod61 expands its input ~16x, so
-    composing the rounds textually would blow up the SQL."""
+    composing the rounds textually would blow up the SQL.
+
+    Structural property (round-9 ADVICE): the first fold reduces the key
+    mod 2^61-1, so any two keys congruent mod 2^61-1 (e.g. 0 vs 2^61-1,
+    -1 vs 2^61-2) hash IDENTICALLY — a deterministic collision class,
+    unlike md5's ~2^-60 random collisions. Harmless for realistic key
+    ranges (ids, epoch micros, epoch days all sit far below 2^61) and
+    acceptable for an approximate sketch, but callers hashing adversarial
+    full-range 64-bit keys should use key_kind='string' (md5)."""
     fold = f"(((({key_sql}) % {M61}) + {M61}) % {M61})"
     return [
         ("__av0", fold),
@@ -317,7 +325,10 @@ def to_bigint_key(dialect: str, expr: str, kind: str) -> str:
     shift Spark's instants relative to DuckDB's naive epoch_us. The
     repo's fixtures read naive parquet under Spark 4's default NTZ
     inference, which lands on the 'timestamp_ntz' kind and is
-    timezone-independent by construction."""
+    timezone-independent by construction. Since round 10 the assumption
+    is ENFORCED at the route gate, not just documented: the type probe
+    (api.AQPSession._hll_key_kind) only selects this kind when the
+    session timezone is UTC, and maps LTZ keys to 'string' otherwise."""
     if kind == "bigint":
         return f"CAST({expr} AS BIGINT)"
     if kind == "timestamp":

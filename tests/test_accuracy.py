@@ -299,6 +299,40 @@ def test_hll_route_error_contract_sweep(spark):
 
 
 @pytest.mark.slow
+def test_hll_route_small_cardinality_sweep(spark):
+    """BELOW the 2.5*m cutoff (round-9 VERDICT #1): the deterministic
+    linear-counting branch must answer — raw HLL is biased low there —
+    and its accuracy must beat the route's own advertised bound by a
+    wide margin. LC's relative standard error is
+    sqrt(m*(e^t - t - 1))/n with t = n/m (Whang et al. 1990), so the
+    per-table gate is 5 LC standard errors with an absolute floor of one
+    key (a single deterministic bucket collision at tiny n); every
+    [lb, ub] from the 1.04/sqrt(m) formula must contain the exact count
+    outright (LC only tightens the estimate the bounds wrap)."""
+    from snappy_aqp_spark.dialect import SPARK as _SP
+    from snappy_aqp_spark.pipeline.distinct import (
+        hll_count_distinct_query_sql)
+    p = 10
+    m = 1 << p
+    for i in range(N_TABLES):
+        n = 3 + (i * 2654435761) % 2300           # 3..~2.3k << 2.5*m=2560
+        stride = [1, 7, 7919, 104729][i % 4]
+        shift = [0, -3_000_000, 11, 10 ** 12][(i // 4) % 4]
+        spark.sql(
+            f"SELECT CAST((id % {n}) * {stride} + {shift} AS BIGINT) AS k "
+            f"FROM range({n * (1 + i % 3)})"
+        ).createOrReplaceTempView("__hll_lc_sweep")
+        est, lb, ub = spark.sql(hll_count_distinct_query_sql(
+            _SP, col="k", table="__hll_lc_sweep", p=p, alias="a",
+            err_cols=(("lower_bound", "lb"), ("upper_bound", "ub")),
+            confidence=0.95, key_kind="bigint")).collect()[0]
+        t = n / m
+        lc_se = math.sqrt(m * (math.exp(t) - t - 1.0))
+        assert abs(est - n) <= max(5 * lc_se, 1.0), (i, n, est)
+        assert lb <= n <= ub, (i, n, est, lb, ub)
+
+
+@pytest.mark.slow
 def test_histogram_route_envelope_always_contains_exact(spark):
     """the histogram route's [lower_bound, upper_bound) is a HARD
     envelope: the exact order-statistic quantile (the route's own rank

