@@ -232,6 +232,23 @@ def main() -> None:
 
     total = round(sum(v for k, v in results.items()
                       if not k.startswith(("exact:", "exact_cached:"))), 4)
+    # load-invariant secondary metrics (round-9 VERDICT #6: three rounds
+    # running, driver-window wall-time deltas had to be hand-separated
+    # from co-scheduling noise). Both numerator and denominator of a
+    # ratio inflate together under CPU contention, so ratios survive a
+    # loaded window where wall times do not:
+    #   * exact_cached_ratio — each headline query vs its own
+    #     exact_cached twin (the approx-vs-exact margin itself);
+    #   * norm — EVERY query vs one in-window calibration constant (the
+    #     median exact_cached median), the cross-round comparator for
+    #     pipeline queries that have no twin.
+    exact_cached_ratio = {
+        q: round(results[q] / results[f"exact_cached:{q}"], 3)
+        for q in HEADLINE if results.get(f"exact_cached:{q}")}
+    calib_sec = statistics.median(
+        v for k, v in results.items() if k.startswith("exact_cached:"))
+    norm = {k: round(v / calib_sec, 2) for k, v in results.items()
+            if not k.startswith(("exact:", "exact_cached:"))}
     # two noise numbers: per-SAMPLE dispersion (median IQR/median across
     # queries) and the repeatability floor of the REPORTED medians — the
     # sample median's standard error shrinks ~1/sqrt(n), so this is the
@@ -270,6 +287,9 @@ def main() -> None:
         "load_before": load_before,
         "load_after": load_after,
         "load_skewed_queries": load_skewed,
+        "exact_cached_ratio": exact_cached_ratio,
+        "calib_sec": round(calib_sec, 4),
+        "norm": norm,
         "noise_pct": {k: round(100 * v, 1) for k, v in spreads.items()},
         "n_iters": iters,
         "sf": float(sf),
@@ -280,7 +300,8 @@ def main() -> None:
         json.dump(payload, f, indent=1)
     # full line first (humans / history) ...
     print(json.dumps({k: v for k, v in payload.items()
-                      if k not in ("noise_pct", "n_iters", "min_sec")}))
+                      if k not in ("noise_pct", "n_iters", "min_sec",
+                                   "norm")}))
     # ... COMPACT final line last: a bounded tail capture always gets a
     # complete, parseable JSON object with the headline numbers
     print(json.dumps({
@@ -288,6 +309,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": {k: results[k] for k in HEADLINE},
+        "exact_cached_ratio": exact_cached_ratio,
         "noise_floor_pct": noise_floor_pct,
         "median_se_pct": median_se_pct,
         "load_1m": load_after["loadavg_1m"],

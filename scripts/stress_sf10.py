@@ -39,6 +39,10 @@ FIXTURES = [a for a in sys.argv[1:] if not a.startswith("--")] or [
     # bootstrap, and the two-scan multi-sample fan-out
     "cf_group_multi", "cf_partial_route", "bs_sum_group",
     "sql_multi_sample_build",
+    # round-10 VERDICT #4 additions: the two-sided Poisson-bootstrap join
+    # (iterative/join-heavy — the shape a decade jump can cliff) and the
+    # CLT error-limit sampler build (per-stratum sizing over 60M rows)
+    "two_sample_join_sum", "cf_error_limit_sample",
     # pipeline: banded-LSH cross-corpus dedup over 600k near-duplicate
     # docs (bounded by the round-9 per-doc verify budget — green at this
     # scale since then), the mergeable-histogram quantiles, and the

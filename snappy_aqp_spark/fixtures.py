@@ -313,8 +313,13 @@ PIPELINE_FIXTURES: dict[str, dict] = {
     # rest of the corpus — exact tier + asymmetric banded-LSH near tier
     "cross_corpus_dedup": {
         "builder": _ic.cross_corpus_dedup_stages,
+        # the verify budget is an EXPLICIT opt-in here (round-9 ADVICE:
+        # the public default is uncapped): 24 = 3x bands exceeds every
+        # candidate multiplicity at fixture scales (capped == uncapped,
+        # pytest-pinned) and bounds the 100x stress verify join; the
+        # companion cap-report operator quantifies what it would drop
         "kw": {"new_pred": "source IN ('src18', 'src19')",
-               "threshold": 0.5},
+               "threshold": 0.5, "max_candidates_per_doc": 24},
         # the band/shingle lineage is referenced by several downstream
         # stages: inlined re-evaluation is quadratic at scale (see
         # __spark_entry__.oracle_sql)

@@ -39,7 +39,7 @@ def cross_corpus_dedup_stages(dialect: str, new_pred: str,
                               n_hashes: int = 32, bands: int = 8,
                               table: str = "documents", col: str = "text",
                               max_band_df: int = 100_000,
-                              max_candidates_per_doc: int | None = 24
+                              max_candidates_per_doc: int | None = None
                               ) -> tuple[list[tuple[str, str]], str]:
     """``(stages, final)`` -> one row per NEW document:
     (doc_id, status 'exact'|'near'|'unique', match_id nullable,
@@ -61,17 +61,25 @@ def cross_corpus_dedup_stages(dialect: str, new_pred: str,
     corpus where every document has D near-duplicates makes that volume
     linear in D per new doc — a pathologically duplicated corpus (the
     100x stress replicates every doc 100 ways) turned it into a ~4G-row
-    spill that outran local disk. Candidates are therefore ranked per new
-    doc by (number of agreeing LSH bands DESC, corpus doc_id ASC) — band
+    spill that outran local disk. Candidates are ranked per new doc by
+    (number of agreeing LSH bands DESC, corpus doc_id ASC) — band
     agreement is a monotone Jaccard proxy, so the top-C keeps the
     high-similarity family — and only the top C are exactly verified.
     Deterministic and engine-portable, so the DuckDB oracle replays it
-    bit-for-bit. The default (24 = 3x bands) exceeds every candidate
-    multiplicity at the driver's fixture scales (capped == uncapped there,
-    pinned by pytest); corpora with >C-way duplication families may
-    report a different (still >= threshold) best match and, for pairs
-    whose agreement rank falls below C, 'unique' instead of 'near' —
-    the standard LSH top-C verify trade. ``None`` disables the cap."""
+    bit-for-bit.
+
+    RESULT-AFFECTING: under a cap, corpora with >C-way duplication
+    families may report a different (still >= threshold) best match
+    and, for pairs whose agreement rank falls below C, 'unique' instead
+    of 'near' — the standard LSH top-C verify trade
+    (tests/test_pipeline.py pins both the capped==uncapped equality at
+    fixture scales and the documented flip on an adversarial family).
+    The DEFAULT is therefore ``None`` (uncapped — the round-8 public
+    semantics; round-9 ADVICE flagged the silent default change): scale
+    deployments and the driver fixtures opt in explicitly (24 = 3x
+    bands, snappy_aqp_spark/fixtures.py), and
+    ``cross_corpus_cap_report_stages`` makes the trade observable —
+    per the repo's no-silent-caps discipline."""
     rows = n_hashes // bands
     (pa, pb) = _minhash_exprs(1)[0]
     cpows = [pow(1299721, j, P31) for j in range(rows)]
@@ -171,3 +179,41 @@ def cross_corpus_dedup_stages(dialect: str, new_pred: str,
         "LEFT JOIN __ccbst b ON n.doc_id = b.idn "
         "WHERE n.is_new = 1 ORDER BY n.doc_id")
     return stages, final
+
+
+def cross_corpus_cap_report_stages(dialect: str, new_pred: str,
+                                   max_candidates_per_doc: int = 24,
+                                   **kw) -> tuple[list[tuple[str, str]], str]:
+    """``(stages, final)`` -> one row quantifying what the verify budget
+    of ``cross_corpus_dedup_stages`` would drop at the SAME parameters:
+    (capped_candidates — pairs dropped by the top-C rank,
+    affected_new_docs — new docs with at least one dropped pair,
+    total_candidates). Round-9 VERDICT #3 (cap observability / the
+    repo's no-silent-caps discipline): the cap's recall trade is the
+    standard LSH top-C verify trade, but an operator that bounds
+    coverage must say WHAT it bounded — this is the cheap aggregate off
+    the pre-cap candidate relation (``__ccand0``), so running it costs
+    one extra aggregation over rows the main pipeline builds anyway (and
+    Spark's CacheManager shares the persisted band stages between the
+    two runs). A nonzero ``capped_candidates`` means the main result's
+    'near'/'unique' split is budget-dependent — re-run with a larger
+    ``max_candidates_per_doc`` (or ``None``) to measure the delta.
+    ``kw`` forwards to ``cross_corpus_dedup_stages``."""
+    stages, _ = cross_corpus_dedup_stages(
+        dialect, new_pred,
+        max_candidates_per_doc=max_candidates_per_doc, **kw)
+    keep = []
+    for name, sql in stages:
+        keep.append((name, sql))
+        if name == "__ccand0":
+            break
+    final = (
+        f"SELECT CAST(COALESCE(SUM(CASE WHEN rk > "
+        f"{max_candidates_per_doc} THEN 1 ELSE 0 END), 0) AS BIGINT) "
+        f"AS capped_candidates, "
+        f"CAST(COUNT(DISTINCT CASE WHEN rk > {max_candidates_per_doc} "
+        f"THEN idn END) AS BIGINT) AS affected_new_docs, "
+        f"CAST(COUNT(*) AS BIGINT) AS total_candidates "
+        f"FROM (SELECT idn, ROW_NUMBER() OVER (PARTITION BY idn "
+        f"ORDER BY nb DESC, idc ASC) AS rk FROM __ccand0) __ccrk")
+    return keep, final

@@ -506,6 +506,26 @@ def test_hll_linear_counting_small_range(views, duck):
         duck.sql("DROP VIEW IF EXISTS small_card")
 
 
+def test_hll_string_poly_key_kind_matches_oracle(views, duck):
+    """the opt-in 'string_poly' key kind (round-9 VERDICT #7 A/B
+    candidate for the md5 string path — scripts/ab_string_hash.py
+    measures the cost): the polynomial code-point fold + avalanche must
+    replay bit-exactly on DuckDB over REAL text (multi-byte characters,
+    punctuation, the same split/ascii semantics gram_int_array already
+    relies on), and estimate within the same HLL error envelope as the
+    md5 path."""
+    from snappy_aqp_spark.pipeline.distinct import (
+        hll_count_distinct_query_sql)
+    kw = dict(col="text", table="documents", p=9, alias="a",
+              key_kind="string_poly")
+    sp = views.sql(hll_count_distinct_query_sql(SPARK, **kw)).collect()[0][0]
+    dk = duck.sql(hll_count_distinct_query_sql(DUCKDB, **kw)).fetchone()[0]
+    assert sp == dk
+    exact = views.sql(
+        "SELECT COUNT(DISTINCT text) c FROM documents").collect()[0][0]
+    assert abs(sp - exact) / exact < 4 * 1.04 / (1 << 9) ** 0.5
+
+
 def test_hll_grouped(views, duck):
     from snappy_aqp_spark.pipeline.distinct import hll_distinct_stages
     stages, final = hll_distinct_stages(SPARK, p=6, group_by="lang",
@@ -1167,15 +1187,17 @@ def test_cross_corpus_verify_budget_is_semantics_free_at_fixture_scale(
         views, duck):
     """round-8 VERDICT #4: the per-new-doc verify budget (top-C candidates
     by band agreement) must leave fixture-scale semantics untouched —
-    capped (default 24) == uncapped (None) row-for-row — and the capped
-    form must still replay bit-exactly on DuckDB. The cap exists for
-    pathological duplication DENSITY (100-way families in the 100x
-    stress), not for these corpora."""
+    the fixtures' explicit cap (24, snappy_aqp_spark/fixtures.py) ==
+    uncapped (None, the public default since round-9 ADVICE) row-for-row
+    — and the capped form must still replay bit-exactly on DuckDB. The
+    cap exists for pathological duplication DENSITY (100-way families in
+    the 100x stress), not for these corpora."""
     from snappy_aqp_spark.pipeline.incremental import \
         cross_corpus_dedup_stages
     pred = "source IN ('src18', 'src19')"
     st_c, fin_c = cross_corpus_dedup_stages(SPARK, new_pred=pred,
-                                            threshold=0.5)
+                                            threshold=0.5,
+                                            max_candidates_per_doc=24)
     st_u, fin_u = cross_corpus_dedup_stages(SPARK, new_pred=pred,
                                             threshold=0.5,
                                             max_candidates_per_doc=None)
@@ -1193,6 +1215,90 @@ def test_cross_corpus_verify_budget_is_semantics_free_at_fixture_scale(
                                             max_candidates_per_doc=1)
     compare_frames(run_stages(views, st_1, fin_1),
                    duck.sql(stages_sql(st_d, fin_d)).df())
+
+
+def _over_budget_family():
+    """(docs, C): a duplicate family larger than the verify budget C
+    where every candidate ties on band agreement (nb=1) and the ONLY
+    >= threshold corpus match has the LARGEST doc_id, so the
+    deterministic (nb DESC, idc ASC) rank places it just past the
+    budget. Corpus docs 1..6 are supersets of the new doc's text diluted
+    below threshold by long distinct junk tails (their junk steals most
+    band minima -> nb=1); doc 50 replaces a 9-token window of the base
+    (jaccard 0.618 >= 0.5 but only one agreeing band). Hash-determined
+    and frozen: no RNG anywhere in the lineage."""
+    base_toks = [f"tok{i:03d}" for i in range(40)]
+    base = " ".join(base_toks)
+    docs = [(j + 1,
+             base + " " + " ".join(f"junk{j}x{i:03d}" for i in range(60)),
+             "old") for j in range(6)]
+    repl = set(range(5, 14))
+    docs.append((50, " ".join(f"new{i:03d}" if i in repl else t
+                              for i, t in enumerate(base_toks)), "old"))
+    docs.append((100, base, "new"))
+    return docs, 4
+
+
+def test_cross_corpus_over_budget_family_flips_to_unique(spark, duck):
+    """round-9 VERDICT #3: the documented top-C recall trade, pinned on
+    an adversarial >C-way candidate family — under the budget the true
+    near-duplicate's rank falls past C, so the new doc classifies
+    'unique'; uncapped it classifies 'near'. Both engines replay the
+    capped form bit-exactly (the trade is deterministic, not a
+    heuristic), and the cap REPORT quantifies exactly what was dropped —
+    the no-silent-caps observability half of the contract."""
+    from snappy_aqp_spark.pipeline.incremental import (
+        cross_corpus_cap_report_stages, cross_corpus_dedup_stages)
+    docs, C = _over_budget_family()
+    spark.createDataFrame(docs, "doc_id long, text string, source string") \
+        .createOrReplaceTempView("__obf_docs")
+    duck.sql("CREATE OR REPLACE TABLE __obf_docs AS SELECT * FROM (VALUES "
+             + ", ".join(f"({d}, '{t}', '{s}')" for d, t, s in docs)
+             + ") v(doc_id, text, source)")
+    kw = dict(new_pred="source = 'new'", threshold=0.5,
+              table="__obf_docs")
+    try:
+        st_u, fin_u = cross_corpus_dedup_stages(SPARK, **kw)
+        row = run_stages(spark, st_u, fin_u).collect()[0]
+        assert (row.status, row.match_id) == ("near", 50)   # uncapped
+        st_c, fin_c = cross_corpus_dedup_stages(
+            SPARK, max_candidates_per_doc=C, **kw)
+        capped_df = run_stages(spark, st_c, fin_c)
+        row = capped_df.collect()[0]
+        assert (row.status, row.match_id) == ("unique", None)  # the trade
+        std, find = cross_corpus_dedup_stages(
+            DUCKDB, max_candidates_per_doc=C, **kw)
+        compare_frames(capped_df, duck.sql(stages_sql(std, find)).df())
+        # observability: the report counts the dropped candidate on BOTH
+        # engines (1 of 5 candidates past the budget, 1 new doc affected)
+        rp_s, rp_f = cross_corpus_cap_report_stages(
+            SPARK, max_candidates_per_doc=C, **kw)
+        rep = run_stages(spark, rp_s, rp_f).collect()[0]
+        assert (rep.capped_candidates, rep.affected_new_docs,
+                rep.total_candidates) == (1, 1, 5)
+        rp_d, rp_df = cross_corpus_cap_report_stages(
+            DUCKDB, max_candidates_per_doc=C, **kw)
+        assert duck.sql(stages_sql(rp_d, rp_df)).fetchone() == (1, 1, 5)
+    finally:
+        duck.sql("DROP TABLE IF EXISTS __obf_docs")
+
+
+def test_cross_corpus_cap_report_clean_at_fixture_scale(views, duck):
+    """the fixtures' explicit budget (24) drops NOTHING on the real
+    corpus — the observable counterpart of the capped==uncapped equality
+    above (a zero report is what LICENSES the fixture cap), and the
+    report itself replays bit-exactly."""
+    from snappy_aqp_spark.pipeline.incremental import (
+        cross_corpus_cap_report_stages)
+    kw = dict(new_pred="source IN ('src18', 'src19')", threshold=0.5,
+              max_candidates_per_doc=24)
+    st, fin = cross_corpus_cap_report_stages(SPARK, **kw)
+    rep = run_stages(views, st, fin).collect()[0]
+    assert rep.capped_candidates == 0 and rep.affected_new_docs == 0
+    assert rep.total_candidates > 0
+    std, find = cross_corpus_cap_report_stages(DUCKDB, **kw)
+    assert duck.sql(stages_sql(std, find)).fetchone() == (
+        0, 0, rep.total_candidates)
 
 
 def test_bm25_retrieval_matches_reference_scoring(spark):
