@@ -342,9 +342,12 @@ def to_bigint_key(dialect: str, expr: str, kind: str) -> str:
         # other integer kind — never the HLL lattice directly. Collision
         # class: distinct strings collide with probability <= len/2^61
         # (random polynomial root), vs md5's ~2^-60 — both negligible
-        # for sketch use. Round-10 A/B candidate for the md5 string path
-        # (scripts/ab_string_hash.py measures; PLANS.md records the
-        # verdict) — opt-in only, the type probe never selects it.
+        # for sketch use. Round-10 A/B OUTCOME (PLANS.md): LOSES to md5
+        # decisively — 14x slower on Spark, 7x on DuckDB at 30M rows
+        # (per-char HOF lambda over the ~16x-expanded mulmod61 vs one
+        # native md5 intrinsic per row) — so the string default stays
+        # md5; this kind stays opt-in-only (never auto-probed) to keep
+        # the A/B (scripts/ab_string_hash.py) reproducible.
         lam = f"((({mulmod61(dialect, 'a', _POLY_B)}) + b) % {M61})"
         if dialect == SPARK:
             return (f"aggregate(transform(split({expr}, ''), "

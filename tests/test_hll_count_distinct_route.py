@@ -150,6 +150,30 @@ def test_ltz_string_fallback_replays_on_oracle_under_non_utc_tz(spark, duck):
     assert sp == dk
 
 
+def test_default_precision_lookup_parses_and_corrects(spark, duck):
+    """the route DEFAULT (p=12 -> a 4096-entry LC lookup, ~90 KB of SQL)
+    must analyze and execute on BOTH engines — the literal-array size is
+    the one cost the deterministic LC trades for engine-side libm — and
+    at sf0.001 every tested cardinality sits far below 2.5*4096, so the
+    answer IS the LC branch."""
+    aqp = AQPSession(spark, error=0.2, confidence=0.95,
+                     behavior="do_nothing", data_token="hllp12")
+    aqp.load_tables(SF_SMALL, ("orders",))
+    aqp.sql("SET spark.sql.aqp.hllCountDistinct=true")   # default p=12
+    exact = spark.sql(
+        "SELECT COUNT(DISTINCT o_custkey) c FROM orders").collect()[0][0]
+    est = aqp.sql("SELECT COUNT(DISTINCT o_custkey) AS a "
+                  "FROM orders WITH ERROR").collect()[0][0]
+    assert abs(est - exact) / exact < 0.05               # LC regime
+    from snappy_aqp_spark.dialect import DUCKDB as _DK
+    from snappy_aqp_spark.pipeline.distinct import (
+        hll_count_distinct_query_sql)
+    dk = duck.sql(hll_count_distinct_query_sql(
+        _DK, col="o_custkey", table="orders", p=12, alias="a",
+        key_kind="bigint")).fetchone()[0]
+    assert est == dk
+
+
 def test_explain_aqp_reports_route(spark):
     aqp = _session(spark, "hllexp")
     row = aqp.sql("EXPLAIN AQP " + Q).collect()[0]
