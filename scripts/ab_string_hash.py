@@ -32,7 +32,9 @@ from snappy_aqp_spark.pipeline.distinct import hll_count_distinct_query_sql
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000_000
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-PARQ = "/tmp/ab_strhash_strings.parquet"
+# N in the path: a rerun with a different row count must regenerate, not
+# silently time the stale file under a mislabeled n=
+PARQ = f"/tmp/ab_strhash_strings_{N}.parquet"
 
 
 def main() -> int:

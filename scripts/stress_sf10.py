@@ -27,8 +27,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-import duckdb
 from pyspark.sql import SparkSession, functions as F
+
+from stress_common import (frames_bitmatch, oracle_connect,
+                           register_scratch_views)
 
 SRC = "/root/testdata/sf0.1"
 SCRATCH = "/tmp/aqp_sf10_stress"
@@ -108,12 +110,10 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    con = duckdb.connect()
-    con.sql("SET memory_limit='56GB'")
-    for t in ("documents", "embeddings", "events", "orders", "lineitem"):
-        path = f"{SCRATCH}/{t}.parquet"
-        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
+    con = oracle_connect("56GB")
+    register_scratch_views(
+        con, SCRATCH,
+        ("documents", "embeddings", "events", "orders", "lineitem"))
     fails = []
     for name in FIXTURES:
         t0 = time.time()
@@ -122,16 +122,7 @@ def main() -> int:
         t0 = time.time()
         dk = con.sql(oracles[name]).df()
         t_dk = time.time() - t0
-        cols = sorted(sp.columns)
-        ok = sorted(dk.columns) == cols and len(sp) == len(dk)
-        if ok:
-            a = sp[cols].sort_values(cols).reset_index(drop=True)
-            b = dk[cols].sort_values(cols).reset_index(drop=True)
-            for c in cols:
-                same = ((a[c] == b[c]) | (a[c].isna() & b[c].isna())).all()
-                if not same:
-                    ok = False
-                    break
+        ok = frames_bitmatch(sp, dk)
         fails += [] if ok else [name]
         print(f"{name:24s} rows={len(sp):8d} {'MATCH' if ok else 'FAIL'} "
               f"spark={t_sp:6.1f}s duck={t_dk:6.1f}s", flush=True)

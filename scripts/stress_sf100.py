@@ -50,6 +50,9 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import SparkSession, functions as F
 
+from stress_common import (frames_bitmatch, oracle_connect,
+                           register_scratch_views)
+
 SRC = os.environ.get("AQP_STRESS_SRC", "/root/testdata/sf0.1")
 SCRATCH = os.environ.get("AQP_STRESS_SCRATCH", "/tmp/aqp_sf100_stress")
 REPLICAS = int(os.environ.get("AQP_STRESS_REPLICAS", "1000"))
@@ -98,8 +101,12 @@ SANITY = {
 
 def build_scratch(spark) -> None:
     out = f"{SCRATCH}/lineitem.parquet"
-    if os.path.exists(out):
+    # a killed prior run leaves partial part files — only a directory
+    # with Spark's _SUCCESS marker counts as built (a truncated scratch
+    # would let the sanity gates "pass" on fewer rows than claimed)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
         return
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(SCRATCH, exist_ok=True)
     li = spark.read.parquet(f"{SRC}/lineitem.parquet")
     okmax = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
@@ -181,24 +188,13 @@ def main() -> int:
             t_ref = time.time() - t0
             mode = "SANITY"
         else:
-            import duckdb
-            con = duckdb.connect()
-            con.sql("SET memory_limit='56GB'")
-            con.sql("SET temp_directory='/tmp/aqp_sf100_duck'")
-            con.sql("SET max_temp_directory_size='40GB'")
-            con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
-                    f"read_parquet('{SCRATCH}/lineitem.parquet/*.parquet')")
+            con = oracle_connect("56GB")
+            register_scratch_views(con, SCRATCH, ("lineitem",))
             t0 = time.time()
             dk = con.sql(entrymod.oracle_sql()[name]).df()
             t_ref = time.time() - t0
             con.close()
-            cols = sorted(sp.columns)
-            ok = sorted(dk.columns) == cols and len(sp) == len(dk)
-            if ok:
-                a = sp[cols].sort_values(cols).reset_index(drop=True)
-                b = dk[cols].sort_values(cols).reset_index(drop=True)
-                ok = all(((a[c] == b[c]) | (a[c].isna() & b[c].isna())).all()
-                         for c in cols)
+            ok = frames_bitmatch(sp, dk)
             mode = "ORACLE"
         fails += [] if ok else [name]
         print(f"{name:32s} rows={len(sp):4d} "

@@ -28,6 +28,9 @@ con = duckdb.connect()
 # explicit cap: DuckDB's adaptive default can thrash against the Spark JVM
 # at sf0.1 (the recursive-CTE closure oracle needs real headroom)
 con.sql(f"SET memory_limit='{os.environ.get('VERIFY_DUCK_MEM', '24GB')}'")
+# a runaway oracle replay must abort loudly, not fill the disk
+con.sql("SET temp_directory='/tmp/aqp_duck_tmp'")
+con.sql("SET max_temp_directory_size='40GB'")
 for t in ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split():
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")

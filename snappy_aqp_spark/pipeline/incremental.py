@@ -198,7 +198,13 @@ def cross_corpus_cap_report_stages(dialect: str, new_pred: str,
     two runs). A nonzero ``capped_candidates`` means the main result's
     'near'/'unique' split is budget-dependent — re-run with a larger
     ``max_candidates_per_doc`` (or ``None``) to measure the delta.
-    ``kw`` forwards to ``cross_corpus_dedup_stages``."""
+    ``kw`` forwards to ``cross_corpus_dedup_stages``. A report of an
+    UNCAPPED run is meaningless (nothing can be dropped), so ``None``
+    raises instead of interpolating invalid SQL."""
+    if max_candidates_per_doc is None:
+        raise ValueError(
+            "cap report needs a finite max_candidates_per_doc — an "
+            "uncapped run drops nothing (run the main operator instead)")
     stages, _ = cross_corpus_dedup_stages(
         dialect, new_pred,
         max_candidates_per_doc=max_candidates_per_doc, **kw)

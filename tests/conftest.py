@@ -84,6 +84,10 @@ def _trim_spark_caches():
 
 def _duck_con(sf_dir: str):
     con = duckdb.connect()
+    # same discipline as every oracle connection in scripts/: a runaway
+    # replay aborts loudly instead of filling the disk
+    con.sql("SET temp_directory='/tmp/aqp_duck_tmp'")
+    con.sql("SET max_temp_directory_size='40GB'")
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
         con.sql(f"CREATE VIEW {t} AS "

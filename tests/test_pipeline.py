@@ -1279,6 +1279,11 @@ def test_cross_corpus_over_budget_family_flips_to_unique(spark, duck):
         rp_d, rp_df = cross_corpus_cap_report_stages(
             DUCKDB, max_candidates_per_doc=C, **kw)
         assert duck.sql(stages_sql(rp_d, rp_df)).fetchone() == (1, 1, 5)
+        # a report of an uncapped run is meaningless — must raise, not
+        # interpolate 'rk > None' into the SQL
+        with pytest.raises(ValueError, match="finite"):
+            cross_corpus_cap_report_stages(
+                SPARK, max_candidates_per_doc=None, **kw)
     finally:
         duck.sql("DROP TABLE IF EXISTS __obf_docs")
 
