@@ -57,11 +57,16 @@ SRC = os.environ.get("AQP_STRESS_SRC", "/root/testdata/sf0.1")
 SCRATCH = os.environ.get("AQP_STRESS_SCRATCH", "/tmp/aqp_sf100_stress")
 REPLICAS = int(os.environ.get("AQP_STRESS_REPLICAS", "1000"))
 FIXTURES = [a for a in sys.argv[1:] if not a.startswith("--")] or [
-    "cf_group_multi", "bs_sum_group", "sql_count_distinct_hll_grouped"]
+    "cf_group_multi", "bs_sum_group", "sql_count_distinct_hll_grouped",
+    # round-10 widening: the global register lattice and the
+    # timestamp-key avalanche (epoch-micros fold) at 600M rows — both
+    # single-scan m-bounded shapes whose oracles replay cheaply
+    "sql_count_distinct_hll", "sql_count_distinct_hll_tskey"]
 # fixtures whose DuckDB oracle is cheap enough to bit-replay at 1000x
 # (everything else defaults to the exact-value sanity gate — see module
 # docstring for the measured reason)
-ORACLE_DEFAULT = {"sql_count_distinct_hll_grouped"}
+ORACLE_DEFAULT = {"sql_count_distinct_hll_grouped",
+                  "sql_count_distinct_hll", "sql_count_distinct_hll_tskey"}
 
 # exact twins for --sanity mode: per fixture, the exact SQL over the same
 # scratch table with the SAME group/measure shape, plus which (estimate,

@@ -150,10 +150,11 @@ def hll_distinct_stages(dialect: str, col: str = "doc_id",
     ``linear_counting=True`` (default) applies the standard small-range
     correction below the ``2.5 m`` cutoff via the deterministic literal
     lookup (``_lc_lookup`` — no SQL-side libm), so it is safe under the
-    bit-exact replay contract too. ``False`` keeps the raw estimator
-    everywhere — only for callers that must stay consistent with a
-    separately-materialized register relation finalized without LC
-    (``hll_estimate_sql``, the streaming merge contract).
+    bit-exact replay contract too; every estimator in this module
+    (grouped/global stages, the SQL route, set ops, the register-relation
+    finalize) applies the same branch, so derived and merged estimates
+    stay form-consistent. ``False`` keeps the raw estimator everywhere —
+    kept for A/B and for callers pinning the raw estimator's value.
 
     ``key_kind``: 'string' (default) hashes via md5 — works for any type;
     'bigint'/'timestamp'/'date' use the integer Mersenne-61 avalanche
@@ -317,11 +318,15 @@ def hll_set_ops_stages(dialect: str, col: str = "doc_id",
     intersection is inclusion-exclusion (|A|+|B|-|A∪B|, clamped at 0),
     the audience-overlap estimator a corpus pipeline runs across shards
     without ever shuffling raw keys. Same integer-lattice harmonic sum as
-    ``hll_distinct_stages`` (bit-exact dual replay). Deliberately NO
-    linear-counting branch: inclusion-exclusion must combine estimates
-    from ONE estimator form (mixing LC-corrected and raw terms can push
-    the intersection negative beyond the clamp), so callers size ``p``
-    for their population instead."""
+    ``hll_distinct_stages`` (bit-exact dual replay), and — since the
+    small-range correction became a deterministic literal lookup
+    (``_lc_lookup``) — the same linear-counting branch, applied to ALL
+    THREE base estimates consistently (a, b, union) before
+    inclusion-exclusion derives the intersection; one estimator form
+    throughout, so the derived terms stay coherent and the 0-clamp only
+    absorbs genuine sketch noise. The estimates stage once
+    (``__hso_est``) so the m-entry lookup text appears once per side,
+    not once per output expression."""
     m = 1 << p
     maxbits = 60 - p
     w = dual.idiv(dialect, "__hh", str(m))
@@ -371,13 +376,17 @@ def hll_set_ops_stages(dialect: str, col: str = "doc_id",
     def est(side: str) -> str:
         zeros = f"({m} - __present_{side})"
         z_int = f"(__zp_{side} + {zeros} * {sent})"
-        return f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
+        raw = f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
+        return (f"CASE WHEN {raw} <= {dlit(2.5 * m)} AND {zeros} > 0 "
+                f"THEN {_lc_lookup(dialect, m, zeros)} ELSE {raw} END")
 
-    ea, eb, eu = est("a"), est("b"), est("u")
-    ei = f"greatest({ea} + {eb} - {eu}, {dlit(0.0)})"
-    final = (f"SELECT {ea} AS est_a, {eb} AS est_b, {eu} AS est_union, "
+    stages.append(("__hso_est",
+                   f"SELECT {est('a')} AS __ea, {est('b')} AS __eb, "
+                   f"{est('u')} AS __eu FROM __hso_z"))
+    ei = f"greatest(__ea + __eb - __eu, {dlit(0.0)})"
+    final = (f"SELECT __ea AS est_a, __eb AS est_b, __eu AS est_union, "
              f"{ei} AS est_intersect, "
-             f"({ei}) / ({eu}) AS jaccard FROM __hso_z")
+             f"({ei}) / (__eu) AS jaccard FROM __hso_est")
     return stages, final
 
 
@@ -409,13 +418,12 @@ def hll_registers_sql(dialect: str, col: str = "event_id",
 def hll_estimate_sql(registers_table: str, p: int = 6,
                      dialect: str = SPARK) -> str:
     """Scalar estimate over a register relation (__bucket, __r) — the
-    identical integer-lattice harmonic sum as ``hll_distinct_stages``.
-    NO linear-counting branch: this finalize backs the streaming
-    fixture's EXACTNESS contract (streaming register merge ≡ batch
-    sketch, bit-for-bit) whose pinned values predate the deterministic
-    LC lookup, and its callers size ``p`` so estimates sit above the
-    2.5*m cutoff where LC would matter — same raw-form policy as
-    ``hll_set_ops_stages``."""
+    identical integer-lattice harmonic sum AND the identical
+    deterministic linear-counting branch as ``hll_distinct_stages``, so
+    the streaming fixture's EXACTNESS contract (streaming register merge
+    ≡ batch sketch, bit-for-bit) holds in BOTH regimes by consistency of
+    form, not by sizing ``p`` to dodge the cutoff (the pre-round-10
+    policy, retired when LC became a literal lookup)."""
     m = 1 << p
     maxbits = 60 - p
     sent = f"CAST({1 << (maxbits + 1)} AS BIGINT)"
@@ -429,5 +437,7 @@ def hll_estimate_sql(registers_table: str, p: int = 6,
              f"FROM {registers_table}")
     zeros = f"({m} - __present)"
     z_int = f"(__zp + {zeros} * {sent})"
-    est = f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
+    raw = f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
+    est = (f"CASE WHEN {raw} <= {dlit(2.5 * m)} AND {zeros} > 0 "
+           f"THEN {_lc_lookup(dialect, m, zeros)} ELSE {raw} END")
     return f"SELECT {est} AS approx_distinct FROM ({inner}) __hz"

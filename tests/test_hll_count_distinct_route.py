@@ -174,6 +174,28 @@ def test_default_precision_lookup_parses_and_corrects(spark, duck):
     assert est == dk
 
 
+def test_lc_with_expression_group_keys(spark, duck):
+    """the LC branch composed with EXPRESSION group keys: the __hll_est
+    stage must thread the pre-projected __gk columns, every per-group
+    estimate takes linear counting (few distinct flags per year), and
+    the statement replays bit-exactly."""
+    from snappy_aqp_spark.dialect import DUCKDB as _DK, SPARK as _SP
+    from snappy_aqp_spark.pipeline.distinct import (
+        hll_count_distinct_query_sql)
+    spark.read.parquet(f"{SF_SMALL}/lineitem.parquet") \
+        .createOrReplaceTempView("lineitem")
+    kw = dict(col="l_returnflag", table="lineitem", p=8,
+              group_keys=("year(l_shipdate)",), group_out=("yr",),
+              alias="flags", err_cols=(("upper_bound", "ub"),),
+              order_by=("yr",), key_kind="string")
+    sp = spark.sql(hll_count_distinct_query_sql(_SP, **kw)).collect()
+    dk = duck.sql(hll_count_distinct_query_sql(_DK, **kw)).fetchall()
+    assert [tuple(r) for r in sp] == dk
+    for r in sp:
+        assert 1.0 <= r["flags"] <= 3.5        # LC: within half a key
+        assert r["ub"] >= r["flags"]
+
+
 def test_explain_aqp_reports_route(spark):
     aqp = _session(spark, "hllexp")
     row = aqp.sql("EXPLAIN AQP " + Q).collect()[0]

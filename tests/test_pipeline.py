@@ -1637,6 +1637,38 @@ def test_hll_set_ops_accuracy(views, duck):
     assert 0.0 <= est["jaccard"] <= 1.0
 
 
+def test_hll_set_ops_small_range_lc_consistent(spark, duck):
+    """set algebra in the linear-counting regime (round 10: LC applies
+    to ALL THREE base estimates consistently before inclusion-exclusion)
+    — tiny disjoint-ish populations land within a fraction of a key per
+    side, the derived intersection tracks the exact overlap, and the
+    whole statement still replays bit-exactly on DuckDB."""
+    from snappy_aqp_spark.pipeline import dual
+    from snappy_aqp_spark.pipeline.distinct import hll_set_ops_stages
+    spark.sql("SELECT id % 8 AS k, id % 12 AS g FROM range(600)") \
+        .createOrReplaceTempView("__so_small")
+    duck.sql("CREATE OR REPLACE VIEW __so_small AS "
+             "SELECT range % 8 AS k, range % 12 AS g FROM range(600)")
+    try:
+        kw = dict(col="k", table="__so_small", filter_a="g < 8",
+                  filter_b="g >= 4", p=8, key_kind="bigint")
+        st, fin = hll_set_ops_stages(SPARK, **kw)
+        row = run_stages(spark, st, fin).collect()[0]
+        # exact: a = keys with any g<8 row, b = any g>=4 row, both 8
+        # (k and g cycle coprime-ish over 600 rows -> all pairs hit)
+        assert abs(row["est_a"] - 8) < 0.5
+        assert abs(row["est_b"] - 8) < 0.5
+        assert abs(row["est_union"] - 8) < 0.5
+        assert abs(row["est_intersect"] - 8) < 1.0
+        std, find = hll_set_ops_stages(DUCKDB, **kw)
+        dk = duck.sql(stages_sql(std, find)).df().iloc[0]
+        for c in ("est_a", "est_b", "est_union", "est_intersect",
+                  "jaccard"):
+            assert row[c] == dk[c], c
+    finally:
+        duck.sql("DROP VIEW IF EXISTS __so_small")
+
+
 def test_histogram_quantile_brackets_truth(views, duck):
     """every histogram-quantile estimate's [lo, hi) bin contains the exact
     quantile — the deterministic error envelope the operator promises."""
@@ -1741,29 +1773,38 @@ def test_uniform_quantile_sample_cap_bounds_rank_sort(views, duck):
     assert scan_lines, "expected a documents scan in the plan"
 
 
-def test_hll_estimates_stay_above_lc_cutoff(views, duck):
+def test_hll_register_finalize_equals_batch_in_both_regimes(views, duck):
     """hll_estimate_sql (the register-relation finalize behind the
-    streaming merge contract) deliberately has NO linear-counting
-    branch — assert the raw harmonic estimate sits ABOVE the 2.5*m
-    cutoff at the tested scales (so the batch stages' LC branch is
-    provably dead where the merge-equality contract is claimed), and
-    that the LC-free finalize equals the batch estimator exactly."""
+    streaming merge contract) must equal the batch estimator bit-for-bit
+    by CONSISTENCY OF FORM — round 10 gave both the same deterministic
+    linear-counting branch, so the equality holds in the raw regime AND
+    below the 2.5*m cutoff (the pre-round-10 policy of sizing p to keep
+    the LC branch dead is retired)."""
     from snappy_aqp_spark.pipeline.distinct import (hll_distinct_stages,
                                                     hll_estimate_sql,
                                                     hll_registers_sql)
-    p, m = 6, 64
-    st, fin = hll_distinct_stages(SPARK, col="event_id", table="events",
-                                  p=p, key_kind="bigint")
-    est = run_stages(views, st, fin).collect()[0]["approx_distinct"]
-    assert est > 2.5 * m, f"estimate {est} under LC cutoff {2.5 * m}"
-    # LC-free finalize over the register relation == batch estimator
-    # (key_kind must match the stage builder's — same hash, same registers)
-    views.sql(hll_registers_sql(SPARK, col="event_id", table="events",
-                                p=p, key_kind="bigint")
-              ).createOrReplaceTempView("__lcck")
-    est2 = views.sql(
-        hll_estimate_sql("__lcck", p=p)).collect()[0]["approx_distinct"]
-    assert est2 == est
+
+    def both(table: str, col: str, p: int) -> tuple[float, float]:
+        st, fin = hll_distinct_stages(SPARK, col=col, table=table,
+                                      p=p, key_kind="bigint")
+        est = run_stages(views, st, fin).collect()[0]["approx_distinct"]
+        # key_kind must match the stage builder's — same hash, registers
+        views.sql(hll_registers_sql(SPARK, col=col, table=table,
+                                    p=p, key_kind="bigint")
+                  ).createOrReplaceTempView("__lcck")
+        est2 = views.sql(
+            hll_estimate_sql("__lcck", p=p)).collect()[0]["approx_distinct"]
+        return est, est2
+
+    # raw regime: events at p=6 sits far above the cutoff
+    est, est2 = both("events", "event_id", 6)
+    assert est > 2.5 * 64 and est2 == est
+    # LC regime: a 5-value key at p=8 (cutoff 640) — the branch FIRES on
+    # both forms and they still agree exactly
+    views.sql("SELECT event_id % 5 AS k5 FROM events") \
+        .createOrReplaceTempView("__lc5")
+    est, est2 = both("__lc5", "k5", 8)
+    assert abs(est - 5.0) < 0.2 and est2 == est
 
 
 def test_bm25_index_stages_survive_new_queries(spark):
