@@ -58,15 +58,20 @@ SCRATCH = os.environ.get("AQP_STRESS_SCRATCH", "/tmp/aqp_sf100_stress")
 REPLICAS = int(os.environ.get("AQP_STRESS_REPLICAS", "1000"))
 FIXTURES = [a for a in sys.argv[1:] if not a.startswith("--")] or [
     "cf_group_multi", "bs_sum_group", "sql_count_distinct_hll_grouped",
-    # round-10 widening: the global register lattice and the
-    # timestamp-key avalanche (epoch-micros fold) at 600M rows — both
-    # single-scan m-bounded shapes whose oracles replay cheaply
-    "sql_count_distinct_hll", "sql_count_distinct_hll_tskey"]
+    # round-10 widening: the global register lattice, the timestamp-key
+    # avalanche (epoch-micros fold), and the md5-string path with the
+    # linear-counting branch FIRING (3 distinct flags at 600M rows —
+    # low cardinality is scale-independent, so LC is exercised at the
+    # decade, not just at fixture scale) — all single-scan m-bounded
+    # shapes whose oracles replay cheaply
+    "sql_count_distinct_hll", "sql_count_distinct_hll_tskey",
+    "sql_count_distinct_hll_lowcard"]
 # fixtures whose DuckDB oracle is cheap enough to bit-replay at 1000x
 # (everything else defaults to the exact-value sanity gate — see module
 # docstring for the measured reason)
 ORACLE_DEFAULT = {"sql_count_distinct_hll_grouped",
-                  "sql_count_distinct_hll", "sql_count_distinct_hll_tskey"}
+                  "sql_count_distinct_hll", "sql_count_distinct_hll_tskey",
+                  "sql_count_distinct_hll_lowcard"}
 
 # exact twins for --sanity mode: per fixture, the exact SQL over the same
 # scratch table with the SAME group/measure shape, plus which (estimate,

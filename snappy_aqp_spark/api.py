@@ -900,7 +900,11 @@ class AQPSession:
                       ("upper_bound", "upper_bound")),
             confidence=(confidence if confidence is not None
                         else self.defaults["confidence"]),
-            key_kind=self._hll_key_kind(col, table)))
+            # the explicit API has no oracle-replay contract, so a
+            # float/double key (probe returns None) still answers via
+            # md5 of the rendering — injective per distinct double
+            # within Spark, hence a correct Spark-side estimate
+            key_kind=self._hll_key_kind(col, table) or "string"))
 
     def error_estimate_average(self, sample_name: str, measure: str,
                                confidence: float = 0.95) -> DataFrame:
@@ -1305,7 +1309,7 @@ class AQPSession:
     _UTC_TZ = frozenset(("UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z",
                          "+00:00", "Greenwich", "Universal", "Zulu"))
 
-    def _hll_key_kind(self, col: str, table: str) -> str:
+    def _hll_key_kind(self, col: str, table: str) -> str | None:
         """Hash-input type probe for the HLL routes: integral/temporal
         keys take the integer Mersenne-61 avalanche path
         (dual.avalanche60_steps — ~10x cheaper per scanned row than the
@@ -1321,13 +1325,25 @@ class AQPSession:
         injective per instant at a fixed timezone), without silently
         opting the key into an instant-vs-naive replay divergence. The
         reference handles every time flavor through one uniform cast
-        (execution/TopKWrapper.scala:45-51 CastLongTime)."""
+        (execution/TopKWrapper.scala:45-51 CastLongTime).
+
+        FLOAT-typed keys return None — "don't sketch-route this key":
+        the md5 path hashes the string RENDERING, and float/double
+        renderings are engine-specific (Java Double.toString flips to
+        scientific notation at different magnitudes than DuckDB's
+        formatter), so the replay gate would diverge; a float key is
+        also a smell for COUNT(DISTINCT) (decimals render fixed-point
+        identically and stay routable). The exact route answers —
+        reference parity, since the reference routes COUNT(DISTINCT)
+        exact always."""
         try:
             dt = (self.spark.sql(f"SELECT ({col}) AS __k FROM {table} "
                                  f"WHERE 1=0")
                   .schema[0].dataType.simpleString())
         except Exception:
             return "string"
+        if dt in ("float", "double"):
+            return None
         if dt in ("bigint", "int", "smallint", "tinyint", "boolean"):
             return "bigint"
         if dt == "timestamp":
@@ -1457,13 +1473,16 @@ class AQPSession:
                     f"error bound)")
             if beh in ("run_on_full_table", "partial_routing"):
                 return None              # exact route = full-table answer
+        kind = self._hll_key_kind(cd_arg, table)
+        if kind is None:
+            return None         # float/double key: not replayable (probe
+            # docstring) — the exact route answers, reference-parity
         return {"col": cd_arg, "table": table, "p": p,
                 "where": dq(parsed.where), "group_keys": tuple(sel_keys),
                 "group_out": tuple(sel_outs),
                 "alias": out_alias, "err_cols": tuple(err_cols),
                 "confidence": conf, "order_by": tuple(order),
-                "limit": parsed.limit,
-                "key_kind": self._hll_key_kind(cd_arg, table)}
+                "limit": parsed.limit, "key_kind": kind}
 
     def _try_hll_count_distinct(self, text: str) -> DataFrame | None:
         info = self._hll_route_info(text)

@@ -78,7 +78,8 @@ def _lc_lookup(dialect: str, m: int, zeros: str) -> str:
 def _md5_hash60(dialect: str, col: str) -> str:
     return dual.hex15_to_long(f"md5(CAST({col} AS VARCHAR))"
                               if dialect == DUCKDB
-                              else f"md5(CAST({col} AS STRING))")
+                              else f"md5(CAST({col} AS STRING))",
+                              dialect)
 
 
 def _avalanche_chain(dialect: str, col: str, key_kind: str

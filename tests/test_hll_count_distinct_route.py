@@ -196,6 +196,33 @@ def test_lc_with_expression_group_keys(spark, duck):
         assert r["ub"] >= r["flags"]
 
 
+def test_float_keys_fall_through_to_exact(spark):
+    """float/double COUNT(DISTINCT) keys don't sketch-route (round-10):
+    the md5 path hashes the STRING RENDERING and float renderings are
+    engine-specific (Java Double.toString's scientific-notation
+    thresholds differ from DuckDB's formatter), so the replay contract
+    can't hold — the probe returns None and the exact route answers.
+    Decimal keys render fixed-point identically and stay routable."""
+    aqp = _session(spark, "hllfloat")
+    assert aqp._hll_key_kind("l_quantity", "lineitem") is None  # double
+    assert aqp._hll_key_kind("CAST(l_quantity AS DECIMAL(12,2))",
+                             "lineitem") == "string"
+    assert aqp._hll_route_info(
+        "SELECT COUNT(DISTINCT l_quantity) AS a FROM lineitem "
+        "WITH ERROR") is None
+    exact = spark.sql(
+        "SELECT COUNT(DISTINCT l_quantity) c FROM lineitem").collect()[0][0]
+    row = aqp.sql("SELECT COUNT(DISTINCT l_quantity) AS a, "
+                  "absolute_error(a) AS e FROM lineitem "
+                  "WITH ERROR").collect()[0]
+    assert row["a"] == exact and row["e"] == 0.0    # exact route answered
+    # the explicit DataFrame API keeps answering (Spark-only contract):
+    # md5 of the rendering is injective per distinct double
+    est = aqp.approx_count_distinct("lineitem", "l_quantity",
+                                    p=9).collect()[0][0]
+    assert abs(est - exact) / exact < 4 * 1.04 / (1 << 9) ** 0.5
+
+
 def test_explain_aqp_reports_route(spark):
     aqp = _session(spark, "hllexp")
     row = aqp.sql("EXPLAIN AQP " + Q).collect()[0]
