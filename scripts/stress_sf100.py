@@ -188,8 +188,12 @@ def main() -> int:
         t0 = time.time()
         sp = qs[name](spark, SCRATCH).toPandas()
         t_sp = time.time() - t0
-        sanity = (force == "sanity" or
-                  (force is None and name not in ORACLE_DEFAULT))
+        # sanity mode needs an exact-twin entry; fixtures without one
+        # (the HLL routes) always bit-replay their oracle, even under
+        # --sanity (round-10 review: a blanket force crashed on them)
+        sanity = (name in SANITY
+                  and (force == "sanity"
+                       or (force is None and name not in ORACLE_DEFAULT)))
         if sanity:
             spark.read.parquet(f"{SCRATCH}/lineitem.parquet") \
                 .createOrReplaceTempView("lineitem")

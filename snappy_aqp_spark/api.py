@@ -890,6 +890,15 @@ class AQPSession:
         1.04/sqrt(m) standard error."""
         from .dialect import SPARK
         from .pipeline.distinct import hll_count_distinct_query_sql
+        kind = self._hll_key_kind(col, table)
+        if kind is None:
+            # the explicit API has no oracle-replay contract, so a
+            # float/double key still answers via md5 of the rendering —
+            # injective per distinct double EXCEPT signed zero, which
+            # COUNT(DISTINCT) normalizes but rendering does not
+            # ('-0.0' vs '0.0'); adding +0.0 folds -0.0 onto 0.0
+            # (IEEE: -0.0 + 0.0 = +0.0) before the cast
+            col, kind = f"(({col}) + CAST(0 AS DOUBLE))", "string"
         return self.spark.sql(hll_count_distinct_query_sql(
             SPARK, col=col, table=table,
             p=p if p is not None else self.defaults["hll_p"],
@@ -900,11 +909,7 @@ class AQPSession:
                       ("upper_bound", "upper_bound")),
             confidence=(confidence if confidence is not None
                         else self.defaults["confidence"]),
-            # the explicit API has no oracle-replay contract, so a
-            # float/double key (probe returns None) still answers via
-            # md5 of the rendering — injective per distinct double
-            # within Spark, hence a correct Spark-side estimate
-            key_kind=self._hll_key_kind(col, table) or "string"))
+            key_kind=kind))
 
     def error_estimate_average(self, sample_name: str, measure: str,
                                confidence: float = 0.95) -> DataFrame:
@@ -1453,6 +1458,14 @@ class AQPSession:
         conf = (wc.confidence if wc.confidence is not None
                 else self.defaults["confidence"])
         p = self.defaults["hll_p"]
+        # the key-type gate must precede the HAC contract check: a query
+        # the gate sends to the exact route anyway (float/double key)
+        # must never raise under behavior='strict' — the exact route's
+        # error is 0, which satisfies any contract (round-10 review)
+        kind = self._hll_key_kind(cd_arg, table)
+        if kind is None:
+            return None         # float/double key: not replayable (probe
+            # docstring) — the exact route answers, reference-parity
         # HAC contract (SampleTablePlan behaviors, reference
         # QueryProcessingRules.scala:50): the sketch's relative error is
         # known A PRIORI (z * 1.04/sqrt(m)), so the error contract
@@ -1473,10 +1486,6 @@ class AQPSession:
                     f"error bound)")
             if beh in ("run_on_full_table", "partial_routing"):
                 return None              # exact route = full-table answer
-        kind = self._hll_key_kind(cd_arg, table)
-        if kind is None:
-            return None         # float/double key: not replayable (probe
-            # docstring) — the exact route answers, reference-parity
         return {"col": cd_arg, "table": table, "p": p,
                 "where": dq(parsed.where), "group_keys": tuple(sel_keys),
                 "group_out": tuple(sel_outs),

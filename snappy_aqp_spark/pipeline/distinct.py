@@ -75,6 +75,16 @@ def _lc_lookup(dialect: str, m: int, zeros: str) -> str:
     return dual.elem(dialect, dual.array_lit(dialect, vals), zeros)
 
 
+def _lc_est(dialect: str, m: int, raw: str, zeros: str) -> str:
+    """The ONE guarded estimator text every HLL finalize in this module
+    emits: linear counting below the 2.5*m cutoff (with empty registers
+    present), the raw harmonic estimate otherwise. The ``zeros > 0``
+    guard is load-bearing — CASE evaluates lazily on both engines and
+    index 0 would raise on Spark's 1-based element_at."""
+    return (f"CASE WHEN {raw} <= {dlit(2.5 * m)} AND {zeros} > 0 "
+            f"THEN {_lc_lookup(dialect, m, zeros)} ELSE {raw} END")
+
+
 def _md5_hash60(dialect: str, col: str) -> str:
     return dual.hex15_to_long(f"md5(CAST({col} AS VARCHAR))"
                               if dialect == DUCKDB
@@ -202,12 +212,7 @@ def hll_distinct_stages(dialect: str, col: str = "doc_id",
              f"{dual.shiftleft(dialect, 'CAST(1 AS BIGINT)', str(maxbits + 1))})")
     num = _alpha(m) * m * m * float(1 << (maxbits + 1))
     e_raw = f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
-    if linear_counting:
-        lc = _lc_lookup(dialect, m, zeros)
-        est = (f"CASE WHEN {e_raw} <= {dlit(2.5 * m)} AND {zeros} > 0 "
-               f"THEN {lc} ELSE {e_raw} END")
-    else:
-        est = e_raw
+    est = _lc_est(dialect, m, e_raw, zeros) if linear_counting else e_raw
     final = (f"SELECT {g_pre}{est} AS approx_distinct FROM __hll_z"
              + (f" ORDER BY {g_sql}" if g else ""))
     return stages, final
@@ -277,8 +282,7 @@ def hll_count_distinct_query_sql(dialect: str, col: str, table: str,
              f"{dual.shiftleft(dialect, 'CAST(1 AS BIGINT)', str(maxbits + 1))})")
     num = _alpha(m) * m * m * float(1 << (maxbits + 1))
     e_raw = f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
-    est_expr = (f"CASE WHEN {e_raw} <= {dlit(2.5 * m)} AND {zeros} > 0 "
-                f"THEN {_lc_lookup(dialect, m, zeros)} ELSE {e_raw} END")
+    est_expr = _lc_est(dialect, m, e_raw, zeros)
     # the LC lookup is an m-entry literal array — stage the estimate once
     # so the error-fn expressions below reference a plain column instead
     # of repeating the lookup text per output
@@ -320,12 +324,16 @@ def hll_set_ops_stages(dialect: str, col: str = "doc_id",
     the audience-overlap estimator a corpus pipeline runs across shards
     without ever shuffling raw keys. Same integer-lattice harmonic sum as
     ``hll_distinct_stages`` (bit-exact dual replay), and — since the
-    small-range correction became a deterministic literal lookup
-    (``_lc_lookup``) — the same linear-counting branch, applied to ALL
-    THREE base estimates consistently (a, b, union) before
-    inclusion-exclusion derives the intersection; one estimator form
-    throughout, so the derived terms stay coherent and the 0-clamp only
-    absorbs genuine sketch noise. The estimates stage once
+    small-range correction became a deterministic literal lookup — the
+    same linear-counting branch on each of the three base estimates
+    (a, b, union), each picking LC/raw independently by its own
+    cardinality, the standard per-estimate HLL practice. Near the
+    2.5*m cutoff the derived intersection can therefore mix an
+    LC-corrected side with a raw union; the mixing error is bounded by
+    the LC-vs-raw gap at the cutoff (a fraction of the sketch's own
+    standard error there) and the 0-clamp absorbs the negative tail —
+    versus the old raw-everywhere form, whose BIAS on a genuinely small
+    side was the whole estimate. The estimates stage once
     (``__hso_est``) so the m-entry lookup text appears once per side,
     not once per output expression."""
     m = 1 << p
@@ -378,8 +386,7 @@ def hll_set_ops_stages(dialect: str, col: str = "doc_id",
         zeros = f"({m} - __present_{side})"
         z_int = f"(__zp_{side} + {zeros} * {sent})"
         raw = f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
-        return (f"CASE WHEN {raw} <= {dlit(2.5 * m)} AND {zeros} > 0 "
-                f"THEN {_lc_lookup(dialect, m, zeros)} ELSE {raw} END")
+        return _lc_est(dialect, m, raw, zeros)
 
     stages.append(("__hso_est",
                    f"SELECT {est('a')} AS __ea, {est('b')} AS __eb, "
@@ -439,6 +446,5 @@ def hll_estimate_sql(registers_table: str, p: int = 6,
     zeros = f"({m} - __present)"
     z_int = f"(__zp + {zeros} * {sent})"
     raw = f"({dlit(num)} / CAST({z_int} AS DOUBLE))"
-    est = (f"CASE WHEN {raw} <= {dlit(2.5 * m)} AND {zeros} > 0 "
-           f"THEN {_lc_lookup(dialect, m, zeros)} ELSE {raw} END")
+    est = _lc_est(dialect, m, raw, zeros)
     return f"SELECT {est} AS approx_distinct FROM ({inner}) __hz"

@@ -226,32 +226,22 @@ def shiftright(dialect: str, a: str, n: str) -> str:
             else f"(({a}) >> ({n}))")
 
 
-def hex15_to_long(hex_sql: str, dialect: str | None = None) -> str:
-    """first 15 hex chars of a hex string -> BIGINT < 2^60.
-
-    With a ``dialect``, each engine parses hex NATIVELY — Spark
-    ``conv(h, 16, 10)``, DuckDB ``CAST('0x' || h AS BIGINT)`` — both
-    correctly-rounded... exactly-parsed integer conversions of the same
-    15 lowercase hex digits, so the values are identical by construction
-    (round-10: the dialect-free positional form below pays 15
-    substring/instr digit extractions PER ROW and measured the Spark
-    md5 path 2.3x slower than the DuckDB oracle at 600M rows; the
-    native parse is one engine intrinsic).
-
-    ``dialect=None`` keeps the original single-text portable form —
-    emitted identically on both engines — for callers that need one
-    shared statement string."""
+def hex15_to_long(hex_sql: str, dialect: str) -> str:
+    """first 15 hex chars of a hex string -> BIGINT < 2^60, parsed
+    NATIVELY per engine — Spark ``conv(h, 16, 10)``, DuckDB
+    ``CAST('0x' || h AS BIGINT)``: both are exact integer conversions of
+    the same 15 lowercase hex digits, so the values are identical by
+    construction. Until round 10 this was a single-text portable
+    positional sum (15 substring/instr digit extractions PER ROW) — that
+    form measured the Spark md5 path 2.3x slower than the DuckDB oracle
+    at 600M rows and was removed outright; ``dialect`` is required so a
+    future caller cannot silently fall back onto it."""
     if dialect == SPARK:
         return (f"CAST(conv(substring({hex_sql}, 1, 15), 16, 10) "
                 f"AS BIGINT)")
     if dialect == DUCKDB:
         return f"CAST(('0x' || substring({hex_sql}, 1, 15)) AS BIGINT)"
-    terms = []
-    for p in range(15):
-        d = (f"CAST(instr('0123456789abcdef', substring({hex_sql}, {p + 1}, 1)) "
-             f"- 1 AS BIGINT)")
-        terms.append(f"{d} * CAST({16 ** (14 - p)} AS BIGINT)")
-    return "(" + " + ".join(terms) + ")"
+    raise ValueError(f"unknown dialect: {dialect!r}")
 
 
 # ---- Mersenne-61 avalanche row hash (portable, integer-only) ----------

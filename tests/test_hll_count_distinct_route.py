@@ -119,6 +119,7 @@ def test_ltz_key_gated_on_session_timezone(spark):
         assert aqp._hll_key_kind("ts_ntz", "__ltz_probe") == "timestamp_ntz"
     finally:
         spark.conf.set(tz_conf, old_tz)
+        spark.catalog.dropTempView("__ltz_probe")
 
 
 def test_ltz_string_fallback_replays_on_oracle_under_non_utc_tz(spark, duck):
@@ -142,11 +143,15 @@ def test_ltz_string_fallback_replays_on_oracle_under_non_utc_tz(spark, duck):
             key_kind="string")).collect()[0][0]
     finally:
         spark.conf.set(tz_conf, old_tz)
+        spark.catalog.dropTempView("__ltz_t")
     duck.sql("CREATE OR REPLACE VIEW __ltz_t AS "
              "SELECT l_shipdate AS ts FROM lineitem")
-    dk = duck.sql(hll_count_distinct_query_sql(
-        _DK, col="ts", table="__ltz_t", p=6, alias="a",
-        key_kind="string")).fetchone()[0]
+    try:
+        dk = duck.sql(hll_count_distinct_query_sql(
+            _DK, col="ts", table="__ltz_t", p=6, alias="a",
+            key_kind="string")).fetchone()[0]
+    finally:
+        duck.sql("DROP VIEW IF EXISTS __ltz_t")
     assert sp == dk
 
 
@@ -221,6 +226,35 @@ def test_float_keys_fall_through_to_exact(spark):
     est = aqp.approx_count_distinct("lineitem", "l_quantity",
                                     p=9).collect()[0][0]
     assert abs(est - exact) / exact < 4 * 1.04 / (1 << 9) ** 0.5
+    # under behavior=strict with an unmeetable sketch bound, a float key
+    # must NOT raise — the gate sends it to the exact route BEFORE the
+    # HAC contract check, and the exact route's error (0) satisfies any
+    # contract (round-10 review fix)
+    strict = AQPSession(spark, error=0.001, confidence=0.95,
+                        behavior="strict", data_token="hllfloatstrict")
+    strict.load_tables(SF_SMALL, ("lineitem",))
+    strict.sql("SET spark.sql.aqp.hllCountDistinct=true")
+    assert strict.sql("SELECT COUNT(DISTINCT l_quantity) AS a "
+                      "FROM lineitem WITH ERROR").collect()[0][0] == exact
+
+
+def test_signed_zero_double_key_via_explicit_api(spark):
+    """round-10 review: COUNT(DISTINCT) normalizes -0.0 == 0.0 but the
+    string rendering does not ('-0.0' vs '0.0') — the explicit API folds
+    -0.0 onto 0.0 (+0.0 IEEE add) before hashing, so a low-cardinality
+    float column with both zeros estimates 1 key, not 2."""
+    aqp = AQPSession(spark, error=0.2, confidence=0.95,
+                     behavior="do_nothing", data_token="hllsz")
+    spark.sql("SELECT CAST(IF(id % 2 = 0, 0.0, -0.0) AS DOUBLE) AS z "
+              "FROM range(100)").createOrReplaceTempView("__sz_t")
+    try:
+        exact = spark.sql(
+            "SELECT COUNT(DISTINCT z) c FROM __sz_t").collect()[0][0]
+        assert exact == 1                        # Spark normalizes -0.0
+        est = aqp.approx_count_distinct("__sz_t", "z", p=9).collect()[0][0]
+        assert abs(est - 1.0) < 0.1              # LC: one key, not two
+    finally:
+        spark.catalog.dropTempView("__sz_t")
 
 
 def test_explain_aqp_reports_route(spark):

@@ -1286,6 +1286,7 @@ def test_cross_corpus_over_budget_family_flips_to_unique(spark, duck):
                 SPARK, max_candidates_per_doc=None, **kw)
     finally:
         duck.sql("DROP TABLE IF EXISTS __obf_docs")
+        spark.catalog.dropTempView("__obf_docs")
 
 
 def test_cross_corpus_cap_report_clean_at_fixture_scale(views, duck):
@@ -1667,6 +1668,7 @@ def test_hll_set_ops_small_range_lc_consistent(spark, duck):
             assert row[c] == dk[c], c
     finally:
         duck.sql("DROP VIEW IF EXISTS __so_small")
+        spark.catalog.dropTempView("__so_small")
 
 
 def test_histogram_quantile_brackets_truth(views, duck):
@@ -1803,8 +1805,12 @@ def test_hll_register_finalize_equals_batch_in_both_regimes(views, duck):
     # both forms and they still agree exactly
     views.sql("SELECT event_id % 5 AS k5 FROM events") \
         .createOrReplaceTempView("__lc5")
-    est, est2 = both("__lc5", "k5", 8)
-    assert abs(est - 5.0) < 0.2 and est2 == est
+    try:
+        est, est2 = both("__lc5", "k5", 8)
+        assert abs(est - 5.0) < 0.2 and est2 == est
+    finally:
+        for v in ("__lc5", "__lcck"):
+            views.catalog.dropTempView(v)
 
 
 def test_bm25_index_stages_survive_new_queries(spark):
