@@ -37,13 +37,17 @@ HEAVY = ["cluster_labels_build", "compact_small_files", "dedup_ngram_jaccard",
 
 def main() -> None:
     names = sys.argv[1:] or HEAVY
-    spark = (SparkSession.builder.master(f"local[{CPUS}]")
-             .config("spark.sql.shuffle.partitions", CPUS)
-             .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.ui.enabled", "false")
-             .config("spark.ui.showConsoleProgress", "false")
-             .config("spark.driver.memory", "8g")
-             .appName("profile-r10").getOrCreate())
+    b = (SparkSession.builder.master(f"local[{CPUS}]")
+         .config("spark.sql.shuffle.partitions", CPUS)
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false")
+         .config("spark.driver.memory", "8g"))
+    # conf experiments: PROF_CONF="key=val;key=val"
+    for kv in filter(None, os.environ.get("PROF_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        b = b.config(k.strip(), v.strip())
+    spark = b.appName("profile-r10").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
 

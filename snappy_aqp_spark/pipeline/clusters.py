@@ -83,18 +83,28 @@ def connected_components(pairs: DataFrame, src: str = "ida",
         of labels strictly decreases until the fixpoint, so one scalar per
         round decides convergence.
     """
-    e = pairs.select(F.col(src).cast("long").alias("u"),
-                     F.col(dst).cast("long").alias("v"))
-    e = (e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-         .distinct().persist())
-    n_edges = e.count()
-    if n_edges <= small_graph_edges:
-        rows = _union_find_local([(r["u"], r["v"]) for r in e.collect()])
-        e.unpersist()
+    raw = pairs.select(F.col(src).cast("long").alias("u"),
+                       F.col(dst).cast("long").alias("v")).persist()
+    n_raw = raw.count()
+    if n_raw <= small_graph_edges:
+        # small path: collect the RAW pair list (union-find neither needs
+        # symmetrized nor deduplicated edges — duplicates are no-ops), so
+        # the symmetric-union + distinct shuffle is skipped entirely; the
+        # returned label table is driver-local and broadcast-hinted, so
+        # the corpus-side label join never shuffles the corpus
+        rows = _union_find_local([(r["u"], r["v"]) for r in raw.collect()])
+        raw.unpersist()
         spark = pairs.sparkSession
         if not rows:
-            return spark.createDataFrame([], "doc_id long, cluster_id long")
-        return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+            return F.broadcast(
+                spark.createDataFrame([], "doc_id long, cluster_id long"))
+        return F.broadcast(
+            spark.createDataFrame(rows, "doc_id long, cluster_id long"))
+    e = (raw.unionByName(raw.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+         .distinct().persist())
+    e.count()
+    raw.unpersist()
     # localCheckpoint (not persist) per round: the pointer-doubling
     # self-join doubles the logical plan every iteration — lineage must be
     # truncated or plan construction itself goes exponential

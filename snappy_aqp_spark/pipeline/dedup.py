@@ -365,20 +365,25 @@ def minhash_lsh_stages(dialect: str, threshold: float, k: int = 5,
          "ON a.bv = b.bv AND a.doc_id < b.doc_id"),
         ("__cdoc", "SELECT ida AS doc_id FROM __cand "
                    "UNION SELECT idb AS doc_id FROM __cand"),
-        # shingle rows only for candidate documents
-        ("__shc", "SELECT g.doc_id, g.sh "
-                  "FROM __shr g JOIN __cdoc d ON g.doc_id = d.doc_id"),
-        ("__sz", "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM __shr "
-                 "GROUP BY doc_id"),
+        # exact intersection via per-candidate-doc shingle ARRAYS, not a
+        # token re-explosion: joining candidate pairs back to the shingle
+        # stream costs |cand| x shingles-per-doc intermediate rows; two
+        # array lookups + an array_intersect are linear in the candidate
+        # count (the ngram_jaccard_stages rewrite, ported — the explode
+        # join was the dominant warm-iteration cost at sf0.1)
+        ("__gsc",
+         f"SELECT g.doc_id, {dual.arr_agg(dialect, 'g.sh')} AS gsc, "
+         f"CAST(COUNT(*) AS BIGINT) AS n FROM __shr g "
+         f"JOIN __cdoc d ON g.doc_id = d.doc_id GROUP BY g.doc_id"),
         ("__common",
-         "SELECT c.ida, c.idb, CAST(COUNT(*) AS BIGINT) AS common "
-         "FROM __cand c JOIN __shc a ON a.doc_id = c.ida "
-         "JOIN __shc b ON b.doc_id = c.idb AND a.sh = b.sh "
-         "GROUP BY c.ida, c.idb"),
+         f"SELECT c.ida, c.idb, "
+         f"{dual.arr_intersect_len(dialect, 'ga.gsc', 'gb.gsc')} AS common, "
+         f"ga.n + gb.n AS ns "
+         f"FROM __cand c JOIN __gsc ga ON ga.doc_id = c.ida "
+         f"JOIN __gsc gb ON gb.doc_id = c.idb"),
         ("__j", "SELECT m.ida, m.idb, CAST(m.common AS DOUBLE) / "
-                "CAST(sa.n + sb.n - m.common AS DOUBLE) AS jaccard "
-                "FROM __common m JOIN __sz sa ON m.ida = sa.doc_id "
-                "JOIN __sz sb ON m.idb = sb.doc_id"),
+                "CAST(m.ns - m.common AS DOUBLE) AS jaccard "
+                "FROM __common m"),
     ]
     final = (f"SELECT ida, idb, jaccard FROM __j "
              f"WHERE jaccard >= {dlit(threshold)} ORDER BY ida, idb")

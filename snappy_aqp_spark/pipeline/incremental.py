@@ -145,20 +145,25 @@ def cross_corpus_dedup_stages(dialect: str, new_pred: str,
          f"FROM __ccand0) __rkd WHERE rk <= {max_candidates_per_doc}"),
         ("__ccdoc", "SELECT idn AS doc_id FROM __ccand "
                     "UNION SELECT idc AS doc_id FROM __ccand"),
-        ("__ccsh", "SELECT s.doc_id, s.sh FROM __ccs s "
-                   "JOIN __ccdoc d ON s.doc_id = d.doc_id"),
-        ("__ccsz", "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n "
-                   "FROM __ccsh GROUP BY doc_id"),
+        # exact intersection via per-candidate-doc shingle ARRAYS, not a
+        # token re-explosion: joining candidate pairs back to the shingle
+        # stream costs |cand| x shingles-per-doc intermediate rows; two
+        # array lookups + an array_intersect are linear in the candidate
+        # count (the same rewrite dedup.ngram_jaccard_stages carries —
+        # measured 17x there; here it removes the dominant per-query join)
+        ("__ccgsc",
+         f"SELECT s.doc_id, {dual.arr_agg(dialect, 's.sh')} AS gsc, "
+         f"CAST(COUNT(*) AS BIGINT) AS n FROM __ccs s "
+         f"JOIN __ccdoc d ON s.doc_id = d.doc_id GROUP BY s.doc_id"),
         ("__cccm",
-         "SELECT c.idn, c.idc, CAST(COUNT(*) AS BIGINT) AS common "
-         "FROM __ccand c JOIN __ccsh a ON a.doc_id = c.idn "
-         "JOIN __ccsh b ON b.doc_id = c.idc AND a.sh = b.sh "
-         "GROUP BY c.idn, c.idc"),
+         f"SELECT c.idn, c.idc, "
+         f"{dual.arr_intersect_len(dialect, 'ga.gsc', 'gb.gsc')} AS common, "
+         f"ga.n + gb.n AS ns "
+         f"FROM __ccand c JOIN __ccgsc ga ON ga.doc_id = c.idn "
+         f"JOIN __ccgsc gb ON gb.doc_id = c.idc"),
         ("__ccj",
          "SELECT m.idn, m.idc, CAST(m.common AS DOUBLE) / "
-         "CAST(sa.n + sb.n - m.common AS DOUBLE) AS jaccard "
-         "FROM __cccm m JOIN __ccsz sa ON m.idn = sa.doc_id "
-         "JOIN __ccsz sb ON m.idc = sb.doc_id"),
+         "CAST(m.ns - m.common AS DOUBLE) AS jaccard FROM __cccm m"),
         # best corpus match per new doc (ties to smallest corpus id)
         ("__ccbst",
          f"SELECT idn, idc, jaccard FROM "

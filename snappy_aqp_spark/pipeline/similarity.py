@@ -37,6 +37,12 @@ def _dot(dialect: str, a: str, b: str, dim: int) -> str:
     Python UDF also cannot appear inside HOF lambdas (the IVF argmax fold),
     so the SQL form is both faster and uniformly applicable here."""
     if dialect == SPARK:
+        # round-10 A/B: an unrolled explicit-term sum (64 element_at
+        # products, codegen straight-line) measured 2x SLOWER than this
+        # zip_with/aggregate form on the semantic_dedup pair join (7.1 s
+        # vs 3.4 s/iter at sf0.1) — element_at per term re-walks the
+        # array header, while zip_with streams both arrays once; the HOF
+        # form stays.
         return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
                 f"CAST(0 AS BIGINT), (acc, x) -> acc + x)")
     return (f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
