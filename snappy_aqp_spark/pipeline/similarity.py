@@ -665,12 +665,27 @@ def semantic_dedup_stages(dialect: str, eps: float = 0.95, dim: int = 64,
         # keep-priority: least-typical first (ccos ASC), vec_id tie-break
         ("__sd_prio", f"SELECT g.vec_id, g.v, g.n2, g.cid, {ccos} AS ccos "
                       f"FROM __sd_asg g JOIN {cents} c ON c.cid = g.cid"),
-        # drop a when ANY earlier-priority b in the cluster is >= eps close
+        # drop a when ANY earlier-priority b in the cluster is >= eps close.
+        # Angle-bound prune (round 10): on the unit sphere
+        # angle(a,b) >= |angle(a,c) - angle(b,c)|, so
+        # cos(a,b) <= ca*cb + sqrt(1-ca^2)*sqrt(1-cb^2); pairs whose bound
+        # cannot reach eps skip the dim-wide dot product entirely. Every
+        # op in the bound (mul/add/sqrt) is IEEE correctly-rounded, so both
+        # engines evaluate the SAME filter bit-identically, and the 1e-9
+        # slack absorbs the (~1e-12) bound-arithmetic rounding, so the
+        # prune is conservative: the exact >= eps predicate still decides
+        # and the result set is unchanged.
         ("__sd_drop", f"SELECT DISTINCT a.vec_id "
                       f"FROM __sd_prio a JOIN __sd_prio b "
                       f"ON b.cid = a.cid AND (b.ccos < a.ccos OR "
                       f"(b.ccos = a.ccos AND b.vec_id < a.vec_id)) "
-                      f"WHERE {pair_cos} >= {dlit(eps)}"),
+                      f"WHERE a.ccos * b.ccos + "
+                      f"SQRT(GREATEST(CAST('0.0' AS DOUBLE), "
+                      f"CAST('1.0' AS DOUBLE) - a.ccos * a.ccos)) * "
+                      f"SQRT(GREATEST(CAST('0.0' AS DOUBLE), "
+                      f"CAST('1.0' AS DOUBLE) - b.ccos * b.ccos)) "
+                      f">= {dlit(eps)} - CAST('1.0e-9' AS DOUBLE) "
+                      f"AND {pair_cos} >= {dlit(eps)}"),
     ]
     final = (f"SELECT p.vec_id, CAST(p.cid AS BIGINT) AS cid, "
              f"CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) "
