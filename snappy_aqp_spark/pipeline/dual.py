@@ -445,9 +445,23 @@ def stages_sql(stages: list[tuple[str, str]], final: str,
 _PREV_PERSISTED: list = []
 _PREV_KEY: list = [None]
 _IX_CACHE: dict[str, tuple] = {}     # name -> (semantic_hash, persisted df)
+# Prepared-plan slot (round 10): analyzing a 10-20 stage pipeline whose
+# expressions carry dim-wide HOF folds costs 0.3-0.8 s of DRIVER time per
+# call — measured as the gap before the first job of a warm
+# semantic_dedup iteration. Repeat calls of the SAME pipeline (bench
+# iterations, interactive re-runs) reuse the analyzed final DataFrame —
+# the exact philosophy of the approx side's _PLAN_CACHE (and of the
+# bench's exact_cached twin). Guards: the slot is keyed by the FULL stage
+# text plus the caller's binding token (the sf_dir — a rebound source
+# dir is a different key), holds the owning session, and only serves
+# while _PREV_KEY still matches (a different pipeline in between evicted
+# the persisted stage views, so the plan must be rebuilt). A plan is not
+# a result: every execution still computes from the bound inputs.
+_FINAL_SLOT: list = [None]           # (cache_token, key, spark, final_df)
 
 
-def run_stages(spark, stages: list[tuple[str, str]], final: str):
+def run_stages(spark, stages: list[tuple[str, str]], final: str,
+               cache_token: str | None = None):
     """Execute the stage list on Spark.
 
     Spark inlines CTE/view references, so a stage referenced N times is
@@ -458,6 +472,17 @@ def run_stages(spark, stages: list[tuple[str, str]], final: str):
     """
     import re as _re
     key = (tuple(stages), final)
+    slot = _FINAL_SLOT[0]
+    if (cache_token is not None and slot is not None
+            and slot[0] == cache_token and slot[1] == key
+            and slot[2] is spark and _PREV_KEY[0] == key):
+        # .select("*") wraps the stored ANALYZED plan in a fresh Dataset:
+        # analysis is skipped, but the new QueryExecution re-plans and
+        # RE-EXECUTES every shuffle stage on each call. Returning the
+        # stored DataFrame itself would let AQE serve its already
+        # materialized query stages — repeat timings would then measure
+        # only the result stage, which is result caching, not plan reuse.
+        return slot[3].select("*")
     if _PREV_KEY[0] != key:
         for old in _PREV_PERSISTED:
             old.unpersist()
@@ -477,7 +502,10 @@ def run_stages(spark, stages: list[tuple[str, str]], final: str):
             persisted.append(name)
 
     if not persisted:
-        return spark.sql(stages_sql(stages, final))
+        out = spark.sql(stages_sql(stages, final))
+        if cache_token is not None:
+            _FINAL_SLOT[0] = (cache_token, key, spark, out)
+        return out
 
     for name, sql in stages:
         df = spark.sql(sql)            # references earlier stages as views
@@ -510,4 +538,7 @@ def run_stages(spark, stages: list[tuple[str, str]], final: str):
             df = df.persist()
             _PREV_PERSISTED.append(df)
         df.createOrReplaceTempView(name)
-    return spark.sql(final)
+    out = spark.sql(final)
+    if cache_token is not None:
+        _FINAL_SLOT[0] = (cache_token, key, spark, out)
+    return out

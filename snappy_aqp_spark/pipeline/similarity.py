@@ -581,6 +581,19 @@ def hard_negative_mining_stages(dialect: str, n_queries: int = 20, k: int = 3,
     return stages, final
 
 
+def _sd_bound(eps: float) -> str:
+    """The semantic-dedup angle bound as a predicate over a.ccos/b.ccos
+    (identical text on both engines — mul/add/sqrt are IEEE
+    correctly-rounded, so the filter evaluates bit-identically)."""
+    from ..dialect import dlit
+    return (f"a.ccos * b.ccos + "
+            f"SQRT(GREATEST(CAST('0.0' AS DOUBLE), "
+            f"CAST('1.0' AS DOUBLE) - a.ccos * a.ccos)) * "
+            f"SQRT(GREATEST(CAST('0.0' AS DOUBLE), "
+            f"CAST('1.0' AS DOUBLE) - b.ccos * b.ccos)) "
+            f">= {dlit(eps)} - CAST('1.0e-9' AS DOUBLE)")
+
+
 def semantic_dedup_stages(dialect: str, eps: float = 0.95, dim: int = 64,
                           n_centroids: int = 16, seed_stride: int = 31,
                           lloyd_steps: int = 1, table: str = "embeddings",
@@ -655,17 +668,36 @@ def semantic_dedup_stages(dialect: str, eps: float = 0.95, dim: int = 64,
                             f"AS cn2 FROM __cent{s}"),
         ]
         cents = f"__centn{s}"
-    ccos = _cos(_dot(dialect, "g.v", "c.cv", dim), "g.n2", "c.cn2")
     pair_cos = _cos(_dot(dialect, "a.v", "b.v", dim), "a.n2", "b.n2")
+    # one argmax fold yields BOTH the assignment and the keep-priority
+    # cosine: the winning (cos, -cid) struct's cos field IS the cosine to
+    # the assigned centroid — the identical expression over the identical
+    # operands, so extracting it is bit-equal to the former re-join that
+    # recomputed it against the centroid relation (one exchange + one
+    # dim-wide dot product per corpus row removed).
+    cos_b = _cos(_dot(dialect, "a.v", "c.cv", dim), "a.n2", "c.cn2")
+    scored_b = dual.transform(
+        dialect, "p.cents",
+        f"c -> {dual.mk_struct(dialect, [('cos', cos_b), ('ncid', '-c.cid')])}")
+    best_b = f"{dual.arr_max(dialect, scored_b)}"
     stages += [
         ("__centnp", pack(cents)),
-        ("__sd_asg", f"SELECT a.vec_id, a.v, a.n2, "
-                     f"{argmax_cid('a.v', 'a.n2')} AS cid "
+        ("__sd_asg", f"SELECT a.vec_id, a.v, a.n2, {best_b} AS bs "
                      f"FROM {base} a CROSS JOIN __centnp p"),
-        # keep-priority: least-typical first (ccos ASC), vec_id tie-break
-        ("__sd_prio", f"SELECT g.vec_id, g.v, g.n2, g.cid, {ccos} AS ccos "
-                      f"FROM __sd_asg g JOIN {cents} c ON c.cid = g.cid"),
+        # keep-priority: least-typical first (ccos ASC), vec_id tie-break.
+        # REPARTITION(cid): the pair join below is cluster-local, so the
+        # scale shape distributes rows by cid; locally this also stops the
+        # join from inheriting the (1-2 partition) scan layout of a tiny
+        # corpus — parallelism follows spark.sql.shuffle.partitions in
+        # both regimes instead of the input file count
+        ("__sd_prio", f"SELECT {dual.hint(dialect, 'REPARTITION(cid)')}"
+                      f"vec_id, v, n2, (-((bs).ncid)) AS cid, "
+                      f"(bs).cos AS ccos FROM __sd_asg"),
         # drop a when ANY earlier-priority b in the cluster is >= eps close.
+        # Correlated EXISTS (round 10): planned as a LEFT SEMI join on cid,
+        # which short-circuits at the FIRST qualifying b per row and needs
+        # no DISTINCT aggregation over the matched pairs afterwards — the
+        # qualifying set is decided by the same predicate as before.
         # Angle-bound prune (round 10): on the unit sphere
         # angle(a,b) >= |angle(a,c) - angle(b,c)|, so
         # cos(a,b) <= ca*cb + sqrt(1-ca^2)*sqrt(1-cb^2); pairs whose bound
@@ -675,17 +707,22 @@ def semantic_dedup_stages(dialect: str, eps: float = 0.95, dim: int = 64,
         # slack absorbs the (~1e-12) bound-arithmetic rounding, so the
         # prune is conservative: the exact >= eps predicate still decides
         # and the result set is unchanged.
-        ("__sd_drop", f"SELECT DISTINCT a.vec_id "
-                      f"FROM __sd_prio a JOIN __sd_prio b "
-                      f"ON b.cid = a.cid AND (b.ccos < a.ccos OR "
-                      f"(b.ccos = a.ccos AND b.vec_id < a.vec_id)) "
-                      f"WHERE a.ccos * b.ccos + "
-                      f"SQRT(GREATEST(CAST('0.0' AS DOUBLE), "
-                      f"CAST('1.0' AS DOUBLE) - a.ccos * a.ccos)) * "
-                      f"SQRT(GREATEST(CAST('0.0' AS DOUBLE), "
-                      f"CAST('1.0' AS DOUBLE) - b.ccos * b.ccos)) "
-                      f">= {dlit(eps)} - CAST('1.0e-9' AS DOUBLE) "
-                      f"AND {pair_cos} >= {dlit(eps)}"),
+        ("__sd_drop",
+         (f"SELECT a.vec_id FROM __sd_prio a WHERE EXISTS ("
+          f"SELECT 1 FROM __sd_prio b "
+          f"WHERE b.cid = a.cid AND (b.ccos < a.ccos OR "
+          f"(b.ccos = a.ccos AND b.vec_id < a.vec_id)) "
+          f"AND {_sd_bound(eps)} AND {pair_cos} >= {dlit(eps)})")
+         if dialect == SPARK else
+         # DuckDB cannot correlate an outer column inside a lambda (the
+         # pair dot product), so the oracle keeps the uncorrelated
+         # DISTINCT-join form — the same predicate selects the same
+         # qualifying set on both engines.
+         (f"SELECT DISTINCT a.vec_id "
+          f"FROM __sd_prio a JOIN __sd_prio b "
+          f"ON b.cid = a.cid AND (b.ccos < a.ccos OR "
+          f"(b.ccos = a.ccos AND b.vec_id < a.vec_id)) "
+          f"WHERE {_sd_bound(eps)} AND {pair_cos} >= {dlit(eps)}")),
     ]
     final = (f"SELECT p.vec_id, CAST(p.cid AS BIGINT) AS cid, "
              f"CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) "
