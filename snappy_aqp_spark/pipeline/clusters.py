@@ -84,22 +84,25 @@ def connected_components(pairs: DataFrame, src: str = "ida",
         round decides convergence.
     """
     raw = pairs.select(F.col(src).cast("long").alias("u"),
-                       F.col(dst).cast("long").alias("v")).persist()
-    n_raw = raw.count()
-    if n_raw <= small_graph_edges:
-        # small path: collect the RAW pair list (union-find neither needs
+                       F.col(dst).cast("long").alias("v"))
+    # ONE action decides the strategy AND feeds the small path: head of
+    # cap+1 rows is driver-bounded by construction (~32 MB at the cap);
+    # exactly cap+1 rows back means "too big — go distributed"
+    head = raw.head(small_graph_edges + 1)
+    if len(head) <= small_graph_edges:
+        # small path: the RAW pair list (union-find neither needs
         # symmetrized nor deduplicated edges — duplicates are no-ops), so
         # the symmetric-union + distinct shuffle is skipped entirely; the
         # returned label table is driver-local and broadcast-hinted, so
         # the corpus-side label join never shuffles the corpus
-        rows = _union_find_local([(r["u"], r["v"]) for r in raw.collect()])
-        raw.unpersist()
+        rows = _union_find_local([(r["u"], r["v"]) for r in head])
         spark = pairs.sparkSession
         if not rows:
             return F.broadcast(
                 spark.createDataFrame([], "doc_id long, cluster_id long"))
         return F.broadcast(
             spark.createDataFrame(rows, "doc_id long, cluster_id long"))
+    raw = raw.persist()
     e = (raw.unionByName(raw.select(F.col("v").alias("u"),
                                     F.col("u").alias("v")))
          .distinct().persist())
@@ -156,7 +159,9 @@ def cluster_labels(spark: SparkSession, threshold: float = 0.5, k: int = 7,
     stages, final = minhash_lsh_stages(SPARK, threshold=threshold, k=k,
                                        n_hashes=n_hashes, bands=bands,
                                        table=table, col=col)
-    pairs = dual.run_stages(spark, stages, final)
+    # cache_token: a repeat COLD build (labels cache cleared, same data)
+    # reuses the analyzed pair-detection plan; detection itself re-runs
+    pairs = dual.run_stages(spark, stages, final, cache_token=data_token)
     cc = connected_components(pairs)
     docs = spark.table(table).select(F.col("doc_id").cast("long").alias("doc_id"))
     lab = (docs.join(cc, "doc_id", "left")
@@ -246,19 +251,26 @@ def clean_corpus(spark: SparkSession, min_quality: float = 0.32,
     At scale: steps 1-2 are one scan + one hash shuffle; step 3 costs the
     pair detection (bucketed, no all-pairs) + CC over the pair list only.
     """
+    from pyspark.sql import Window
     from .text import text_features
     docs = spark.table(table)
-    feats = text_features(docs).select("doc_id", "quality")
-    fp = docs.select("doc_id", F.expr("md5(text)").alias("fp"))
-    keep_fp = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    exact = fp.join(keep_fp, "fp").select("doc_id", "keeper")
+    # text_features already carries the md5 full-text fingerprint
+    # (fp_md5 = md5(text)); the exact-dedup keeper is a window MIN over
+    # it IN the same stream — the former shape recomputed the md5 in a
+    # separate scan, aggregated, joined the keeper back on fp, and then
+    # joined two corpus-sized relations on doc_id: three corpus-wide
+    # shuffles and a self-join collapse into ONE fp-keyed exchange
+    feats = text_features(docs).select("doc_id", "quality", "fp_md5")
+    scored = feats.select(
+        "doc_id", "quality",
+        F.min("doc_id").over(Window.partitionBy("fp_md5")).alias("keeper"))
     cl = cluster_labels(spark, threshold=threshold, k=k, table=table,
                         data_token=data_token)
     reason = (f"CASE WHEN quality < {dlit(min_quality)} THEN 'low_quality' "
               f"WHEN doc_id <> keeper THEN 'exact_dup' "
               f"WHEN doc_id <> cluster_id THEN 'near_dup' "
               f"ELSE 'ok' END")
-    return (feats.join(exact, "doc_id").join(cl, "doc_id")
+    return (scored.join(cl, "doc_id")
             .select("doc_id", "quality", F.expr(reason).alias("reason"),
                     F.expr(f"CASE WHEN {reason} = 'ok' THEN 1 ELSE 0 END")
                     .alias("keep"))

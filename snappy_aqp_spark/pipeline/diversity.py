@@ -23,7 +23,7 @@ and text_top_terms (per-doc tf-idf): this one is the SOURCE-level rollup.
 
 from __future__ import annotations
 
-from .dual import arr_len, explode, idiv
+from .dual import arr_distinct, arr_len, explode, idiv
 from .repetition import _grams, _tokens
 
 
@@ -38,14 +38,21 @@ def corpus_diversity_stages(dialect: str, table: str = "documents",
         ("__dv_tok",
          f"SELECT doc_id, source, {toks} AS toks, "
          f"{arr_len(dialect, toks)} AS n FROM {table}"),
-        ("__dv_words",
-         "SELECT source, doc_id, "
-         f"{explode(dialect, 'toks', 'word')} FROM __dv_tok"),
-        # per (source, word): occurrences + document frequency
+        # per (source, word): occurrences + document frequency. df comes
+        # from an IN-ROW deduplicated second stream (explode of
+        # array_distinct — each doc contributes each word once) unioned
+        # with the full occurrence stream: one partial-aggregated exchange
+        # on (source, word) replaces the COUNT(DISTINCT doc_id) plan
+        # (Expand x2 of the exploded stream + a second aggregate layer)
         ("__dv_wstats",
-         "SELECT source, word, CAST(COUNT(*) AS BIGINT) AS occ, "
-         "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df "
-         "FROM __dv_words GROUP BY source, word"),
+         f"SELECT source, word, CAST(SUM(o) AS BIGINT) AS occ, "
+         f"CAST(SUM(d) AS BIGINT) AS df FROM ("
+         f"SELECT source, 1 AS o, 0 AS d, "
+         f"{explode(dialect, 'toks', 'word')} FROM __dv_tok "
+         f"UNION ALL "
+         f"SELECT source, 0 AS o, 1 AS d, "
+         f"{explode(dialect, arr_distinct(dialect, 'toks'), 'word')} "
+         f"FROM __dv_tok) __u GROUP BY source, word"),
         ("__dv_grams",
          "SELECT source, "
          f"{explode(dialect, _grams(dialect, 'toks', 'n', 3), 'gram')} "
@@ -61,8 +68,10 @@ def corpus_diversity_stages(dialect: str, table: str = "documents",
          "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct_words, "
          "SUM(occ) AS n_words, SUM(df) AS sum_df "
          "FROM __dv_wstats GROUP BY source"),
+        # doc counts off the (persisted) token stage — row-preserving
+        # projection of the table, so a third table scan is unnecessary
         ("__dv_docs",
-         f"SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table} "
+         "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM __dv_tok "
          "GROUP BY source"),
     ]
     ttr = idiv(dialect, "w.n_distinct_words * 10000", "w.n_words")

@@ -496,9 +496,16 @@ def run_stages(spark, stages: list[tuple[str, str]], final: str,
         # reference); stages named *_ix persist unconditionally — they are
         # INDEX stages (corpus-side artifacts like posting lists) that a
         # repeat caller must reuse even when the query path references
-        # them only once
-        if name.endswith("_ix") or len(_re.findall(rf"\b{name}\b",
-                                                   later)) > 1:
+        # them only once; stages named *_mz persist unconditionally with
+        # the ordinary pipeline-scoped lifecycle — they are MATERIALIZE
+        # stages a builder marks when its final's global ORDER BY would
+        # otherwise evaluate the stage twice (range-bound sampling + the
+        # sort itself) AND logically eliminate any repartition below the
+        # sort (a repartition under a global Sort is provably redundant to
+        # the optimizer, which strips it together with the stage's
+        # parallelism)
+        if (name.endswith(("_ix", "_mz"))
+                or len(_re.findall(rf"\b{name}\b", later)) > 1):
             persisted.append(name)
 
     if not persisted:

@@ -51,58 +51,120 @@ def _grams(dialect: str, arr: str, n: str, k: int) -> str:
     return f"(CASE WHEN {n} >= {k} THEN {body} ELSE {_empty_varchar_array(dialect)} END)"
 
 
+def _singles_sorted_spark(s: str) -> str:
+    """count of values occurring EXACTLY once in the SORTED array variable
+    ``s``: a position is a singleton iff it differs from both neighbours
+    (boundaries via GREATEST/LEAST stay in range; the `i = 1`/`i = size`
+    disjuncts decide those cases regardless of the clamped comparison).
+    Works off run boundaries, so it only needs EQUALITY grouping — any
+    total order that makes equal elements adjacent gives the same count."""
+    return (f"CASE WHEN size({s}) >= 1 THEN "
+            f"size(filter(sequence(1, size({s})), i -> "
+            f"(i = 1 OR element_at({s}, i) <> "
+            f"element_at({s}, GREATEST(i - 1, 1))) "
+            f"AND (i = size({s}) OR element_at({s}, i) <> "
+            f"element_at({s}, LEAST(i + 1, size({s}))))"
+            f")) ELSE 0 END")
+
+
+def _singles_duck(l: str) -> str:
+    """DuckDB oracle form: distinct values whose occurrence count is 1
+    (O(distinct x n) vectorized — oracle-side only)."""
+    return (f"len(list_filter(list_distinct({l}), "
+            f"x -> len(list_filter({l}, y -> y = x)) = 1))")
+
+
+def _maxrun_sorted_spark(s2: str) -> str:
+    """longest run in a SORTED array = max occurrence count of any value;
+    one O(n) fold with (prev, run, best) struct state."""
+    step = ("CASE WHEN acc.p IS NOT NULL AND x = acc.p "
+            "THEN acc.r + CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) END")
+    return (f"aggregate({s2}, "
+            f"named_struct('p', CAST(NULL AS STRING), "
+            f"'r', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT)), "
+            f"(acc, x) -> named_struct('p', x, 'r', {step}, "
+            f"'b', GREATEST(acc.b, {step})), acc -> acc.b)")
+
+
+def _maxcnt_duck(l2: str) -> str:
+    return (f"COALESCE(list_max(list_transform(list_distinct({l2}), "
+            f"x -> CAST(len(list_filter({l2}, y -> y = x)) AS BIGINT))), "
+            f"CAST(0 AS BIGINT))")
+
+
 def repetition_signals_stages(dialect: str, table: str = "documents",
                               col: str = "text"
                               ) -> tuple[list[tuple[str, str]], str]:
     """``(stages, final)`` -> one row per document:
     (doc_id, n_words, n_distinct_words, dup_word_bp, top_bigram_bp,
-    dup_trigram_bp)."""
+    dup_trigram_bp).
+
+    Every signal is a PER-DOCUMENT function of the token array, so the
+    whole computation is one map-only projection (round 10): per doc,
+    word/trigram singleton counts come from run boundaries of the sorted
+    arrays and the top-bigram count from an O(n) run-length fold — no
+    explode, no per-doc aggregation shuffle, no join-back. The former
+    shape (3 explode+groupBy passes + a 4-way join) shuffled the whole
+    token stream three times to compute doc-local facts; this one runs at
+    scan speed at any scale, with the final ORDER BY as the only exchange.
+    Duplicate-count identities: dup_tokens = n - singletons(words);
+    dup_trigrams = (n-2) - singletons(trigrams); top-bigram count = the
+    longest run in the sorted bigram array. All counts depend on equality
+    grouping only, so engine collation cannot affect them."""
     toks = _tokens(dialect, col)
-    stages = [
-        ("__rp0",
-         f"SELECT doc_id, __a AS a, CAST({arr_len(dialect, '__a')} AS BIGINT) AS n "
-         f"FROM (SELECT doc_id, {toks} AS __a FROM {table}) __t"),
-        # word occurrence counts -> repeated-word token mass
-        ("__rpw",
-         f"SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM "
-         f"(SELECT doc_id, {explode(dialect, 'a', 'w')} FROM __rp0) __x "
-         f"GROUP BY doc_id, w"),
-        ("__rpws",
-         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct, "
-         "CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) "
-         "AS dup_tokens FROM __rpw GROUP BY doc_id"),
-        # bigram counts -> most frequent bigram's token coverage
-        ("__rp2",
-         f"SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM "
-         f"(SELECT doc_id, "
-         f"{explode(dialect, _grams(dialect, 'a', 'n', 2), 'g')} "
-         f"FROM __rp0) __x GROUP BY doc_id, g"),
-        ("__rp2s",
-         "SELECT doc_id, MAX(c) AS top2 FROM __rp2 GROUP BY doc_id"),
-        # trigram counts -> duplicated trigram position fraction
-        ("__rp3",
-         f"SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM "
-         f"(SELECT doc_id, "
-         f"{explode(dialect, _grams(dialect, 'a', 'n', 3), 'g')} "
-         f"FROM __rp0) __x GROUP BY doc_id, g"),
-        ("__rp3s",
-         "SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) "
-         "AS BIGINT) AS dup3 FROM __rp3 GROUP BY doc_id"),
-    ]
-    nw = "GREATEST(d.n, CAST(1 AS BIGINT))"
-    n3 = "GREATEST(d.n - 2, CAST(1 AS BIGINT))"
+    nw = "GREATEST(m.n, CAST(1 AS BIGINT))"
+    n3 = "GREATEST(m.n - 2, CAST(1 AS BIGINT))"
+    if dialect == "spark":
+        from ..dialect import array_sort
+        from .dual import bind_array
+        n_sql = "CAST(size(t) AS BIGINT)"
+        g2 = _grams(dialect, "t", n_sql, 2)
+        g3 = _grams(dialect, "t", n_sql, 3)
+        s1 = bind_array(dialect, array_sort(dialect, "t"),
+                        lambda s: f"CAST({_singles_sorted_spark(s)} AS BIGINT)")
+        s3 = bind_array(dialect, array_sort(dialect, g3),
+                        lambda s: f"CAST({_singles_sorted_spark(s)} AS BIGINT)")
+        fields = (f"'n', {n_sql}, "
+                  f"'nd', CAST(size(array_distinct(t)) AS BIGINT), "
+                  f"'dup', {n_sql} - {s1}, "
+                  f"'top2', {_maxrun_sorted_spark(array_sort(dialect, g2))}, "
+                  f"'dup3', CASE WHEN {n_sql} >= 3 "
+                  f"THEN {n_sql} - 2 - {s3} ELSE CAST(0 AS BIGINT) END")
+        # explode of a 1-element struct array: binds the token array once
+        # (a Generate node — CollapseProject cannot inline through it, so
+        # downstream field extraction cannot re-evaluate the tokenizer).
+        # REPARTITION(doc_id) on the projected (doc_id, text) pair: the
+        # per-doc signal computation parallelizes with
+        # spark.sql.shuffle.partitions instead of the scan's split count
+        # (a single small input file would otherwise serialize the whole
+        # map stage); ONE narrow shuffle of the text replaces the three
+        # exploded gram-stream shuffles of the former shape, so shuffled
+        # bytes still go DOWN while the compute distributes
+        stages = [
+            ("__rpm_mz",
+             f"SELECT doc_id, explode(transform(array({toks}), "
+             f"t -> named_struct({fields}))) AS m FROM "
+             f"(SELECT /*+ REPARTITION(doc_id) */ doc_id, {col} "
+             f"FROM {table}) __src"),
+        ]
+    else:
+        from .dual import bind_array
+        n_sql = f"CAST(len(__rt) AS BIGINT)"
+        stages = [
+            ("__rp0", f"SELECT doc_id, {toks} AS __rt FROM {table}"),
+            ("__rpm_mz",
+             f"SELECT doc_id, {{'n': {n_sql}, "
+             f"'nd': CAST(len(list_distinct(__rt)) AS BIGINT), "
+             f"'dup': {n_sql} - CAST({_singles_duck('__rt')} AS BIGINT), "
+             f"'top2': {_maxcnt_duck(_grams(dialect, '__rt', n_sql, 2))}, "
+             f"'dup3': CASE WHEN {n_sql} >= 3 THEN {n_sql} - 2 - "
+             f"CAST({_singles_duck(_grams(dialect, '__rt', n_sql, 3))} "
+             f"AS BIGINT) ELSE CAST(0 AS BIGINT) END}} AS m FROM __rp0"),
+        ]
     final = (
-        "SELECT d.doc_id, d.n AS n_words, "
-        "COALESCE(w.n_distinct, CAST(0 AS BIGINT)) AS n_distinct_words, "
-        + idiv(dialect, "COALESCE(w.dup_tokens, 0) * 10000", nw)
-        + " AS dup_word_bp, "
-        + idiv(dialect, "COALESCE(b.top2, 0) * 2 * 10000", nw)
-        + " AS top_bigram_bp, "
-        + idiv(dialect, "COALESCE(t.dup3, 0) * 10000", n3)
-        + " AS dup_trigram_bp "
-        "FROM __rp0 d "
-        "LEFT JOIN __rpws w ON d.doc_id = w.doc_id "
-        "LEFT JOIN __rp2s b ON d.doc_id = b.doc_id "
-        "LEFT JOIN __rp3s t ON d.doc_id = t.doc_id "
-        "ORDER BY d.doc_id")
+        "SELECT doc_id, m.n AS n_words, m.nd AS n_distinct_words, "
+        + idiv(dialect, "m.dup * 10000", nw) + " AS dup_word_bp, "
+        + idiv(dialect, "m.top2 * 2 * 10000", nw) + " AS top_bigram_bp, "
+        + idiv(dialect, "m.dup3 * 10000", n3) + " AS dup_trigram_bp "
+        "FROM __rpm_mz ORDER BY doc_id")
     return stages, final

@@ -80,14 +80,19 @@ def bm25_topk_stages(dialect: str, query_pred: str, topk: int = 5,
          f" AS BIGINT) AS sat_bp "
          f"FROM __bmf_ix f JOIN __bml_ix l ON f.doc_id = l.doc_id, "
          f"__bmg_ix g"),
-        # QUERY path: the query docs and their distinct terms come from a
-        # predicate-pushed scan of the base table (tiny by construction)
+        # QUERY path: the query doc ids come from a predicate-pushed scan
+        # of the base table (tiny by construction, no tokenization)
         ("__bmqd",
          f"SELECT DISTINCT doc_id AS qid FROM {table} WHERE {query_pred}"),
+        # query terms come from the PERSISTED tf index, not a re-tokenize
+        # of the query docs: DISTINCT (doc_id, w) of a document IS its tf
+        # index rows (same tokenizer builds both; a zero-token query doc
+        # is absent from either form and can never match or be matched),
+        # so a broadcast semi against the index replaces a second
+        # scan+regex+explode of the base table on every call
         ("__bmq",
-         f"SELECT DISTINCT doc_id AS qid, w FROM "
-         f"(SELECT doc_id, {explode(dialect, _tokens(dialect, col), 'w')} "
-         f"FROM {table} WHERE {query_pred}) __bmqt"),
+         f"SELECT {hint(dialect, 'BROADCAST(x)')}f.doc_id AS qid, f.w "
+         f"FROM __bmf_ix f JOIN __bmqd x ON f.doc_id = x.qid"),
         # idf for the query vocabulary — a broadcast semi-join of the df
         # index against the (tiny) query term set
         ("__bmi",
@@ -96,16 +101,22 @@ def bm25_topk_stages(dialect: str, query_pred: str, topk: int = 5,
          f"AS idf_bp FROM __bmdf_ix d "
          f"JOIN (SELECT DISTINCT w FROM __bmq) __qv ON d.w = __qv.w, "
          f"__bmg_ix g"),
+        # (qid, w, idf_bp) in ONE query-sized relation: idf attaches to the
+        # query terms BEFORE the posting probe (w is unique in __bmi, so
+        # the attach is lossless), which saves one broadcast probe per
+        # posting row on the widest stream of the query path
+        ("__bmqi",
+         f"SELECT {hint(dialect, 'BROADCAST(i)')}q.qid, q.w, i.idf_bp "
+         f"FROM __bmq q JOIN __bmi i ON i.w = q.w"),
         # probe: one pass over the cached postings with every query-sized
-        # relation broadcast (q, i, and the query-doc anti side x) — no
+        # relation broadcast (q and the query-doc anti side x) — no
         # sort-merge exchange anywhere on the query path; the only
         # shuffle left is the (qid, doc) partial agg
         ("__bms",
-         f"SELECT {hint(dialect, 'BROADCAST(q, i, x)')}"
+         f"SELECT {hint(dialect, 'BROADCAST(q, x)')}"
          f"q.qid, p.doc_id, "
-         f"CAST(SUM(i.idf_bp * p.sat_bp) AS BIGINT) AS score_bp "
-         f"FROM __bmq q JOIN __bmp_ix p ON q.w = p.w "
-         f"JOIN __bmi i ON p.w = i.w "
+         f"CAST(SUM(q.idf_bp * p.sat_bp) AS BIGINT) AS score_bp "
+         f"FROM __bmqi q JOIN __bmp_ix p ON q.w = p.w "
          f"LEFT JOIN __bmqd x ON x.qid = p.doc_id "
          f"WHERE x.qid IS NULL "
          f"GROUP BY q.qid, p.doc_id"),
