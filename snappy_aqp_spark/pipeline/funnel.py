@@ -77,21 +77,30 @@ def cohort_retention_stages(dialect: str, period_us: int = _WEEK_US,
     p = idiv(dialect, t, str(period_us))
     stages = [
         ("__cre", f"SELECT user_id, {p} AS pd FROM {table}"),
-        ("__crf",
-         "SELECT user_id, MIN(pd) AS cohort FROM __cre GROUP BY user_id"),
         ("__cra", "SELECT DISTINCT user_id, pd FROM __cre"),
+        # per-user cohort = window MIN over the deduplicated activity —
+        # replaces a separate groupBy(user) relation + a user-keyed
+        # re-join of both streams (two exchanges gone). One row per
+        # (user, pd), so `pd = cohort` marks each user exactly once.
+        ("__crw",
+         "SELECT user_id, pd, MIN(pd) OVER (PARTITION BY user_id) "
+         "AS cohort FROM __cra"),
         ("__crm",
-         f"SELECT f.cohort, a.pd - f.cohort AS off_p, a.user_id "
-         f"FROM __crf f JOIN __cra a ON f.user_id = a.user_id "
-         f"WHERE a.pd - f.cohort <= {max_offset}"),
+         f"SELECT cohort, pd - cohort AS off_p, user_id FROM __crw "
+         f"WHERE pd - cohort <= {max_offset}"),
         ("__crs",
          "SELECT cohort, CAST(COUNT(*) AS BIGINT) AS size "
-         "FROM __crf GROUP BY cohort"),
+         "FROM __crw WHERE pd = cohort GROUP BY cohort"),
     ]
-    final = ("SELECT m.cohort AS cohort_period, m.off_p AS period_offset, "
-             "CAST(COUNT(DISTINCT m.user_id) AS BIGINT) AS n_active, "
-             "s.size AS cohort_size "
-             "FROM __crm m JOIN __crs s ON m.cohort = s.cohort "
-             "GROUP BY m.cohort, m.off_p, s.size "
+    # (cohort, off_p, user_id) rows are UNIQUE by construction (cohort and
+    # off_p are functions of (user_id, pd), and (user_id, pd) is distinct),
+    # so COUNT(*) equals the former COUNT(DISTINCT user_id) row for row —
+    # without the Expand+double-aggregate plan; sizes join AFTER the
+    # aggregation, so the join touches offset-table-sized relations only
+    final = ("SELECT g.cohort AS cohort_period, g.off_p AS period_offset, "
+             "g.n_active, s.size AS cohort_size "
+             "FROM (SELECT cohort, off_p, CAST(COUNT(*) AS BIGINT) "
+             "AS n_active FROM __crm GROUP BY cohort, off_p) g "
+             "JOIN __crs s ON g.cohort = s.cohort "
              "ORDER BY cohort_period, period_offset")
     return stages, final

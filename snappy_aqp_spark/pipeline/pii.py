@@ -59,15 +59,25 @@ def pii_scan_stages(dialect: str, table: str = "documents",
     red = col
     for _, pat, rep in PII_PATTERNS:
         red = regex_replace_all(dialect, red, pat, rep)
+    # REPARTITION(doc_id) + *_mz (round 10): the regex scan parallelizes
+    # with spark.sql.shuffle.partitions rather than the scan split count,
+    # and the materialized stage stops the final ORDER BY's range-bound
+    # sampling pass from running the whole regex chain a second time (a
+    # repartition directly under a global Sort is otherwise stripped as
+    # redundant by the optimizer). The persist is MEMORY_AND_DISK and
+    # corpus-sized by design — the deliberate trade of one materialization
+    # against a second full redaction pass.
+    hint_sql = "/*+ REPARTITION(doc_id) */ " if dialect == "spark" else ""
     stages = [
-        ("__pii", f"SELECT doc_id, {counts}, {red} AS redacted_text "
-                  f"FROM {table}"),
+        ("__pii_mz", f"SELECT doc_id, {counts}, {red} AS redacted_text "
+                     f"FROM (SELECT {hint_sql}doc_id, {col} "
+                     f"FROM {table}) __p"),
     ]
     flag = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
     final = (f"SELECT doc_id, "
              + ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
              + f", CASE WHEN {flag} > 0 THEN 1 ELSE 0 END AS has_pii, "
-             f"redacted_text FROM __pii ORDER BY doc_id")
+             f"redacted_text FROM __pii_mz ORDER BY doc_id")
     return stages, final
 
 

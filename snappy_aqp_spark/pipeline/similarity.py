@@ -333,8 +333,11 @@ def ivf_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
         cents = f"__centn{s}"
     stages += [
         ("__centnp", pack(cents)),
-        ("__asg", f"SELECT a.vec_id, {argmax_cid('a.v', 'a.n2')} AS cid "
-                  f"FROM {base} a CROSS JOIN __centnp p"),
+        # *_ix: the inverted list is the QUERY-INDEPENDENT corpus index —
+        # like the BM25 postings, a new query probes the persisted
+        # assignment instead of re-running the corpus argmax fold
+        ("__asg_ix", f"SELECT a.vec_id, {argmax_cid('a.v', 'a.n2')} AS cid "
+                     f"FROM {base} a CROSS JOIN __centnp p"),
         ("__qs", f"SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM {base} "
                  f"WHERE vec_id < {n_queries}"),
         ("__probe", nearest("__qs", "a.qv", "a.qn2", cents, nprobe,
@@ -342,7 +345,7 @@ def ivf_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
         # each vector lives on exactly one inverted list and probed cids are
         # distinct per query, so (qid, vid) is already unique — no dedup
         ("__cand", f"SELECT p.qid, q.qv, q.qn2, g.vec_id AS vid "
-                   f"FROM __probe p JOIN __asg g ON g.cid = p.cid "
+                   f"FROM __probe p JOIN __asg_ix g ON g.cid = p.cid "
                    f"JOIN __qs q ON q.qid = p.qid "
                    f"WHERE g.vec_id <> p.qid"),
         ("__sim", f"SELECT c.qid, c.vid, "
@@ -453,12 +456,15 @@ def pq_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
         with_norms("__sq_cb1", "__sq_cb1n"),
         packed("__sq_cb1n", "__sq_cbp1"),
         # final encoding: n_sub small codes per vector + PQ-approx norm
-        ("__sq_enc",
+        # *_ix: codes + PQ-approx norms are the QUERY-INDEPENDENT corpus
+        # index (the memory-compressed artifact a PQ deployment stores);
+        # the per-query ADC scan probes them without re-encoding
+        ("__sq_enc_ix",
          f"SELECT a.vec_id, a.sub, {assign_code('a.sv')} AS code "
          f"FROM __sq_cvec a JOIN __sq_cbp1 p ON p.sub = a.sub"),
-        ("__sq_vn2",
+        ("__sq_vn2_ix",
          "SELECT e.vec_id, CAST(SUM(b.cn2) AS BIGINT) AS vn2a "
-         "FROM __sq_enc e JOIN __sq_cb1n b "
+         "FROM __sq_enc_ix e JOIN __sq_cb1n b "
          "ON b.sub = e.sub AND b.code = e.code GROUP BY e.vec_id"),
         # query LUTs: exact partial dot per (query, subspace, code)
         ("__sq_qs",
@@ -474,14 +480,14 @@ def pq_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
         # ADC scan: codes-only corpus x LUT, exact BIGINT partial sums
         ("__sq_adc",
          "SELECT l.qid, e.vec_id AS vid, CAST(SUM(l.pd) AS BIGINT) AS adot "
-         "FROM __sq_enc e JOIN __sq_lut l "
+         "FROM __sq_enc_ix e JOIN __sq_lut l "
          "ON l.sub = e.sub AND l.code = e.code "
          "GROUP BY l.qid, e.vec_id"),
         ("__sq_approx",
          f"SELECT a.qid, a.vid, "
          f"{_cos('a.adot', 'q.qn2', 'n.vn2a')} AS acos "
          f"FROM __sq_adc a JOIN __sq_qs q ON q.qid = a.qid "
-         f"JOIN __sq_vn2 n ON n.vec_id = a.vid "
+         f"JOIN __sq_vn2_ix n ON n.vec_id = a.vid "
          f"WHERE a.vid <> a.qid"),
         ("__sq_short",
          f"SELECT qid, vid FROM ("

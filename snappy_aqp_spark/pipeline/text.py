@@ -268,6 +268,14 @@ def gopher_quality_stages(dialect: str, table: str = "documents",
         dedup = "list_distinct"
         lensum = "list_sum(list_transform(t, x -> length(x)))"
     sw_list = ", ".join(f"'{w}'" for w in stopwords)
+    # REPARTITION(doc_id): distributes the per-doc flag computation with
+    # spark.sql.shuffle.partitions (a small input's scan split count would
+    # otherwise serialize it); __gq_flags is a *_mz stage because the
+    # final's global ORDER BY would both strip that repartition (redundant
+    # below a Sort to the optimizer) and evaluate the flags twice
+    # (range-bound sampling + sort) — the materialized relation is the
+    # thin flag table, not the text
+    hint_sql = ("/*+ REPARTITION(doc_id) */ " if dialect == SPARK else "")
     stages = [
         ("__gq_base",
          f"SELECT doc_id, "
@@ -283,9 +291,9 @@ def gopher_quality_stages(dialect: str, table: str = "documents",
          f"CAST({arr_n}({flt}(l, x -> trim(x) LIKE '-%' OR trim(x) LIKE "
          f"'*%')) AS BIGINT) AS n_bullet, "
          f"CAST({arr_n}({flt}(l, x -> x LIKE '%...')) AS BIGINT) AS n_ell_end "
-         f"FROM (SELECT doc_id, text, {toks} AS t, {lines} AS l "
+         f"FROM (SELECT {hint_sql}doc_id, text, {toks} AS t, {lines} AS l "
          f"FROM {table}) __b"),
-        ("__gq_flags",
+        ("__gq_flags_mz",
          "SELECT doc_id, n_words, "
          f"CAST(CASE WHEN n_words BETWEEN {min_words} AND {max_words} "
          "THEN 1 ELSE 0 END AS BIGINT) AS ok_word_count, "
@@ -315,7 +323,7 @@ def gopher_quality_stages(dialect: str, table: str = "documents",
              "CAST(ok_word_count * ok_mean_word_len * ok_symbol_ratio * "
              "ok_bullet_lines * ok_ellipsis_lines * ok_alpha_words * "
              "ok_stopwords AS BIGINT) AS keep "
-             "FROM __gq_flags ORDER BY doc_id")
+             "FROM __gq_flags_mz ORDER BY doc_id")
     return stages, final
 
 
