@@ -163,6 +163,17 @@ def text_features(df: DataFrame, col: str = "text") -> DataFrame:
     fingerprint, which runs as a vectorized Arrow batch (same stage, no
     shuffle)."""
     fps = fingerprint_frags(SPARK, col)
+    # adaptive parallelism (round 10): a small input (one parquet file ->
+    # 1-2 scan splits) would serialize this whole per-doc computation on
+    # one core; redistribute to the session's defaultParallelism ONLY
+    # when the scan itself yields fewer splits. At real scale the scan
+    # split count exceeds the core count and this is a no-op — the value
+    # scales with the cluster, it is not a local constant. The explicit
+    # partition count makes the exchange non-coalescible (AQE would fold
+    # a sub-1MB stream back to one partition).
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, "doc_id")
     stage_a = df.select(
         "doc_id", "lang", "source",
         *[F.expr(s).alias(n)
@@ -225,12 +236,19 @@ def token_stats_stages(dialect: str, table: str = "documents",
     ws = regex_count(dialect, col, "[^ ]+")
     alnum = regex_count(dialect, f"lower({col})", "[a-z0-9]+")
     bpe = regex_count(dialect, f"lower({col})", BPE_PAT)
-    final = (f"SELECT doc_id, CAST(length({col}) AS BIGINT) AS n_chars_txt, "
-             f"CAST({ws} AS BIGINT) AS n_ws_tokens, "
-             f"CAST({alnum} AS BIGINT) AS n_alnum_tokens, "
-             f"CAST({bpe} AS BIGINT) AS n_bpe_tokens "
-             f"FROM {table} ORDER BY doc_id")
-    return [], final
+    # *_mz + REPARTITION: same ORDER-BY-over-heavy-map pattern as
+    # gopher_quality — materializing the thin count table stops the range
+    # sampling pass from running the three tokenizer regexes twice
+    hint_sql = "/*+ REPARTITION(doc_id) */ " if dialect == SPARK else ""
+    stages = [
+        ("__ts_mz",
+         f"SELECT doc_id, CAST(length({col}) AS BIGINT) AS n_chars_txt, "
+         f"CAST({ws} AS BIGINT) AS n_ws_tokens, "
+         f"CAST({alnum} AS BIGINT) AS n_alnum_tokens, "
+         f"CAST({bpe} AS BIGINT) AS n_bpe_tokens "
+         f"FROM (SELECT {hint_sql}doc_id, {col} FROM {table}) __t"),
+    ]
+    return stages, "SELECT * FROM __ts_mz ORDER BY doc_id"
 
 
 # Gopher quality rules (Rae et al., "Scaling Language Models: Methods,
@@ -349,8 +367,9 @@ def c4_filters_stages(dialect: str, table: str = "documents",
                  "s -> trim(s) <> '')")
     block = " OR ".join(
         f"contains(lower(text), '{p}')" for p in blocklist)
+    hint_sql = "/*+ REPARTITION(doc_id) */ " if dialect == SPARK else ""
     stages = [
-        ("__c4",
+        ("__c4_mz",
          f"SELECT doc_id, "
          f"CAST({arr_n}({sents}) AS BIGINT) AS n_sentences, "
          f"CAST(CASE WHEN {regex_count(dialect, 'trim(text)', '[.!?]$')} > 0 "
@@ -359,7 +378,7 @@ def c4_filters_stages(dialect: str, table: str = "documents",
          f"THEN 0 ELSE 1 END AS BIGINT) AS ok_no_braces, "
          f"CAST(CASE WHEN {block} THEN 0 ELSE 1 END AS BIGINT) "
          f"AS ok_blocklist "
-         f"FROM {table}"),
+         f"FROM (SELECT {hint_sql}doc_id, text FROM {table}) __t"),
     ]
     final = (f"SELECT doc_id, n_sentences, "
              f"CAST(CASE WHEN n_sentences >= {min_sentences} THEN 1 ELSE 0 "
@@ -368,7 +387,7 @@ def c4_filters_stages(dialect: str, table: str = "documents",
              f"CAST(CASE WHEN n_sentences >= {min_sentences} THEN 1 ELSE 0 "
              f"END * ok_terminal_punct * ok_no_braces * ok_blocklist "
              f"AS BIGINT) AS keep "
-             f"FROM __c4 ORDER BY doc_id")
+             f"FROM __c4_mz ORDER BY doc_id")
     return stages, final
 
 

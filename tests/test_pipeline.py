@@ -1388,7 +1388,8 @@ def test_token_stats_on_crafted_docs(spark, duck):
              "(1, 'It''s 42 well-known cases, don''t you think?'), "
              "(2, 'hello world'), (3, ''), (4, 'a-b-c')) t(doc_id, text)")
     std, find = token_stats_stages(DUCKDB, table="__tok_docs")
-    dk = {int(r.doc_id): r for _, r in duck.sql(find).df().iterrows()}
+    dk = {int(r.doc_id): r
+          for _, r in duck.sql(stages_sql(std, find)).df().iterrows()}
     for d in (1, 2, 3, 4):
         assert (dk[d].n_ws_tokens, dk[d].n_alnum_tokens,
                 dk[d].n_bpe_tokens) == \
