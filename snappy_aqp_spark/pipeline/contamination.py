@@ -128,7 +128,14 @@ def contamination_stages(dialect: str, k: int = 7, min_shared: int = 100,
         # NOT EXISTS, not NOT IN: the join key is provably non-null, and
         # NOT EXISTS plans as a plain (hashed) anti join on both engines —
         # NOT IN forces Spark's null-aware anti join machinery
-        ("__cov",
+        # _mz: the final's global ORDER BY range-samples its child before
+        # sorting it, so an unmaterialized __cov chain — the widest join
+        # of the whole pipeline — EXECUTES TWICE per call (measured at
+        # sf0.1: the pair join emitted 35.9M rows = 2 x its true 17.95M;
+        # two ~3 s stages read the same 8 MB exchange). Materializing the
+        # tiny post-HAVING pair table (42 rows here) makes the sort's two
+        # passes hit the cache; same rows, same engine contract
+        ("__cov_mz",
          "SELECT t.doc_id AS train_id, e.doc_id AS eval_id, "
          "CAST(COUNT(*) AS BIGINT) AS shared_grams "
          "FROM __cstk t JOIN __csek e ON t.sh = e.sh "
@@ -142,7 +149,7 @@ def contamination_stages(dialect: str, k: int = 7, min_shared: int = 100,
              # but rounds in DuckDB
              f"{idiv(dialect, 'o.shared_grams * 10000', 'e.n')} "
              "AS overlap_pct_x100 "
-             "FROM __cov o JOIN __cnt t ON o.train_id = t.doc_id "
+             "FROM __cov_mz o JOIN __cnt t ON o.train_id = t.doc_id "
              "JOIN __cne e ON o.eval_id = e.doc_id "
              "ORDER BY o.train_id, o.eval_id")
     return stages, final

@@ -207,12 +207,19 @@ def ngram_jaccard_stages(dialect: str, threshold: float = 0.8, k: int = 5,
          f"{dual.arr_intersect_len(dialect, 'ga.gsc', 'gb.gsc')} AS common "
          f"FROM __scr c JOIN __gsc ga ON ga.doc_id = c.ida "
          f"JOIN __gsc gb ON gb.doc_id = c.idb"),
-        ("__j", "SELECT p.ida, p.idb, CAST(p.common AS DOUBLE) / "
-                "CAST(p.ns - p.common AS DOUBLE) AS jaccard "
-                "FROM __pairs p"),
+        # threshold filter inside the stage + _mz: the final's global
+        # ORDER BY otherwise re-evaluates the whole candidate/verify chain
+        # (prefix self-join included) a second time for range-bound
+        # sampling; the materialized relation is the output-sized
+        # qualifying-pair set
+        ("__jk_mz",
+         f"SELECT p.ida, p.idb, CAST(p.common AS DOUBLE) / "
+         f"CAST(p.ns - p.common AS DOUBLE) AS jaccard "
+         f"FROM __pairs p "
+         f"WHERE CAST(p.common AS DOUBLE) / "
+         f"CAST(p.ns - p.common AS DOUBLE) >= {t}"),
     ]
-    final = (f"SELECT ida, idb, jaccard FROM __j WHERE jaccard >= {t} "
-             f"ORDER BY ida, idb")
+    final = "SELECT ida, idb, jaccard FROM __jk_mz ORDER BY ida, idb"
     return stages, final
 
 
@@ -384,9 +391,16 @@ def minhash_lsh_stages(dialect: str, threshold: float, k: int = 5,
         ("__j", "SELECT m.ida, m.idb, CAST(m.common AS DOUBLE) / "
                 "CAST(m.ns - m.common AS DOUBLE) AS jaccard "
                 "FROM __common m"),
+        # _mz tail for the STANDALONE query only (cluster_labels composes
+        # __j directly and never references this stage — an unreferenced
+        # persisted stage is lazy, so it costs composers nothing): the
+        # final's global ORDER BY otherwise re-evaluates the band/verify
+        # chain a second time for range-bound sampling
+        ("__jt_mz",
+         f"SELECT ida, idb, jaccard FROM __j "
+         f"WHERE jaccard >= {dlit(threshold)}"),
     ]
-    final = (f"SELECT ida, idb, jaccard FROM __j "
-             f"WHERE jaccard >= {dlit(threshold)} ORDER BY ida, idb")
+    final = "SELECT ida, idb, jaccard FROM __jt_mz ORDER BY ida, idb"
     return stages, final
 
 

@@ -44,12 +44,20 @@ def top_terms_stages(dialect: str, k: int = 3, min_len: int = 3,
         ("__tdf",
          "SELECT term, CAST(COUNT(*) AS BIGINT) AS df "
          "FROM __ttf GROUP BY term"),
-        ("__ttr",
+        # rank filter INSIDE the stage (filter-over-window in one SELECT
+        # keeps Spark's WindowGroupLimit top-k pushdown), and _mz: the
+        # final's global ORDER BY otherwise re-evaluates the whole
+        # join+window chain for range-bound sampling; the materialized
+        # relation is the output-sized top-k per doc, never the full
+        # (doc, term) table
+        ("__ttk_mz",
+         "SELECT doc_id, term, tf, df, rank FROM ("
          "SELECT f.doc_id, f.term, f.tf, d.df, "
          "ROW_NUMBER() OVER (PARTITION BY f.doc_id "
          "ORDER BY f.tf DESC, d.df ASC, f.term ASC) AS rank "
-         "FROM __ttf f JOIN __tdf d ON f.term = d.term"),
+         f"FROM __ttf f JOIN __tdf d ON f.term = d.term) __r "
+         f"WHERE rank <= {k}"),
     ]
     final = (f"SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank "
-             f"FROM __ttr WHERE rank <= {k} ORDER BY doc_id, rank")
+             f"FROM __ttk_mz ORDER BY doc_id, rank")
     return stages, final
