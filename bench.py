@@ -202,10 +202,37 @@ def main() -> None:
     # --- TopK / pipeline operators ---------------------------------------
     set_interactive_latency_mode(spark, False)   # ETL section: AQE back on
     import __spark_entry__ as entry
+    from snappy_aqp_spark.pipeline import dual as _dual
     qs = entry.queries()
+
+    def _clear_stage_caches() -> None:
+        """Evict dual's pipeline-scoped repeat-call caches (prepared-plan
+        slot + persisted multi-ref/_mz stages). _IX_CACHE and the label
+        cache are KEPT: indexes are build-once corpus artifacts by
+        declared design (the reference's sample tables are the analogue).
+        Round-10 VERDICT item 1: warm medians partially measure
+        cache-serving; the cold column attributes engine work."""
+        _dual._FINAL_SLOT[0] = None
+        for df in list(_dual._PREV_PERSISTED):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        _dual._PREV_PERSISTED.clear()
+        _dual._PREV_KEY[0] = None
+
+    cold: dict[str, float] = {}
     for name in PIPELINE:
         def once():
             qs[name](spark, SF_DIR).collect()
+        # prime per-session fixture memos (sample builds, topk state,
+        # jsonl/fragmented-file scaffolding) so cold_sec times the QUERY
+        # from the parquet inputs, not one-time synthetic-input setup
+        once()
+        # cold_sec: ONE timed iteration with the stage caches cleared —
+        # the steady-state single-call cost of the query
+        _clear_stage_caches()
+        cold[name] = round(_time(once), 4)
         med, mn, spread, n = measure(once, max(1, WARMUP - 1),
                                      max(3, ITERS - 2))
         results[name] = round(med, 4)
@@ -224,6 +251,9 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/documents.parquet") \
             .createOrReplaceTempView("documents")
         _cl.cluster_labels(spark, data_token=SF_DIR).count()
+    labels_cold()                      # prime (parity with the loop above)
+    _clear_stage_caches()
+    cold["cluster_labels_build"] = round(_time(labels_cold), 4)
     med, mn, spread, n = measure(labels_cold, 1, max(3, ITERS - 2))
     results["cluster_labels_build"] = round(med, 4)
     mins["cluster_labels_build"] = round(mn, 4)
@@ -280,6 +310,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": results,
+        "cold_sec": cold,
         "min_sec": mins,
         "noise_floor_pct": noise_floor_pct,
         "median_se_pct": median_se_pct,
@@ -303,12 +334,22 @@ def main() -> None:
                       if k not in ("noise_pct", "n_iters", "min_sec",
                                    "norm")}))
     # ... COMPACT final line last: a bounded tail capture always gets a
-    # complete, parseable JSON object with the headline numbers
+    # complete, parseable JSON object with the headline numbers. Round-10
+    # VERDICT item 1: the compact line's `queries` map now ALSO carries
+    # the top-15 pipeline queries by cold_sec (warm medians, same
+    # methodology as every prior round) plus their cold_sec twins under
+    # "cold:<name>" — so PERF compares the substance tier, not only the
+    # 7 ms-scale headline queries. Additions only; nothing removed or
+    # renamed.
+    top_cold = sorted(cold, key=lambda k: -cold[k])[:15]
+    compact_queries = {k: results[k] for k in HEADLINE}
+    compact_queries.update({k: results[k] for k in top_cold})
+    compact_queries.update({f"cold:{k}": cold[k] for k in top_cold})
     print(json.dumps({
         "metric": "aqp_headline_median_total",
         "value": total,
         "unit": "sec",
-        "queries": {k: results[k] for k in HEADLINE},
+        "queries": compact_queries,
         "exact_cached_ratio": exact_cached_ratio,
         "noise_floor_pct": noise_floor_pct,
         "median_se_pct": median_se_pct,

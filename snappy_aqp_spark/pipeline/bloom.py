@@ -44,11 +44,19 @@ def bloom_semi_join_stages(dialect: str, n_words: int = 260,
     def pos(key: str, i: int) -> str:
         return f"({hash_sql([key], seed, salt=i + 1)} % {m_bits})"
 
-    # dim-side bit positions -> per-word OR-mask (<= n_words tiny rows)
+    # dim-side bit positions -> per-word OR-mask (<= n_words tiny rows).
+    # The k hash branches come from ONE pass with the salt as an exploded
+    # column (round 11; previously a k-way UNION ALL re-reading __bfd per
+    # branch): hash_sql mixes an integer salt s as ((s*MIX+777)%MODULUS),
+    # the identical formula it emits for a salt EXPRESSION, so the
+    # positions are bit-equal to the unioned form's by construction.
     dim = ("SELECT o_orderkey FROM orders WHERE o_orderpriority LIKE '1%'")
-    pos_rows = " UNION ALL ".join(
-        f"SELECT {pos('o_orderkey', i)} AS p FROM __bfd"
-        for i in range(k_hashes))
+    pos_expr = (f"({hash_sql(['o_orderkey'], seed, salt='__si')} "
+                f"% {m_bits})")
+    pos_rows = (f"SELECT {pos_expr} AS p FROM ("
+                f"SELECT o_orderkey, "
+                f"{explode(dialect, sequence(dialect, '1', str(k_hashes)), '__si')} "
+                f"FROM __bfd) __e")
     one = shiftleft(dialect, "CAST(1 AS BIGINT)", f"p % {_LANE}")
     # dense word vector 0..n_words-1 (missing words -> 0), packed into one
     # ordered array row for the broadcast
@@ -79,10 +87,18 @@ def bloom_semi_join_stages(dialect: str, n_words: int = 260,
          f"CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents, "
          f"l.l_returnflag FROM lineitem l CROSS JOIN __bfp f "
          f"WHERE {' AND '.join(checks)}"))
-    final = ("SELECT s.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
-             "CAST(SUM(s.cents) AS BIGINT) AS revenue_cents "
-             "FROM __bfs s JOIN __bfd d ON s.l_orderkey = d.o_orderkey "
-             "GROUP BY s.l_returnflag ORDER BY s.l_returnflag")
+    # _mz (round 11): the final's global ORDER BY range-samples its
+    # child, re-executing the final aggregate merge a second time per
+    # call; the materialized relation is output-sized (one row per
+    # return flag)
+    stages.append(
+        ("__bsj_mz",
+         "SELECT s.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+         "CAST(SUM(s.cents) AS BIGINT) AS revenue_cents "
+         "FROM __bfs s JOIN __bfd d ON s.l_orderkey = d.o_orderkey "
+         "GROUP BY s.l_returnflag"))
+    final = ("SELECT l_returnflag, n_rows, revenue_cents FROM __bsj_mz "
+             "ORDER BY l_returnflag")
     return stages, final
 
 

@@ -83,11 +83,15 @@ def connected_components(pairs: DataFrame, src: str = "ida",
         of labels strictly decreases until the fixpoint, so one scalar per
         round decides convergence.
     """
+    # persist BEFORE the probe (round-10 VERDICT #3): head() computes
+    # pair-detection partitions and the persist caches each one as it is
+    # computed, so when the graph turns out big the symmetrize+distinct
+    # pass below reads the cached partitions instead of running detection
+    # a second time. ONE action decides the strategy AND feeds the small
+    # path: head of cap+1 rows is driver-bounded by construction (~32 MB
+    # at the cap); exactly cap+1 rows back means "too big — go distributed"
     raw = pairs.select(F.col(src).cast("long").alias("u"),
-                       F.col(dst).cast("long").alias("v"))
-    # ONE action decides the strategy AND feeds the small path: head of
-    # cap+1 rows is driver-bounded by construction (~32 MB at the cap);
-    # exactly cap+1 rows back means "too big — go distributed"
+                       F.col(dst).cast("long").alias("v")).persist()
     head = raw.head(small_graph_edges + 1)
     if len(head) <= small_graph_edges:
         # small path: the RAW pair list (union-find neither needs
@@ -95,6 +99,7 @@ def connected_components(pairs: DataFrame, src: str = "ida",
         # the symmetric-union + distinct shuffle is skipped entirely; the
         # returned label table is driver-local and broadcast-hinted, so
         # the corpus-side label join never shuffles the corpus
+        raw.unpersist()
         rows = _union_find_local([(r["u"], r["v"]) for r in head])
         spark = pairs.sparkSession
         if not rows:
@@ -102,7 +107,6 @@ def connected_components(pairs: DataFrame, src: str = "ida",
                 spark.createDataFrame([], "doc_id long, cluster_id long"))
         return F.broadcast(
             spark.createDataFrame(rows, "doc_id long, cluster_id long"))
-    raw = raw.persist()
     e = (raw.unionByName(raw.select(F.col("v").alias("u"),
                                     F.col("u").alias("v")))
          .distinct().persist())

@@ -44,7 +44,7 @@ def contamination_stages(dialect: str, k: int = 7, min_shared: int = 100,
     grams stay exact.
 
     ``max_train_gram_df`` is the SYMMETRIC cap: a gram present in more
-    than this many TRAIN docs is dropped too, so the ``__cov`` join's
+    than this many TRAIN docs is dropped too, so the ``__cov_mz`` join's
     per-gram fan-out is bounded by max_train_gram_df x max_gram_df on
     both sides (without it, one boilerplate gram in 10M train docs x 50
     eval docs = 500M join rows). Train-side document frequency is only

@@ -212,12 +212,15 @@ def ngram_jaccard_stages(dialect: str, threshold: float = 0.8, k: int = 5,
         # (prefix self-join included) a second time for range-bound
         # sampling; the materialized relation is the output-sized
         # qualifying-pair set
+        # jaccard computed ONCE in the inner select, threshold on the
+        # alias outside (same filter-over-subquery shape as terms.py
+        # __ttk_mz) — one expression to edit, no way for the emitted
+        # value and the filter to desynchronize
         ("__jk_mz",
+         f"SELECT ida, idb, jaccard FROM ("
          f"SELECT p.ida, p.idb, CAST(p.common AS DOUBLE) / "
          f"CAST(p.ns - p.common AS DOUBLE) AS jaccard "
-         f"FROM __pairs p "
-         f"WHERE CAST(p.common AS DOUBLE) / "
-         f"CAST(p.ns - p.common AS DOUBLE) >= {t}"),
+         f"FROM __pairs p) __jk WHERE jaccard >= {t}"),
     ]
     final = "SELECT ida, idb, jaccard FROM __jk_mz ORDER BY ida, idb"
     return stages, final
@@ -391,11 +394,12 @@ def minhash_lsh_stages(dialect: str, threshold: float, k: int = 5,
         ("__j", "SELECT m.ida, m.idb, CAST(m.common AS DOUBLE) / "
                 "CAST(m.ns - m.common AS DOUBLE) AS jaccard "
                 "FROM __common m"),
-        # _mz tail for the STANDALONE query only (cluster_labels composes
-        # __j directly and never references this stage — an unreferenced
-        # persisted stage is lazy, so it costs composers nothing): the
-        # final's global ORDER BY otherwise re-evaluates the band/verify
-        # chain a second time for range-bound sampling
+        # _mz tail (the final's global ORDER BY otherwise re-evaluates the
+        # band/verify chain a second time for range-bound sampling). __j
+        # is kept as its own stage for the DuckDB oracle's __cpairs
+        # composition (dedup_clusters_oracle_sql selects FROM __j);
+        # cluster_labels runs the returned final, so it consumes — and
+        # benefits from — the __jt_mz threshold filter too
         ("__jt_mz",
          f"SELECT ida, idb, jaccard FROM __j "
          f"WHERE jaccard >= {dlit(threshold)}"),

@@ -38,8 +38,16 @@ def grouped_topk_stages(dialect: str, k: int = 3
          "CAST(ROW_NUMBER() OVER (PARTITION BY event_type "
          "ORDER BY total_cents DESC, user_id ASC) AS BIGINT) AS rnk "
          "FROM __gt_agg"),
+        # rank filter in-stage (same plan as the window, so the
+        # WindowGroupLimit pushdown the pytest pins stays) + _mz: the
+        # final's global ORDER BY otherwise re-evaluates the
+        # aggregate+window subtree a second time for range-bound
+        # sampling; the materialized relation is the output-sized
+        # top-k-per-group table
+        ("__gt_top_mz",
+         f"SELECT event_type, user_id, total_cents, rnk "
+         f"FROM __gt_rank WHERE rnk <= {int(k)}"),
     ]
-    final = (f"SELECT event_type, user_id, total_cents, rnk "
-             f"FROM __gt_rank WHERE rnk <= {int(k)} "
-             f"ORDER BY event_type, rnk")
+    final = ("SELECT event_type, user_id, total_cents, rnk "
+             "FROM __gt_top_mz ORDER BY event_type, rnk")
     return stages, final

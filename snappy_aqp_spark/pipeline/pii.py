@@ -59,25 +59,33 @@ def pii_scan_stages(dialect: str, table: str = "documents",
     red = col
     for _, pat, rep in PII_PATTERNS:
         red = regex_replace_all(dialect, red, pat, rep)
-    # REPARTITION(doc_id) + *_mz (round 10): the regex scan parallelizes
-    # with spark.sql.shuffle.partitions rather than the scan split count,
-    # and the materialized stage stops the final ORDER BY's range-bound
-    # sampling pass from running the whole regex chain a second time (a
-    # repartition directly under a global Sort is otherwise stripped as
-    # redundant by the optimizer). The persist is MEMORY_AND_DISK and
-    # corpus-sized by design — the deliberate trade of one materialization
-    # against a second full redaction pass.
-    hint_sql = "/*+ REPARTITION(doc_id) */ " if dialect == "spark" else ""
+    # Round 11 (round-10 VERDICT item 3): the previous shape materialized
+    # a corpus-sized redacted-text relation (_mz, MEMORY_AND_DISK) only to
+    # stop the global ORDER BY's range-bound sampling pass from running
+    # the regex chain twice — at 100 TB that is a full-corpus cache. New
+    # shape: RANGE-partition the THIN (doc_id, text) input by doc_id, run
+    # the regex chain AFTER the exchange, and SORT BY (partition-local
+    # sort) on Spark. RangePartitioning(doc_id) puts partition i's keys
+    # before partition i+1's, and collect()/write preserve partition
+    # order, so the local sorts compose to exactly the global ORDER BY
+    # order — the same physical operators a global Sort plans, but with
+    # the exchange pinned BELOW the regex projection: the range sampling
+    # pass now re-reads only the thin input, the regex chain runs ONCE,
+    # and nothing corpus-sized is persisted. DuckDB keeps the plain
+    # ORDER BY (no double-eval there; CTEs materialize natively).
+    hint_sql = ("/*+ REPARTITION_BY_RANGE(doc_id) */ "
+                if dialect == SPARK else "")
     stages = [
-        ("__pii_mz", f"SELECT doc_id, {counts}, {red} AS redacted_text "
-                     f"FROM (SELECT {hint_sql}doc_id, {col} "
-                     f"FROM {table}) __p"),
+        ("__pii", f"SELECT doc_id, {counts}, {red} AS redacted_text "
+                  f"FROM (SELECT {hint_sql}doc_id, {col} "
+                  f"FROM {table}) __p"),
     ]
     flag = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    tail = "SORT BY doc_id" if dialect == SPARK else "ORDER BY doc_id"
     final = (f"SELECT doc_id, "
              + ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
              + f", CASE WHEN {flag} > 0 THEN 1 ELSE 0 END AS has_pii, "
-             f"redacted_text FROM __pii_mz ORDER BY doc_id")
+             f"redacted_text FROM __pii {tail}")
     return stages, final
 
 

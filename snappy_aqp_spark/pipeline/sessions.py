@@ -49,12 +49,20 @@ def sessionize_stages(dialect: str, gap_minutes: int = 720,
          f"SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id "
          f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq "
          f"FROM __sfl"),
+        # _mz (round 11): the final's global ORDER BY range-samples its
+        # child before sorting, and everything from the user_id exchange
+        # up (sort + both windows + the aggregate) sits between the last
+        # exchange and the Sort — so it EXECUTED TWICE per call. The
+        # materialized relation is the output-sized per-session rollup.
+        ("__ssa_mz",
+         "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, "
+         "CAST(COUNT(*) AS BIGINT) AS n_events, "
+         "MIN(t) AS start_us, MAX(t) AS end_us, "
+         "MAX(t) - MIN(t) AS duration_us, "
+         "CAST(SUM(cents) AS BIGINT) AS value_cents "
+         "FROM __ssq GROUP BY user_id, session_seq"),
     ]
-    final = ("SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, "
-             "CAST(COUNT(*) AS BIGINT) AS n_events, "
-             "MIN(t) AS start_us, MAX(t) AS end_us, "
-             "MAX(t) - MIN(t) AS duration_us, "
-             "CAST(SUM(cents) AS BIGINT) AS value_cents "
-             "FROM __ssq GROUP BY user_id, session_seq "
+    final = ("SELECT user_id, session_seq, n_events, start_us, end_us, "
+             "duration_us, value_cents FROM __ssa_mz "
              "ORDER BY user_id, session_seq")
     return stages, final

@@ -60,9 +60,15 @@ def _cos(dot: str, n2a: str, n2b: str) -> str:
 
 
 def _vec_stage(dialect: str, table: str, dim: int) -> tuple[str, str]:
+    """Quantized-vector + squared-norm corpus table. Named ``_ix`` since
+    round 11: it is a QUERY-INDEPENDENT corpus artifact (the flat vector
+    index every ANN/near-dup pipeline probes), the same category as the
+    BM25 postings (`_ix` since round 8) and the IVF/PQ code tables (`_ix`
+    since round 10) — so a cold call of any similarity pipeline reuses
+    the one persisted quantization instead of re-folding the corpus."""
     q = _quantize(dialect, "embedding", dim)
-    return ("__vec", f"SELECT vec_id, {q} AS v, "
-                     f"{_norm2(dialect, q, dim)} AS n2 FROM {table}")
+    return ("__vec_ix", f"SELECT vec_id, {q} AS v, "
+                        f"{_norm2(dialect, q, dim)} AS n2 FROM {table}")
 
 
 def brute_force_topk_stages(dialect: str, n_queries: int = 20, k: int = 5,
@@ -70,17 +76,23 @@ def brute_force_topk_stages(dialect: str, n_queries: int = 20, k: int = 5,
                             ) -> tuple[list[tuple[str, str]], str]:
     stages = [
         _vec_stage(dialect, table, dim),
-        ("__qs", f"SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM __vec "
+        ("__qs", f"SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM __vec_ix "
                  f"WHERE vec_id < {n_queries}"),
         ("__sim", f"SELECT q.qid, a.vec_id AS vid, "
                   f"{_cos(_dot(dialect, 'q.qv', 'a.v', dim), 'q.qn2', 'a.n2')} "
-                  f"AS cos FROM __qs q JOIN __vec a ON a.vec_id <> q.qid"),
+                  f"AS cos FROM __qs q JOIN __vec_ix a ON a.vec_id <> q.qid"),
         ("__rk", "SELECT qid, vid, cos, ROW_NUMBER() OVER "
                  "(PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank "
                  "FROM __sim"),
+        # rank filter in-stage (keeps WindowGroupLimit pushdown in one
+        # plan with the window) + _mz: the final's global ORDER BY
+        # otherwise re-evaluates the sort+window+filter subtree a second
+        # time for range-bound sampling; the materialized relation is the
+        # output-sized top-k table (n_queries x k rows)
+        ("__topk_mz", f"SELECT qid, vid, CAST(rank AS BIGINT) AS rank, cos "
+                      f"FROM __rk WHERE rank <= {k}"),
     ]
-    final = (f"SELECT qid, vid, CAST(rank AS BIGINT) AS rank, cos "
-             f"FROM __rk WHERE rank <= {k} ORDER BY qid, rank")
+    final = "SELECT qid, vid, rank, cos FROM __topk_mz ORDER BY qid, rank"
     return stages, final
 
 
@@ -103,8 +115,8 @@ def _planted_corpus_stages(dialect: str, table: str, dim: int,
     return [
         _vec_stage(dialect, table, dim),
         ("__pert", f"SELECT vec_id + {_DUP_ID_OFFSET} AS vec_id, {v2} AS v "
-                   f"FROM __vec WHERE vec_id % {plant_rate} = 0"),
-        ("__corpus", f"SELECT vec_id, v, n2 FROM __vec UNION ALL "
+                   f"FROM __vec_ix WHERE vec_id % {plant_rate} = 0"),
+        ("__corpus", f"SELECT vec_id, v, n2 FROM __vec_ix UNION ALL "
                      f"SELECT vec_id, v, {_norm2(dialect, 'v', dim)} AS n2 "
                      f"FROM __pert"),
     ]
@@ -121,7 +133,7 @@ def cosine_pairs_stages(dialect: str, threshold: float = 0.9, dim: int = 64,
         stages = _planted_corpus_stages(dialect, table, dim, plant_rate)
     else:
         stages = [_vec_stage(dialect, table, dim),
-                  ("__corpus", "SELECT vec_id, v, n2 FROM __vec")]
+                  ("__corpus", "SELECT vec_id, v, n2 FROM __vec_ix")]
     stages.append(
         ("__pairs", f"SELECT a.vec_id AS ida, b.vec_id AS idb, "
                     f"{_cos(_dot(dialect, 'a.v', 'b.v', dim), 'a.n2', 'b.n2')} "
@@ -155,7 +167,7 @@ def near_dup_pairs_stages(dialect: str, threshold: float = 0.9, dim: int = 64,
         stages = _planted_corpus_stages(dialect, table, dim, plant_rate)
     else:
         stages = [_vec_stage(dialect, table, dim),
-                  ("__corpus", "SELECT vec_id, v, n2 FROM __vec")]
+                  ("__corpus", "SELECT vec_id, v, n2 FROM __vec_ix")]
     # one bucket value per LSH table, packed with the table id -> a single
     # exploded equi-join key (plane seeds offset per table)
     buckets = [
@@ -300,7 +312,7 @@ def ivf_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
         base = "__corpus"
     else:
         stages = [_vec_stage(dialect, table, dim)]
-        base = "__vec"
+        base = "__vec_ix"
     stages += [
         ("__seed", f"SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM {base} "
                    f"WHERE vec_id % {seed_stride} = 0 "
@@ -354,9 +366,15 @@ def ivf_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
         ("__rk", "SELECT qid, vid, cos, ROW_NUMBER() OVER "
                  "(PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank "
                  "FROM __sim"),
+        # rank filter in-stage (keeps WindowGroupLimit pushdown in one
+        # plan with the window) + _mz: the final's global ORDER BY
+        # otherwise re-evaluates the sort+window+filter subtree a second
+        # time for range-bound sampling; the materialized relation is the
+        # output-sized top-k table (n_queries x k rows)
+        ("__topk_mz", f"SELECT qid, vid, CAST(rank AS BIGINT) AS rank, cos "
+                      f"FROM __rk WHERE rank <= {k}"),
     ]
-    final = (f"SELECT qid, vid, CAST(rank AS BIGINT) AS rank, cos "
-             f"FROM __rk WHERE rank <= {k} ORDER BY qid, rank")
+    final = "SELECT qid, vid, rank, cos FROM __topk_mz ORDER BY qid, rank"
     return stages, final
 
 
@@ -428,7 +446,7 @@ def pq_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
         # seed codebook: subvectors of a deterministic corpus subsample
         ("__sq_seed",
          f"SELECT vec_id, v, {dual.idiv(dialect, 'vec_id', str(seed_stride))} "
-         f"AS code FROM __vec WHERE vec_id % {seed_stride} = 0 "
+         f"AS code FROM __vec_ix WHERE vec_id % {seed_stride} = 0 "
          f"AND vec_id < {seed_stride * ks}"),
         ("__sq_cb0",
          f"SELECT s.sub, r.code, {sub_slice('r.v')} AS cv "
@@ -438,7 +456,7 @@ def pq_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
         # corpus subvectors (one row per vector x subspace)
         ("__sq_cvec",
          f"SELECT a.vec_id, s.sub, {sub_slice('a.v')} AS sv "
-         f"FROM __vec a CROSS JOIN __sq_subs s"),
+         f"FROM __vec_ix a CROSS JOIN __sq_subs s"),
         # one Lloyd step: assign -> integer floor-mean per (sub, code, i)
         ("__sq_asg0",
          f"SELECT a.vec_id, a.sub, a.sv, {assign_code('a.sv')} AS code "
@@ -468,7 +486,7 @@ def pq_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
          "ON b.sub = e.sub AND b.code = e.code GROUP BY e.vec_id"),
         # query LUTs: exact partial dot per (query, subspace, code)
         ("__sq_qs",
-         f"SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM __vec "
+         f"SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM __vec_ix "
          f"WHERE vec_id < {n_queries}"),
         ("__sq_qsub",
          f"SELECT q.qid, s.sub, {sub_slice('q.qv')} AS qsv "
@@ -499,7 +517,7 @@ def pq_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
          f"SELECT s.qid, s.vid, "
          f"{_cos(_dot(dialect, 'q.qv', 'a.v', dim), 'q.qn2', 'a.n2')} AS cos "
          f"FROM __sq_short s JOIN __sq_qs q ON q.qid = s.qid "
-         f"JOIN __vec a ON a.vec_id = s.vid"),
+         f"JOIN __vec_ix a ON a.vec_id = s.vid"),
         ("__sq_rk",
          "SELECT qid, vid, cos, ROW_NUMBER() OVER "
          "(PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank FROM __sq_sim"),
@@ -516,7 +534,7 @@ def lsh_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
     stages = [
         _vec_stage(dialect, table, dim),
         ("__sig", f"SELECT vec_id, v, n2, {_lsh_bucket(dialect, 'v', dim, planes)} "
-                  f"AS bucket FROM __vec"),
+                  f"AS bucket FROM __vec_ix"),
         ("__qs", f"SELECT vec_id AS qid, v AS qv, n2 AS qn2, bucket FROM __sig "
                  f"WHERE vec_id < {n_queries}"),
         ("__cand", "SELECT q.qid, a.vec_id AS vid, q.qv, q.qn2, a.v, a.n2 "
@@ -528,9 +546,15 @@ def lsh_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
         ("__rk", "SELECT qid, vid, cos, ROW_NUMBER() OVER "
                  "(PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank "
                  "FROM __sim"),
+        # rank filter in-stage (keeps WindowGroupLimit pushdown in one
+        # plan with the window) + _mz: the final's global ORDER BY
+        # otherwise re-evaluates the sort+window+filter subtree a second
+        # time for range-bound sampling; the materialized relation is the
+        # output-sized top-k table (n_queries x k rows)
+        ("__topk_mz", f"SELECT qid, vid, CAST(rank AS BIGINT) AS rank, cos "
+                      f"FROM __rk WHERE rank <= {k}"),
     ]
-    final = (f"SELECT qid, vid, CAST(rank AS BIGINT) AS rank, cos "
-             f"FROM __rk WHERE rank <= {k} ORDER BY qid, rank")
+    final = "SELECT qid, vid, rank, cos FROM __topk_mz ORDER BY qid, rank"
     return stages, final
 
 
@@ -559,7 +583,7 @@ def hard_negative_mining_stages(dialect: str, n_queries: int = 20, k: int = 3,
         stages = _planted_corpus_stages(dialect, table, dim, plant_rate)
     else:
         stages = [_vec_stage(dialect, table, dim),
-                  ("__corpus", "SELECT vec_id, v, n2 FROM __vec")]
+                  ("__corpus", "SELECT vec_id, v, n2 FROM __vec_ix")]
     buckets = [
         f"(CAST({t} AS BIGINT) * {2 ** 31} + "
         f"{_lsh_bucket(dialect, 'v', dim, planes, seed_offset=t * planes)})"
@@ -648,7 +672,7 @@ def semantic_dedup_stages(dialect: str, eps: float = 0.95, dim: int = 64,
         base = "__corpus"
     else:
         stages = [_vec_stage(dialect, table, dim)]
-        base = "__vec"
+        base = "__vec_ix"
     stages += [
         ("__seed", f"SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM {base} "
                    f"WHERE vec_id % {seed_stride} = 0 "

