@@ -259,12 +259,24 @@ def line_dedup_stages(dialect: str, min_count: int = 3,
                   f"FROM {table}"),
         ("__dl", "SELECT doc_id, CAST(s.li AS BIGINT) AS li, s.line AS line, "
                  "md5(s.line) AS lh FROM __dls WHERE length(s.line) > 0"),
-        # corpus frequency per line hash: total occurrences (a line twice
-        # in one doc counts twice — the reference recipe counts copies)
-        ("__lc", f"SELECT lh, CAST(COUNT(*) AS BIGINT) AS cnt FROM __dl "
-                 f"GROUP BY lh"),
-        ("__keep", f"SELECT d.doc_id, d.li, d.line FROM __dl d "
-                   f"JOIN __lc c ON d.lh = c.lh WHERE c.cnt < {min_count}"),
+        # round 11: the keep filter excludes against the BOILERPLATE list
+        # (lines at or over min_count — rare by construction) instead of
+        # joining every line to the full per-line count table: the join's
+        # build side shrinks from |distinct lines| to |boilerplate lines|
+        # (broadcastable; plans as a hashed anti join via NOT EXISTS on
+        # both engines), and `cnt < min_count` ≡ `lh not in the >= list`
+        # because every line hash has exactly one count and is non-null.
+        ("__bl", f"SELECT lh FROM __dl GROUP BY lh "
+                 f"HAVING COUNT(*) >= {min_count}"),
+        ("__keep", "SELECT d.doc_id, d.li, d.line FROM __dl d "
+                   "WHERE NOT EXISTS "
+                   "(SELECT 1 FROM __bl b WHERE b.lh = d.lh)"),
+        # A no-persist variant (window COUNT(*) OVER (PARTITION BY lh) +
+        # in-row per-doc line counts) was A/B'd this round and REVERTED:
+        # cold 1.43 -> 2.63 s, warm 0.51 -> 1.06 s — the fixture's folded
+        # pre-stage became the new multi-referenced (persisted) relation
+        # and the lh window sort costs more than the hash aggregate. The
+        # exploded line stream stays the pipeline's persisted stage.
         ("__stat", "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines "
                    "FROM __dl GROUP BY doc_id"),
         ("__rb", f"SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, "

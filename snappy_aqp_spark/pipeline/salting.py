@@ -77,10 +77,17 @@ def salted_join_stages(dialect: str, salt_factor: int = 4,
          "SELECT d.c_mktsegment, f.cents FROM __fact_s f "
          "JOIN __dim_rep d ON f.o_custkey = d.c_custkey "
          "AND f.salt = d.salt"),
+        # _mz (round 11): the final's global ORDER BY range-samples its
+        # child, re-executing the aggregate merge above the last exchange
+        # a second time per call; the materialized relation is
+        # output-sized (one row per market segment)
+        ("__sj_mz",
+         "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+         "CAST(SUM(cents) AS BIGINT) AS total_cents FROM __joined "
+         "GROUP BY c_mktsegment"),
     ]
-    final = ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, "
-             "CAST(SUM(cents) AS BIGINT) AS total_cents FROM __joined "
-             "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    final = ("SELECT c_mktsegment, n_orders, total_cents FROM __sj_mz "
+             "ORDER BY c_mktsegment")
     return stages, final
 
 

@@ -750,24 +750,43 @@ def query_approx_ts_topk(spark: SparkSession, registry: TopKRegistry,
                             F.col("key").asc()).limit(k))
     else:
         def query(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+            from .sketches import key_hash
             sketches = [CountMinSketch.from_bytes(bytes(r))
                         for r in pdf["sketch"]]
             cands: set[str] = set()
             for ck in pdf["cand_keys"]:
                 cands.update(ck)
+            keys = sorted(cands)
+            # vectorized Approximate fold (round 11, guide §4.2): hash
+            # each candidate ONCE, estimate whole key arrays per sketch
+            # (estimate_many is bit-identical to the scalar estimate),
+            # and sum the monoid fields as arrays. Identities mirrored
+            # from Approximate.__add__: EstimatedValue and MaxBound are
+            # the estimate sum, LowerBound sums (est - floor(size*eps))
+            # per sketch, Probability is the LEFT operand's — the first
+            # sketch's confidence (all sketches share the depth).
             rows = []
-            for key in sorted(cands):
-                acc = None
+            if keys and sketches:
+                hs = np.array([key_hash(k) for k in keys], dtype=np.uint64)
+                est = np.zeros(len(keys), dtype=np.int64)
+                low = np.zeros(len(keys), dtype=np.int64)
                 for s in sketches:
-                    a = s.estimate_approximate(key)
-                    acc = a if acc is None else acc + a
-                rows.append((key, acc.estimate, acc.lower, acc.max,
-                             acc.probability))
+                    e = s.estimate_many(hs)
+                    est += e
+                    low += e - int(s.size * s.eps)
+                prob = sketches[0].confidence
+                rows = [(k, int(est[i]), int(low[i]), int(est[i]), prob)
+                        for i, k in enumerate(keys)]
             return pd.DataFrame(rows, columns=["key", "EstimatedValue",
                                                "LowerBound", "MaxBound",
                                                "Probability"])
         out_schema = ("key string, EstimatedValue long, LowerBound long, "
                       "MaxBound long, Probability double")
+        # ship only the columns the function reads (guide §4.1): level /
+        # bucket / cand_counts would otherwise cross the Arrow boundary
+        # for nothing
+        state = state.select("pid", "sketch", "cand_keys")
 
     per_part = state.groupBy("pid").applyInPandas(query, schema=out_schema)
     return (per_part.orderBy(F.col("EstimatedValue").desc(), F.col("key").asc())

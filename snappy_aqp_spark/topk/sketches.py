@@ -130,6 +130,26 @@ class CountMinSketch:
         return int(min(self.table[i, b]
                        for i, b in enumerate(self._buckets(key_hash(key)))))
 
+    def estimate_many(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized ``estimate`` over an array of ``key_hash`` values
+        (int64/uint64): the query path's cost is |candidates| x |sketches|
+        x depth scalar ``_mix64`` calls in interpreted Python — this runs
+        the identical splitmix64 mix, row-salted buckets and min-over-rows
+        as whole numpy arrays (uint64 arithmetic wraps mod 2^64, exactly
+        the scalar path's ``& _M64`` masking), so estimates are
+        bit-identical to the scalar path (pinned by pytest)."""
+        hs = hashes.astype(np.uint64, copy=False)
+        out = None
+        for i in range(self.depth):
+            x = hs ^ np.uint64((_ROW_A[i] << 1) ^ _ROW_B[i])
+            x = x + np.uint64(0x9E3779B97F4A7C15)
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x = x ^ (x >> np.uint64(31))
+            v = self.table[i, (x % np.uint64(self.width)).astype(np.int64)]
+            out = v if out is None else np.minimum(out, v)
+        return out
+
     def estimate_approximate(self, key) -> Approximate:
         est = self.estimate(key)
         return Approximate(est - int(self.size * self.eps), est, est,

@@ -510,3 +510,22 @@ def test_topk_save_back_to_load_path(spark, events, tmp_path):
     assert after.equals(mid)
     fresh.drop("persist_back")
     reg3.drop("persist_back")
+
+
+def test_cms_estimate_many_matches_scalar():
+    """round-11: the query path estimates candidate arrays via the
+    vectorized estimate_many — it must be bit-identical to the scalar
+    estimate for every key, including post-compress (halved) widths."""
+    import numpy as np
+    from snappy_aqp_spark.topk.sketches import CountMinSketch, key_hash
+
+    s = CountMinSketch(depth=7, width=64)
+    keys = [f"user{i}" for i in range(500)] + list(range(300))
+    for i, k in enumerate(keys):
+        s.add(k, (i % 13) + 1)
+    hs = np.array([key_hash(k) for k in keys], dtype=np.uint64)
+    vec = s.estimate_many(hs)
+    assert [int(v) for v in vec] == [s.estimate(k) for k in keys]
+    c = s.compress()
+    vec_c = c.estimate_many(hs)
+    assert [int(v) for v in vec_c] == [c.estimate(k) for k in keys]
