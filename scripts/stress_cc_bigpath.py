@@ -32,7 +32,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import SparkSession
 
-SCRATCH = "/tmp/aqp_sf1_stress"
+SCRATCH = "/tmp/aqp_sf1_stress"   # shared with stress_sf1.build_scratch
 
 
 def main() -> int:

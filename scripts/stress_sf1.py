@@ -94,8 +94,9 @@ def build_scratch(spark) -> None:
         reps = r if reps is None else reps.unionByName(r)
     reps.write.mode("overwrite").parquet(f"{SCRATCH}/lineitem.parquet")
     # remaining tables: copy the small ones the fixtures might touch
-    # (driver testdata ships single-file parquet)
-    for t in ("events",):
+    # (driver testdata ships single-file parquet; customer is the
+    # unreplicated dim side for the salted-join fixture)
+    for t in ("events", "customer"):
         src = f"{SRC}/{t}.parquet"
         if os.path.isdir(src):
             shutil.copytree(src, f"{SCRATCH}/{t}.parquet",
@@ -120,7 +121,8 @@ def main() -> int:
     con = oracle_connect("24GB")
     register_scratch_views(
         con, SCRATCH,
-        ("documents", "embeddings", "events", "orders", "lineitem"))
+        ("documents", "embeddings", "events", "orders", "lineitem",
+         "customer"))
     fails = []
     for name in FIXTURES:
         t0 = time.time()

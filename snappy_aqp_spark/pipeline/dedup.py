@@ -199,7 +199,14 @@ def ngram_jaccard_stages(dialect: str, threshold: float = 0.8, k: int = 5,
         # capped-gram ARRAYS, not a token re-explosion: joining candidates
         # back to the token stream costs |cand| x tokens-per-doc
         # intermediate rows (measured 17x slower at sf0.1); two array
-        # lookups + an array_intersect are linear in the candidate count
+        # lookups + an array_intersect are linear in the candidate count.
+        # Round-11 A/B, REVERTED: restricting this aggregate to screened
+        # candidate docs (semi-join on a __scr-derived doc list first)
+        # measured cold 5.3 -> 6.7 s / warm 0.55 -> 1.08 s — it serializes
+        # the array build behind the whole screen chain (they run as
+        # CONCURRENT AQE stages in this shape) and adds an exchange; the
+        # corpus-wide array build over the persisted capped stream is the
+        # faster plan at every scale where __shc persists anyway.
         ("__gsc", f"SELECT doc_id, {dual.arr_agg(dialect, 'sh')} AS gsc "
                   f"FROM __shc GROUP BY doc_id"),
         ("__pairs",
@@ -392,11 +399,20 @@ def minhash_lsh_stages(dialect: str, threshold: float, k: int = 5,
         # stream costs |cand| x shingles-per-doc intermediate rows; two
         # array lookups + an array_intersect are linear in the candidate
         # count (the ngram_jaccard_stages rewrite, ported — the explode
-        # join was the dominant warm-iteration cost at sf0.1)
+        # join was the dominant warm-iteration cost at sf0.1).
+        # Round 11: the verify stream shingles ONLY candidate documents
+        # straight off the base table (doc_id join BEFORE the gram hash),
+        # which leaves __shr single-referenced — the corpus-sized shingle
+        # stream is never persisted; candidates are a tiny fraction of
+        # the corpus, so re-hashing just them beats caching everything
+        ("__shv",
+         f"SELECT t.doc_id, "
+         f"{dual.explode(dialect, dual.arr_distinct(dialect, dual.gram_int_array(dialect, f't.{col}', k)), 'sh')} "
+         f"FROM {table} t JOIN __cdoc d ON t.doc_id = d.doc_id "
+         f"WHERE length(t.{col}) >= {k}"),
         ("__gsc",
          f"SELECT g.doc_id, {dual.arr_agg(dialect, 'g.sh')} AS gsc, "
-         f"CAST(COUNT(*) AS BIGINT) AS n FROM __shr g "
-         f"JOIN __cdoc d ON g.doc_id = d.doc_id GROUP BY g.doc_id"),
+         f"CAST(COUNT(*) AS BIGINT) AS n FROM __shv g GROUP BY g.doc_id"),
         ("__common",
          f"SELECT c.ida, c.idb, "
          f"{dual.arr_intersect_len(dialect, 'ga.gsc', 'gb.gsc')} AS common, "

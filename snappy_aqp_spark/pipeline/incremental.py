@@ -83,11 +83,19 @@ def cross_corpus_dedup_stages(dialect: str, new_pred: str,
     rows = n_hashes // bands
     (pa, pb) = _minhash_exprs(1)[0]
     cpows = [pow(1299721, j, P31) for j in range(rows)]
-    grams = dual.gram_int_array(dialect, "txt", k)
+    grams = dual.gram_int_array(dialect, col, k)
+    grams_t = dual.gram_int_array(dialect, f"t.{col}", k)
+    is_new = f"CASE WHEN {new_pred} THEN 1 ELSE 0 END"
     stages = [
+        # round 11: __cc0 is THIN — (doc_id, md5, is_new) only. The
+        # previous shape carried the document text through this
+        # 3-reader (hence persisted) stage, a corpus-sized text cache;
+        # the one reader that needs text (the shingle stream) now derives
+        # straight from the base table instead, so what persists here is
+        # ~50 bytes/doc.
         ("__cc0",
-         f"SELECT doc_id, {col} AS txt, md5({col}) AS th, "
-         f"CASE WHEN {new_pred} THEN 1 ELSE 0 END AS is_new FROM {table}"),
+         f"SELECT doc_id, md5({col}) AS th, "
+         f"{is_new} AS is_new FROM {table}"),
         # exact tier: smallest corpus doc with identical text. The join
         # key is the 32-byte md5, not the document — the exact-tier
         # shuffle carries (doc_id, hash) rows, never text (both engines
@@ -97,11 +105,14 @@ def cross_corpus_dedup_stages(dialect: str, new_pred: str,
          "FROM (SELECT doc_id, th FROM __cc0 WHERE is_new = 1) n "
          "JOIN (SELECT doc_id, th FROM __cc0 WHERE is_new = 0) c "
          "ON n.th = c.th GROUP BY n.doc_id"),
-        # distinct shingles as narrow rows, side flag carried
+        # distinct shingles as narrow rows, side flag carried. Referenced
+        # ONCE (the band build) since round 11 — the verify leg derives
+        # its own candidate-only stream below — so the corpus-sized gram
+        # stream is never persisted.
         ("__ccs",
-         f"SELECT doc_id, is_new, "
+         f"SELECT doc_id, {is_new} AS is_new, "
          f"{dual.explode(dialect, dual.arr_distinct(dialect, grams), 'sh')} "
-         f"FROM __cc0 WHERE length(txt) >= {k}"),
+         f"FROM {table} WHERE length({col}) >= {k}"),
         # one-permutation bins (identical constants to minhash_lsh_stages
         # so an offline-built corpus band index is directly reusable)
         ("__ccb",
@@ -150,11 +161,20 @@ def cross_corpus_dedup_stages(dialect: str, new_pred: str,
         # stream costs |cand| x shingles-per-doc intermediate rows; two
         # array lookups + an array_intersect are linear in the candidate
         # count (the same rewrite dedup.ngram_jaccard_stages carries —
-        # measured 17x there; here it removes the dominant per-query join)
+        # measured 17x there; here it removes the dominant per-query join).
+        # The verify stream shingles ONLY candidate documents (round 11):
+        # the doc_id join filters the scan BEFORE the gram hash runs, so
+        # the expensive hashing pass is |candidates|-sized — the corpus
+        # pays it once in the band build, never twice
+        ("__ccsv",
+         f"SELECT t.doc_id, "
+         f"{dual.explode(dialect, dual.arr_distinct(dialect, grams_t), 'sh')} "
+         f"FROM {table} t JOIN __ccdoc d ON t.doc_id = d.doc_id "
+         f"WHERE length(t.{col}) >= {k}"),
         ("__ccgsc",
          f"SELECT s.doc_id, {dual.arr_agg(dialect, 's.sh')} AS gsc, "
-         f"CAST(COUNT(*) AS BIGINT) AS n FROM __ccs s "
-         f"JOIN __ccdoc d ON s.doc_id = d.doc_id GROUP BY s.doc_id"),
+         f"CAST(COUNT(*) AS BIGINT) AS n FROM __ccsv s "
+         f"GROUP BY s.doc_id"),
         ("__cccm",
          f"SELECT c.idn, c.idc, "
          f"{dual.arr_intersect_len(dialect, 'ga.gsc', 'gb.gsc')} AS common, "

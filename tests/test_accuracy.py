@@ -49,22 +49,26 @@ def runs(spark, exact_sum):
     return out
 
 
+@pytest.mark.slow
 def test_ci_coverage(runs, exact_sum):
     covered = sum(1 for est, lo, hi in runs if lo <= exact_sum <= hi)
     # binomial(30, 0.95): P(covered < 24) < 1e-4
     assert covered >= 24, f"coverage {covered}/{N_SEEDS} at {CONFIDENCE}"
 
 
+@pytest.mark.slow
 def test_point_estimates_converge(runs, exact_sum):
     mean_est = sum(e for e, _, _ in runs) / len(runs)
     assert abs(mean_est - exact_sum) / exact_sum < 0.03
 
 
+@pytest.mark.slow
 def test_individual_estimates_reasonable(runs, exact_sum):
     for est, _, _ in runs:
         assert abs(est - exact_sum) / exact_sum < 0.25
 
 
+@pytest.mark.slow
 def test_bootstrap_agrees_with_closed_form(spark, exact_sum):
     tables = load_tables(spark, SF_SMALL, ("lineitem",))
     cf = run_approx_query(spark, _spec(7, "closed_form"), tables).collect()[0]
@@ -114,12 +118,14 @@ def rr_runs(spark, exact_sum):
     return out
 
 
+@pytest.mark.slow
 def test_reservoir_rand_ci_coverage(rr_runs, exact_sum):
     covered = sum(1 for est, lo, hi in rr_runs if lo <= exact_sum <= hi)
     # binomial(30, 0.95): P(covered < 24) < 1e-4
     assert covered >= 24, f"coverage {covered}/{N_SEEDS} at {CONFIDENCE}"
 
 
+@pytest.mark.slow
 def test_reservoir_rand_point_estimates_converge(rr_runs, exact_sum):
     mean_est = sum(e for e, _, _ in rr_runs) / len(rr_runs)
     assert abs(mean_est - exact_sum) / exact_sum < 0.03
@@ -142,6 +148,7 @@ def test_rand_hash_decorrelates_adversarial_keys(duck):
         assert ((by_decile - 0.2).abs() < 0.05).all(), (seed, by_decile)
 
 
+@pytest.mark.slow
 def test_quantile_ci_coverage_across_seeds(spark, duck):
     """binomial order-statistic intervals must cover the TRUE median at
     roughly the confidence level across independent sampler seeds (the
@@ -178,12 +185,14 @@ def bs_runs(spark):
     return out
 
 
+@pytest.mark.slow
 def test_bootstrap_ci_coverage(bs_runs, exact_sum):
     covered = sum(1 for est, lo, hi in bs_runs if lo <= exact_sum <= hi)
     # binomial(15, 0.95): P(covered < 11) < 1e-4
     assert covered >= 11, f"coverage {covered}/15 at {CONFIDENCE}"
 
 
+@pytest.mark.slow
 def test_bootstrap_point_estimates_converge(bs_runs, exact_sum):
     mean_est = sum(e for e, _, _ in bs_runs) / len(bs_runs)
     assert abs(mean_est - exact_sum) / exact_sum < 0.03
@@ -192,6 +201,7 @@ def test_bootstrap_point_estimates_converge(bs_runs, exact_sum):
         assert lo <= est <= hi
 
 
+@pytest.mark.slow
 def test_closed_form_se_matches_empirical_sd(runs):
     """ClosedFormGoldenSDSuite analog: the closed-form predicted standard
     error (CI half-width / z) must match the EMPIRICAL standard deviation

@@ -142,9 +142,26 @@ def test_grammar_sweep_counts():
     assert 150 <= len(CASES) <= 600, len(CASES)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name,query", CASES,
                          ids=[n for n, _ in CASES])
 def test_grammar_sweep(sweep_aqp, duck, name, query):
+    an = sweep_aqp.analyze_sql(query)
+    assert an is not None
+    if an.spec is None:
+        pytest.skip(f"exact route: {an.reason}")
+    df = sweep_aqp.sql(query)
+    oracle = duck.sql(oracle_sql_for(an.spec)).df().rename(columns=an.rename)
+    compare_frames(df, oracle)
+
+
+# default-run smoke subset: every 8th case of the full sweep (round 11 —
+# the 350+-case sweep is behind the slow marker so the driver's bounded
+# pytest window can finish; this keeps grammar coverage in every run and
+# the full sweep one flag away: `pytest -m ""`)
+@pytest.mark.parametrize("name,query", CASES[::8],
+                         ids=[n for n, _ in CASES[::8]])
+def test_grammar_smoke(sweep_aqp, duck, name, query):
     an = sweep_aqp.analyze_sql(query)
     assert an is not None
     if an.spec is None:

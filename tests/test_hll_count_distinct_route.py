@@ -155,6 +155,7 @@ def test_ltz_string_fallback_replays_on_oracle_under_non_utc_tz(spark, duck):
     assert sp == dk
 
 
+@pytest.mark.slow
 def test_default_precision_lookup_parses_and_corrects(spark, duck):
     """the route DEFAULT (p=12 -> a 4096-entry LC lookup, ~90 KB of SQL)
     must analyze and execute on BOTH engines — the literal-array size is
@@ -411,6 +412,7 @@ def test_expression_group_key_routes(spark):
         "FROM orders GROUP BY year(o_orderdate) WITH ERROR") is None
 
 
+@pytest.mark.slow
 def test_route_works_over_a_stream_table(spark, tmp_path):
     """The route is plain SQL generation over a named relation, so it
     composes with the streaming surface: COUNT(DISTINCT) WITH ERROR on a

@@ -20,8 +20,23 @@ def views(spark):
     return spark
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(PIPELINE_FIXTURES))
 def test_pipeline_matches_oracle(views, duck, name):
+    fx = PIPELINE_FIXTURES[name]
+    stages, final = fx["builder"](SPARK, **fx["kw"])
+    sp = run_stages(views, stages, final)
+    stages2, final2 = fx["builder"](DUCKDB, **fx["kw"])
+    compare_frames(sp, duck.sql(stages_sql(stages2, final2)))
+
+
+# default-run smoke subset (round 11): every 4th pipeline fixture. The
+# full sweep is behind the slow marker so the driver's bounded pytest
+# window can finish — the driver's own CORRECTNESS gate and
+# scripts/verify_entry.py cover every fixture independently at round
+# boundaries; `pytest -m ""` runs the full sweep.
+@pytest.mark.parametrize("name", sorted(PIPELINE_FIXTURES)[::4])
+def test_pipeline_oracle_smoke(views, duck, name):
     fx = PIPELINE_FIXTURES[name]
     stages, final = fx["builder"](SPARK, **fx["kw"])
     sp = run_stages(views, stages, final)
@@ -85,6 +100,7 @@ def test_ivf_finds_planted_neighbors(views):
         assert got.get((q, q + 10_000_000)) == 1
 
 
+@pytest.mark.slow
 def test_text_features_match(views, duck):
     docs = views.read.parquet(f"{SF_SMALL}/documents.parquet")
     compare_frames(text_features(docs), duck.sql(text_features_oracle()))
@@ -393,6 +409,7 @@ def test_line_dedup_planted_boilerplate(spark):
     assert out2[4]["clean_text"] == "only doc four"
 
 
+@pytest.mark.slow
 def test_ngram_jaccard_prefix_filter_is_lossless(views, duck):
     """the prefix-filtered join must return EXACTLY the pairs of the
     brute-force all-co-shingled-pairs baseline (prefix filtering + size
@@ -633,12 +650,18 @@ def test_sessionize_invariants(views):
 def test_sessionize_single_shuffle_plan(views):
     """the window and the rollup must reuse ONE exchange on user_id —
     hashpartitioning(user_id) satisfies every downstream clustering that
-    contains user_id, so sessionization is one-shuffle at any scale."""
+    contains user_id, so sessionization is one-shuffle at any scale.
+    Since round 11 the rollup is the materialized ``__ssa_mz`` stage (the
+    presentation ORDER BY reads it), so the property is asserted on the
+    COMPUTING stage's plan — the final's plan would print the cached
+    child's AQE initial+final sections and double-count the exchange."""
+    from snappy_aqp_spark.pipeline.dual import stages_sql
     from snappy_aqp_spark.pipeline.sessions import sessionize_stages
     st, fin = sessionize_stages(SPARK)
-    plan = run_stages(views, st, fin)._jdf.queryExecution().executedPlan().toString()
+    assert st[-1][0] == "__ssa_mz"
+    plan = views.sql(stages_sql(st[:-1], st[-1][1])) \
+        ._jdf.queryExecution().executedPlan().toString()
     import re
-    # ignore the final presentation ORDER BY (rangepartitioning exchange)
     n_hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_hash_exchanges == 1, plan
 

@@ -572,6 +572,7 @@ def aqp_nyc_ddl(spark):
     return s
 
 
+@pytest.mark.slow
 def test_reference_sample_ddl_scripts_replay(aqp_nyc_ddl):
     """the three NYCTaxiSample scripts run statement-by-statement in file
     order: DROP TABLE IF EXISTS over (absent, then present) samples,

@@ -154,6 +154,7 @@ def test_session_approx_quantile_surface(spark):
     assert len(grouped) == 9 and {r["g"] for r in grouped} == {"A", "N", "R"}
 
 
+@pytest.mark.slow
 def test_multi_sample_single_scan_build_matches_per_spec(spark, tmp_path):
     """multi_hash_sample_build (two scans for N samples) must be row- and
     weight-identical to building each sample separately, and the built
@@ -206,6 +207,7 @@ def test_multi_sample_single_scan_build_matches_per_spec(spark, tmp_path):
     assert set(found) >= {"mb_rf", "mb_ls", "mb_yr"}
 
 
+@pytest.mark.slow
 def test_multi_sample_build_ranked_methods_match_per_spec(spark, tmp_path):
     """The generalized multi-build (any hash/ranked mix in one fan-out)
     must equal the per-spec builders exactly — including the reference's
@@ -249,6 +251,7 @@ def test_multi_sample_build_ranked_methods_match_per_spec(spark, tmp_path):
         pd.testing.assert_frame_equal(a, b, obj=name)
 
 
+@pytest.mark.slow
 def test_multi_sample_build_prefilter_and_fallback_branches(spark, tmp_path,
                                                             monkeypatch):
     """Large strata (> _PREFILTER_MIN_STRATUM) exercise the oversampled
@@ -317,6 +320,7 @@ def test_multi_sample_build_null_strata(spark, tmp_path):
         pd.testing.assert_frame_equal(a, b, obj=name)
 
 
+@pytest.mark.slow
 def test_multi_sample_build_error_limit_matches_per_spec(spark, tmp_path):
     """error_limit specs ride the shared fan-out: the quantized measure
     travels inside the scan-1 explode, n_req derives per stratum on the
@@ -358,6 +362,7 @@ def test_multi_sample_build_error_limit_matches_per_spec(spark, tmp_path):
     assert el["sampler_strata_sampled"].nunique() >= 2
 
 
+@pytest.mark.slow
 def test_run_script_batches_adjacent_sample_creates(spark, monkeypatch):
     """run_script builds ADJACENT CREATE SAMPLE TABLE statements over one
     base through a single fan-out (the reference's NYC script shape:
@@ -408,6 +413,7 @@ def test_run_script_batches_adjacent_sample_creates(spark, monkeypatch):
     pd.testing.assert_frame_equal(res[3].toPandas(), ctl[3].toPandas())
 
 
+@pytest.mark.slow
 def test_multi_sample_build_empty_spec_gets_valid_empty_sample(spark,
                                                                tmp_path):
     """A spec whose sample is empty (restrictive base_filter) must still
@@ -446,6 +452,7 @@ def test_multi_sample_build_empty_spec_gets_valid_empty_sample(spark,
     assert set(found) >= {"me_ok", "me_empty"}
 
 
+@pytest.mark.slow
 def test_run_script_nyc_shape_drop_interleave_still_batches(spark,
                                                             monkeypatch):
     """The reference's canonical NYC script interleaves DROP TABLE IF
@@ -504,6 +511,7 @@ def test_run_script_nyc_shape_drop_interleave_still_batches(spark,
     assert "ny_d" not in a1.catalog.samples
 
 
+@pytest.mark.slow
 def test_run_script_drop_of_filter_referenced_table_flushes(spark):
     """round-8 ADVICE: a DROP whose target appears inside a pending
     spec's AS-select WHERE (an IN-subquery source) must flush the batch
@@ -541,6 +549,7 @@ def test_run_script_drop_of_filter_referenced_table_flushes(spark):
         pd.testing.assert_frame_equal(a, b)
 
 
+@pytest.mark.slow
 def test_run_script_forwards_rebuild(spark):
     """A pathless ``CREATE ... OPTIONS(rebuild 'true')`` through
     run_script must actually re-sample (round-8 ADVICE: the batching path
@@ -565,6 +574,7 @@ def test_run_script_forwards_rebuild(spark):
     assert tot3 < tot1                         # actually re-sampled
 
 
+@pytest.mark.slow
 def test_multi_sample_build_type_gates_stratum_identity(spark, tmp_path):
     """The fan-out keys strata on string-cast QCS tuples, injective only
     for int/string/date/boolean — a DOUBLE QCS (-0.0 and 0.0 group

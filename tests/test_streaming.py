@@ -101,6 +101,7 @@ def test_stream_state_crash_between_writes_stays_consistent(spark, tmpdir,
     assert a.equals(b)
 
 
+@pytest.mark.slow
 def test_stream_state_crash_restart_retry_and_orphan_gc(spark, tmpdir):
     """full crash-inject protocol at the RETRY boundary: kill between
     epoch-dir write and manifest flip, RESTART (fresh maintainer over the
@@ -171,6 +172,7 @@ def test_stream_state_crash_restart_retry_and_orphan_gc(spark, tmpdir):
     assert a.equals(b)
 
 
+@pytest.mark.slow
 def test_stream_topk_equals_batch(spark, tmpdir, duck):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from snappy_aqp_spark.topk.api import create_approx_ts_topk
@@ -198,6 +200,7 @@ def test_stream_topk_equals_batch(spark, tmpdir, duck):
     assert s.equals(b)
 
 
+@pytest.mark.slow
 def test_stateful_space_saving_exact_when_capacity_sufficient(spark, tmpdir):
     """applyInPandasWithState summary == exact groupBy counts when capacity
     covers the per-pid key space (Space-Saving exactness property), across
@@ -224,6 +227,7 @@ def test_stateful_space_saving_exact_when_capacity_sufficient(spark, tmpdir):
     assert (got["DeltaError"] == 0).all()
 
 
+@pytest.mark.slow
 def test_stateful_space_saving_conservative_when_bounded(spark, tmpdir):
     """bounded capacity: estimates never undercount (est - err <= true <=
     est), state survives across micro-batches."""
@@ -250,6 +254,7 @@ def test_stateful_space_saving_conservative_when_bounded(spark, tmpdir):
         assert r["EstimatedValue"] - r["DeltaError"] <= t
 
 
+@pytest.mark.slow
 def test_windowed_counts_drop_late_rows(spark, tmpdir):
     """watermark semantics end-to-end, deterministic via two stream runs
     over one checkpoint: run 1 finalizes window [00:00,00:05) (watermark
@@ -312,6 +317,7 @@ def _slot_sql(df, iv):
     return (f"CAST(FLOOR(CAST({t} AS DOUBLE) / CAST({iv} AS DOUBLE)) "
             f"AS BIGINT)")
 
+@pytest.mark.slow
 def test_stream_sample_time_aging_equals_batch_window(spark, tmpdir):
     """old slots age out; the maintained sample is bit-equal to a batch
     re-sample of the retained window (per-slot stratification), the
@@ -637,6 +643,7 @@ def test_derived_bounds_only_for_unknown_columns(spark):
     assert an.spec.aggs[0].max_abs == 2.0 * 2.0 ** 6
 
 
+@pytest.mark.slow
 def test_register_cq_windowed_stream(spark, tmp_path):
     """registerCQ analog (AQPStreamingSuite.scala:149-186): a CQ with
     `window (duration D, slide S)` re-evaluates over the trailing D of
@@ -791,6 +798,7 @@ def test_streaming_dedup_window_chain_fixture_matches_oracle(spark, duck):
     compare_frames(res, oracle)
 
 
+@pytest.mark.slow
 def test_streaming_interval_join_fixture_matches_oracle(spark, duck):
     """Watermarked stream-stream interval join (clicks x purchases within
     1 day per user): inner join over time-ordered micro-batches is
@@ -853,6 +861,7 @@ def test_tws_reservoir_matches_batch_oracle(spark, duck, tmp_path):
         reservoir_oracle_sql("events", "event_type", "event_id", 8, 42)))
 
 
+@pytest.mark.slow
 def test_streaming_left_join_fixture_matches_oracle(spark, duck):
     """LEFT OUTER stream-stream interval join: watermark-proved non-matches
     emit as null-extended rows once the trailing flush batch advances both
@@ -880,6 +889,7 @@ def test_stream_static_enrich_matches_oracle(spark, duck):
     compare_frames(res, duck.sql(stream_static_enrich_oracle_sql()))
 
 
+@pytest.mark.slow
 def test_streaming_file_sink_exactly_once_across_restart(spark, duck,
                                                          tmp_path):
     """Checkpointed stateful query + transactional file sink across a
