@@ -521,9 +521,12 @@ def pq_topk_stages(dialect: str, n_queries: int = 20, k: int = 3,
         ("__sq_rk",
          "SELECT qid, vid, cos, ROW_NUMBER() OVER "
          "(PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank FROM __sq_sim"),
+        # same _mz tail as the sibling top-k pipelines: rank filter
+        # in-stage (WindowGroupLimit preserved), output-sized relation
+        ("__topk_mz", f"SELECT qid, vid, CAST(rank AS BIGINT) AS rank, cos "
+                      f"FROM __sq_rk WHERE rank <= {k}"),
     ]
-    final = (f"SELECT qid, vid, CAST(rank AS BIGINT) AS rank, cos "
-             f"FROM __sq_rk WHERE rank <= {k} ORDER BY qid, rank")
+    final = "SELECT qid, vid, rank, cos FROM __topk_mz ORDER BY qid, rank"
     return stages, final
 
 
@@ -605,9 +608,12 @@ def hard_negative_mining_stages(dialect: str, n_queries: int = 20, k: int = 3,
         ("__hn_rk", f"SELECT qid, vid, cos, ROW_NUMBER() OVER "
                     f"(PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank "
                     f"FROM __hn_sim WHERE cos < {dlit(dup_threshold)}"),
+        # same _mz tail as the sibling top-k pipelines: rank filter
+        # in-stage (WindowGroupLimit preserved), output-sized relation
+        ("__topk_mz", f"SELECT qid, vid, CAST(rank AS BIGINT) AS rank, cos "
+                      f"FROM __hn_rk WHERE rank <= {k}"),
     ]
-    final = (f"SELECT qid, vid, CAST(rank AS BIGINT) AS rank, cos "
-             f"FROM __hn_rk WHERE rank <= {k} ORDER BY qid, rank")
+    final = "SELECT qid, vid, rank, cos FROM __topk_mz ORDER BY qid, rank"
     return stages, final
 
 
